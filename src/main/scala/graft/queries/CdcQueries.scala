@@ -1,0 +1,140 @@
+package graft.queries
+
+import graft.Tables
+import graft.cdc.{ChangeGen, Envelope, Merge, Routing}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Tier A demonstration queries: the CDC dataflow run end-to-end in
+  * batch form (generate change log → filter → flatten → route → merge),
+  * each with a DuckDB oracle derived from the base fixture table.
+  */
+object CdcQueries {
+
+  private def customerLog(spark: SparkSession, sfDir: String): DataFrame =
+    ChangeGen.changeLog(Tables.load(spark, sfDir, "customer"),
+      "c_custkey", "c_acctbal", "commerce", "customer")
+
+  private def supplierLog(spark: SparkSession, sfDir: String): DataFrame =
+    ChangeGen.changeLog(Tables.load(spark, sfDir, "supplier"),
+      "s_suppkey", "s_acctbal", "commerce", "supplier")
+
+  /** The flagship: full CDC materialization of `customer`. Exercises
+    * A1/A2 (generated log), A3 (include filter), A7 (topic regex),
+    * A8 (flatten), A9 (routing), A12 (latest-per-key merge + deletes).
+    */
+  def mergeCustomer(spark: SparkSession, sfDir: String): DataFrame = {
+    val log = customerLog(spark, sfDir)
+      .filter(Routing.includeFilter("commerce", Seq("customer", "product")))
+      .withColumn("topic", Routing.topicName("cdc"))
+      .filter(Routing.topicRegexFilter(col("topic"), "^cdc\\.commerce\\..*"))
+      .drop("topic")
+    val routed = Routing.route(Envelope.flatten(log))
+    Merge.compact(routed, Seq("c_custkey"))
+      .withColumn("c_acctbal", round(col("c_acctbal"), 2))
+      .orderBy("c_custkey")
+  }
+
+  val mergeCustomerOracle: String = ChangeGen.mergedOracleSql(
+    "customer", "c_custkey", "c_acctbal",
+    Seq("c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
+
+  /** Same pipeline through the JSON wire format (A-wire: JsonConverter
+    * round-trip, reference connect-standalone.properties:2-5): envelope →
+    * to_json → from_json → merge. Oracle identical to the struct path —
+    * serialization must be lossless.
+    */
+  def mergeCustomerWire(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.load(spark, sfDir, "customer")
+    val wire = Envelope.toWire(customerLog(spark, sfDir))
+    val parsed = Envelope.fromWire(wire, base.schema)
+    Merge.compact(Envelope.flatten(parsed), Seq("c_custkey"))
+      .withColumn("c_acctbal", round(col("c_acctbal"), 2))
+      .orderBy("c_custkey")
+  }
+
+  /** A8+A9 — envelope flatten + routing projection, no merge: every
+    * event with its op, ts and computed target table. Oracle rebuilds
+    * the deterministic event script in SQL.
+    */
+  def envelopeRoute(spark: SparkSession, sfDir: String): DataFrame = {
+    val routed = Routing.route(Envelope.flatten(customerLog(spark, sfDir)))
+    routed.select(
+      col("row.c_custkey").as("c_custkey"),
+      round(col("row.c_acctbal"), 2).as("c_acctbal"),
+      col("_cdc.op").as("op"),
+      col("_cdc.ts_ms").as("ts_ms"),
+      col("_cdc_target").as("target"))
+      .orderBy("c_custkey", "ts_ms")
+  }
+
+  val envelopeRouteOracle: String =
+    """WITH ev AS (
+      |  SELECT c_custkey, -999.0 AS c_acctbal, 'u' AS op, 500 AS ts_ms FROM customer WHERE c_custkey % 2 = 0
+      |  UNION ALL SELECT c_custkey, c_acctbal, 'r', 1000 FROM customer
+      |  UNION ALL SELECT c_custkey, c_acctbal + 100.0, 'u', 2000 FROM customer WHERE c_custkey % 3 = 0
+      |  UNION ALL SELECT c_custkey, c_acctbal + 200.0, 'u', 3000 FROM customer WHERE c_custkey % 5 = 0
+      |  UNION ALL SELECT c_custkey, c_acctbal, 'd', 4000 FROM customer WHERE c_custkey % 7 = 0
+      |)
+      |SELECT c_custkey, ROUND(c_acctbal, 2) AS c_acctbal, op, CAST(ts_ms AS BIGINT) AS ts_ms,
+      |       'cdc.commerce_customer' AS target
+      |FROM ev ORDER BY c_custkey, ts_ms""".stripMargin
+
+  /** A9/A10 — multi-table fan-out: two change streams unioned, routed,
+    * counted per target (the shuffle-key sanity check for the fan-out).
+    */
+  def routeFanout(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = customerLog(spark, sfDir)
+    val supp = supplierLog(spark, sfDir)
+    // Envelope row schemas differ per table; count over the routed
+    // metadata only (schema-less fan-out accounting).
+    val meta = cust.select(col("op"), col("ts_ms"), col("source"))
+      .unionAll(supp.select(col("op"), col("ts_ms"), col("source")))
+    meta.select(Routing.targetExpr("cdc.{schema}_{table}").as("target"), col("op"))
+      .groupBy("target", "op").agg(count(lit(1)).as("n"))
+      .orderBy("target", "op")
+  }
+
+  val routeFanoutOracle: String =
+    """WITH ev AS (
+      |  SELECT 'cdc.commerce_customer' AS target, 'u' AS op FROM customer WHERE c_custkey % 2 = 0
+      |  UNION ALL SELECT 'cdc.commerce_customer', 'r' FROM customer
+      |  UNION ALL SELECT 'cdc.commerce_customer', 'u' FROM customer WHERE c_custkey % 3 = 0
+      |  UNION ALL SELECT 'cdc.commerce_customer', 'u' FROM customer WHERE c_custkey % 5 = 0
+      |  UNION ALL SELECT 'cdc.commerce_customer', 'd' FROM customer WHERE c_custkey % 7 = 0
+      |  UNION ALL SELECT 'cdc.commerce_supplier', 'u' FROM supplier WHERE s_suppkey % 2 = 0
+      |  UNION ALL SELECT 'cdc.commerce_supplier', 'r' FROM supplier
+      |  UNION ALL SELECT 'cdc.commerce_supplier', 'u' FROM supplier WHERE s_suppkey % 3 = 0
+      |  UNION ALL SELECT 'cdc.commerce_supplier', 'u' FROM supplier WHERE s_suppkey % 5 = 0
+      |  UNION ALL SELECT 'cdc.commerce_supplier', 'd' FROM supplier WHERE s_suppkey % 7 = 0
+      |)
+      |SELECT target, op, count(*) AS n FROM ev GROUP BY target, op ORDER BY target, op""".stripMargin
+
+  /** A12 merged state for supplier (second keyed table, like the
+    * reference's `product`).
+    */
+  def mergeSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val log = supplierLog(spark, sfDir)
+    Merge.compact(Envelope.flatten(log), Seq("s_suppkey"))
+      .withColumn("s_acctbal", round(col("s_acctbal"), 2))
+      .orderBy("s_suppkey")
+  }
+
+  val mergeSupplierOracle: String = ChangeGen.mergedOracleSql(
+    "supplier", "s_suppkey", "s_acctbal",
+    Seq("s_name", "s_nationkey", "s_acctbal"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_merge_customer" -> mergeCustomer,
+    "cdc_merge_customer_wire" -> mergeCustomerWire,
+    "cdc_merge_supplier" -> mergeSupplier,
+    "cdc_envelope_route" -> envelopeRoute,
+    "cdc_route_fanout" -> routeFanout)
+
+  def oracles: Map[String, String] = Map(
+    "cdc_merge_customer" -> mergeCustomerOracle,
+    "cdc_merge_customer_wire" -> mergeCustomerOracle,
+    "cdc_merge_supplier" -> mergeSupplierOracle,
+    "cdc_envelope_route" -> envelopeRouteOracle,
+    "cdc_route_fanout" -> routeFanoutOracle)
+}

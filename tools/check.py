@@ -1,0 +1,101 @@
+#!/usr/bin/env python3
+"""Local pre-flight for the driver's correctness gate.
+
+Runs DuckDB oracle SQL against the fixture parquet tables and compares
+with the parquet dumps Verify.scala wrote. Compare discipline mirrors
+the driver: sort columns by name, then compare row-by-row values (rows
+sorted by all columns as a safety net). Dev tooling only — the shipped
+Scala library has no Python dependency.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
+"""
+import json, math, sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, norm(x)) for k, x in v.items()))
+    return v
+
+
+def canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm(r[i]) for i in order) for r in rows]
+    return [cols[i] for i in order], out
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        try:
+            o = con.execute(sql)
+            o_cols = [d[0] for d in o.description]
+            o_rows = o.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_bad += 1
+            continue
+        try:
+            g = con.execute(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            g_cols = [d[0] for d in g.description]
+            g_rows = g.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: spark result missing: {e}")
+            n_bad += 1
+            continue
+        oc, orows = canon(o_cols, o_rows)
+        gc, grows = canon(g_cols, g_rows)
+        if oc != gc:
+            print(f"FAIL {name}: columns differ oracle={oc} spark={gc}")
+            n_bad += 1
+            continue
+        if orows == grows:
+            print(f"OK   {name} ({len(orows)} rows)")
+            n_ok += 1
+            continue
+        # Retry order-insensitively to distinguish order vs value bugs.
+        if sorted(map(str, orows)) == sorted(map(str, grows)):
+            print(f"WARN {name}: values match but ROW ORDER differs")
+            n_bad += 1
+            continue
+        print(f"FAIL {name}: values differ (oracle {len(orows)} rows, "
+              f"spark {len(grows)} rows)")
+        shown = 0
+        oset, gset = set(map(str, orows)), set(map(str, grows))
+        for r in orows:
+            if str(r) not in gset and shown < 3:
+                print(f"  oracle-only: {r}")
+                shown += 1
+        shown = 0
+        for r in grows:
+            if str(r) not in oset and shown < 3:
+                print(f"  spark-only:  {r}")
+                shown += 1
+        n_bad += 1
+    print(f"== {n_ok} ok, {n_bad} bad ==")
+    sys.exit(1 if n_bad else 0)
+
+
+if __name__ == "__main__":
+    main()
