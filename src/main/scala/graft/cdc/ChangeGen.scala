@@ -23,7 +23,9 @@ import org.apache.spark.sql.functions._
   *   ts_ms=3000 seq=pk  op='u'  mut += 200 for pk%5==0 (overrides the
   *                              ts=2000 update where both apply).
   *   ts_ms=4000 seq=pk  op='d'  delete for pk%7==0 (after=null,
-  *                              before=latest image).
+  *                              before=base image — NOT the latest
+  *                              image; envelopeRoute's oracle depends
+  *                              on exactly this).
   *
   * Expected merged state (the oracle): rows with pk%7!=0, with
   * mut = base + (pk%5==0 ? 200 : pk%3==0 ? 100 : 0).
@@ -38,8 +40,12 @@ object ChangeGen {
                 schemaName: String, tableName: String): DataFrame = {
     val cols = base.columns
     val src = struct(lit(schemaName).as("schema"), lit(tableName).as("table"))
+    // Cast the mutable column to the BASE column's own type (not an
+    // unconditional double) so the generated log's schema never diverges
+    // from the oracle's view of the fixture table.
+    val mutType = base.schema(mut).dataType
     def image(mutValue: Column): Column =
-      struct(cols.map(c => if (c == mut) mutValue.cast("double").as(c)
+      struct(cols.map(c => if (c == mut) mutValue.cast(mutType).as(c)
                            else col(c)): _*)
     val baseImage = image(col(mut))
     // Typed NULL of the row-struct type without touching unresolved

@@ -66,9 +66,15 @@ object Envelope {
   def toWire(events: DataFrame): DataFrame =
     events.select(to_json(struct(events.columns.map(col): _*)).as("value"))
 
-  /** Wire-format parse: JSON string -> typed envelope columns. */
+  /** Wire-format parse: JSON string -> typed envelope columns.
+    * FAILFAST: a corrupt wire record must surface as a parse failure,
+    * not flow downstream as an all-null envelope (the reference sink is
+    * errors.tolerance=none, connect-iceberg-sink.json:6-8).
+    */
   def fromWire(wire: DataFrame, rowSchema: StructType): DataFrame = {
     val env = envelopeSchema(rowSchema)
-    wire.select(from_json(col("value"), env).as("e")).select("e.*")
+    wire.select(from_json(col("value"), env,
+        Map("mode" -> "FAILFAST")).as("e"))
+      .select("e.*")
   }
 }

@@ -79,28 +79,46 @@ object SchemaEvolution {
     Set(ByteType, ShortType, IntegerType, LongType)
   private val fractional: Set[DataType] = Set(FloatType, DoubleType)
 
+  /** Widening is restricted to the numeric lattice — the reference sink
+    * only evolves compatible primitives; anything else (date vs
+    * timestamp, struct vs struct, array vs scalar) is a genuine schema
+    * conflict and must fail loudly rather than coerce-to-string and
+    * silently mangle data.
+    */
   def widen(a: DataType, b: DataType): DataType = (a, b) match {
     case (x, y) if x == y => x
     case (x, y) if integral(x) && integral(y) => LongType
     case (x, y) if (integral(x) || fractional(x)) &&
                    (integral(y) || fractional(y)) => DoubleType
-    case _ => StringType
+    case (x, y) => throw new IllegalArgumentException(
+      s"incompatible schema evolution: cannot widen $x vs $y " +
+        "(only numeric widening is supported, per the reference sink)")
   }
 
   /** Align `df` to the union of its schema with `target`'s: add missing
     * columns as typed nulls, widen conflicting numeric types. Column
     * order follows `df` then new columns in `target` order.
     */
+  /** Name matching is case-insensitive, mirroring Spark's default
+    * resolution (`spark.sql.caseSensitive=false`) — a batch column
+    * differing only in case must widen the existing column, not be
+    * added as a duplicate.
+    */
   def align(df: DataFrame, target: DataFrame): DataFrame = {
-    val tTypes = target.schema.map(f => f.name -> f.dataType).toMap
+    val tTypes = target.schema
+      .map(f => f.name.toLowerCase -> f.dataType).toMap
+    val dfNames = df.columns.map(_.toLowerCase).toSet
+    require(dfNames.size == df.columns.length,
+      s"case-insensitive duplicate columns in ${df.columns.mkString(",")}")
     val existing = df.schema.map { f =>
-      tTypes.get(f.name) match {
+      tTypes.get(f.name.toLowerCase) match {
         case Some(t) if t != f.dataType =>
           col(f.name).cast(widen(f.dataType, t)).as(f.name)
         case _ => col(f.name)
       }
     }
-    val missing = target.schema.filterNot(f => df.columns.contains(f.name))
+    val missing = target.schema
+      .filterNot(f => dfNames.contains(f.name.toLowerCase))
       .map(f => lit(null).cast(f.dataType).as(f.name))
     df.select(existing ++ missing: _*)
   }

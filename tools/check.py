@@ -9,7 +9,7 @@ Scala library has no Python dependency.
 
 Usage: python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
 """
-import json, math, sys
+import decimal, json, math, sys
 
 import duckdb
 
@@ -18,6 +18,8 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm(v):
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
