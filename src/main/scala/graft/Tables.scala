@@ -1,14 +1,33 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Fixture-table loader. One place that knows the on-disk layout
   * (`<sfDir>/<table>.parquet`, TESTDATA.md) so queries only name tables.
+  *
+  * The `events` fixture stores `ts` as parquet TIMESTAMP(NANOS), which
+  * Spark's vectorized reader rejects outright; with
+  * `spark.sql.legacy.parquet.nanosAsLong=true` (set by every engine
+  * entry point) it arrives as a LongType of nanoseconds, and this
+  * loader converts it back to a first-class TimestampType at microsecond
+  * precision — the same truncation DuckDB applies reading TIMESTAMP_NS,
+  * so oracles agree.
   */
 object Tables {
   val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, table: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$table.parquet")
+  /** Configs every engine SparkSession needs for the fixture layout. */
+  val sessionConfigs: Map[String, String] = Map(
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.session.timeZone" -> "UTC")
+
+  def load(spark: SparkSession, sfDir: String, table: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$table.parquet")
+    if (table == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
 }

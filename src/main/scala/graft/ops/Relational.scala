@@ -1,0 +1,746 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Tier B/C batch relational surface: every join shape, aggregation
+  * flavor, window-function family, set operation, sort/limit/top-k and
+  * predicate form the reference advertises by pointing Trino at its
+  * sink tables (reference: init_for_test.py:66-79 issues SQL over the
+  * CDC-maintained tables; test_cdc.py:80 is scan+sort).
+  *
+  * Every query is totally ordered, aliases every computed column, and
+  * rounds floating aggregates identically to its DuckDB oracle so the
+  * driver's sorted-column hash compare is deterministic.
+  *
+  * Scale notes are per-query; the common ones: dimension tables
+  * (region 5 / nation 25 / supplier small) are explicitly
+  * `broadcast()`-hinted so no fact-table shuffle happens for dim joins;
+  * aggregations are plain `groupBy` (map-side partial agg for free);
+  * top-k uses `orderBy.limit` which plans to TakeOrderedAndProject
+  * (no global sort); timestamps leave queries as formatted strings or
+  * epoch micros so oracle comparison never depends on parquet
+  * timezone metadata.
+  */
+object Relational {
+
+  private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    Tables.load(spark, sfDir, name)
+
+  /** Timestamp → epoch micros, robust to the parquet column arriving as
+    * TIMESTAMP or TIMESTAMP_NTZ (session tz is UTC, so the cast is a
+    * no-op re-interpretation).
+    */
+  private def tsMicros(c: Column): Column = unix_micros(c.cast("timestamp"))
+
+  private def dateStr(c: Column): Column =
+    date_format(c.cast("timestamp"), "yyyy-MM-dd")
+
+  // ---------------------------------------------------------------- joins
+
+  /** Equi inner join fact→dim-ish (orders ⋈ customer on custkey), then
+    * hash agg by segment. Shuffle on o_custkey/c_custkey only; at 100×
+    * AQE picks broadcast for the customer side if it fits, else SMJ —
+    * both correct, no residual.
+    */
+  def joinInner(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .select("o_custkey", "o_totalprice")
+      .join(t(spark, sfDir, "customer").select("c_custkey", "c_mktsegment"),
+        col("o_custkey") === col("c_custkey"), "inner")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("revenue"))
+      .orderBy("c_mktsegment")
+
+  val joinInnerOracle: String =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |       ROUND(sum(o_totalprice), 2) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** Left outer join preserving customers with no qualifying orders
+    * (orders filtered to high-value so the null side is non-empty);
+    * count(o_orderkey) counts only matches.
+    */
+  def joinLeft(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "customer").select("c_custkey", "c_nationkey")
+      .join(t(spark, sfDir, "orders")
+        .filter(col("o_totalprice") > 450000.0)
+        .select("o_custkey", "o_orderkey"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_nationkey")
+      .agg(countDistinct("c_custkey").as("n_cust"),
+        count("o_orderkey").as("n_big_orders"))
+      .orderBy("c_nationkey")
+
+  val joinLeftOracle: String =
+    """SELECT c_nationkey, count(DISTINCT c_custkey) AS n_cust,
+      |       count(o_orderkey) AS n_big_orders
+      |FROM customer LEFT JOIN (
+      |  SELECT o_custkey, o_orderkey FROM orders WHERE o_totalprice > 450000.0
+      |) ON c_custkey = o_custkey
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
+  /** Right outer join — same semantics as left with sides swapped;
+    * registered separately because the reference's SQL surface includes
+    * it and the planner's null-side handling differs.
+    */
+  def joinRight(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .filter(col("o_totalprice") > 450000.0)
+      .select("o_custkey", "o_orderkey")
+      .join(t(spark, sfDir, "customer").select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"), "right")
+      .groupBy("c_nationkey")
+      .agg(countDistinct("c_custkey").as("n_cust"),
+        count("o_orderkey").as("n_big_orders"))
+      .orderBy("c_nationkey")
+
+  val joinRightOracle: String =
+    """SELECT c_nationkey, count(DISTINCT c_custkey) AS n_cust,
+      |       count(o_orderkey) AS n_big_orders
+      |FROM (SELECT o_custkey, o_orderkey FROM orders
+      |      WHERE o_totalprice > 450000.0)
+      |RIGHT JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
+  /** Full outer join of two derived key sets (high-spend customers vs
+    * high-balance customers) — both sides have exclusive keys, so all
+    * three null-patterns appear.
+    */
+  def joinFull(spark: SparkSession, sfDir: String): DataFrame = {
+    val spend = t(spark, sfDir, "orders")
+      .groupBy(col("o_custkey").as("sk"))
+      .agg(round(sum("o_totalprice"), 2).as("spend"))
+      .filter(col("spend") > 3200000.0)
+    val rich = t(spark, sfDir, "customer")
+      .filter(col("c_acctbal") > 8000.0)
+      .select(col("c_custkey").as("rk"), round(col("c_acctbal"), 2).as("bal"))
+    spend.join(rich, col("sk") === col("rk"), "full")
+      .select(coalesce(col("sk"), col("rk")).as("custkey"),
+        col("spend"), col("bal"))
+      .orderBy("custkey")
+  }
+
+  val joinFullOracle: String =
+    """WITH spend AS (
+      |  SELECT o_custkey AS sk, ROUND(sum(o_totalprice), 2) AS spend
+      |  FROM orders GROUP BY o_custkey HAVING ROUND(sum(o_totalprice), 2) > 3200000.0
+      |), rich AS (
+      |  SELECT c_custkey AS rk, ROUND(c_acctbal, 2) AS bal
+      |  FROM customer WHERE c_acctbal > 8000.0
+      |)
+      |SELECT COALESCE(sk, rk) AS custkey, spend, bal
+      |FROM spend FULL JOIN rich ON sk = rk
+      |ORDER BY custkey""".stripMargin
+
+  /** Dim-chain broadcast join: customer ⋈ nation ⋈ region with explicit
+    * broadcast hints — at 100 TB the fact side streams map-side with
+    * ZERO shuffle for the dim joins; only the final groupBy shuffles
+    * (5 regions after partial agg — bytes, not gigabytes).
+    */
+  def joinBroadcast(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "customer").select("c_nationkey", "c_acctbal")
+      .join(broadcast(t(spark, sfDir, "nation")
+        .select("n_nationkey", "n_regionkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, sfDir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_cust"),
+        round(avg("c_acctbal"), 4).as("avg_bal"))
+      .orderBy("r_name")
+
+  val joinBroadcastOracle: String =
+    """SELECT r_name, count(*) AS n_cust, ROUND(avg(c_acctbal), 4) AS avg_bal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
+  /** Left-semi: customers having at least one very-high-value order.
+    * Semi stops at first match — no row multiplication, and the right
+    * side reduces to its join key before the shuffle.
+    */
+  def joinSemi(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "customer").select("c_custkey", "c_name")
+      .join(t(spark, sfDir, "orders")
+        .filter(col("o_totalprice") > 480000.0).select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .orderBy("c_custkey")
+
+  val joinSemiOracle: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE c_custkey IN (SELECT o_custkey FROM orders
+      |                    WHERE o_totalprice > 480000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Left-anti: customers with no URGENT order (every customer has
+    * orders in the fixture, so the anti side must be the filtered set).
+    */
+  def joinAnti(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "customer").select("c_custkey", "c_name")
+      .join(t(spark, sfDir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .orderBy("c_custkey")
+
+  val joinAntiOracle: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+      |                        WHERE o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Theta join: equi on region + `<` range residual — planned as a
+    * hash join with a residual predicate, NOT a nested-loop; the
+    * inequality never becomes the join key.
+    */
+  def joinTheta(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = t(spark, sfDir, "nation")
+    val a = n.select(col("n_nationkey").as("k1"), col("n_regionkey").as("r1"))
+    val b = n.select(col("n_nationkey").as("k2"), col("n_regionkey").as("r2"))
+    a.join(b, col("r1") === col("r2") && col("k1") < col("k2"))
+      .groupBy(col("r1").as("r_regionkey"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("r_regionkey")
+  }
+
+  val joinThetaOracle: String =
+    """SELECT a.n_regionkey AS r_regionkey, count(*) AS n_pairs
+      |FROM nation a JOIN nation b
+      |  ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+      |GROUP BY a.n_regionkey ORDER BY r_regionkey""".stripMargin
+
+  /** Cross join of the two smallest dims (5 × 25 rows). Cross joins are
+    * only ever sane dim×dim; the engine never cross-joins facts.
+    */
+  def joinCross(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "region").select("r_regionkey", "r_name")
+      .crossJoin(t(spark, sfDir, "nation").select("n_nationkey", "n_name"))
+      .orderBy("r_regionkey", "n_nationkey")
+
+  val joinCrossOracle: String =
+    """SELECT r_regionkey, r_name, n_nationkey, n_name
+      |FROM region CROSS JOIN nation
+      |ORDER BY r_regionkey, n_nationkey""".stripMargin
+
+  /** As-of join: for each purchase event, the same user's most recent
+    * click at-or-before the purchase.
+    *
+    * Scale design: implemented as ONE shuffle by user_id + an ordered
+    * window scan (`last(click_ts) ignoreNulls` over rows preceding),
+    * not a join — the naive per-pair range join is quadratic per user,
+    * the window form is linear and is exactly how an as-of join
+    * distributes at 100 TB. Clicks are pre-deduped to one per
+    * (user, ts) so the pick is deterministic in both engines.
+    * Oracle uses DuckDB's native ASOF LEFT JOIN.
+    */
+  def joinAsof(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = t(spark, sfDir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy("user_id", "ts").agg(max("event_id").as("event_id"))
+      .select(col("user_id"), col("ts"), lit("click").as("event_type"),
+        col("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+    val tagged = clicks.unionByName(purchases)
+    // click sorts before purchase at equal ts, so an exactly-simultaneous
+    // click is visible to the purchase (ASOF is <=).
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_type"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("click_ts",
+        last(when(col("event_type") === "click", col("ts")), ignoreNulls = true)
+          .over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        tsMicros(col("ts")).as("purchase_us"),
+        tsMicros(col("click_ts")).as("click_us"))
+      .orderBy("event_id")
+  }
+
+  val joinAsofOracle: String =
+    """WITH c AS (
+      |  SELECT user_id, ts FROM events WHERE event_type = 'click'
+      |  GROUP BY user_id, ts
+      |), p AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+      |)
+      |SELECT p.event_id, p.user_id,
+      |       epoch_us(p.ts) AS purchase_us, epoch_us(c.ts) AS click_us
+      |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+      |ORDER BY p.event_id""".stripMargin
+
+  /** Self join: supplier pairs within the same nation (k1 < k2 halves
+    * the pairs and makes output canonical).
+    */
+  def joinSelf(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = t(spark, sfDir, "supplier")
+    val a = s.select(col("s_suppkey").as("k1"), col("s_nationkey").as("n1"))
+    val b = s.select(col("s_suppkey").as("k2"), col("s_nationkey").as("n2"))
+    a.join(b, col("n1") === col("n2") && col("k1") < col("k2"))
+      .select(col("k1"), col("k2"), col("n1").as("nationkey"))
+      .orderBy("k1", "k2")
+  }
+
+  val joinSelfOracle: String =
+    """SELECT a.s_suppkey AS k1, b.s_suppkey AS k2,
+      |       a.s_nationkey AS nationkey
+      |FROM supplier a JOIN supplier b
+      |  ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+      |ORDER BY k1, k2""".stripMargin
+
+  // --------------------------------------------------------- aggregations
+
+  /** TPC-H Q1 shape: the canonical multi-aggregate hash agg over the
+    * fact table. 6 groups — partial agg collapses each input partition
+    * to ≤6 rows before the shuffle, so this scales with partition
+    * count, not row count.
+    */
+  def aggQ1(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") <= lit("2000-12-01"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg("l_quantity"), 6).as("avg_qty"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val aggQ1Oracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  ROUND(sum(l_quantity), 2) AS sum_qty,
+      |  ROUND(sum(l_extendedprice), 2) AS sum_base_price,
+      |  ROUND(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+      |  ROUND(avg(l_quantity), 6) AS avg_qty,
+      |  ROUND(avg(l_discount), 6) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Distinct aggregation: distinct customers and order count per
+    * priority. Catalyst plans count(DISTINCT) as a two-stage expand —
+    * correct at scale because the distinct keys shuffle, not the rows.
+    */
+  def aggCountDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(countDistinct("o_custkey").as("n_cust"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
+  val aggCountDistinctOracle: String =
+    """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust,
+      |       count(*) AS n_orders
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Approximate distinct (HLL++). No DuckDB oracle — sketch estimates
+    * are engine-specific; the driver records a rows-only check. The
+    * exact variant above is the hash-matched twin.
+    */
+  def aggApproxDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(approx_count_distinct("o_custkey").as("approx_cust"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderstatus")
+
+  /** ROLLUP with grouping flags: per (returnflag, linestatus) +
+    * per-returnflag subtotals + grand total.
+    */
+  def aggRollup(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(grouping("l_returnflag").cast("int").as("g_flag"),
+        grouping("l_linestatus").cast("int").as("g_status"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(col("g_flag"), col("g_status"),
+        col("l_returnflag"), col("l_linestatus"), col("sum_qty"), col("n"))
+      .orderBy("g_flag", "g_status", "l_returnflag", "l_linestatus")
+
+  val aggRollupOracle: String =
+    """SELECT CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+      |       CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+      |       l_returnflag, l_linestatus,
+      |       ROUND(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin
+
+  /** CUBE over two independent dimensions with all four grouping
+    * patterns.
+    */
+  def aggCube(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(grouping("o_orderstatus").cast("int").as("g_status"),
+        grouping("o_orderpriority").cast("int").as("g_prio"),
+        count(lit(1)).as("n"),
+        round(sum("o_totalprice"), 2).as("revenue"))
+      .select(col("g_status"), col("g_prio"),
+        col("o_orderstatus"), col("o_orderpriority"), col("n"), col("revenue"))
+      .orderBy("g_status", "g_prio", "o_orderstatus", "o_orderpriority")
+
+  val aggCubeOracle: String =
+    """SELECT CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+      |       CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+      |       o_orderstatus, o_orderpriority,
+      |       count(*) AS n, ROUND(sum(o_totalprice), 2) AS revenue
+      |FROM orders
+      |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""".stripMargin
+
+  /** Collect aggregate: the distinct market segments seen per nation,
+    * sorted inside the array for determinism.
+    */
+  def aggCollect(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "customer")
+      .groupBy("c_nationkey")
+      .agg(sort_array(collect_set("c_mktsegment")).as("segments"),
+        count(lit(1)).as("n_cust"))
+      .orderBy("c_nationkey")
+
+  val aggCollectOracle: String =
+    """SELECT c_nationkey, list_sort(list(DISTINCT c_mktsegment)) AS segments,
+      |       count(*) AS n_cust
+      |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
+  // -------------------------------------------------------------- windows
+
+  /** Ranking functions: top-3 customers by balance per nation.
+    * row_number/rank/dense_rank share one window ordering (tie-broken
+    * by custkey so cross-engine ranking is deterministic).
+    */
+  def winRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    t(spark, sfDir, "customer")
+      .select(col("c_nationkey"), col("c_custkey"),
+        round(col("c_acctbal"), 2).as("bal"),
+        row_number().over(w).as("rn"),
+        rank().over(w).as("rk"),
+        dense_rank().over(w).as("drk"))
+      .filter(col("rn") <= 3)
+      .orderBy("c_nationkey", "rn")
+  }
+
+  val winRankOracle: String =
+    """SELECT c_nationkey, c_custkey, ROUND(c_acctbal, 2) AS bal,
+      |  row_number() OVER w AS rn, rank() OVER w AS rk,
+      |  dense_rank() OVER w AS drk
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_nationkey
+      |             ORDER BY c_acctbal DESC, c_custkey)
+      |QUALIFY rn <= 3
+      |ORDER BY c_nationkey, rn""".stripMargin
+
+  /** Analytic functions over each customer's order history: previous /
+    * next / first / last order price. One shuffle by custkey serves all
+    * four functions (same window spec).
+    */
+  def winAnalytic(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(spark, sfDir, "orders")
+      .filter(col("o_custkey") < 200)
+      .select(col("o_custkey"), col("o_orderkey"),
+        dateStr(col("o_orderdate")).as("order_date"),
+        round(col("o_totalprice"), 2).as("price"),
+        round(lag("o_totalprice", 1).over(w), 2).as("prev_price"),
+        round(lead("o_totalprice", 1).over(w), 2).as("next_price"),
+        round(first("o_totalprice").over(wAll), 2).as("first_price"),
+        round(last("o_totalprice").over(wAll), 2).as("last_price"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val winAnalyticOracle: String =
+    """SELECT o_custkey, o_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+      |  ROUND(o_totalprice, 2) AS price,
+      |  ROUND(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
+      |  ROUND(lead(o_totalprice, 1) OVER w, 2) AS next_price,
+      |  ROUND(first_value(o_totalprice) OVER wa, 2) AS first_price,
+      |  ROUND(last_value(o_totalprice) OVER wa, 2) AS last_price
+      |FROM orders WHERE o_custkey < 200
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      |  wa AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** Window frames: running total (unbounded preceding) and 3-row
+    * moving average per customer.
+    */
+  def winFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val run = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mov = base.rowsBetween(-2, Window.currentRow)
+    t(spark, sfDir, "orders")
+      .filter(col("o_custkey") < 200)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(sum("o_totalprice").over(run), 2).as("run_total"),
+        round(avg("o_totalprice").over(mov), 4).as("mov_avg3"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val winFrameOracle: String =
+    """SELECT o_custkey, o_orderkey,
+      |  ROUND(sum(o_totalprice) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_total,
+      |  ROUND(avg(o_totalprice) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg3
+      |FROM orders WHERE o_custkey < 200
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** ntile quartiles over customer balance, then per-bucket stats —
+    * the distribution-sketch shape (ntile needs a global sort; the
+    * per-bucket agg after it is cheap).
+    */
+  def winNtile(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+    t(spark, sfDir, "customer")
+      .select(col("c_acctbal"), ntile(4).over(w).as("quartile"))
+      .groupBy("quartile")
+      .agg(count(lit(1)).as("n"),
+        round(min("c_acctbal"), 2).as("min_bal"),
+        round(max("c_acctbal"), 2).as("max_bal"))
+      .orderBy("quartile")
+  }
+
+  val winNtileOracle: String =
+    """SELECT quartile, count(*) AS n, ROUND(min(c_acctbal), 2) AS min_bal,
+      |       ROUND(max(c_acctbal), 2) AS max_bal
+      |FROM (SELECT c_acctbal,
+      |        ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+      |      FROM customer)
+      |GROUP BY quartile ORDER BY quartile""".stripMargin
+
+  // --------------------------------------------------- sort/limit/sample
+
+  /** B1 standalone: full-projection scan + multi-column global sort —
+    * exactly `SELECT * FROM t ORDER BY …` (reference test_cdc.py:80).
+    */
+  def sortScan(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "customer")
+      .orderBy(col("c_nationkey").desc, col("c_custkey"))
+
+  val sortScanOracle: String =
+    """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      |FROM customer ORDER BY c_nationkey DESC, c_custkey""".stripMargin
+
+  /** Global top-k: `orderBy.limit` plans to TakeOrderedAndProject —
+    * each partition keeps its local top-20, only those reach the driver
+    * stage; no global sort materializes. This is THE scale-correct
+    * top-k.
+    */
+  def sortTopk(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("price"))
+      .orderBy(col("price").desc, col("o_orderkey"))
+      .limit(20)
+
+  val sortTopkOracle: String =
+    """SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS price
+      |FROM orders ORDER BY price DESC, o_orderkey LIMIT 20""".stripMargin
+
+  /** Per-group top-k: top-3 orders per market segment via ranking
+    * window (one shuffle by segment; rows beyond rank 3 are dropped
+    * before the final sort).
+    */
+  def sortTopkGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    val joined = t(spark, sfDir, "orders")
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .join(t(spark, sfDir, "customer").select("c_custkey", "c_mktsegment"),
+        col("o_custkey") === col("c_custkey"))
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    joined
+      .select(col("c_mktsegment"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy("c_mktsegment", "rn")
+  }
+
+  val sortTopkGroupOracle: String =
+    """SELECT c_mktsegment, o_orderkey, ROUND(o_totalprice, 2) AS price,
+      |  row_number() OVER (PARTITION BY c_mktsegment
+      |                     ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |QUALIFY rn <= 3
+      |ORDER BY c_mktsegment, rn""".stripMargin
+
+  /** Bernoulli sample — seeded but engine-specific RNG, so no oracle
+    * (driver rows-only check). Aggregated so the output is small and
+    * the sample fraction is still observable.
+    */
+  def sortSample(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .sample(withReplacement = false, fraction = 0.1, seed = 42L)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_sampled"))
+      .orderBy("l_returnflag")
+
+  // ------------------------------------------------------------- set ops
+
+  /** INTERSECT: customers active in both open ('O') and finished ('F')
+    * order statuses.
+    */
+  def setIntersect(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = t(spark, sfDir, "orders")
+    o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("custkey"))
+      .intersect(o.filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("custkey")))
+      .orderBy("custkey")
+  }
+
+  val setIntersectOracle: String =
+    """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+      |INTERSECT
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |ORDER BY custkey""".stripMargin
+
+  /** EXCEPT: customers that never placed an URGENT order — the set-op
+    * twin of the anti join above (same result, different plan shape).
+    */
+  def setExcept(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "customer").select(col("c_custkey").as("custkey"))
+      .except(t(spark, sfDir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("custkey")))
+      .orderBy("custkey")
+
+  val setExceptOracle: String =
+    """SELECT c_custkey AS custkey FROM customer
+      |EXCEPT
+      |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |ORDER BY custkey""".stripMargin
+
+  /** UNION + distinct across heterogeneous sources (nation keys seen in
+    * customers vs suppliers), via unionByName.
+    */
+  def setUnion(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "customer").select(col("c_nationkey").as("nationkey"))
+      .unionByName(t(spark, sfDir, "supplier")
+        .select(col("s_nationkey").as("nationkey")))
+      .distinct()
+      .orderBy("nationkey")
+
+  val setUnionOracle: String =
+    """SELECT c_nationkey AS nationkey FROM customer
+      |UNION
+      |SELECT s_nationkey FROM supplier
+      |ORDER BY nationkey""".stripMargin
+
+  // ----------------------------------------------------------- predicates
+
+  /** Predicate zoo on one scan: BETWEEN, LIKE, IN, null-safe equality,
+    * CASE WHEN bucketing, coalesce/nullif. All of it pushes into the
+    * parquet scan where possible (BETWEEN/IN/LIKE-prefix are
+    * pushdown-able; the CASE is projection-side).
+    */
+  def filterPredicates(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .filter(col("o_totalprice").between(100000.0, 150000.0)
+        && col("o_orderpriority").like("1-%")
+        && col("o_orderstatus").isin("O", "F")
+        && col("o_orderstatus") <=> col("o_orderstatus"))
+      .select(col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"),
+        when(col("o_totalprice") >= 140000.0, lit("high"))
+          .when(col("o_totalprice") >= 120000.0, lit("mid"))
+          .otherwise(lit("low")).as("bucket"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open"))
+          .as("status_or_open"))
+      .orderBy("o_orderkey")
+
+  val filterPredicatesOracle: String =
+    """SELECT o_orderkey, ROUND(o_totalprice, 2) AS price,
+      |  CASE WHEN o_totalprice >= 140000.0 THEN 'high'
+      |       WHEN o_totalprice >= 120000.0 THEN 'mid'
+      |       ELSE 'low' END AS bucket,
+      |  COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_or_open
+      |FROM orders
+      |WHERE o_totalprice BETWEEN 100000.0 AND 150000.0
+      |  AND o_orderpriority LIKE '1-%'
+      |  AND o_orderstatus IN ('O', 'F')
+      |  AND o_orderstatus IS NOT DISTINCT FROM o_orderstatus
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ------------------------------------------------------------- registry
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_inner" -> joinInner,
+    "join_left" -> joinLeft,
+    "join_right" -> joinRight,
+    "join_full" -> joinFull,
+    "join_broadcast" -> joinBroadcast,
+    "join_semi" -> joinSemi,
+    "join_anti" -> joinAnti,
+    "join_theta" -> joinTheta,
+    "join_cross" -> joinCross,
+    "join_asof" -> joinAsof,
+    "join_self" -> joinSelf,
+    "agg_q1" -> aggQ1,
+    "agg_count_distinct" -> aggCountDistinct,
+    "agg_approx_distinct" -> aggApproxDistinct,
+    "agg_rollup" -> aggRollup,
+    "agg_cube" -> aggCube,
+    "agg_collect" -> aggCollect,
+    "win_rank" -> winRank,
+    "win_analytic" -> winAnalytic,
+    "win_frame" -> winFrame,
+    "win_ntile" -> winNtile,
+    "sort_scan" -> sortScan,
+    "sort_topk" -> sortTopk,
+    "sort_topk_group" -> sortTopkGroup,
+    "sort_sample" -> sortSample,
+    "set_intersect" -> setIntersect,
+    "set_except" -> setExcept,
+    "set_union" -> setUnion,
+    "filter_predicates" -> filterPredicates)
+
+  def oracles: Map[String, String] = Map(
+    "join_inner" -> joinInnerOracle,
+    "join_left" -> joinLeftOracle,
+    "join_right" -> joinRightOracle,
+    "join_full" -> joinFullOracle,
+    "join_broadcast" -> joinBroadcastOracle,
+    "join_semi" -> joinSemiOracle,
+    "join_anti" -> joinAntiOracle,
+    "join_theta" -> joinThetaOracle,
+    "join_cross" -> joinCrossOracle,
+    "join_asof" -> joinAsofOracle,
+    "join_self" -> joinSelfOracle,
+    "agg_q1" -> aggQ1Oracle,
+    "agg_count_distinct" -> aggCountDistinctOracle,
+    "agg_rollup" -> aggRollupOracle,
+    "agg_cube" -> aggCubeOracle,
+    "agg_collect" -> aggCollectOracle,
+    "win_rank" -> winRankOracle,
+    "win_analytic" -> winAnalyticOracle,
+    "win_frame" -> winFrameOracle,
+    "win_ntile" -> winNtileOracle,
+    "sort_scan" -> sortScanOracle,
+    "sort_topk" -> sortTopkOracle,
+    "sort_topk_group" -> sortTopkGroupOracle,
+    "set_intersect" -> setIntersectOracle,
+    "set_except" -> setExceptOracle,
+    "set_union" -> setUnionOracle,
+    "filter_predicates" -> filterPredicatesOracle)
+}
