@@ -22,12 +22,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CdcQueries.queries ++
-      graft.ops.Relational.queries
+      graft.ops.Relational.queries ++
+      graft.ops.Functions.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     graft.queries.CdcQueries.oracles ++
-      graft.ops.Relational.oracles
+      graft.ops.Relational.oracles ++
+      graft.ops.Functions.oracles
 }

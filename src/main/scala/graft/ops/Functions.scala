@@ -1,0 +1,221 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Tier C scalar-function families (SURVEY.md §2): one demonstrating
+  * oracle query per family — string, date/time, math, array, map, json,
+  * hash. All built-ins, all codegen'd; no UDFs anywhere (a scalar UDF
+  * would break whole-stage codegen and column pruning for zero gain).
+  *
+  * Cross-engine gotchas encoded here (and mirrored in the oracles):
+  * DuckDB `dayofweek` is 0=Sunday vs Spark's 1=Sunday; DuckDB `log` is
+  * base-10 (use `ln`); DuckDB `ceil(double)` stays double (cast);
+  * DuckDB map subscript returns a single-element list (unwrap with
+  * `[1]`); DuckDB `epoch()` returns double (cast).
+  */
+object Functions {
+
+  private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    Tables.load(spark, sfDir, name)
+
+  private def ts(c: Column): Column = c.cast("timestamp")
+
+  /** String family: case, substring, regex extract, padding, concat,
+    * split+element access, length.
+    */
+  def fnString(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "part")
+      .select(col("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        substring(col("p_name"), 1, 8).as("name_prefix"),
+        regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"),
+        length(col("p_name")).as("name_len"),
+        lpad(col("p_brand"), 12, "*").as("brand_padded"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        element_at(split(col("p_type"), " "), 1).as("type_head"))
+      .orderBy("p_partkey")
+
+  val fnStringOracle: String =
+    """SELECT p_partkey, upper(p_name) AS name_upper,
+      |  substr(p_name, 1, 8) AS name_prefix,
+      |  regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+      |  length(p_name) AS name_len,
+      |  lpad(p_brand, 12, '*') AS brand_padded,
+      |  concat_ws('|', p_brand, p_type) AS brand_type,
+      |  string_split(p_type, ' ')[1] AS type_head
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** Date/time family: extraction, truncation, day arithmetic, epoch.
+    * Timestamps leave as formatted strings so parquet tz metadata never
+    * matters.
+    */
+  def fnDatetime(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .filter(col("o_custkey") < 300)
+      .select(col("o_orderkey"),
+        date_format(ts(col("o_orderdate")), "yyyy-MM-dd").as("order_date"),
+        year(ts(col("o_orderdate"))).as("yr"),
+        month(ts(col("o_orderdate"))).as("mo"),
+        dayofweek(ts(col("o_orderdate"))).as("dow"),
+        date_format(date_trunc("month", ts(col("o_orderdate"))), "yyyy-MM-dd")
+          .as("month_start"),
+        datediff(ts(col("o_orderdate")), lit("1995-01-01").cast("timestamp"))
+          .as("days_since"),
+        unix_timestamp(ts(col("o_orderdate"))).as("epoch_s"))
+      .orderBy("o_orderkey")
+
+  val fnDatetimeOracle: String =
+    """SELECT o_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+      |  year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+      |  dayofweek(o_orderdate) + 1 AS dow,
+      |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+      |  date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since,
+      |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+      |FROM orders WHERE o_custkey < 300 ORDER BY o_orderkey""".stripMargin
+
+  /** Math family: rounding, abs, ceil/floor, sqrt, pow, natural log,
+    * modulo — all on decimal-bearing fact columns.
+    */
+  def fnMath(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .filter(col("l_orderkey") < 1000)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice"), 2).as("price_r2"),
+        round(abs(col("l_discount") - 0.05), 4).as("disc_dev"),
+        ceil(col("l_extendedprice")).as("price_ceil"),
+        floor(col("l_extendedprice")).as("price_floor"),
+        round(sqrt(col("l_quantity")), 6).as("qty_sqrt"),
+        round(pow(col("l_quantity"), 2), 2).as("qty_sq"),
+        round(log(col("l_extendedprice")), 6).as("price_ln"),
+        (col("l_linenumber") % 3).as("ln_mod3"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val fnMathOracle: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  ROUND(l_extendedprice, 2) AS price_r2,
+      |  ROUND(abs(l_discount - 0.05), 4) AS disc_dev,
+      |  CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+      |  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+      |  ROUND(sqrt(l_quantity), 6) AS qty_sqrt,
+      |  ROUND(pow(l_quantity, 2), 2) AS qty_sq,
+      |  ROUND(ln(l_extendedprice), 6) AS price_ln,
+      |  mod(l_linenumber, 3) AS ln_mod3
+      |FROM lineitem WHERE l_orderkey < 1000
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Array family over document word arrays: size, slice, contains,
+    * sorted access, higher-order transform, distinct count. Arrays stay
+    * first-class columns end to end.
+    */
+  def fnArray(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    t(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        size(words).as("n_words"),
+        slice(words, 1, 3).as("first3"),
+        array_contains(words, "data").as("has_data"),
+        element_at(sort_array(words), 1).as("first_sorted"),
+        transform(slice(words, 1, 3), w => upper(w)).as("upper3"),
+        size(array_distinct(words)).as("n_distinct"))
+      .orderBy("doc_id")
+  }
+
+  val fnArrayOracle: String =
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS n_words,
+      |  (string_split(text, ' '))[1:3] AS first3,
+      |  list_contains(string_split(text, ' '), 'data') AS has_data,
+      |  (list_sort(string_split(text, ' ')))[1] AS first_sorted,
+      |  list_transform((string_split(text, ' '))[1:3], w -> upper(w)) AS upper3,
+      |  len(list_distinct(string_split(text, ' '))) AS n_distinct
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Map family: construction from columns, key lookup, cardinality,
+    * key listing. Values unified to long (Spark maps are monomorphic).
+    */
+  def fnMap(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val m = map(lit("chars"), col("n_chars"),
+      lit("words"), size(words).cast("long"))
+    t(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        element_at(m, "chars").as("m_chars"),
+        element_at(m, "words").as("m_words"),
+        size(m).as("n_keys"),
+        map_keys(m).as("keys"))
+      .orderBy("doc_id")
+  }
+
+  val fnMapOracle: String =
+    """SELECT doc_id,
+      |  (m['chars'])[1] AS m_chars,
+      |  (m['words'])[1] AS m_words,
+      |  CAST(cardinality(m) AS INT) AS n_keys,
+      |  map_keys(m) AS keys
+      |FROM (
+      |  SELECT doc_id,
+      |    MAP {'chars': n_chars,
+      |         'words': CAST(len(string_split(text, ' ')) AS BIGINT)} AS m
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  /** JSON family over `events.props` (`{"k": <int>}`): path extraction
+    * with cast, re-serialization of a struct — the A-wire JsonConverter
+    * analog at the scalar level.
+    */
+  def fnJson(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    t(spark, sfDir, "events")
+      .filter(col("event_id") < 2000)
+      .select(col("event_id"), k.as("k"),
+        to_json(struct(col("event_id"), k.as("k"))).as("js"))
+      .orderBy("event_id")
+  }
+
+  val fnJsonOracle: String =
+    """SELECT event_id,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      |  to_json(struct_pack(event_id := event_id,
+      |    k := CAST(json_extract_string(props, '$.k') AS BIGINT))) AS js
+      |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin
+
+  /** Hash family: md5 + sha256 content keys (the exact-dedup
+    * primitives). xxhash64/crc32 exist Spark-side but have no DuckDB
+    * twin, so the oracle-checked pair is md5/sha2 — the LLM dedup ops
+    * use these same keys.
+    */
+  def fnHash(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "customer")
+      .filter(col("c_custkey") < 500)
+      .select(col("c_custkey"),
+        md5(col("c_name")).as("h_md5"),
+        sha2(col("c_name"), 256).as("h_sha256"),
+        length(col("c_name")).as("name_len"))
+      .orderBy("c_custkey")
+
+  val fnHashOracle: String =
+    """SELECT c_custkey, md5(c_name) AS h_md5, sha256(c_name) AS h_sha256,
+      |  length(c_name) AS name_len
+      |FROM customer WHERE c_custkey < 500 ORDER BY c_custkey""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_string" -> fnString,
+    "fn_datetime" -> fnDatetime,
+    "fn_math" -> fnMath,
+    "fn_array" -> fnArray,
+    "fn_map" -> fnMap,
+    "fn_json" -> fnJson,
+    "fn_hash" -> fnHash)
+
+  def oracles: Map[String, String] = Map(
+    "fn_string" -> fnStringOracle,
+    "fn_datetime" -> fnDatetimeOracle,
+    "fn_math" -> fnMathOracle,
+    "fn_array" -> fnArrayOracle,
+    "fn_map" -> fnMapOracle,
+    "fn_json" -> fnJsonOracle,
+    "fn_hash" -> fnHashOracle)
+}
