@@ -23,7 +23,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CdcQueries.queries ++
       graft.ops.Relational.queries ++
-      graft.ops.Functions.queries
+      graft.ops.Functions.queries ++
+      graft.ops.LlmOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -31,5 +32,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.CdcQueries.oracles ++
       graft.ops.Relational.oracles ++
-      graft.ops.Functions.oracles
+      graft.ops.Functions.oracles ++
+      graft.ops.LlmOps.oracles
 }

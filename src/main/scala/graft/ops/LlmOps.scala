@@ -1,0 +1,459 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators (the north star,
+  * BASELINE.json:6): deduplication (exact, MinHash/LSH, fingerprint),
+  * similarity search (brute-force top-k, SimHash-bucketed sim join,
+  * IVF-style clustered ANN), text analysis (stats, quality scoring,
+  * language routing) and multimodal binary columns, over the
+  * `documents` / `embeddings` fixtures.
+  *
+  * The 100 TB design rule applied throughout: NEVER all-pairs. Every
+  * pairwise operator goes through a bucketing key (LSH band minhash,
+  * SimHash sign bits, IVF cluster) so the shuffle is by bucket and the
+  * quadratic work is confined to buckets, with an explicit bucket-size
+  * cap guarding degenerate data (e.g. billions of identical boilerplate
+  * docs all landing in one bucket).
+  */
+object LlmOps {
+
+  private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    Tables.load(spark, sfDir, name)
+
+  private def words: Column = split(col("text"), " ")
+
+  /** Cosine similarity between two array<double> columns, computed as
+    * sequential dot / (|a|·|b|) — same element order as DuckDB's
+    * list_dot_product so doubles agree bit-for-bit; results are still
+    * rounded to 6dp before any compare or threshold.
+    */
+  private def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  private def vecD(c: Column): Column = c.cast("array<double>")
+
+  // -------------------------------------------------------------- dedup
+
+  /** Exact dedup by content hash: one keeper (min doc_id) per distinct
+    * md5(text). A single hash shuffle on the 16-byte digest — at 100 TB
+    * the shuffle carries (digest, doc_id) pairs, never the text.
+    */
+  def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .select(md5(col("text")).as("h"), col("doc_id"))
+      .groupBy("h")
+      .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_copies"))
+      .select("keeper", "n_copies")
+      .orderBy("keeper")
+
+  val dedupExactOracle: String =
+    """SELECT min(doc_id) AS keeper, count(*) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY keeper""".stripMargin
+
+  /** Content fingerprint invariant to word order and duplication:
+    * md5 of the sorted distinct word set. Pairs with equal fingerprints
+    * are bag-of-words duplicates even when shingle order differs.
+    */
+  def dedupFingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        md5(concat_ws(" ", sort_array(array_distinct(words))))
+          .as("fingerprint"))
+      .orderBy("doc_id")
+
+  val dedupFingerprintOracle: String =
+    """SELECT doc_id,
+      |  md5(array_to_string(
+      |    list_sort(list_distinct(string_split(text, ' '))), ' '))
+      |    AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Near-duplicate candidates via MinHash + LSH banding over word
+    * 3-gram shingles.
+    *
+    * Per doc and band b ∈ 0..3: minhash_b = min over shingles of
+    * md5(b + '|' + shingle) — a per-band minimum of a uniform hash, so
+    * P(two docs agree on a band) = their shingle-set Jaccard. Docs
+    * sharing any (band, minhash) bucket are candidates.
+    *
+    * 100 TB story: the signature computation is a pure projection (no
+    * shuffle — array_min over transform); the only shuffle is
+    * groupBy/join on the (band, minhash) bucket key, and buckets larger
+    * than `maxBucket` are dropped as degenerate (identical-boilerplate
+    * floods) before the within-bucket self-join, which bounds the
+    * quadratic term at maxBucket² per bucket. NEVER an all-pairs join.
+    */
+  def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val maxBucket = 100
+    val shingles = filter(
+      transform(sequence(lit(0), greatest(size(words) - 3, lit(-1))),
+        i => concat_ws(" ",
+          element_at(words, i + 1), element_at(words, i + 2),
+          element_at(words, i + 3))),
+      s => s.isNotNull)
+    val sigs = t(spark, sfDir, "documents")
+      .filter(size(words) >= 3)
+      .select(col("doc_id"), shingles.as("sh"))
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(0), lit(3)), b =>
+          struct(b.as("band"),
+            array_min(transform(col("sh"),
+              s => md5(concat(b.cast("string"), lit("|"), s)))).as("mh"))))
+        .as("bm"))
+      .select(col("doc_id"), col("bm.band").as("band"), col("bm.mh").as("mh"))
+    val okBuckets = sigs.groupBy("band", "mh")
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= maxBucket && col("bn") >= 2)
+      .select("band", "mh")
+    val inBucket = sigs.join(okBuckets, Seq("band", "mh"))
+    val a = inBucket.select(col("band"), col("mh"), col("doc_id").as("d1"))
+    val b = inBucket.select(col("band"), col("mh"), col("doc_id").as("d2"))
+    a.join(b, Seq("band", "mh"))
+      .filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2")
+      .agg(countDistinct("band").as("n_bands"))
+      .orderBy("d1", "d2")
+  }
+
+  val dedupMinhashOracle: String =
+    """WITH sigs AS (
+      |  SELECT doc_id, b.band,
+      |    min(md5(CAST(b.band AS VARCHAR) || '|' || sh.s)) AS mh
+      |  FROM documents,
+      |    LATERAL (SELECT unnest(range(1, len(string_split(text, ' ')) - 1)) AS i) idx,
+      |    LATERAL (SELECT string_split(text, ' ')[idx.i] || ' ' ||
+      |             string_split(text, ' ')[idx.i + 1] || ' ' ||
+      |             string_split(text, ' ')[idx.i + 2] AS s) sh,
+      |    LATERAL (SELECT unnest(range(4)) AS band) b
+      |  WHERE len(string_split(text, ' ')) >= 3
+      |  GROUP BY doc_id, b.band
+      |), ok AS (
+      |  SELECT band, mh FROM sigs GROUP BY band, mh
+      |  HAVING count(*) BETWEEN 2 AND 100
+      |), inb AS (
+      |  SELECT s.doc_id, s.band, s.mh FROM sigs s JOIN ok USING (band, mh)
+      |)
+      |SELECT a.doc_id AS d1, b.doc_id AS d2,
+      |       count(DISTINCT a.band) AS n_bands
+      |FROM inb a JOIN inb b ON a.band = b.band AND a.mh = b.mh
+      |WHERE a.doc_id < b.doc_id
+      |GROUP BY d1, d2 ORDER BY d1, d2""".stripMargin
+
+  // -------------------------------------------------- similarity search
+
+  /** Brute-force top-k cosine neighbors of one probe vector (the
+    * correctness baseline every ANN variant is measured against).
+    * The probe is a 1-row broadcast; `orderBy.limit` plans to
+    * TakeOrderedAndProject, so each partition emits only its local
+    * top-k — no global sort, no all-pairs.
+    */
+  def simTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = t(spark, sfDir, "embeddings")
+    val probe = emb.filter(col("vec_id") === 0)
+      .select(vecD(col("embedding")).as("probe"))
+    emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), col("label"),
+        round(cosine(vecD(col("embedding")), col("probe")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  val simTopkOracle: String =
+    """WITH probe AS (
+      |  SELECT embedding::DOUBLE[] AS p FROM embeddings WHERE vec_id = 0
+      |)
+      |SELECT vec_id, label,
+      |  ROUND(list_dot_product(embedding::DOUBLE[], p) /
+      |    (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+      |     sqrt(list_dot_product(p, p))), 6) AS cos
+      |FROM embeddings, probe WHERE vec_id <> 0
+      |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+
+  /** Threshold similarity join via SimHash-style sign-bit bucketing:
+    * vectors agreeing on the signs of dims 1..6 land in the same
+    * bucket (64 buckets); exact cosine ≥ 0.30 is evaluated only within
+    * buckets. Sign-agreement correlates with cosine, so recall
+    * concentrates where it matters while the join does ~N²/64 of the
+    * all-pairs work — and at 100 TB you raise the bit count so bucket
+    * sizes stay bounded (16 bits → 65k buckets), plus the same
+    * degenerate-bucket cap as MinHash.
+    */
+  def simJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = concat_ws("",
+      (1 to 6).map(i =>
+        when(element_at(col("embedding"), i) >= 0f, lit("1"))
+          .otherwise(lit("0"))): _*)
+    val emb = t(spark, sfDir, "embeddings")
+      .select(col("vec_id"), vecD(col("embedding")).as("v"), bucket.as("bkt"))
+    val a = emb.select(col("bkt"), col("vec_id").as("v1"), col("v").as("va"))
+    val b = emb.select(col("bkt"), col("vec_id").as("v2"), col("v").as("vb"))
+    a.join(b, Seq("bkt"))
+      .filter(col("v1") < col("v2"))
+      .select(col("v1"), col("v2"),
+        round(cosine(col("va"), col("vb")), 6).as("cos"))
+      .filter(col("cos") >= 0.30)
+      .orderBy("v1", "v2")
+  }
+
+  val simJoinOracle: String =
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |    concat(
+      |      CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+      |      CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+      |      CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+      |      CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END,
+      |      CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END,
+      |      CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END) AS bkt
+      |  FROM embeddings
+      |)
+      |SELECT a.vec_id AS v1, b.vec_id AS v2,
+      |  ROUND(list_dot_product(a.v, b.v) /
+      |    (sqrt(list_dot_product(a.v, a.v)) *
+      |     sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+      |FROM e a JOIN e b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+      |WHERE ROUND(list_dot_product(a.v, b.v) /
+      |    (sqrt(list_dot_product(a.v, a.v)) *
+      |     sqrt(list_dot_product(b.v, b.v))), 6) >= 0.30
+      |ORDER BY v1, v2""".stripMargin
+
+  /** IVF-style clustered ANN: per-label centroids are the coarse
+    * quantizer; the probe searches only its nearest centroid's cluster
+    * (1/10th of the data here; 1/nlist in general). Centroids are tiny
+    * (nlist × dim doubles) and broadcast; the cluster prune is a
+    * partition-prunable equality filter on `label`.
+    */
+  def simIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = t(spark, sfDir, "embeddings")
+    val centroids = emb
+      .select(col("label"), posexplode(vecD(col("embedding"))))
+      .groupBy("label", "pos").agg(avg("col").as("m"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("centroid"))
+    val probe = emb.filter(col("vec_id") === 0)
+      .select(vecD(col("embedding")).as("probe"))
+    val best = centroids.crossJoin(broadcast(probe))
+      .select(col("label"), col("probe"),
+        round(cosine(col("centroid"), col("probe")), 6).as("ccos"))
+      .orderBy(col("ccos").desc, col("label"))
+      .limit(1)
+    emb.filter(col("vec_id") =!= 0)
+      .join(broadcast(best), Seq("label"))
+      .select(col("vec_id"), col("label"),
+        round(cosine(vecD(col("embedding")), col("probe")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(5)
+  }
+
+  val simIvfOracle: String =
+    """WITH cent AS (
+      |  SELECT label, list(m ORDER BY i) AS centroid
+      |  FROM (
+      |    SELECT label, i.i, avg(embedding[i.i]) AS m
+      |    FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) i
+      |    GROUP BY label, i.i)
+      |  GROUP BY label
+      |), probe AS (
+      |  SELECT embedding::DOUBLE[] AS p FROM embeddings WHERE vec_id = 0
+      |), best AS (
+      |  SELECT label FROM cent, probe
+      |  ORDER BY ROUND(list_dot_product(centroid, p) /
+      |    (sqrt(list_dot_product(centroid, centroid)) *
+      |     sqrt(list_dot_product(p, p))), 6) DESC, label
+      |  LIMIT 1
+      |)
+      |SELECT vec_id, e.label,
+      |  ROUND(list_dot_product(e.embedding::DOUBLE[], p) /
+      |    (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+      |     sqrt(list_dot_product(p, p))), 6) AS cos
+      |FROM embeddings e JOIN best USING (label), probe
+      |WHERE vec_id <> 0
+      |ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin
+
+  /** Per-label centroid vectors themselves (the per-class "average
+    * embedding" aggregate), rounded inside the array.
+    */
+  def simCentroids(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "embeddings")
+      .select(col("label"), posexplode(vecD(col("embedding"))))
+      .groupBy("label", "pos").agg(avg("col").as("m"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("dim"),
+        transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => round(s.getField("m"), 6)).as("centroid"))
+      .select(col("label"), col("dim"), col("centroid"))
+      .orderBy("label")
+
+  val simCentroidsOracle: String =
+    """SELECT label, count(*) AS dim,
+      |  list(ROUND(m, 6) ORDER BY i) AS centroid
+      |FROM (
+      |  SELECT label, i.i, avg(embedding[i.i]) AS m
+      |  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) i
+      |  GROUP BY label, i.i)
+      |GROUP BY label ORDER BY label""".stripMargin
+
+  // ------------------------------------------------------ text analysis
+
+  /** Corpus statistics per language: doc counts, char/word averages,
+    * token totals, average word length — the profiling pass before any
+    * filtering decision.
+    */
+  def textStats(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .select(col("lang"), col("n_chars"),
+        size(words).as("n_words"),
+        (length(regexp_replace(col("text"), " ", ""))
+          .cast("double") / size(words)).as("wlen"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg("n_chars"), 4).as("avg_chars"),
+        round(avg("n_words"), 4).as("avg_words"),
+        sum("n_words").as("total_words"),
+        round(avg("wlen"), 4).as("avg_word_len"))
+      .orderBy("lang")
+
+  val textStatsOracle: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  ROUND(avg(n_chars), 4) AS avg_chars,
+      |  ROUND(avg(len(string_split(text, ' '))), 4) AS avg_words,
+      |  sum(len(string_split(text, ' '))) AS total_words,
+      |  ROUND(avg(CAST(length(replace(text, ' ', '')) AS DOUBLE) /
+      |            len(string_split(text, ' '))), 4) AS avg_word_len
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Quality scoring + language routing: type-token ratio and length
+    * window decide high/low quality; the route key
+    * `docs_<lang>_<quality>` is the partition column a 100 TB pipeline
+    * would `partitionBy` on write (same pattern as CDC A9 routing).
+    */
+  def textQualityRoute(spark: SparkSession, sfDir: String): DataFrame = {
+    val nWords = size(words)
+    val ttr = round(size(array_distinct(words)).cast("double") / nWords, 6)
+    t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), nWords.as("n_words"),
+        ttr.as("ttr"),
+        when(ttr >= 0.5 && nWords.between(20, 1000), lit("high"))
+          .otherwise(lit("low")).as("quality"))
+      .withColumn("route",
+        concat_ws("_", lit("docs"), col("lang"), col("quality")))
+      .orderBy("doc_id")
+  }
+
+  val textQualityRouteOracle: String =
+    """SELECT doc_id, lang,
+      |  len(string_split(text, ' ')) AS n_words,
+      |  ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+      |        len(string_split(text, ' ')), 6) AS ttr,
+      |  CASE WHEN ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+      |            len(string_split(text, ' ')), 6) >= 0.5
+      |        AND len(string_split(text, ' ')) BETWEEN 20 AND 1000
+      |       THEN 'high' ELSE 'low' END AS quality,
+      |  concat_ws('_', 'docs', lang,
+      |    CASE WHEN ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+      |              len(string_split(text, ' ')), 6) >= 0.5
+      |          AND len(string_split(text, ' ')) BETWEEN 20 AND 1000
+      |         THEN 'high' ELSE 'low' END) AS route
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------- multimodal columns
+
+  /** Multimodal columns as opaque binary + typed metadata: the text
+    * fixture stands in for image/audio payloads (no codec libs in this
+    * environment); the binary column flows through projection, hashing
+    * and encoding like any payload would.
+    */
+  def mmBinary(spark: SparkSession, sfDir: String): DataFrame = {
+    val bin = col("text").cast("binary")
+    t(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        octet_length(bin).as("n_bytes"),
+        md5(bin).as("payload_md5"),
+        base64(substring(bin, 1, 12)).as("head_b64"),
+        ascii(substring(col("text"), 1, 1)).as("first_code"))
+      .orderBy("doc_id")
+  }
+
+  val mmBinaryOracle: String =
+    """SELECT doc_id,
+      |  octet_length(text::BLOB) AS n_bytes,
+      |  md5(text) AS payload_md5,
+      |  to_base64(substr(text, 1, 12)::BLOB) AS head_b64,
+      |  ascii(substr(text, 1, 1)) AS first_code
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Multimodal feature extraction over the binary payload via
+    * `mapPartitions` — the Spark-side plumbing (schema, batch
+    * iteration, partition preservation) is real; the per-payload
+    * "decoder" is a deterministic stand-in (byte-level stats) for the
+    * image/audio codecs absent from this environment, marked clearly
+    * below. At scale this is the one operator that must leave codegen:
+    * it runs batched per partition, never per-row-per-call, and its
+    * output re-enters Catalyst as plain typed columns.
+    */
+  def mmFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    val session = spark
+    import session.implicits._
+    t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          // STUB decoder: real pipelines decode image/audio here; this
+          // deterministic byte-stat extractor keeps the oracle exact.
+          val nBytes = payload.length.toDouble
+          val first = if (payload.isEmpty) 0.0 else payload.head.toDouble
+          val last = if (payload.isEmpty) 0.0 else payload.last.toDouble
+          val spaces = payload.count(_ == ' '.toByte).toDouble
+          (id, Array(nBytes, first, last, spaces))
+        }
+      }
+      .toDF("doc_id", "features")
+      .orderBy("doc_id")
+  }
+
+  val mmFeaturesOracle: String =
+    """SELECT doc_id,
+      |  [CAST(octet_length(text::BLOB) AS DOUBLE),
+      |   CAST(ascii(substr(text, 1, 1)) AS DOUBLE),
+      |   CAST(ascii(substr(text, -1, 1)) AS DOUBLE),
+      |   CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)]
+      |    AS features
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------ registry
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_dedup_exact" -> dedupExact,
+    "llm_dedup_fingerprint" -> dedupFingerprint,
+    "llm_dedup_minhash" -> dedupMinhash,
+    "llm_sim_topk" -> simTopk,
+    "llm_sim_join" -> simJoin,
+    "llm_sim_ivf" -> simIvf,
+    "llm_sim_centroids" -> simCentroids,
+    "llm_text_stats" -> textStats,
+    "llm_text_quality_route" -> textQualityRoute,
+    "llm_mm_binary" -> mmBinary,
+    "llm_mm_features" -> mmFeatures)
+
+  def oracles: Map[String, String] = Map(
+    "llm_dedup_exact" -> dedupExactOracle,
+    "llm_dedup_fingerprint" -> dedupFingerprintOracle,
+    "llm_dedup_minhash" -> dedupMinhashOracle,
+    "llm_sim_topk" -> simTopkOracle,
+    "llm_sim_join" -> simJoinOracle,
+    "llm_sim_ivf" -> simIvfOracle,
+    "llm_sim_centroids" -> simCentroidsOracle,
+    "llm_text_stats" -> textStatsOracle,
+    "llm_text_quality_route" -> textQualityRouteOracle,
+    "llm_mm_binary" -> mmBinaryOracle,
+    "llm_mm_features" -> mmFeaturesOracle)
+}
