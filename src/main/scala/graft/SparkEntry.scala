@@ -22,6 +22,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CdcQueries.queries ++
+      graft.queries.PipelineQueries.queries ++
       graft.ops.Relational.queries ++
       graft.ops.Functions.queries ++
       graft.ops.LlmOps.queries
@@ -31,6 +32,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     graft.queries.CdcQueries.oracles ++
+      graft.queries.PipelineQueries.oracles ++
       graft.ops.Relational.oracles ++
       graft.ops.Functions.oracles ++
       graft.ops.LlmOps.oracles

@@ -73,6 +73,52 @@ object ChangeGen {
     u2.unionAll(stale).unionAll(del).unionAll(snap).unionAll(u1)
   }
 
+  /** [[changeLog]] with the PK cast to INT in every image — the
+    * "before widening" shape of the reference's INT IDENTITY sources
+    * (sqlserver/init.sql:10,15), used to drive the A11 INT→long
+    * widening path end to end.
+    */
+  def changeLogIntPk(base: DataFrame, pk: String, mut: String,
+                     schemaName: String, tableName: String): DataFrame = {
+    val narrowed = base.withColumn(pk, col(pk).cast("int"))
+    changeLog(narrowed, pk, mut, schemaName, tableName)
+  }
+
+  /** Schema-evolved follow-up log: one `op='u'` wave at ts_ms=5000 for
+    * pk%11==0 whose row images carry (a) the PK at LONG (the sink's
+    * declared widened type, connect-iceberg-sink.json:31,33) and (b) a
+    * NEW column `<mut>_note = 'n-<pk>'`, with the mutable column set to
+    * base+1000. Merged after [[changeLogIntPk]], the state must widen
+    * the PK INT→long and null-backfill the new column — the reference's
+    * evolve-schema semantics (connect-iceberg-sink.json:16).
+    *
+    * Note ts=5000 > the delete wave (ts=4000): keys satisfying both
+    * pk%7==0 and pk%11==0 are deliberately resurrected — latest-wins
+    * must apply across the schema boundary too.
+    */
+  def evolvedChangeLog(base: DataFrame, pk: String, mut: String,
+                       schemaName: String, tableName: String): DataFrame = {
+    val mutType = base.schema(mut).dataType
+    val src = struct(lit(schemaName).as("schema"), lit(tableName).as("table"))
+    val pkCol = col(pk).cast("long")
+    val noteCol = concat(lit("n-"), pkCol.cast("string")).as("note")
+    val cols = base.columns
+    def image(noted: Boolean): Column = {
+      val core = cols.map {
+        case c if c == pk => pkCol.as(c)
+        case c if c == mut => (col(mut) + 1000.0).cast(mutType).as(c)
+        case c => col(c)
+      }
+      struct((core :+ (if (noted) noteCol
+                       else lit(null).cast("string").as("note"))): _*)
+    }
+    base.filter(pkCol % 11 === 0).select(
+      image(noted = false).as("before"),
+      image(noted = true).as("after"),
+      lit(Envelope.OpUpdate).as("op"),
+      lit(5000L).as("ts_ms"), pkCol.as("seq"), src.as("source"))
+  }
+
   /** DuckDB oracle SQL for the merged state of [[changeLog]] applied to
     * `table`: the `mut` column gets ROUND(.., 2) to keep double compare
     * stable (the Spark side rounds identically).

@@ -62,6 +62,29 @@ object Merge {
       widened)
     survivors.unionByName(upserts, allowMissingColumns = true)
   }
+
+  /** Order-aware merge for the streaming pipeline: state rows and batch
+    * rows both carry ([[StateStore.TsCol]], [[StateStore.SeqCol]]) merge
+    * metadata; the winner per key is re-decided by (ts, seq) on every
+    * merge, so an out-of-order event arriving in a LATER micro-batch
+    * can never overwrite a newer image already in state (file-stream
+    * micro-batches don't guarantee log order across batches the way a
+    * Kafka partition does — this makes the result independent of batch
+    * slicing, which the differential test asserts).
+    *
+    * Same scale shape as [[compact]]: union + one `max_by` hash
+    * aggregation (map-side combinable), over affected buckets only.
+    */
+  def mergeOrdered(state: DataFrame, batch: DataFrame,
+                   pkCols: Seq[String]): DataFrame = {
+    val all = state.unionByName(batch, allowMissingColumns = true)
+    val keys = pkCols.map(col)
+    val order = struct(col(StateStore.TsCol), col(StateStore.SeqCol))
+    val payload = struct(all.columns.map(col): _*)
+    all.groupBy(keys: _*)
+      .agg(max_by(payload, order).as("latest"))
+      .select(col("latest.*"))
+  }
 }
 
 /** A11 — schema evolution on write (reference:
@@ -104,8 +127,11 @@ object SchemaEvolution {
     * differing only in case must widen the existing column, not be
     * added as a duplicate.
     */
-  def align(df: DataFrame, target: DataFrame): DataFrame = {
-    val tTypes = target.schema
+  def align(df: DataFrame, target: DataFrame): DataFrame =
+    alignTo(df, target.schema)
+
+  def alignTo(df: DataFrame, target: StructType): DataFrame = {
+    val tTypes = target
       .map(f => f.name.toLowerCase -> f.dataType).toMap
     val dfNames = df.columns.map(_.toLowerCase).toSet
     require(dfNames.size == df.columns.length,
@@ -117,7 +143,7 @@ object SchemaEvolution {
         case _ => col(f.name)
       }
     }
-    val missing = target.schema
+    val missing = target
       .filterNot(f => dfNames.contains(f.name.toLowerCase))
       .map(f => lit(null).cast(f.dataType).as(f.name))
     df.select(existing ++ missing: _*)

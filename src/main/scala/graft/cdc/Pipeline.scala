@@ -1,0 +1,159 @@
+package graft.cdc
+
+import java.util.concurrent.atomic.AtomicLong
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** B8 — CDC administration: the engine analog of SQL Server's
+  * `sp_cdc_enable_table` (reference sqlserver/init.sql:23-27): registers
+  * which tables are captured and their id-columns
+  * (connect-iceberg-sink.json:30-33). The pipeline fails fast (A15,
+  * errors.tolerance=none) on events for unregistered tables.
+  */
+object CdcAdmin {
+  private val reg = TrieMap.empty[String, Seq[String]]
+
+  def enableCdc(table: String, pkCols: Seq[String]): Unit = reg(table) = pkCols
+  def disableCdc(table: String): Unit = reg.remove(table)
+  def isEnabled(table: String): Boolean = reg.contains(table)
+  def pkOf(table: String): Option[Seq[String]] = reg.get(table)
+}
+
+/** A5 — heartbeat: the reference emits a liveness event every second
+  * (connect-sqlserver-source.json:13); the Spark-native analog is a
+  * StreamingQueryListener observing every trigger's progress — liveness
+  * without a data-path cost.
+  */
+final class HeartbeatListener extends StreamingQueryListener {
+  val progressCount = new AtomicLong(0)
+  @volatile var lastBatchId: Long = -1L
+  override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+  override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+    progressCount.incrementAndGet()
+    lastBatchId = e.progress.batchId
+  }
+  override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+}
+
+/** Pipeline wiring knobs; defaults mirror the reference configs
+  * (10 s commit interval: connect-iceberg-sink.json:17; include lists:
+  * connect-sqlserver-source.json:11-12; topic regex:
+  * connect-iceberg-sink.json:9; route pattern: :12-13).
+  * `triggerIntervalMs=None` runs Trigger.AvailableNow (drain-and-stop,
+  * the test/backfill mode).
+  */
+final case class PipelineConfig(
+    changeLogDir: String,
+    checkpointDir: String,
+    schemaName: String = "commerce",
+    includeTables: Seq[String] = Seq("customer", "product"),
+    topicPrefix: String = "cdc",
+    topicRegex: String = "^cdc\\.commerce\\..*",
+    routePattern: String = "cdc.{schema}_{table}",
+    triggerIntervalMs: Option[Long] = Some(10000L),
+    maxFilesPerTrigger: Int = 1)
+
+/** A10+A13+A14 — the streaming CDC pipeline: file `readStream` over a
+  * change-log directory (the env's Kafka stand-in, SURVEY §7) →
+  * include-filter → envelope flatten → route → per-target ordered merge
+  * into the versioned [[StateStore]], committed once per micro-batch.
+  *
+  * Reference semantics mapped:
+  *  - A10 dynamic fan-out + auto-create: unknown targets get a state
+  *    table created from the event schema on first contact.
+  *  - A11 schema evolution: state and batch are mutually aligned
+  *    (numeric widening + null backfill) before every merge.
+  *  - A13 group commit: Trigger.ProcessingTime(10 s) by default; each
+  *    micro-batch ends in exactly one atomic manifest commit per target.
+  *  - A14 exactly-once: Structured Streaming checkpoint (WAL + commit
+  *    log) tracks file offsets; replayed batches re-merge idempotently
+  *    (latest-(ts,seq)-wins is a deterministic function of the event
+  *    set, so duplicate delivery cannot change state).
+  *  - A15 fail-fast: events for tables without a [[CdcAdmin]]
+  *    registration abort the query (errors.tolerance=none).
+  *  - A17 single writer: targets are merged sequentially inside the
+  *    micro-batch thread; nothing else writes the store.
+  */
+final class Pipeline(store: StateStore) {
+
+  /** Start the stream. `rowSchema` is the captured table's row image
+    * schema (A6 journal records its evolution per target).
+    */
+  def start(spark: SparkSession, rowSchema: StructType,
+            cfg: PipelineConfig): StreamingQuery = {
+    val src = spark.readStream
+      .schema(Envelope.envelopeSchema(rowSchema))
+      .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
+      .parquet(cfg.changeLogDir)
+    val filtered = src
+      .filter(Routing.includeFilter(cfg.schemaName, cfg.includeTables))
+      .withColumn("topic", Routing.topicName(cfg.topicPrefix))
+      .filter(Routing.topicRegexFilter(col("topic"), cfg.topicRegex))
+      .drop("topic")
+    val routed = Routing.route(Envelope.flatten(filtered), cfg.routePattern)
+    val writer = routed.writeStream
+      .option("checkpointLocation", cfg.checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processBatch(batch)
+      }
+    cfg.triggerIntervalMs match {
+      case Some(ms) => writer.trigger(Trigger.ProcessingTime(ms)).start()
+      case None => writer.trigger(Trigger.AvailableNow()).start()
+    }
+  }
+
+  /** One micro-batch: route fan-out, then one ordered merge + commit
+    * per distinct target (A17: sequential, deterministic order).
+    * The distinct-target collect is metadata-sized — bounded by the
+    * number of captured tables, never by data volume.
+    */
+  def processBatch(batch: DataFrame): Unit = {
+    batch.persist()
+    try {
+      val targets = batch
+        .select(col("_cdc_target"),
+          col("_cdc.source.schema").as("s"), col("_cdc.source.table").as("t"))
+        .distinct().collect()
+        .map(r => (r.getString(0), s"${r.getString(1)}.${r.getString(2)}"))
+        .sortBy(_._1)
+      targets.foreach { case (target, tableFqn) =>
+        val pk = CdcAdmin.pkOf(tableFqn).getOrElse(throw new IllegalStateException(
+          s"A15 fail-fast: CDC not enabled for $tableFqn " +
+            "(call CdcAdmin.enableCdc(table, pkCols) first)"))
+        mergeTarget(target, pk, batch.filter(col("_cdc_target") === target))
+      }
+    } finally batch.unpersist()
+  }
+
+  /** Ordered merge of one target's slice of the micro-batch into state:
+    * compact within batch → bucket → read ONLY affected state buckets →
+    * mutual schema alignment (A11) → latest-(ts,seq)-wins merge →
+    * atomic commit of just those buckets (A13).
+    */
+  private def mergeTarget(target: String, pk: Seq[String],
+                          slice: DataFrame): Unit = {
+    val spark = slice.sparkSession
+    val compacted = Merge.compactKeepTombstones(slice, pk)
+    val batchMeta = compacted.select(
+      (col("row.*") +:
+        Seq(col("_cdc.ts_ms").as(StateStore.TsCol),
+          col("_cdc.seq").as(StateStore.SeqCol),
+          (col("_cdc.op") === Envelope.OpDelete).as(StateStore.DeletedCol))): _*)
+      .withColumn(StateStore.BucketCol,
+        StateStore.bucketExpr(pk, store.nBuckets))
+    val affected = batchMeta.select(StateStore.BucketCol).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val state =
+      if (store.exists(target)) store.readBuckets(spark, target, affected)
+      else store.emptyState(spark, target) // A10 auto-create on commit
+    // A11 — mutual alignment: widen conflicts, backfill missing columns.
+    val stateAligned = SchemaEvolution.align(state, batchMeta)
+    val batchAligned = SchemaEvolution.align(batchMeta, stateAligned)
+    val merged = Merge.mergeOrdered(stateAligned, batchAligned, pk)
+    store.commit(spark, target, merged, affected)
+  }
+}

@@ -1,0 +1,166 @@
+package graft.cdc
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Versioned, bucket-partitioned current-state table store — the
+  * engine's stand-in for Iceberg's snapshot commit
+  * (reference: connect-iceberg-sink.json:17-29 commits a snapshot per
+  * 10 s group; we commit a manifest per micro-batch).
+  *
+  * Layout per target table under the warehouse dir (A16 binding):
+  *
+  *   <warehouse>/<target>/
+  *     v<N>/_bucket=<B>/part-*.parquet   data, hash-bucketed by PK
+  *     manifest-<N>.tsv                  bucket -> data dir (any version)
+  *     schema-<N>.json                   Spark StructType JSON
+  *     schema-history.jsonl              A6 journal: one line per evolution
+  *     _VERSION                          current version pointer (atomic)
+  *
+  * The 100 TB design point (VERDICT r1 perf note): a micro-batch
+  * rewrites ONLY the buckets containing evented keys — the new
+  * manifest points unchanged buckets at their existing directories, so
+  * write amplification is O(touched buckets / nBuckets) of the table,
+  * not a full-table rewrite every 10 s. Readers resolve `_VERSION` →
+  * manifest → data dirs, so they always see one consistent snapshot;
+  * the pointer swap is an atomic rename (valid under the single-writer
+  * invariant A17, which the reference also assumes via tasks.max=1).
+  *
+  * State rows carry merge metadata columns [[StateStore.TsCol]] /
+  * [[StateStore.SeqCol]] / [[StateStore.DeletedCol]] so late or
+  * out-of-order events in later micro-batches can never beat a newer
+  * image already in state (latest-(ts,seq)-wins is re-decided per key
+  * on every merge). Tombstones are retained as rows (filtered on read)
+  * for the same reason.
+  */
+final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
+  import StateStore._
+
+  private def dir(target: String): Path = Paths.get(warehouse, target)
+
+  def exists(target: String): Boolean = Files.exists(dir(target).resolve(VersionFile))
+
+  def currentVersion(target: String): Int =
+    if (!exists(target)) -1
+    else Files.readString(dir(target).resolve(VersionFile)).trim.toInt
+
+  def schemaOf(target: String): StructType = {
+    val v = currentVersion(target)
+    DataType.fromJson(Files.readString(dir(target).resolve(s"schema-$v.json")))
+      .asInstanceOf[StructType]
+  }
+
+  def manifest(target: String): Map[Int, String] = {
+    val v = currentVersion(target)
+    if (v < 0) Map.empty
+    else Files.readAllLines(dir(target).resolve(s"manifest-$v.tsv")).asScala
+      .filter(_.nonEmpty)
+      .map { line =>
+        val Array(b, p) = line.split("\t", 2)
+        b.toInt -> p
+      }.toMap
+  }
+
+  /** Raw state (with merge metadata) for the given buckets only — the
+    * partition-pruned read path used by merges. Bucket dirs from
+    * different versions are read per version group (each with its own
+    * basePath so the `_bucket` partition column materializes) and
+    * aligned to the current schema before union, so pre-evolution
+    * buckets surface widened/backfilled like everything else.
+    */
+  def readBuckets(spark: SparkSession, target: String,
+                  buckets: Seq[Int]): DataFrame = {
+    val m = manifest(target)
+    val want = buckets.filter(m.contains)
+    val schema = schemaOf(target)
+    if (want.isEmpty) return emptyState(spark, target)
+    val byBase = want.groupBy(b => m(b).split("/")(0))
+    byBase.map { case (verDir, bs) =>
+      val base = dir(target).resolve(verDir).toString
+      val paths = bs.map(b => dir(target).resolve(m(b)).toString)
+      val df = spark.read.option("basePath", base).parquet(paths: _*)
+      SchemaEvolution.alignTo(df, schema)
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Empty frame in the target's current schema (+ `_bucket`). */
+  def emptyState(spark: SparkSession, target: String): DataFrame = {
+    val schema = if (exists(target)) schemaOf(target) else new StructType()
+    val withBucket = schema.add(BucketCol, "int")
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      withBucket)
+  }
+
+  /** Full raw state (all buckets, with metadata). */
+  def rawState(spark: SparkSession, target: String): DataFrame =
+    if (!exists(target)) emptyState(spark, target)
+    else readBuckets(spark, target, manifest(target).keys.toSeq)
+
+  /** User-facing current state: tombstones filtered, metadata dropped —
+    * what `SELECT * FROM <target>` means.
+    */
+  def currentState(spark: SparkSession, target: String): DataFrame =
+    rawState(spark, target)
+      .filter(!col(DeletedCol))
+      .drop(TsCol, SeqCol, DeletedCol, BucketCol)
+
+  /** Commit a merge result for the affected buckets as version N+1.
+    * `merged` must contain exactly the affected buckets' rows (with
+    * metadata + `_bucket`). One Spark job writes all affected buckets
+    * (`partitionBy(_bucket)`); the manifest re-points only those
+    * buckets; `_VERSION` swaps atomically.
+    */
+  def commit(spark: SparkSession, target: String, merged: DataFrame,
+             affected: Seq[Int]): Int = {
+    val d = dir(target)
+    Files.createDirectories(d)
+    val prev = currentVersion(target)
+    val next = prev + 1
+    val verDir = s"v$next"
+    merged.write
+      .partitionBy(BucketCol)
+      .parquet(d.resolve(verDir).toString)
+    val prevManifest = manifest(target)
+    val nextManifest = prevManifest ++
+      affected.map(b => b -> s"$verDir/$BucketCol=$b").toMap
+    val lines = nextManifest.toSeq.sortBy(_._1)
+      .map { case (b, p) => s"$b\t$p" }.mkString("\n")
+    Files.writeString(d.resolve(s"manifest-$next.tsv"), lines)
+    val schemaJson = merged.drop(BucketCol).schema.json
+    Files.writeString(d.resolve(s"schema-$next.json"), schemaJson)
+    // A6 — schema-history journal: one line per schema change.
+    val changed = prev < 0 ||
+      Files.readString(d.resolve(s"schema-$prev.json")) != schemaJson
+    if (changed)
+      Files.writeString(d.resolve("schema-history.jsonl"),
+        s"""{"version":$next,"schema":$schemaJson}""" + "\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    // Atomic pointer swap: readers see version prev or next, never a mix.
+    val tmp = d.resolve("_VERSION.tmp")
+    Files.writeString(tmp, next.toString)
+    Files.move(tmp, d.resolve(VersionFile),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    next
+  }
+}
+
+object StateStore {
+  val TsCol = "_ts_ms"
+  val SeqCol = "_seq"
+  val DeletedCol = "_deleted"
+  val BucketCol = "_bucket"
+  val VersionFile = "_VERSION"
+
+  /** Deterministic PK → bucket assignment (xxhash64, the engine-wide
+    * content hash). The same expression computes batch-side and
+    * state-side, so co-location is by construction.
+    */
+  def bucketExpr(pkCols: Seq[String], nBuckets: Int) =
+    pmod(xxhash64(pkCols.map(c => col(c).cast("string")): _*),
+      lit(nBuckets)).cast("int")
+}

@@ -1,0 +1,112 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import graft.Tables
+import graft.cdc._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** End-to-end STREAMING pipeline queries: unlike CdcQueries (batch
+  * form), these run the real Structured Streaming path — file
+  * `readStream` over a written change-log dir, micro-batches via
+  * AvailableNow (the drain-mode stand-in for the 10 s production
+  * trigger), checkpointed offsets, per-target ordered merges into the
+  * versioned StateStore — then read the committed state back for the
+  * oracle compare. The oracle is the same SQL as the batch path: the
+  * stream must converge to the identical table.
+  */
+object PipelineQueries {
+
+  private def rowSchemaOf(log: DataFrame): StructType =
+    log.schema("after").dataType.asInstanceOf[StructType]
+
+  /** Run one bounded pipeline pass over `log`, returning the target's
+    * current state. Fresh dirs per invocation; 4 log files ×
+    * maxFilesPerTrigger=1 forces multiple micro-batches, so
+    * cross-batch ordering (late events in later batches) is really
+    * exercised in every run.
+    */
+  private def runPipeline(spark: SparkSession, store: StateStore,
+                          log: DataFrame, target: String): Unit = {
+    val logDir = Files.createTempDirectory("graft-changelog-")
+    val ckptDir = Files.createTempDirectory("graft-ckpt-")
+    log.repartition(4).write.mode("overwrite").parquet(logDir.toString)
+    val cfg = PipelineConfig(
+      changeLogDir = logDir.toString,
+      checkpointDir = ckptDir.toString,
+      includeTables = Seq("customer", "product", "supplier"),
+      triggerIntervalMs = None,
+      maxFilesPerTrigger = 1)
+    val q = new Pipeline(store).start(spark, rowSchemaOf(log), cfg)
+    q.awaitTermination()
+  }
+
+  /** Flagship streaming query: the customer change log through the full
+    * A2→A14 pipeline; oracle identical to the batch merge.
+    */
+  def pipelineCustomer(spark: SparkSession, sfDir: String): DataFrame = {
+    CdcAdmin.enableCdc("commerce.customer", Seq("c_custkey"))
+    val store = new StateStore(
+      Files.createTempDirectory("graft-warehouse-").toString)
+    val log = ChangeGen.changeLog(Tables.load(spark, sfDir, "customer"),
+      "c_custkey", "c_acctbal", "commerce", "customer")
+    runPipeline(spark, store, log, "cdc.commerce_customer")
+    store.currentState(spark, "cdc.commerce_customer")
+      .withColumn("c_acctbal", round(col("c_acctbal"), 2))
+      .orderBy("c_custkey")
+  }
+
+  val pipelineCustomerOracle: String = ChangeGen.mergedOracleSql(
+    "customer", "c_custkey", "c_acctbal",
+    Seq("c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
+
+  /** A11 end to end: phase 1 streams an INT-keyed log (the reference's
+    * INT IDENTITY source shape), phase 2 streams a schema-evolved log
+    * (LONG key + new `note` column) into the SAME state table through a
+    * fresh stream — the merged state must show the widened BIGINT key,
+    * the null-backfilled `note`, and latest-wins across the schema
+    * boundary (including resurrection of a key deleted in phase 1).
+    */
+  def schemaEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    CdcAdmin.enableCdc("commerce.customer", Seq("c_custkey"))
+    val store = new StateStore(
+      Files.createTempDirectory("graft-warehouse-").toString)
+    val base = Tables.load(spark, sfDir, "customer")
+    runPipeline(spark, store,
+      ChangeGen.changeLogIntPk(base, "c_custkey", "c_acctbal",
+        "commerce", "customer"),
+      "cdc.commerce_customer")
+    runPipeline(spark, store,
+      ChangeGen.evolvedChangeLog(base, "c_custkey", "c_acctbal",
+        "commerce", "customer"),
+      "cdc.commerce_customer")
+    store.currentState(spark, "cdc.commerce_customer")
+      .withColumn("c_acctbal", round(col("c_acctbal"), 2))
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment", "note")
+      .orderBy("c_custkey")
+  }
+
+  val schemaEvolutionOracle: String =
+    """SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, c_nationkey,
+      |  ROUND(CASE WHEN c_custkey % 11 = 0 THEN c_acctbal + 1000.0
+      |             WHEN c_custkey % 5 = 0 THEN c_acctbal + 200.0
+      |             WHEN c_custkey % 3 = 0 THEN c_acctbal + 100.0
+      |             ELSE c_acctbal END, 2) AS c_acctbal,
+      |  c_mktsegment,
+      |  CASE WHEN c_custkey % 11 = 0
+      |       THEN 'n-' || CAST(c_custkey AS VARCHAR) END AS note
+      |FROM customer
+      |WHERE c_custkey % 7 <> 0 OR c_custkey % 11 = 0
+      |ORDER BY c_custkey""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_pipeline_customer" -> pipelineCustomer,
+    "cdc_schema_evolution" -> schemaEvolution)
+
+  def oracles: Map[String, String] = Map(
+    "cdc_pipeline_customer" -> pipelineCustomerOracle,
+    "cdc_schema_evolution" -> schemaEvolutionOracle)
+}
