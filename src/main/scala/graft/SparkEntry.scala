@@ -25,7 +25,8 @@ object SparkEntry {
       graft.queries.PipelineQueries.queries ++
       graft.ops.Relational.queries ++
       graft.ops.Functions.queries ++
-      graft.ops.LlmOps.queries
+      graft.ops.LlmOps.queries ++
+      graft.ops.StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -35,5 +36,6 @@ object SparkEntry {
       graft.queries.PipelineQueries.oracles ++
       graft.ops.Relational.oracles ++
       graft.ops.Functions.oracles ++
-      graft.ops.LlmOps.oracles
+      graft.ops.LlmOps.oracles ++
+      graft.ops.StreamingOps.oracles
 }

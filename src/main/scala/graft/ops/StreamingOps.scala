@@ -1,0 +1,217 @@
+package graft.ops
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Tier C streaming analytics over the `events` fixture, run as REAL
+  * Structured Streaming: file source micro-batches (maxFilesPerTrigger
+  * keeps it multi-batch), windowed/sessionized/stateful operators,
+  * memory sink drained with Trigger.AvailableNow, then the sink table
+  * is compared against a batch-equivalent DuckDB oracle — streaming
+  * and batch must converge to the same answer.
+  *
+  * Output-mode discipline: aggregations use `complete` (every window
+  * emitted once the drain finishes), key-dedup and stream-static join
+  * use `append`, arbitrary state uses `update` with a final per-key
+  * aggregate on top — each chosen so the RESULT is independent of
+  * micro-batch slicing. Watermark LATE-DROP semantics are exercised in
+  * StreamingOpsSpec with MemoryStream-controlled batches instead,
+  * because append-mode emission timing depends on slicing and would
+  * make an oracle nondeterministic by design.
+  *
+  * The memory sink is the test harness stand-in: a production pipeline
+  * writes parquet/state-store sinks (see cdc.Pipeline); plans are
+  * identical either way.
+  */
+object StreamingOps {
+
+  private val nameCounter = new AtomicInteger(0)
+
+  /** Stream the events table through `f` into a memory sink; return
+    * the drained sink table. The fixture is a single parquet file and
+    * Spark's file stream source needs a directory, so the (ts-
+    * normalized) table is staged into a temp dir as 4 files first —
+    * which with maxFilesPerTrigger=1 also forces a genuinely
+    * multi-micro-batch run on every invocation.
+    */
+  private def streamEvents(spark: SparkSession, sfDir: String,
+                           mode: String)(f: DataFrame => DataFrame): DataFrame = {
+    val staged = java.nio.file.Files
+      .createTempDirectory("graft-events-").toString
+    val prepared = Tables.load(spark, sfDir, "events")
+    prepared.repartition(4).write.mode("overwrite").parquet(staged)
+    val src = spark.readStream.schema(prepared.schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+    val name = s"stream_sink_${nameCounter.incrementAndGet()}"
+    val q = f(src).writeStream
+      .format("memory").queryName(name).outputMode(mode)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  private def usCol(c: String): org.apache.spark.sql.Column =
+    unix_micros(col(c))
+
+  /** Tumbling 1-day windows per event type (with a watermark declared —
+    * under `complete` it gates state size in production, not
+    * correctness). Partial aggregation runs map-side per micro-batch;
+    * only (window, type) partials cross the shuffle.
+    */
+  def tumbling(spark: SparkSession, sfDir: String): DataFrame =
+    streamEvents(spark, sfDir, "complete") { src =>
+      src.withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+    }.select(usCol("window.start").as("w_start_us"),
+        usCol("window.end").as("w_end_us"),
+        col("event_type"), col("n"), col("total"))
+      .orderBy("w_start_us", "event_type")
+
+  val tumblingOracle: String =
+    """SELECT epoch_us(time_bucket(INTERVAL 1 DAY, ts::TIMESTAMP)) AS w_start_us,
+      |  epoch_us(time_bucket(INTERVAL 1 DAY, ts::TIMESTAMP) + INTERVAL 1 DAY) AS w_end_us,
+      |  event_type, count(*) AS n, ROUND(sum(value), 2) AS total
+      |FROM events
+      |GROUP BY 1, 2, 3 ORDER BY w_start_us, event_type""".stripMargin
+
+  /** Sliding windows: 2-day length, 1-day slide — every event lands in
+    * exactly two windows (the overlap-join shape).
+    */
+  def sliding(spark: SparkSession, sfDir: String): DataFrame =
+    streamEvents(spark, sfDir, "complete") { src =>
+      src.groupBy(window(col("ts"), "2 days", "1 day"))
+        .agg(count(lit(1)).as("n"))
+    }.select(usCol("window.start").as("w_start_us"), col("n"))
+      .orderBy("w_start_us")
+
+  val slidingOracle: String =
+    """WITH b AS (
+      |  SELECT time_bucket(INTERVAL 1 DAY, ts::TIMESTAMP) AS d FROM events
+      |), w AS (
+      |  SELECT d AS s FROM b
+      |  UNION ALL SELECT d - INTERVAL 1 DAY FROM b
+      |)
+      |SELECT epoch_us(s) AS w_start_us, count(*) AS n
+      |FROM w GROUP BY s ORDER BY w_start_us""".stripMargin
+
+  /** Session windows per user with a 6-hour inactivity gap — the
+    * operator Spark keys state on (user, session); the oracle is the
+    * classic gaps-and-islands rewrite.
+    */
+  def session(spark: SparkSession, sfDir: String): DataFrame =
+    streamEvents(spark, sfDir, "complete") { src =>
+      src.groupBy(session_window(col("ts"), "6 hours"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+    }.select(col("user_id"),
+        usCol("session_window.start").as("s_start_us"),
+        usCol("session_window.end").as("s_end_us"), col("n"))
+      .orderBy("user_id", "s_start_us")
+
+  val sessionOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, ts::TIMESTAMP AS ts FROM events
+      |), lagged AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w > INTERVAL 6 HOUR
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      |), sess AS (
+      |  SELECT user_id, ts,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |                   ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM lagged
+      |)
+      |SELECT user_id, epoch_us(min(ts)) AS s_start_us,
+      |  epoch_us(max(ts) + INTERVAL 6 HOUR) AS s_end_us, count(*) AS n
+      |FROM sess GROUP BY user_id, sid
+      |ORDER BY user_id, s_start_us""".stripMargin
+
+  /** Stateful streaming dedup on (user_id, event_type): dropDuplicates
+    * keeps the first arrival per key — WHICH row wins depends on
+    * arrival order, so only the key columns (a deterministic set) are
+    * emitted. The state store holds one entry per distinct key.
+    */
+  def dedup(spark: SparkSession, sfDir: String): DataFrame =
+    streamEvents(spark, sfDir, "append") { src =>
+      src.dropDuplicates(Seq("user_id", "event_type"))
+        .select("user_id", "event_type")
+    }.orderBy("user_id", "event_type")
+
+  val dedupOracle: String =
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type""".stripMargin
+
+  /** Stream-static join: the event stream enriched against the static
+    * customer dim (broadcast — the static side is planned once and
+    * reused every micro-batch; no stream-side shuffle).
+    */
+  def staticJoin(spark: SparkSession, sfDir: String): DataFrame =
+    streamEvents(spark, sfDir, "append") { src =>
+      val dim = Tables.load(spark, sfDir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      src.join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .select(col("event_id"), col("user_id"),
+          col("c_name"), col("c_mktsegment"))
+    }.orderBy("event_id")
+
+  val staticJoinOracle: String =
+    """SELECT event_id, user_id, c_name, c_mktsegment
+      |FROM events JOIN customer ON user_id = c_custkey
+      |ORDER BY event_id""".stripMargin
+
+  /** Arbitrary stateful processing (mapGroupsWithState): per-user
+    * running (count, value-sum) state emitted every micro-batch in
+    * `update` mode; the final per-user maximum is the converged total —
+    * the GroupState API the reference-scale pipeline would use for
+    * custom session/state logic beyond built-in windows.
+    */
+  def stateful(spark: SparkSession, sfDir: String): DataFrame = {
+    val session = spark
+    import session.implicits._
+    streamEvents(spark, sfDir, "update") { src =>
+      src.select(col("user_id").as[Long], col("value").as[Double])
+        .as[(Long, Double)]
+        .groupByKey(_._1)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+          (user: Long, rows: Iterator[(Long, Double)],
+           state: GroupState[(Long, Double)]) =>
+            val (pn, pv) = state.getOption.getOrElse((0L, 0.0))
+            var n = pn; var v = pv
+            rows.foreach { r => n += 1; v += r._2 }
+            state.update((n, v))
+            (user, n, v)
+        }
+        .toDF("user_id", "n_events", "vsum")
+    }.groupBy("user_id")
+      .agg(max("n_events").as("n_events"),
+        round(max("vsum"), 2).as("total_value"))
+      .orderBy("user_id")
+  }
+
+  val statefulOracle: String =
+    """SELECT user_id, count(*) AS n_events,
+      |  ROUND(sum(value), 2) AS total_value
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_tumbling" -> tumbling,
+    "stream_sliding" -> sliding,
+    "stream_session" -> session,
+    "stream_dedup" -> dedup,
+    "stream_static_join" -> staticJoin,
+    "stream_stateful" -> stateful)
+
+  def oracles: Map[String, String] = Map(
+    "stream_tumbling" -> tumblingOracle,
+    "stream_sliding" -> slidingOracle,
+    "stream_session" -> sessionOracle,
+    "stream_dedup" -> dedupOracle,
+    "stream_static_join" -> staticJoinOracle,
+    "stream_stateful" -> statefulOracle)
+}

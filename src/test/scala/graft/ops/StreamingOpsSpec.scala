@@ -1,0 +1,78 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import graft.SparkTestBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Watermark late-drop semantics under CONTROLLED micro-batches
+  * (MemoryStream): this is the part of the streaming surface whose
+  * emission timing depends on batch slicing, so it's asserted here
+  * instead of through the (slicing-independent) oracle queries in
+  * StreamingOps.
+  */
+class StreamingOpsSpec extends SparkTestBase {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("watermark drops late events from closed windows (append mode)") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = session.sqlContext
+    val ms = MemoryStream[(Timestamp, String)]
+    val agg = ms.toDF().toDF("ts", "k")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("wm_test")
+      .outputMode("append").start()
+    try {
+      // Batch 1: two rows in [12:00,13:00) plus a 15:00 row that will
+      // advance the watermark to 14:00 after the batch.
+      ms.addData((ts("2024-01-01 12:00:00"), "a"),
+        (ts("2024-01-01 12:10:00"), "b"),
+        (ts("2024-01-01 15:00:00"), "c"))
+      q.processAllAvailable()
+      // Batch 2: a LATE row for the now-closed 12:00 window (12:30 <
+      // watermark 14:00) — must be dropped, and the 12:00 window is
+      // emitted with the pre-late count.
+      ms.addData((ts("2024-01-01 12:30:00"), "late"))
+      q.processAllAvailable()
+      val rows = spark.table("wm_test")
+        .select(col("window.start").cast("string").as("s"), col("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(rows.get("2024-01-01 12:00:00") == Some(2L),
+        s"12:00 window must close with 2 rows (late row dropped): $rows")
+    } finally q.stop()
+  }
+
+  test("late event within watermark is still merged") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = session.sqlContext
+    val ms = MemoryStream[(Timestamp, String)]
+    val agg = ms.toDF().toDF("ts", "k")
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("wm_test2")
+      .outputMode("append").start()
+    try {
+      ms.addData((ts("2024-01-01 12:00:00"), "a"),
+        (ts("2024-01-01 13:30:00"), "c"))
+      q.processAllAvailable()
+      // Watermark = 11:30; a 12:20 row is late but within tolerance.
+      ms.addData((ts("2024-01-01 12:20:00"), "ok-late"))
+      q.processAllAvailable()
+      // Advance watermark past 13:00 so the 12:00 window emits.
+      ms.addData((ts("2024-01-01 15:30:00"), "d"))
+      q.processAllAvailable()
+      val rows = spark.table("wm_test2")
+        .select(col("window.start").cast("string").as("s"), col("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(rows.get("2024-01-01 12:00:00") == Some(2L),
+        s"in-tolerance late row must be merged: $rows")
+    } finally q.stop()
+  }
+}
