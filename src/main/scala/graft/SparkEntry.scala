@@ -23,6 +23,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CdcQueries.queries ++
       graft.queries.PipelineQueries.queries ++
+      graft.queries.CatalogQueries.queries ++
       graft.ops.Relational.queries ++
       graft.ops.Functions.queries ++
       graft.ops.LlmOps.queries ++
@@ -34,6 +35,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.CdcQueries.oracles ++
       graft.queries.PipelineQueries.oracles ++
+      graft.queries.CatalogQueries.oracles ++
       graft.ops.Relational.oracles ++
       graft.ops.Functions.oracles ++
       graft.ops.LlmOps.oracles ++
