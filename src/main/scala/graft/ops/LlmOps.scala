@@ -77,10 +77,12 @@ object LlmOps {
   /** Near-duplicate candidates via MinHash + LSH banding over word
     * 3-gram shingles.
     *
-    * Per doc and band b ∈ 0..3: minhash_b = min over shingles of
-    * md5(b + '|' + shingle) — a per-band minimum of a uniform hash, so
-    * P(two docs agree on a band) = their shingle-set Jaccard. Docs
-    * sharing any (band, minhash) bucket are candidates.
+    * Each shingle is hashed ONCE (md5); band b ∈ 0..3 uses the digest's
+    * b-th disjoint 8-hex-char slice as its hash value, so the 4 band
+    * hashes cost one md5 pass, not four. minhash_b = min over shingles
+    * of slice_b — a per-band minimum of a uniform hash, so P(two docs
+    * agree on a band) = their shingle-set Jaccard. Docs sharing any
+    * (band, minhash) bucket are candidates.
     *
     * 100 TB story: the signature computation is a pure projection (no
     * shuffle — array_min over transform); the only shuffle is
@@ -97,15 +99,25 @@ object LlmOps {
           element_at(words, i + 1), element_at(words, i + 2),
           element_at(words, i + 3))),
       s => s.isNotNull)
+    // Explode → one md5 per shingle ROW (Catalyst would otherwise
+    // collapse a transform(md5) array into every band expression and
+    // recompute it 4×), then all 4 band minima in ONE hash aggregation:
+    // map-side partial agg means the shuffle carries one (doc, 4 mins)
+    // row per doc per partition, never the shingles.
     val sigs = t(spark, sfDir, "documents")
       .filter(size(words) >= 3)
-      .select(col("doc_id"), shingles.as("sh"))
-      .select(col("doc_id"), explode(
-        transform(sequence(lit(0), lit(3)), b =>
-          struct(b.as("band"),
-            array_min(transform(col("sh"),
-              s => md5(concat(b.cast("string"), lit("|"), s)))).as("mh"))))
-        .as("bm"))
+      .select(col("doc_id"), explode(shingles).as("s"))
+      .select(col("doc_id"), md5(col("s")).as("h"))
+      .groupBy("doc_id")
+      .agg(min(col("h").substr(1, 8)).as("mh0"),
+        min(col("h").substr(9, 8)).as("mh1"),
+        min(col("h").substr(17, 8)).as("mh2"),
+        min(col("h").substr(25, 8)).as("mh3"))
+      .select(col("doc_id"), explode(array(
+        struct(lit(0).as("band"), col("mh0").as("mh")),
+        struct(lit(1).as("band"), col("mh1").as("mh")),
+        struct(lit(2).as("band"), col("mh2").as("mh")),
+        struct(lit(3).as("band"), col("mh3").as("mh")))).as("bm"))
       .select(col("doc_id"), col("bm.band").as("band"), col("bm.mh").as("mh"))
     val okBuckets = sigs.groupBy("band", "mh")
       .agg(count(lit(1)).as("bn"))
@@ -124,7 +136,7 @@ object LlmOps {
   val dedupMinhashOracle: String =
     """WITH sigs AS (
       |  SELECT doc_id, b.band,
-      |    min(md5(CAST(b.band AS VARCHAR) || '|' || sh.s)) AS mh
+      |    min(substr(md5(sh.s), b.band * 8 + 1, 8)) AS mh
       |  FROM documents,
       |    LATERAL (SELECT unnest(range(1, len(string_split(text, ' ')) - 1)) AS i) idx,
       |    LATERAL (SELECT string_split(text, ' ')[idx.i] || ' ' ||

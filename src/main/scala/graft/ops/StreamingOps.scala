@@ -30,6 +30,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object StreamingOps {
 
   private val nameCounter = new AtomicInteger(0)
+  private val stagedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Stream the events table through `f` into a memory sink; return
     * the drained sink table. The fixture is a single parquet file and
@@ -40,12 +42,17 @@ object StreamingOps {
     */
   private def streamEvents(spark: SparkSession, sfDir: String,
                            mode: String)(f: DataFrame => DataFrame): DataFrame = {
-    val staged = java.nio.file.Files
-      .createTempDirectory("graft-events-").toString
     val prepared = Tables.load(spark, sfDir, "events")
-    prepared.repartition(4).write.mode("overwrite").parquet(staged)
+    // Stage once per sfDir per JVM — every streaming query reads the
+    // same immutable staged copy.
+    val staged = stagedCache.computeIfAbsent(sfDir, { _ =>
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-events-").toString
+      prepared.repartition(4).write.mode("overwrite").parquet(dir)
+      dir
+    })
     val src = spark.readStream.schema(prepared.schema)
-      .option("maxFilesPerTrigger", 1).parquet(staged)
+      .option("maxFilesPerTrigger", 2).parquet(staged)
     val name = s"stream_sink_${nameCounter.incrementAndGet()}"
     val q = f(src).writeStream
       .format("memory").queryName(name).outputMode(mode)

@@ -38,7 +38,11 @@ object PipelineQueries {
       checkpointDir = ckptDir.toString,
       includeTables = Seq("customer", "product", "supplier"),
       triggerIntervalMs = None,
-      maxFilesPerTrigger = 1)
+      // 4 staged files / 2 per trigger → 2 micro-batches: cross-batch
+      // merge ordering still exercised on every run, at half the
+      // trigger overhead (PipelineSpec drives the 1-file-per-batch
+      // worst case).
+      maxFilesPerTrigger = 2)
     val q = new Pipeline(store).start(spark, rowSchemaOf(log), cfg)
     q.awaitTermination()
   }
@@ -49,7 +53,7 @@ object PipelineQueries {
   def pipelineCustomer(spark: SparkSession, sfDir: String): DataFrame = {
     CdcAdmin.enableCdc("commerce.customer", Seq("c_custkey"))
     val store = new StateStore(
-      Files.createTempDirectory("graft-warehouse-").toString)
+      Files.createTempDirectory("graft-warehouse-").toString, nBuckets = 8)
     val log = ChangeGen.changeLog(Tables.load(spark, sfDir, "customer"),
       "c_custkey", "c_acctbal", "commerce", "customer")
     runPipeline(spark, store, log, "cdc.commerce_customer")
@@ -72,7 +76,7 @@ object PipelineQueries {
   def schemaEvolution(spark: SparkSession, sfDir: String): DataFrame = {
     CdcAdmin.enableCdc("commerce.customer", Seq("c_custkey"))
     val store = new StateStore(
-      Files.createTempDirectory("graft-warehouse-").toString)
+      Files.createTempDirectory("graft-warehouse-").toString, nBuckets = 8)
     val base = Tables.load(spark, sfDir, "customer")
     runPipeline(spark, store,
       ChangeGen.changeLogIntPk(base, "c_custkey", "c_acctbal",
