@@ -1,0 +1,23 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sf = "/root/testdata/sf0.01"
+    for (q <- Seq("agg_q1", "join_broadcast", "sort_topk", "filter_predicates", "cdc_merge_customer", "llm_sim_topk")) {
+      println(s"===== $q =====")
+      println(SparkEntry.queries(q)(spark, sf).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode).linesIterator
+        .filter(l => l.contains("Scan") || l.contains("PushedFilters") || l.contains("ReadSchema") ||
+          l.contains("Broadcast") || l.contains("TakeOrdered") || l.contains("WholeStageCodegen") ||
+          l.contains("Exchange") || l.contains("HashAggregate")).take(14).mkString("\n"))
+    }
+    spark.stop()
+  }
+}

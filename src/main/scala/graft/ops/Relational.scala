@@ -24,6 +24,28 @@ import org.apache.spark.sql.functions._
   * epoch micros so oracle comparison never depends on parquet
   * timezone metadata.
   */
+/** Typed Aggregator for [[Relational.aggUdaf]]: weighted mean with a
+  * (weighted-sum, weight-sum) buffer — associative + commutative, so
+  * Spark runs it partial/final like any built-in aggregate.
+  */
+object WeightedAvg
+    extends org.apache.spark.sql.expressions.Aggregator[
+      (Double, Double), (Double, Double), Double] {
+  override def zero: (Double, Double) = (0.0, 0.0)
+  override def reduce(b: (Double, Double), in: (Double, Double)): (Double, Double) =
+    (b._1 + in._1 * in._2, b._2 + in._2)
+  override def merge(a: (Double, Double), b: (Double, Double)): (Double, Double) =
+    (a._1 + b._1, a._2 + b._2)
+  override def finish(b: (Double, Double)): Double =
+    if (b._2 == 0.0) Double.NaN else b._1 / b._2
+  override def bufferEncoder: org.apache.spark.sql.Encoder[(Double, Double)] =
+    org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaDouble,
+      org.apache.spark.sql.Encoders.scalaDouble)
+  override def outputEncoder: org.apache.spark.sql.Encoder[Double] =
+    org.apache.spark.sql.Encoders.scalaDouble
+}
+
 object Relational {
 
   private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
@@ -401,20 +423,48 @@ object Relational {
       |GROUP BY CUBE(o_orderstatus, o_orderpriority)
       |ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""".stripMargin
 
-  /** Collect aggregate: the distinct market segments seen per nation,
-    * sorted inside the array for determinism.
+  /** Collect aggregates: distinct (collect_set) and multiset
+    * (collect_list) segment collections per nation, both sorted inside
+    * the array for determinism.
     */
   def aggCollect(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "customer")
       .groupBy("c_nationkey")
       .agg(sort_array(collect_set("c_mktsegment")).as("segments"),
+        sort_array(collect_list("c_mktsegment")).as("all_segments"),
         count(lit(1)).as("n_cust"))
       .orderBy("c_nationkey")
 
   val aggCollectOracle: String =
     """SELECT c_nationkey, list_sort(list(DISTINCT c_mktsegment)) AS segments,
+      |       list_sort(list(c_mktsegment)) AS all_segments,
       |       count(*) AS n_cust
       |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
+  /** Custom typed UDAF (`Aggregator` + `functions.udaf`): revenue-
+    * weighted average discount. This is the sanctioned extension point
+    * when no built-in aggregate fits — a typed buffer with merge
+    * semantics, so it still gets map-side partial aggregation (the
+    * buffer crosses the shuffle, not the rows), unlike a driver-side
+    * fold. Kept OUT of hot paths otherwise: built-ins are codegen'd,
+    * UDAFs are not.
+    */
+  def aggUdaf(spark: SparkSession, sfDir: String): DataFrame = {
+    val wavg = udaf(WeightedAvg)
+    t(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(round(wavg(col("l_discount"), col("l_extendedprice")), 6)
+        .as("wavg_disc"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  val aggUdafOracle: String =
+    """SELECT l_returnflag,
+      |  ROUND(sum(l_discount * l_extendedprice) / sum(l_extendedprice), 6)
+      |    AS wavg_disc,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   // -------------------------------------------------------------- windows
 
@@ -631,6 +681,39 @@ object Relational {
       |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
       |ORDER BY custkey""".stripMargin
 
+  /** Multiset EXCEPT ALL: per-order customer keys of open orders minus
+    * finished ones — duplicates survive by multiplicity, unlike the
+    * set-semantics twin above.
+    */
+  def setExceptAll(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = t(spark, sfDir, "orders")
+    o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("custkey"))
+      .exceptAll(o.filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("custkey")))
+      .orderBy("custkey")
+  }
+
+  val setExceptAllOracle: String =
+    """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+      |EXCEPT ALL
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |ORDER BY custkey""".stripMargin
+
+  /** Multiset INTERSECT ALL. */
+  def setIntersectAll(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = t(spark, sfDir, "orders")
+    o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("custkey"))
+      .intersectAll(o.filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("custkey")))
+      .orderBy("custkey")
+  }
+
+  val setIntersectAllOracle: String =
+    """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+      |INTERSECT ALL
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |ORDER BY custkey""".stripMargin
+
   /** UNION + distinct across heterogeneous sources (nation keys seen in
     * customers vs suppliers), via unionByName.
     */
@@ -702,6 +785,7 @@ object Relational {
     "agg_rollup" -> aggRollup,
     "agg_cube" -> aggCube,
     "agg_collect" -> aggCollect,
+    "agg_udaf" -> aggUdaf,
     "win_rank" -> winRank,
     "win_analytic" -> winAnalytic,
     "win_frame" -> winFrame,
@@ -712,6 +796,8 @@ object Relational {
     "sort_sample" -> sortSample,
     "set_intersect" -> setIntersect,
     "set_except" -> setExcept,
+    "set_except_all" -> setExceptAll,
+    "set_intersect_all" -> setIntersectAll,
     "set_union" -> setUnion,
     "filter_predicates" -> filterPredicates)
 
@@ -732,6 +818,7 @@ object Relational {
     "agg_rollup" -> aggRollupOracle,
     "agg_cube" -> aggCubeOracle,
     "agg_collect" -> aggCollectOracle,
+    "agg_udaf" -> aggUdafOracle,
     "win_rank" -> winRankOracle,
     "win_analytic" -> winAnalyticOracle,
     "win_frame" -> winFrameOracle,
@@ -741,6 +828,8 @@ object Relational {
     "sort_topk_group" -> sortTopkGroupOracle,
     "set_intersect" -> setIntersectOracle,
     "set_except" -> setExceptOracle,
+    "set_except_all" -> setExceptAllOracle,
+    "set_intersect_all" -> setIntersectAllOracle,
     "set_union" -> setUnionOracle,
     "filter_predicates" -> filterPredicatesOracle)
 }
