@@ -106,6 +106,93 @@ final class Pipeline(store: StateStore) {
     }
   }
 
+  /** A1 — initial snapshot as a source-side operator: a consistent
+    * batch read of the captured table emitted as `op='r'` events
+    * (ts_ms=0, seq=pk — any streamed event outranks the snapshot) and
+    * merged into state BEFORE the stream starts, exactly
+    * `snapshot.mode=initial` (connect-sqlserver-source.json:14). Batch,
+    * not streamed: the reference also snapshots with a bounded table
+    * read, only the log tail is unbounded.
+    */
+  def snapshot(base: DataFrame, schemaName: String, tableName: String,
+               routePattern: String = "cdc.{schema}_{table}"): Unit = {
+    val fqn = s"$schemaName.$tableName"
+    val pk = CdcAdmin.pkOf(fqn).getOrElse(throw new IllegalStateException(
+      s"A15 fail-fast: CDC not enabled for $fqn"))
+    val src = struct(lit(schemaName).as("schema"), lit(tableName).as("table"))
+    val image = struct(base.columns.map(col): _*)
+    val events = base.select(
+      when(lit(false), image).as("before"), image.as("after"),
+      lit(Envelope.OpRead).as("op"), lit(0L).as("ts_ms"),
+      col(pk.head).cast("long").as("seq"), src.as("source"))
+    val routed = Routing.route(Envelope.flatten(events), routePattern)
+    val target = routePattern
+      .replace("{schema}", schemaName).replace("{table}", tableName)
+    mergeTarget(target, pk, routed)
+  }
+
+  /** A10 full dynamic fan-out over the generic WIRE format: one stream
+    * of JSON envelope lines carrying events for MANY tables (the
+    * single-typed-parquet stream can't mix row schemas — the wire
+    * format is how heterogeneous topics share one transport, exactly
+    * Kafka Connect's JsonConverter, connect-standalone.properties:2-5).
+    *
+    * Per micro-batch: a cheap metadata-only `from_json` (op/ts/seq/
+    * source — row images untouched) drives filtering and target
+    * discovery; each target's slice is then FAILFAST-parsed against
+    * that table's registered row schema and merged. Unknown target ⇒
+    * state table auto-created from the event schema (A10).
+    */
+  def startWire(spark: SparkSession, cfg: PipelineConfig,
+                rowSchemas: Map[String, StructType]): StreamingQuery = {
+    val metaSchema = new StructType()
+      .add("op", "string").add("ts_ms", "long").add("seq", "long")
+      .add("source", Envelope.sourceSchema)
+    val src = spark.readStream
+      .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
+      .text(cfg.changeLogDir)
+      .withColumn("meta", from_json(col("value"), metaSchema))
+      .filter(Routing.includeFilter(cfg.schemaName, cfg.includeTables,
+        sourcePath = "meta.source"))
+      .withColumn("topic", Routing.topicName(cfg.topicPrefix, "meta.source"))
+      .filter(Routing.topicRegexFilter(col("topic"), cfg.topicRegex))
+      .select("value", "meta")
+    val writer = src.writeStream
+      .option("checkpointLocation", cfg.checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.persist()
+        try {
+          val tables = batch
+            .select(col("meta.source.schema").as("s"),
+              col("meta.source.table").as("t"))
+            .distinct().collect()
+            .map(r => (r.getString(0), r.getString(1))).sortBy(p => p._1 + p._2)
+          tables.foreach { case (s, t) =>
+            val fqn = s"$s.$t"
+            val pk = CdcAdmin.pkOf(fqn).getOrElse(
+              throw new IllegalStateException(
+                s"A15 fail-fast: CDC not enabled for $fqn"))
+            val rowSchema = rowSchemas.getOrElse(fqn,
+              throw new IllegalStateException(s"no row schema for $fqn"))
+            val slice = batch
+              .filter(col("meta.source.schema") === s &&
+                col("meta.source.table") === t)
+              .select("value")
+            val parsed = Envelope.fromWire(slice, rowSchema)
+            val routed = Routing.route(Envelope.flatten(parsed),
+              cfg.routePattern)
+            val target = cfg.routePattern
+              .replace("{schema}", s).replace("{table}", t)
+            mergeTarget(target, pk, routed)
+          }
+        } finally batch.unpersist()
+      }
+    cfg.triggerIntervalMs match {
+      case Some(ms) => writer.trigger(Trigger.ProcessingTime(ms)).start()
+      case None => writer.trigger(Trigger.AvailableNow()).start()
+    }
+  }
+
   /** One micro-batch: route fan-out, then one ordered merge + commit
     * per distinct target (A17: sequential, deterministic order).
     * The distinct-target collect is metadata-sized — bounded by the

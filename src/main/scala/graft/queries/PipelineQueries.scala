@@ -106,11 +106,62 @@ object PipelineQueries {
       |WHERE c_custkey % 7 <> 0 OR c_custkey % 11 = 0
       |ORDER BY c_custkey""".stripMargin
 
+  /** A10 full dynamic fan-out end to end: ONE wire-format stream
+    * (JSON envelope lines) carrying interleaved customer AND supplier
+    * events; the pipeline discovers both targets per micro-batch,
+    * FAILFAST-parses each against its registered row schema,
+    * auto-creates both state tables, and merges independently. Output:
+    * per-target row count + balance checksum of the merged states.
+    */
+  def pipelineFanout(spark: SparkSession, sfDir: String): DataFrame = {
+    CdcAdmin.enableCdc("commerce.customer", Seq("c_custkey"))
+    CdcAdmin.enableCdc("commerce.supplier", Seq("s_suppkey"))
+    val store = new StateStore(
+      Files.createTempDirectory("graft-warehouse-").toString, nBuckets = 8)
+    val cust = Tables.load(spark, sfDir, "customer")
+    val supp = Tables.load(spark, sfDir, "supplier")
+    val wire = Envelope.toWire(ChangeGen.changeLog(cust,
+        "c_custkey", "c_acctbal", "commerce", "customer"))
+      .unionAll(Envelope.toWire(ChangeGen.changeLog(supp,
+        "s_suppkey", "s_acctbal", "commerce", "supplier")))
+    val logDir = Files.createTempDirectory("graft-wire-")
+    val ckptDir = Files.createTempDirectory("graft-ckpt-")
+    wire.repartition(4).write.mode("overwrite").text(logDir.toString)
+    val cfg = PipelineConfig(logDir.toString, ckptDir.toString,
+      includeTables = Seq("customer", "supplier"),
+      triggerIntervalMs = None, maxFilesPerTrigger = 2)
+    val q = new Pipeline(store).startWire(spark, cfg, Map(
+      "commerce.customer" -> cust.schema,
+      "commerce.supplier" -> supp.schema))
+    q.awaitTermination()
+    def summary(target: String, balCol: String): DataFrame =
+      store.currentState(spark, target)
+        .agg(lit(target).as("target"), count(lit(1)).as("n"),
+          round(sum(balCol), 2).as("bal_sum"))
+    summary("cdc.commerce_customer", "c_acctbal")
+      .unionAll(summary("cdc.commerce_supplier", "s_acctbal"))
+      .orderBy("target")
+  }
+
+  val pipelineFanoutOracle: String =
+    """SELECT 'cdc.commerce_customer' AS target, count(*) AS n,
+      |  ROUND(SUM(c_acctbal + CASE WHEN c_custkey % 5 = 0 THEN 200.0
+      |    WHEN c_custkey % 3 = 0 THEN 100.0 ELSE 0.0 END), 2) AS bal_sum
+      |FROM customer WHERE c_custkey % 7 <> 0
+      |UNION ALL
+      |SELECT 'cdc.commerce_supplier', count(*),
+      |  ROUND(SUM(s_acctbal + CASE WHEN s_suppkey % 5 = 0 THEN 200.0
+      |    WHEN s_suppkey % 3 = 0 THEN 100.0 ELSE 0.0 END), 2)
+      |FROM supplier WHERE s_suppkey % 7 <> 0
+      |ORDER BY target""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_pipeline_customer" -> pipelineCustomer,
+    "cdc_pipeline_fanout" -> pipelineFanout,
     "cdc_schema_evolution" -> schemaEvolution)
 
   def oracles: Map[String, String] = Map(
     "cdc_pipeline_customer" -> pipelineCustomerOracle,
+    "cdc_pipeline_fanout" -> pipelineFanoutOracle,
     "cdc_schema_evolution" -> schemaEvolutionOracle)
 }

@@ -99,6 +99,22 @@ class PipelineSpec extends SparkTestBase {
     assert(lines.get(lines.size() - 1).contains("note"))
   }
 
+  test("snapshot bootstrap then stream: snapshot loses to every event (A1)") {
+    CdcAdmin.enableCdc("commerce.customer", Seq("c_custkey"))
+    val store = freshStore()
+    val base = Tables.load(spark, sf, "customer")
+    val pipe = new Pipeline(store)
+    pipe.snapshot(base, "commerce", "customer")
+    val afterSnap = store.currentState(spark, "cdc.commerce_customer")
+    assert(afterSnap.count() == base.count())
+    // Stream the full log on top: ts=0 snapshot must lose to all
+    // events, so the final state equals the batch compaction.
+    run(store, customerLog)
+    val streamed = store.currentState(spark, "cdc.commerce_customer")
+    val batch = Merge.compact(Envelope.flatten(customerLog), Seq("c_custkey"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("commit rewrites only affected buckets (partition-pruned write)") {
     CdcAdmin.enableCdc("commerce.customer", Seq("c_custkey"))
     val store = freshStore()
