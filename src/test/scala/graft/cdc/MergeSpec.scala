@@ -81,6 +81,34 @@ class MergeSpec extends SparkTestBase {
     assert(got == Map(1L -> "a", 2L -> "b2", 4L -> "d5"))
   }
 
+  private def toBatchMeta(evs: Seq[Ev]) =
+    Merge.compactKeepTombstones(Envelope.flatten(toEnvelope(evs)), Seq("key"))
+      .select(col("row.*"),
+        col("_cdc.ts_ms").as(StateStore.TsCol),
+        col("_cdc.seq").as(StateStore.SeqCol),
+        (col("_cdc.op") === Envelope.OpDelete).as(StateStore.DeletedCol))
+
+  test("mergeOrdered is invariant to micro-batch slicing AND batch order") {
+    val gen = for {
+      evs <- genEvents.suchThat(_.nonEmpty)
+      cuts <- Gen.listOfN(2, Gen.chooseNum(0, evs.length))
+      shuffleSeed <- Gen.chooseNum(0L, 1000L)
+    } yield (evs, cuts.sorted, shuffleSeed)
+    val prop = Prop.forAll(gen) { case (evs, cuts, seed) =>
+      val slices = (0 +: cuts :+ evs.length).distinct.sliding(2)
+        .map { case Seq(a, b) => evs.slice(a, b) }.filter(_.nonEmpty).toSeq
+      val shuffled = new scala.util.Random(seed).shuffle(slices)
+      val finalState = shuffled.map(toBatchMeta)
+        .reduce((s, b) => Merge.mergeOrdered(s, b, Seq("key")))
+      val got = finalState.filter(!col(StateStore.DeletedCol))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      got == replay(evs)
+    }
+    val res = ScTest.check(
+      ScTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("schema evolution widens INT to long and adds new columns") {
     assert(SchemaEvolution.widen(IntegerType, LongType) == LongType)
     assert(SchemaEvolution.widen(IntegerType, DoubleType) == DoubleType)
