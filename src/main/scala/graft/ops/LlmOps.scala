@@ -157,6 +157,112 @@ object LlmOps {
       |WHERE a.doc_id < b.doc_id
       |GROUP BY d1, d2 ORDER BY d1, d2""".stripMargin
 
+  /** LSH candidates → EXACT n-gram Jaccard verification: the second
+    * stage of the real dedup pipeline. Candidates come from the banded
+    * MinHash join (never all-pairs); each surviving pair then gets its
+    * true 3-gram-shingle-set Jaccard via array_intersect/array_union —
+    * O(|a|+|b|) per pair, only for candidate pairs. `is_dup` applies
+    * the 0.5 similarity cut; the score itself is emitted so recall
+    * analysis is possible downstream.
+    */
+  def dedupJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val shingles = filter(
+      transform(sequence(lit(0), greatest(size(words) - 3, lit(-1))),
+        i => concat_ws(" ",
+          element_at(words, i + 1), element_at(words, i + 2),
+          element_at(words, i + 3))),
+      s => s.isNotNull)
+    val ssets = t(spark, sfDir, "documents")
+      .filter(size(words) >= 3)
+      .select(col("doc_id"), array_distinct(shingles).as("sset"))
+    val cands = dedupMinhash(spark, sfDir).select("d1", "d2")
+    val jac = size(array_intersect(col("sa"), col("sb"))).cast("double") /
+      size(array_union(col("sa"), col("sb")))
+    cands
+      .join(ssets.select(col("doc_id").as("d1"), col("sset").as("sa")), Seq("d1"))
+      .join(ssets.select(col("doc_id").as("d2"), col("sset").as("sb")), Seq("d2"))
+      .select(col("d1"), col("d2"), round(jac, 6).as("jaccard"),
+        (round(jac, 6) >= 0.5).as("is_dup"))
+      .orderBy("d1", "d2")
+  }
+
+  val dedupJaccardOracle: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    string_split(text, ' ')[idx.i] || ' ' ||
+      |    string_split(text, ' ')[idx.i + 1] || ' ' ||
+      |    string_split(text, ' ')[idx.i + 2] AS s
+      |  FROM documents,
+      |    LATERAL (SELECT unnest(range(1, len(string_split(text, ' ')) - 1)) AS i) idx
+      |  WHERE len(string_split(text, ' ')) >= 3
+      |), ssets AS (
+      |  SELECT doc_id, list_distinct(list(s)) AS sset FROM sh GROUP BY doc_id
+      |), sigs AS (
+      |  SELECT doc_id, b.band, min(substr(md5(s), b.band * 8 + 1, 8)) AS mh
+      |  FROM sh, LATERAL (SELECT unnest(range(4)) AS band) b
+      |  GROUP BY doc_id, b.band
+      |), ok AS (
+      |  SELECT band, mh FROM sigs GROUP BY band, mh
+      |  HAVING count(*) BETWEEN 2 AND 100
+      |), inb AS (
+      |  SELECT s.doc_id, s.band, s.mh FROM sigs s JOIN ok USING (band, mh)
+      |), cands AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2
+      |  FROM inb a JOIN inb b ON a.band = b.band AND a.mh = b.mh
+      |  WHERE a.doc_id < b.doc_id
+      |  GROUP BY d1, d2
+      |)
+      |SELECT d1, d2,
+      |  ROUND(CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE) /
+      |        len(list_distinct(list_concat(sa.sset, sb.sset))), 6) AS jaccard,
+      |  ROUND(CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE) /
+      |        len(list_distinct(list_concat(sa.sset, sb.sset))), 6) >= 0.5
+      |    AS is_dup
+      |FROM cands
+      |JOIN ssets sa ON sa.doc_id = d1
+      |JOIN ssets sb ON sb.doc_id = d2
+      |ORDER BY d1, d2""".stripMargin
+
+  /** 16-bit text SimHash fingerprint: per-token md5, each digest's
+    * first 4 hex nibbles contribute 16 bits, fingerprint bit i is the
+    * sign of the ±1 vote sum across tokens — near-identical documents
+    * differ in few bits (Hamming-ball lookup at scale). One explode +
+    * one 16-expression hash aggregation: partial aggregation keeps the
+    * shuffle at one row per doc per partition.
+    */
+  def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val votes = (0 until 16).map { i =>
+      val pos = 1 + i / 4
+      val shift = 3 - i % 4
+      sum(expr(
+        s"2 * ((locate(substring(h, $pos, 1), '0123456789abcdef') - 1) " +
+          s"div ${1 << shift} % 2) - 1")).as(s"v$i")
+    }
+    val bits = (0 until 16).map(i =>
+      when(col(s"v$i") >= 0, lit("1")).otherwise(lit("0")))
+    t(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(words).as("w"))
+      .select(col("doc_id"), md5(col("w")).as("h"))
+      .groupBy("doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), concat(bits: _*).as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  val dedupSimhashOracle: String = {
+    val cases = (0 until 16).map { i =>
+      val pos = 1 + i / 4
+      val shift = 3 - i % 4
+      s"CASE WHEN sum(2 * ((strpos('0123456789abcdef', " +
+        s"substr(md5(w), $pos, 1)) - 1) // ${1 << shift} % 2) - 1) >= 0 " +
+        s"THEN '1' ELSE '0' END"
+    }.mkString(" ||\n  ")
+    s"""SELECT doc_id, $cases AS simhash
+       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |      FROM documents)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   // -------------------------------------------------- similarity search
 
   /** Brute-force top-k cosine neighbors of one probe vector (the
@@ -447,6 +553,8 @@ object LlmOps {
     "llm_dedup_exact" -> dedupExact,
     "llm_dedup_fingerprint" -> dedupFingerprint,
     "llm_dedup_minhash" -> dedupMinhash,
+    "llm_dedup_jaccard" -> dedupJaccard,
+    "llm_dedup_simhash" -> dedupSimhash,
     "llm_sim_topk" -> simTopk,
     "llm_sim_join" -> simJoin,
     "llm_sim_ivf" -> simIvf,
@@ -460,6 +568,8 @@ object LlmOps {
     "llm_dedup_exact" -> dedupExactOracle,
     "llm_dedup_fingerprint" -> dedupFingerprintOracle,
     "llm_dedup_minhash" -> dedupMinhashOracle,
+    "llm_dedup_jaccard" -> dedupJaccardOracle,
+    "llm_dedup_simhash" -> dedupSimhashOracle,
     "llm_sim_topk" -> simTopkOracle,
     "llm_sim_join" -> simJoinOracle,
     "llm_sim_ivf" -> simIvfOracle,

@@ -47,6 +47,31 @@ class StreamingOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark dedups across nearby batches") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = session.sqlContext
+    val ms = MemoryStream[(Timestamp, String)]
+    val deduped = ms.toDF().toDF("ts", "k")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark(Seq("k"))
+      .select("k")
+    val q = deduped.writeStream.format("memory").queryName("ddw_test")
+      .outputMode("append").start()
+    try {
+      ms.addData((ts("2024-01-01 12:00:00"), "a"),
+        (ts("2024-01-01 12:05:00"), "a"))
+      q.processAllAvailable()
+      // Same key again within the watermark window: suppressed.
+      ms.addData((ts("2024-01-01 12:10:00"), "a"),
+        (ts("2024-01-01 12:10:00"), "b"))
+      q.processAllAvailable()
+      val ks = spark.table("ddw_test").collect().map(_.getString(0)).toSeq
+      assert(ks.count(_ == "a") == 1 && ks.count(_ == "b") == 1,
+        s"expected one a and one b, got $ks")
+    } finally q.stop()
+  }
+
   test("late event within watermark is still merged") {
     val session = spark
     import session.implicits._
