@@ -54,16 +54,17 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
       .asInstanceOf[StructType]
   }
 
-  def manifest(target: String): Map[Int, String] = {
-    val v = currentVersion(target)
-    if (v < 0) Map.empty
-    else Files.readAllLines(dir(target).resolve(s"manifest-$v.tsv")).asScala
-      .filter(_.nonEmpty)
+  def manifest(target: String): Map[Int, String] =
+    manifestAt(target, currentVersion(target))
+
+  def manifestAt(target: String, version: Int): Map[Int, String] =
+    if (version < 0) Map.empty
+    else Files.readAllLines(dir(target).resolve(s"manifest-$version.tsv"))
+      .asScala.filter(_.nonEmpty)
       .map { line =>
         val Array(b, p) = line.split("\t", 2)
         b.toInt -> p
       }.toMap
-  }
 
   /** Raw state (with merge metadata) for the given buckets only — the
     * partition-pruned read path used by merges. Bucket dirs from
@@ -107,6 +108,29 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
     rawState(spark, target)
       .filter(!col(DeletedCol))
       .drop(TsCol, SeqCol, DeletedCol, BucketCol)
+
+  /** TIME TRAVEL: the table as of an earlier committed version.
+    * Old manifests + their data dirs are immutable (commits only add
+    * files and re-point), so every historical snapshot stays readable —
+    * the Iceberg `VERSION AS OF` analog, and the rollback path: to roll
+    * back, commit a new version whose manifest equals an old one.
+    */
+  def stateAt(spark: SparkSession, target: String, version: Int): DataFrame = {
+    val m = manifestAt(target, version)
+    val schema = DataType.fromJson(
+      Files.readString(dir(target).resolve(s"schema-$version.json")))
+      .asInstanceOf[StructType]
+    if (m.isEmpty) return emptyState(spark, target)
+    val byBase = m.keys.toSeq.groupBy(b => m(b).split("/")(0))
+    byBase.map { case (verDir, bs) =>
+      val base = dir(target).resolve(verDir).toString
+      val paths = bs.map(b => dir(target).resolve(m(b)).toString)
+      val df = spark.read.option("basePath", base).parquet(paths: _*)
+      SchemaEvolution.alignTo(df, schema)
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+      .filter(!col(DeletedCol))
+      .drop(TsCol, SeqCol, DeletedCol, BucketCol)
+  }
 
   /** Commit a merge result for the affected buckets as version N+1.
     * `merged` must contain exactly the affected buckets' rows (with

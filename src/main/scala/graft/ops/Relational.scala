@@ -317,6 +317,71 @@ object Relational {
       |  ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
       |ORDER BY k1, k2""".stripMargin
 
+  /** TPC-H Q3 shape: the canonical 3-way fact join (customer ⋈ orders ⋈
+    * lineitem) with selective filters on all three inputs, grouped
+    * revenue, and a top-10. The filters push into all three scans; the
+    * two shuffles are on the join keys; the top-10 is
+    * TakeOrderedAndProject after the aggregate.
+    */
+  def joinQ3(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+      .join(t(spark, sfDir, "orders")
+        .filter(col("o_orderdate") < lit("1998-01-01"))
+        .select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("c_custkey") === col("o_custkey"))
+      .join(t(spark, sfDir, "lineitem")
+        .filter(col("l_shipdate") > lit("1998-01-01"))
+        .select("l_orderkey", "l_extendedprice", "l_discount"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), dateStr(col("o_orderdate")).as("odate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+
+  val joinQ3Oracle: String =
+    """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS odate,
+      |  ROUND(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |  AND l_shipdate > TIMESTAMP '1998-01-01'
+      |GROUP BY o_orderkey, odate
+      |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
+
+  /** Hot-key skew mitigation by SALTING, shown end to end: the fact
+    * side's join key (`event_type`, 5 values over 100k+ rows — every
+    * key is hot) gets a deterministic salt ∈ 0..7; the dim side is
+    * replicated once per salt; the join key becomes (type, salt), so
+    * one hot key's rows spread over 8 reducers instead of one. The
+    * result is IDENTICAL to the unsalted join (the oracle is the plain
+    * join); only the shuffle layout changes. At 100 TB this — or AQE's
+    * runtime skew split — is mandatory for power-law keys.
+    */
+  def joinSkewSalted(spark: SparkSession, sfDir: String): DataFrame = {
+    val nSalts = 8
+    val ev = t(spark, sfDir, "events")
+    val dim = ev.groupBy(col("event_type").as("d_type"))
+      .agg(round(avg("value"), 6).as("type_avg"))
+      .withColumn("salt", explode(sequence(lit(0), lit(nSalts - 1))))
+    val fact = ev.select(col("event_type"), col("value"),
+      pmod(xxhash64(col("event_id")), lit(nSalts)).cast("int").as("salt"))
+    fact.join(dim,
+        col("event_type") === col("d_type") && fact("salt") === dim("salt"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), first("type_avg").as("type_avg"))
+      .orderBy("event_type")
+  }
+
+  val joinSkewSaltedOracle: String =
+    """SELECT event_type, count(*) AS n,
+      |  ROUND(avg(value), 6) AS type_avg
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // --------------------------------------------------------- aggregations
 
   /** TPC-H Q1 shape: the canonical multi-aggregate hash agg over the
@@ -779,6 +844,8 @@ object Relational {
     "join_cross" -> joinCross,
     "join_asof" -> joinAsof,
     "join_self" -> joinSelf,
+    "join_q3" -> joinQ3,
+    "join_skew_salted" -> joinSkewSalted,
     "agg_q1" -> aggQ1,
     "agg_count_distinct" -> aggCountDistinct,
     "agg_approx_distinct" -> aggApproxDistinct,
@@ -813,6 +880,8 @@ object Relational {
     "join_cross" -> joinCrossOracle,
     "join_asof" -> joinAsofOracle,
     "join_self" -> joinSelfOracle,
+    "join_q3" -> joinQ3Oracle,
+    "join_skew_salted" -> joinSkewSaltedOracle,
     "agg_q1" -> aggQ1Oracle,
     "agg_count_distinct" -> aggCountDistinctOracle,
     "agg_rollup" -> aggRollupOracle,

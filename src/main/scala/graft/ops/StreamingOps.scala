@@ -172,6 +172,41 @@ object StreamingOps {
       |FROM events JOIN customer ON user_id = c_custkey
       |ORDER BY event_id""".stripMargin
 
+  /** Stream-STREAM interval join (self-join of the event stream):
+    * each purchase matched to the same user's clicks in the preceding
+    * hour. Both sides carry watermarks and the join condition bounds
+    * event time on both sides — that's what lets Spark evict join
+    * state at scale. The test watermark spans the whole fixture window
+    * because the staged replay is NOT time-ordered (random file
+    * slicing); a production deployment consuming a time-ordered log
+    * uses the tight delay and gets bounded state with the same plan.
+    */
+  def streamStreamJoin(spark: SparkSession, sfDir: String): DataFrame =
+    streamEvents(spark, sfDir, "append") { src =>
+      val clicks = src.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("event_id").as("click_id"))
+        .withWatermark("c_ts", "40 days")
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("purchase_id"))
+        .withWatermark("p_ts", "40 days")
+      purchases.join(clicks,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"))
+        .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"))
+    }.orderBy("purchase_id", "click_id")
+
+  val streamStreamJoinOracle: String =
+    """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+      |  p.user_id
+      |FROM events p JOIN events c
+      |  ON p.event_type = 'purchase' AND c.event_type = 'click'
+      | AND p.user_id = c.user_id
+      | AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+      |ORDER BY purchase_id, click_id""".stripMargin
+
   /** Arbitrary stateful processing (mapGroupsWithState): per-user
     * running (count, value-sum) state emitted every micro-batch in
     * `update` mode; the final per-user maximum is the converged total —
@@ -212,6 +247,7 @@ object StreamingOps {
     "stream_session" -> session,
     "stream_dedup" -> dedup,
     "stream_static_join" -> staticJoin,
+    "stream_stream_join" -> streamStreamJoin,
     "stream_stateful" -> stateful)
 
   def oracles: Map[String, String] = Map(
@@ -220,5 +256,6 @@ object StreamingOps {
     "stream_session" -> sessionOracle,
     "stream_dedup" -> dedupOracle,
     "stream_static_join" -> staticJoinOracle,
+    "stream_stream_join" -> streamStreamJoinOracle,
     "stream_stateful" -> statefulOracle)
 }

@@ -99,6 +99,26 @@ class PipelineSpec extends SparkTestBase {
     assert(lines.get(lines.size() - 1).contains("note"))
   }
 
+  test("time travel: old versions stay readable after later commits") {
+    CdcAdmin.enableCdc("commerce.customer", Seq("c_custkey"))
+    val store = freshStore()
+    run(store, customerLog)
+    val target = "cdc.commerce_customer"
+    val v1 = store.currentVersion(target)
+    val countV1 = store.currentState(spark, target).count()
+    // Commit a delta on top, then read the old version back.
+    val oneKey = ChangeGen.changeLog(
+      Tables.load(spark, sf, "customer").filter(col("c_custkey") === 1),
+      "c_custkey", "c_acctbal", "commerce", "customer")
+      .filter(col("ts_ms") === 1000)
+    run(store, oneKey)
+    assert(store.currentVersion(target) > v1)
+    assert(store.stateAt(spark, target, v1).count() == countV1)
+    assert(store.stateAt(spark, target, v1)
+      .filter(col("c_custkey") === 1).count() ==
+      store.currentState(spark, target).filter(col("c_custkey") === 1).count())
+  }
+
   test("snapshot bootstrap then stream: snapshot loses to every event (A1)") {
     CdcAdmin.enableCdc("commerce.customer", Seq("c_custkey"))
     val store = freshStore()
