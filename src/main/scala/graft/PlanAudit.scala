@@ -10,7 +10,9 @@ object PlanAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sf = "/root/testdata/sf0.01"
-    for (q <- Seq("agg_q1", "join_broadcast", "sort_topk", "filter_predicates", "cdc_merge_customer", "llm_sim_topk")) {
+    for (q <- Seq("agg_q1", "join_broadcast", "join_q3", "join_skew_salted",
+        "sort_topk", "filter_predicates", "cdc_merge_customer",
+        "llm_sim_topk", "llm_dedup_minhash")) {
       println(s"===== $q =====")
       println(SparkEntry.queries(q)(spark, sf).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode).linesIterator

@@ -144,6 +144,14 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
     Files.createDirectories(d)
     val prev = currentVersion(target)
     val next = prev + 1
+    // A17 single-writer enforcement (optimistic): a manifest for `next`
+    // already existing means another writer committed concurrently —
+    // abort rather than overwrite history. (The reference relies on
+    // tasks.max=1 for the same invariant; we detect violations.)
+    if (Files.exists(d.resolve(s"manifest-$next.tsv")))
+      throw new IllegalStateException(
+        s"single-writer invariant violated: version $next of $target " +
+          "already committed by another writer")
     val verDir = s"v$next"
     merged.write
       .partitionBy(BucketCol)
@@ -170,6 +178,41 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
     Files.move(tmp, d.resolve(VersionFile),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     next
+  }
+
+  /** Maintenance: rewrite the WHOLE table into one fresh version (the
+    * `rewrite_data_files` analog). After many incremental commits each
+    * bucket accumulates one small file per touching micro-batch
+    * version; compaction folds them back to one dir per bucket so read
+    * fan-in stays bounded. Runs through the normal commit path, so
+    * readers never see a partial rewrite.
+    */
+  def compactTable(spark: SparkSession, target: String): Int = {
+    val all = rawState(spark, target)
+    commit(spark, target, all, manifest(target).keys.toSeq.sorted)
+  }
+
+  /** Maintenance: expire old snapshots (the `expire_snapshots` analog).
+    * Deletes version manifests/schemas older than `keepVersions` back
+    * from current, plus any data directory no retained manifest
+    * references. Time travel stays available for retained versions.
+    */
+  def vacuum(target: String, keepVersions: Int = 1): Unit = {
+    val d = dir(target)
+    val cur = currentVersion(target)
+    val keepFrom = math.max(0, cur - keepVersions + 1)
+    val referenced = (keepFrom to cur).flatMap(v =>
+      manifestAt(target, v).values.map(_.split("/")(0))).toSet
+    val deletable = (0 until keepFrom).filterNot(v => referenced(s"v$v"))
+    deletable.foreach { v =>
+      Files.deleteIfExists(d.resolve(s"manifest-$v.tsv"))
+      Files.deleteIfExists(d.resolve(s"schema-$v.json"))
+      val dataDir = d.resolve(s"v$v")
+      if (Files.exists(dataDir)) {
+        Files.walk(dataDir).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+      }
+    }
   }
 }
 

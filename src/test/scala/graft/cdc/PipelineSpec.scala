@@ -99,6 +99,27 @@ class PipelineSpec extends SparkTestBase {
     assert(lines.get(lines.size() - 1).contains("note"))
   }
 
+  test("compaction + vacuum keep state identical and drop old versions") {
+    CdcAdmin.enableCdc("commerce.customer", Seq("c_custkey"))
+    val store = freshStore()
+    run(store, customerLog)
+    val target = "cdc.commerce_customer"
+    val before = store.currentState(spark, target)
+      .collect().map(_.toString).sorted
+    val vCompact = store.compactTable(spark, target)
+    assert(store.currentVersion(target) == vCompact)
+    // Compaction points every bucket at the fresh version dir.
+    assert(store.manifest(target).values.forall(_.startsWith(s"v$vCompact/")))
+    val after = store.currentState(spark, target)
+      .collect().map(_.toString).sorted
+    assert(before.sameElements(after))
+    store.vacuum(target, keepVersions = 1)
+    // Old version dirs are gone; current still reads fine.
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(store.warehouse, target, "v0")))
+    assert(store.currentState(spark, target).count() == before.length)
+  }
+
   test("time travel: old versions stay readable after later commits") {
     CdcAdmin.enableCdc("commerce.customer", Seq("c_custkey"))
     val store = freshStore()
