@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Physical-plan regression guards: the scale-critical plan properties
+  * (filter pushdown, column pruning, broadcast dims, top-k without a
+  * global sort, partial aggregation) are asserted here so a refactor
+  * that silently degrades a plan fails CI, not the 100 TB run.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf).queryExecution
+      .explainString(FormattedMode)
+
+  test("agg_q1: filter pushed to scan, pruned columns, partial+final agg") {
+    val p = plan("agg_q1")
+    assert(p.contains("PushedFilters"), "no pushdown block")
+    assert(p.contains("LessThanOrEqual(l_shipdate"), "shipdate filter not pushed")
+    assert(!p.contains("l_orderkey"), "unused columns not pruned from scan")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "no partial aggregation")
+  }
+
+  test("join_broadcast: dims broadcast, no sort-merge join") {
+    val p = plan("join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), "dims must broadcast")
+    assert(!p.contains("SortMergeJoin"), "fact side must not sort-merge for dims")
+  }
+
+  test("sort_topk: TakeOrderedAndProject, no global Sort+Exchange") {
+    val p = plan("sort_topk")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
+  }
+
+  test("filter_predicates: BETWEEN/LIKE/IN all pushed") {
+    val p = plan("filter_predicates")
+    assert(p.contains("GreaterThanOrEqual(o_totalprice"), "BETWEEN lower not pushed")
+    assert(p.contains("StringStartsWith(o_orderpriority"), "LIKE prefix not pushed")
+    assert(p.contains("In(o_orderstatus"), "IN not pushed")
+  }
+
+  test("llm_sim_topk: 1-row probe broadcast + top-k operator") {
+    val p = plan("llm_sim_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "probe must broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
+  }
+
+  test("cdc merge compaction partial-aggregates before the shuffle, no window") {
+    val p = plan("cdc_merge_customer")
+    // max_by(struct, struct) buffers a struct, so Spark picks
+    // SortAggregate over HashAggregate — fine. The load-bearing
+    // invariants: TWO aggregate stages (map-side partial combine means
+    // one pre-combined row per key per partition crosses the shuffle)
+    // and NO window operator (a row_number window would shuffle every
+    // event and sort whole partitions).
+    assert("(Sort|Hash|ObjectHash)Aggregate".r.findAllIn(p).size >= 2,
+      "compaction must partial-aggregate before the exchange")
+    assert(!p.contains("Window"), "compaction must not use a window operator")
+  }
+}
