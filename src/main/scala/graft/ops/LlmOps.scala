@@ -547,6 +547,32 @@ object LlmOps {
       |    AS features
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Multimodal join: text metadata ⋈ embedding vectors (doc_id =
+    * vec_id), the ArrayType(Float) column flowing through the join and
+    * into per-(lang, label) aggregation — vector norms averaged per
+    * group. This is the "typed metadata + opaque payload" access
+    * pattern of a multimodal training table.
+    */
+  def mmJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val norm = sqrt(aggregate(
+      zip_with(vecD(col("embedding")), vecD(col("embedding")), (a, b) => a * b),
+      lit(0.0), (acc, v) => acc + v))
+    t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"))
+      .join(t(spark, sfDir, "embeddings"),
+        col("doc_id") === col("vec_id"))
+      .groupBy("lang", "label")
+      .agg(count(lit(1)).as("n"), round(avg(norm), 6).as("avg_norm"))
+      .orderBy("lang", "label")
+  }
+
+  val mmJoinOracle: String =
+    """SELECT lang, label, count(*) AS n,
+      |  ROUND(avg(sqrt(list_dot_product(embedding::DOUBLE[],
+      |                                  embedding::DOUBLE[]))), 6) AS avg_norm
+      |FROM documents JOIN embeddings ON doc_id = vec_id
+      |GROUP BY lang, label ORDER BY lang, label""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -562,7 +588,8 @@ object LlmOps {
     "llm_text_stats" -> textStats,
     "llm_text_quality_route" -> textQualityRoute,
     "llm_mm_binary" -> mmBinary,
-    "llm_mm_features" -> mmFeatures)
+    "llm_mm_features" -> mmFeatures,
+    "llm_mm_join" -> mmJoin)
 
   def oracles: Map[String, String] = Map(
     "llm_dedup_exact" -> dedupExactOracle,
@@ -577,5 +604,6 @@ object LlmOps {
     "llm_text_stats" -> textStatsOracle,
     "llm_text_quality_route" -> textQualityRouteOracle,
     "llm_mm_binary" -> mmBinaryOracle,
-    "llm_mm_features" -> mmFeaturesOracle)
+    "llm_mm_features" -> mmFeaturesOracle,
+    "llm_mm_join" -> mmJoinOracle)
 }
