@@ -30,11 +30,11 @@ object LlmOps {
     * list_dot_product so doubles agree bit-for-bit; results are still
     * rounded to 6dp before any compare or threshold.
     */
-  private def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+  private def dot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+
+  private def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
 
   private def vecD(c: Column): Column = c.cast("array<double>")
 
@@ -554,9 +554,7 @@ object LlmOps {
     * pattern of a multimodal training table.
     */
   def mmJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val norm = sqrt(aggregate(
-      zip_with(vecD(col("embedding")), vecD(col("embedding")), (a, b) => a * b),
-      lit(0.0), (acc, v) => acc + v))
+    val norm = sqrt(dot(vecD(col("embedding")), vecD(col("embedding"))))
     t(spark, sfDir, "documents")
       .select(col("doc_id"), col("lang"))
       .join(t(spark, sfDir, "embeddings"),
