@@ -317,6 +317,32 @@ object Relational {
       |  ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
       |ORDER BY k1, k2""".stripMargin
 
+  /** Batch range join: pairs of events by the same user within a
+    * 5-minute window. Equi key (user_id) drives the hash join; the
+    * time bound is a residual predicate — the quadratic term is
+    * confined per user and per window, never cross-user.
+    */
+  def joinRange(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = t(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val a = ev.select(col("user_id"), col("event_id").as("e1"),
+      col("ts").as("ts1"))
+    val b = ev.select(col("user_id").as("u2"), col("event_id").as("e2"),
+      col("ts").as("ts2"))
+    a.join(b, col("user_id") === col("u2") && col("e1") < col("e2") &&
+        col("ts2") >= col("ts1") - expr("INTERVAL 5 MINUTES") &&
+        col("ts2") <= col("ts1") + expr("INTERVAL 5 MINUTES"))
+      .select(col("user_id"), col("e1"), col("e2"))
+      .orderBy("user_id", "e1", "e2")
+  }
+
+  val joinRangeOracle: String =
+    """SELECT a.user_id, a.event_id AS e1, b.event_id AS e2
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+      | AND b.ts BETWEEN a.ts - INTERVAL 5 MINUTE AND a.ts + INTERVAL 5 MINUTE
+      |ORDER BY a.user_id, e1, e2""".stripMargin
+
   /** TPC-H Q3 shape: the canonical 3-way fact join (customer ⋈ orders ⋈
     * lineitem) with selective filters on all three inputs, grouped
     * revenue, and a top-10. The filters push into all three scans; the
@@ -531,6 +557,66 @@ object Relational {
       |  count(*) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Exact percentiles (median + p90) — both engines use linear
+    * interpolation over the sorted group, so values match exactly.
+    * At scale the exact form needs the group sorted; the approximate
+    * twin (`approx_percentile`, t-digest) is the 100 TB default but is
+    * engine-specific, like approx_count_distinct.
+    */
+  def aggPercentile(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  val aggPercentileOracle: String =
+    """SELECT l_returnflag,
+      |  ROUND(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+      |  ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Statistical aggregates: sample stddev/variance, correlation and
+    * covariance between price and discount.
+    */
+  def aggStats(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .groupBy("l_linestatus")
+      .agg(round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(corr(col("l_extendedprice"), col("l_quantity")), 6).as("corr_pq"),
+        round(covar_samp(col("l_discount"), col("l_tax")), 8).as("cov_dt"))
+      .orderBy("l_linestatus")
+
+  val aggStatsOracle: String =
+    """SELECT l_linestatus,
+      |  ROUND(stddev_samp(l_quantity), 6) AS sd_qty,
+      |  ROUND(var_samp(l_quantity), 4) AS var_qty,
+      |  ROUND(corr(l_extendedprice, l_quantity), 6) AS corr_pq,
+      |  ROUND(covar_samp(l_discount, l_tax), 8) AS cov_dt
+      |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
+  /** Pivot (long → wide): order counts per priority, one column per
+    * status. The pivot values are declared explicitly — at scale an
+    * undeclared pivot needs a distinct-values pass first.
+    */
+  def aggPivot(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("o_orderpriority")
+
+  val aggPivotOracle: String =
+    """SELECT o_orderpriority,
+      |  count(*) FILTER (o_orderstatus = 'F') AS "F",
+      |  count(*) FILTER (o_orderstatus = 'O') AS "O",
+      |  count(*) FILTER (o_orderstatus = 'P') AS "P"
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   // -------------------------------------------------------------- windows
 
   /** Ranking functions: top-3 customers by balance per nation.
@@ -700,6 +786,27 @@ object Relational {
       |QUALIFY rn <= 3
       |ORDER BY c_mktsegment, rn""".stripMargin
 
+  /** Explicit null ordering: a derived nullable column sorted NULLS
+    * FIRST ascending then NULLS LAST descending — the two engines
+    * default differently (Spark nulls-first ASC, DuckDB nulls-last),
+    * so the ordering is always spelled out.
+    */
+  def sortNulls(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .filter(col("o_orderkey") < 300)
+      .select(col("o_orderkey"),
+        nullif(col("o_orderstatus"), lit("P")).as("status_np"),
+        round(col("o_totalprice"), 2).as("price"))
+      .orderBy(col("status_np").asc_nulls_first,
+        col("price").desc_nulls_last, col("o_orderkey"))
+
+  val sortNullsOracle: String =
+    """SELECT o_orderkey, NULLIF(o_orderstatus, 'P') AS status_np,
+      |  ROUND(o_totalprice, 2) AS price
+      |FROM orders WHERE o_orderkey < 300
+      |ORDER BY status_np ASC NULLS FIRST, price DESC NULLS LAST,
+      |  o_orderkey""".stripMargin
+
   /** Bernoulli sample — seeded but engine-specific RNG, so no oracle
     * (driver rows-only check). Aggregated so the output is small and
     * the sample fraction is still observable.
@@ -845,8 +952,12 @@ object Relational {
     "join_asof" -> joinAsof,
     "join_self" -> joinSelf,
     "join_q3" -> joinQ3,
+    "join_range" -> joinRange,
     "join_skew_salted" -> joinSkewSalted,
     "agg_q1" -> aggQ1,
+    "agg_percentile" -> aggPercentile,
+    "agg_stats" -> aggStats,
+    "agg_pivot" -> aggPivot,
     "agg_count_distinct" -> aggCountDistinct,
     "agg_approx_distinct" -> aggApproxDistinct,
     "agg_rollup" -> aggRollup,
@@ -860,6 +971,7 @@ object Relational {
     "sort_scan" -> sortScan,
     "sort_topk" -> sortTopk,
     "sort_topk_group" -> sortTopkGroup,
+    "sort_nulls" -> sortNulls,
     "sort_sample" -> sortSample,
     "set_intersect" -> setIntersect,
     "set_except" -> setExcept,
@@ -881,8 +993,12 @@ object Relational {
     "join_asof" -> joinAsofOracle,
     "join_self" -> joinSelfOracle,
     "join_q3" -> joinQ3Oracle,
+    "join_range" -> joinRangeOracle,
     "join_skew_salted" -> joinSkewSaltedOracle,
     "agg_q1" -> aggQ1Oracle,
+    "agg_percentile" -> aggPercentileOracle,
+    "agg_stats" -> aggStatsOracle,
+    "agg_pivot" -> aggPivotOracle,
     "agg_count_distinct" -> aggCountDistinctOracle,
     "agg_rollup" -> aggRollupOracle,
     "agg_cube" -> aggCubeOracle,
@@ -895,6 +1011,7 @@ object Relational {
     "sort_scan" -> sortScanOracle,
     "sort_topk" -> sortTopkOracle,
     "sort_topk_group" -> sortTopkGroupOracle,
+    "sort_nulls" -> sortNullsOracle,
     "set_intersect" -> setIntersectOracle,
     "set_except" -> setExceptOracle,
     "set_except_all" -> setExceptAllOracle,
