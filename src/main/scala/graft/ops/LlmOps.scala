@@ -448,6 +448,26 @@ object LlmOps {
       |            len(string_split(text, ' '))), 4) AS avg_word_len
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Corpus term frequency via the generator path (explode → count):
+    * top-25 terms. Explode is Spark's UDTF surface; the count is a
+    * partially-aggregated groupBy and the top-k is
+    * TakeOrderedAndProject — at 100 TB this is exactly a map-side
+    * combined word count, the hello-world that still matters for
+    * vocabulary builds.
+    */
+  def textTermFreq(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .select(explode(words).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("term"))
+      .limit(25)
+
+  val textTermFreqOracle: String =
+    """SELECT term, count(*) AS tf
+      |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+      |GROUP BY term ORDER BY tf DESC, term LIMIT 25""".stripMargin
+
   /** Quality scoring + language routing: type-token ratio and length
     * window decide high/low quality; the route key
     * `docs_<lang>_<quality>` is the partition column a 100 TB pipeline
@@ -584,6 +604,7 @@ object LlmOps {
     "llm_sim_ivf" -> simIvf,
     "llm_sim_centroids" -> simCentroids,
     "llm_text_stats" -> textStats,
+    "llm_text_termfreq" -> textTermFreq,
     "llm_text_quality_route" -> textQualityRoute,
     "llm_mm_binary" -> mmBinary,
     "llm_mm_features" -> mmFeatures,
@@ -600,6 +621,7 @@ object LlmOps {
     "llm_sim_ivf" -> simIvfOracle,
     "llm_sim_centroids" -> simCentroidsOracle,
     "llm_text_stats" -> textStatsOracle,
+    "llm_text_termfreq" -> textTermFreqOracle,
     "llm_text_quality_route" -> textQualityRouteOracle,
     "llm_mm_binary" -> mmBinaryOracle,
     "llm_mm_features" -> mmFeaturesOracle,
