@@ -151,7 +151,16 @@ final class Pipeline(store: StateStore) {
     val src = spark.readStream
       .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
       .text(cfg.changeLogDir)
-      .withColumn("meta", from_json(col("value"), metaSchema))
+      // A15 both layers: FAILFAST aborts on malformed JSON transport;
+      // the raise_error guard catches well-formed JSON that lacks the
+      // source metadata (which would otherwise be silently dropped by
+      // the include filter evaluating null).
+      .withColumn("meta",
+        from_json(col("value"), metaSchema, Map("mode" -> "FAILFAST")))
+      .filter(when(col("meta.source").isNull,
+        raise_error(concat(lit("A15 fail-fast: wire record without " +
+          "source metadata: "), col("value"))).cast("boolean"))
+        .otherwise(lit(true)))
       .filter(Routing.includeFilter(cfg.schemaName, cfg.includeTables,
         sourcePath = "meta.source"))
       .withColumn("topic", Routing.topicName(cfg.topicPrefix, "meta.source"))

@@ -58,7 +58,8 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
     manifestAt(target, currentVersion(target))
 
   def manifestAt(target: String, version: Int): Map[Int, String] =
-    if (version < 0) Map.empty
+    if (version < 0 ||
+        !Files.exists(dir(target).resolve(s"manifest-$version.tsv"))) Map.empty
     else Files.readAllLines(dir(target).resolve(s"manifest-$version.tsv"))
       .asScala.filter(_.nonEmpty)
       .map { line =>
@@ -76,10 +77,21 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
   def readBuckets(spark: SparkSession, target: String,
                   buckets: Seq[Int]): DataFrame = {
     val m = manifest(target)
-    val want = buckets.filter(m.contains)
-    val schema = schemaOf(target)
-    if (want.isEmpty) return emptyState(spark, target)
-    val byBase = want.groupBy(b => m(b).split("/")(0))
+    readManifestEntries(spark, target, m.view.filterKeys(buckets.contains).toMap,
+      schemaOf(target))
+  }
+
+  /** Shared read path for any manifest subset: bucket dirs from
+    * different versions are read per version group (each with its own
+    * basePath so the `_bucket` partition column materializes) and
+    * aligned to `schema` before union, so pre-evolution buckets
+    * surface widened/backfilled like everything else.
+    */
+  private def readManifestEntries(spark: SparkSession, target: String,
+                                  m: Map[Int, String],
+                                  schema: StructType): DataFrame = {
+    if (m.isEmpty) return emptyState(spark, target)
+    val byBase = m.keys.toSeq.groupBy(b => m(b).split("/")(0))
     byBase.map { case (verDir, bs) =>
       val base = dir(target).resolve(verDir).toString
       val paths = bs.map(b => dir(target).resolve(m(b)).toString)
@@ -117,17 +129,12 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
     */
   def stateAt(spark: SparkSession, target: String, version: Int): DataFrame = {
     val m = manifestAt(target, version)
+    if (m.isEmpty) return emptyState(spark, target)
+      .drop(TsCol, SeqCol, DeletedCol, BucketCol)
     val schema = DataType.fromJson(
       Files.readString(dir(target).resolve(s"schema-$version.json")))
       .asInstanceOf[StructType]
-    if (m.isEmpty) return emptyState(spark, target)
-    val byBase = m.keys.toSeq.groupBy(b => m(b).split("/")(0))
-    byBase.map { case (verDir, bs) =>
-      val base = dir(target).resolve(verDir).toString
-      val paths = bs.map(b => dir(target).resolve(m(b)).toString)
-      val df = spark.read.option("basePath", base).parquet(paths: _*)
-      SchemaEvolution.alignTo(df, schema)
-    }.reduce(_.unionByName(_, allowMissingColumns = true))
+    readManifestEntries(spark, target, m, schema)
       .filter(!col(DeletedCol))
       .drop(TsCol, SeqCol, DeletedCol, BucketCol)
   }
@@ -144,16 +151,15 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
     Files.createDirectories(d)
     val prev = currentVersion(target)
     val next = prev + 1
-    // A17 single-writer enforcement (optimistic): a manifest for `next`
-    // already existing means another writer committed concurrently —
-    // abort rather than overwrite history. (The reference relies on
-    // tasks.max=1 for the same invariant; we detect violations.)
-    if (Files.exists(d.resolve(s"manifest-$next.tsv")))
-      throw new IllegalStateException(
-        s"single-writer invariant violated: version $next of $target " +
-          "already committed by another writer")
+    // Crash recovery (A14): `_VERSION` is the ONLY commit point. Files
+    // at version `next` while `_VERSION` still says `prev` are debris
+    // from a crashed commit attempt (under the single-writer invariant
+    // A17 nothing else can have written them) — a checkpoint-replayed
+    // micro-batch must be able to clean them up and retry, not wedge.
+    Seq(d.resolve(s"manifest-$next.tsv"), d.resolve(s"schema-$next.json"))
+      .foreach(Files.deleteIfExists)
     val verDir = s"v$next"
-    merged.write
+    merged.write.mode("overwrite")
       .partitionBy(BucketCol)
       .parquet(d.resolve(verDir).toString)
     val prevManifest = manifest(target)
@@ -172,6 +178,12 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
         s"""{"version":$next,"schema":$schemaJson}""" + "\n",
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
+    // A17 single-writer detection: if the committed pointer moved while
+    // this merge ran, another writer raced us — abort before publishing.
+    if (currentVersion(target) != prev)
+      throw new IllegalStateException(
+        s"single-writer invariant violated on $target: version moved " +
+          s"from $prev to ${currentVersion(target)} during commit")
     // Atomic pointer swap: readers see version prev or next, never a mix.
     val tmp = d.resolve("_VERSION.tmp")
     Files.writeString(tmp, next.toString)
@@ -201,8 +213,12 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
     val d = dir(target)
     val cur = currentVersion(target)
     val keepFrom = math.max(0, cur - keepVersions + 1)
-    val referenced = (keepFrom to cur).flatMap(v =>
-      manifestAt(target, v).values.map(_.split("/")(0))).toSet
+    // A retained version's manifest may already be gone if an earlier
+    // vacuum ran with a tighter window — skip missing manifests so
+    // repeated maintenance is a no-op, never a crash.
+    val referenced = (keepFrom to cur)
+      .filter(v => Files.exists(d.resolve(s"manifest-$v.tsv")))
+      .flatMap(v => manifestAt(target, v).values.map(_.split("/")(0))).toSet
     val deletable = (0 until keepFrom).filterNot(v => referenced(s"v$v"))
     deletable.foreach { v =>
       Files.deleteIfExists(d.resolve(s"manifest-$v.tsv"))

@@ -348,14 +348,21 @@ object LlmOps {
     * (nlist × dim doubles) and broadcast; the cluster prune is a
     * partition-prunable equality filter on `label`.
     */
-  def simIvf(spark: SparkSession, sfDir: String): DataFrame = {
-    val emb = t(spark, sfDir, "embeddings")
-    val centroids = emb
-      .select(col("label"), posexplode(vecD(col("embedding"))))
+  /** Per-label mean vector (label, centroid) — the shared coarse
+    * quantizer for [[simIvf]] and the published [[simCentroids]]
+    * aggregate: one definition so the two can't diverge.
+    */
+  private def labelCentroids(emb: DataFrame): DataFrame =
+    emb.select(col("label"), posexplode(vecD(col("embedding"))))
       .groupBy("label", "pos").agg(avg("col").as("m"))
       .groupBy("label")
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-        s => s.getField("m")).as("centroid"))
+      .agg(count(lit(1)).as("dim"),
+        transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("centroid"))
+
+  def simIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = t(spark, sfDir, "embeddings")
+    val centroids = labelCentroids(emb).select("label", "centroid")
     val probe = emb.filter(col("vec_id") === 0)
       .select(vecD(col("embedding")).as("probe"))
     val best = centroids.crossJoin(broadcast(probe))
@@ -400,14 +407,9 @@ object LlmOps {
     * embedding" aggregate), rounded inside the array.
     */
   def simCentroids(spark: SparkSession, sfDir: String): DataFrame =
-    t(spark, sfDir, "embeddings")
-      .select(col("label"), posexplode(vecD(col("embedding"))))
-      .groupBy("label", "pos").agg(avg("col").as("m"))
-      .groupBy("label")
-      .agg(count(lit(1)).as("dim"),
-        transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => round(s.getField("m"), 6)).as("centroid"))
-      .select(col("label"), col("dim"), col("centroid"))
+    labelCentroids(t(spark, sfDir, "embeddings"))
+      .select(col("label"), col("dim"),
+        transform(col("centroid"), m => round(m, 6)).as("centroid"))
       .orderBy("label")
 
   val simCentroidsOracle: String =

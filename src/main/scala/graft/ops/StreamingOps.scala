@@ -231,8 +231,11 @@ object StreamingOps {
         }
         .toDF("user_id", "n_events", "vsum")
     }.groupBy("user_id")
+      // The row with the highest event count IS the converged emission
+      // (counts are strictly increasing per key); max_by is robust to
+      // negative values, unlike max(vsum) which assumes monotone sums.
       .agg(max("n_events").as("n_events"),
-        round(max("vsum"), 2).as("total_value"))
+        round(max_by(col("vsum"), col("n_events")), 2).as("total_value"))
       .orderBy("user_id")
   }
 

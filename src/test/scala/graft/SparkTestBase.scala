@@ -7,13 +7,13 @@ import org.scalatest.funsuite.AnyFunSuite
   * the active session across suites in the forked test JVM).
   */
 trait SparkTestBase extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = Tables.sessionConfigs
+    .foldLeft(SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")) {
+      case (b, (k, v)) => b.config(k, v)
+    }.getOrCreate()
 
   val sf: String = "/root/testdata/sf0.001"
 }

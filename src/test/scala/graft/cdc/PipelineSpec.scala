@@ -99,6 +99,31 @@ class PipelineSpec extends SparkTestBase {
     assert(lines.get(lines.size() - 1).contains("note"))
   }
 
+  test("commit recovers from crash debris at the next version (A14)") {
+    CdcAdmin.enableCdc("commerce.customer", Seq("c_custkey"))
+    val store = freshStore()
+    run(store, customerLog)
+    val target = "cdc.commerce_customer"
+    val v = store.currentVersion(target)
+    val stateCount = store.currentState(spark, target).count()
+    // Simulate a crashed commit: next-version manifest + data dir exist
+    // but _VERSION never moved. A replayed merge must clean up and
+    // succeed, not wedge.
+    val d = java.nio.file.Paths.get(store.warehouse, target)
+    Files.writeString(d.resolve(s"manifest-${v + 1}.tsv"), "0\tv999/junk")
+    Files.createDirectories(d.resolve(s"v${v + 1}"))
+    Files.writeString(d.resolve(s"v${v + 1}/leftover.txt"), "debris")
+    val oneKey = ChangeGen.changeLog(
+      Tables.load(spark, sf, "customer").filter(col("c_custkey") === 2),
+      "c_custkey", "c_acctbal", "commerce", "customer")
+      .filter(col("ts_ms") === 1000)
+    run(store, oneKey)
+    assert(store.currentVersion(target) == v + 1)
+    assert(store.currentState(spark, target).count() == stateCount)
+    assert(!store.manifest(target).values.exists(_.contains("v999")),
+      "debris manifest must have been replaced")
+  }
+
   test("compaction + vacuum keep state identical and drop old versions") {
     CdcAdmin.enableCdc("commerce.customer", Seq("c_custkey"))
     val store = freshStore()

@@ -39,6 +39,44 @@ class WirePipelineSpec extends SparkTestBase {
       s"expected a parse failure, got: ${messages(ex).mkString(" | ")}")
   }
 
+  test("malformed transport JSON also fails the stream (A15 metadata layer)") {
+    CdcAdmin.enableCdc("commerce.customer", Seq("c_custkey"))
+    val store = new StateStore(
+      Files.createTempDirectory("wire-wh-").toString, 4)
+    val base = Tables.load(spark, sf, "customer")
+    val logDir = Files.createTempDirectory("wire-log-")
+    Files.writeString(logDir.resolve("garbage.txt"),
+      """{"op":"u","ts_ms":""" + "\n")
+    val cfg = PipelineConfig(logDir.toString,
+      Files.createTempDirectory("wire-ck-").toString,
+      includeTables = Seq("customer"), triggerIntervalMs = None)
+    intercept[StreamingQueryException] {
+      new Pipeline(store).startWire(spark, cfg,
+        Map("commerce.customer" -> base.schema)).awaitTermination()
+    }
+  }
+
+  test("well-formed JSON without source metadata fails, not silently dropped") {
+    CdcAdmin.enableCdc("commerce.customer", Seq("c_custkey"))
+    val store = new StateStore(
+      Files.createTempDirectory("wire-wh-").toString, 4)
+    val base = Tables.load(spark, sf, "customer")
+    val logDir = Files.createTempDirectory("wire-log-")
+    Files.writeString(logDir.resolve("nosource.txt"),
+      """{"op":"u","ts_ms":9,"seq":9}""" + "\n")
+    val cfg = PipelineConfig(logDir.toString,
+      Files.createTempDirectory("wire-ck-").toString,
+      includeTables = Seq("customer"), triggerIntervalMs = None)
+    val ex = intercept[StreamingQueryException] {
+      new Pipeline(store).startWire(spark, cfg,
+        Map("commerce.customer" -> base.schema)).awaitTermination()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("without source metadata")),
+      s"expected the no-source guard: ${messages(ex).mkString(" | ")}")
+  }
+
   test("wire fan-out merges two tables to the same state as per-table batch") {
     CdcAdmin.enableCdc("commerce.customer", Seq("c_custkey"))
     CdcAdmin.enableCdc("commerce.supplier", Seq("s_suppkey"))
