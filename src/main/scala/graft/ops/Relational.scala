@@ -937,6 +937,65 @@ object Relational {
       |  AND o_orderstatus IS NOT DISTINCT FROM o_orderstatus
       |ORDER BY o_orderkey""".stripMargin
 
+  // ------------------------------------------------------- SQL front door
+
+  private def registerViews(spark: SparkSession, sfDir: String,
+                            tables: String*): Unit =
+    tables.foreach(tb =>
+      t(spark, sfDir, tb).createOrReplaceTempView(tb))
+
+  /** The SQL entry point (the reference's actual front door — Trino
+    * SQL over the sink tables): correlated EXISTS, IN-subquery, and a
+    * scalar subquery, all through `spark.sql` over registered views.
+    * Catalyst decorrelates the EXISTS into a semi join and the scalar
+    * subquery into a broadcast single-row aggregate — same physical
+    * shapes as the DataFrame twins above.
+    */
+  def sqlSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    registerViews(spark, sfDir, "customer", "orders")
+    spark.sql(
+      """SELECT c_custkey, ROUND(c_acctbal, 2) AS bal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+        |  AND EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey
+        |                AND o_orderpriority = '1-URGENT')
+        |  AND c_nationkey IN (SELECT c_nationkey FROM customer
+        |                      GROUP BY c_nationkey HAVING count(*) > 10)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  val sqlSubqueryOracle: String =
+    """SELECT c_custkey, ROUND(c_acctbal, 2) AS bal
+      |FROM customer
+      |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+      |  AND EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey
+      |                AND o_orderpriority = '1-URGENT')
+      |  AND c_nationkey IN (SELECT c_nationkey FROM customer
+      |                      GROUP BY c_nationkey HAVING count(*) > 10)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** CTE + window in pure SQL: per-nation customer balance ranks from
+    * a WITH-clause — the same text runs on both engines verbatim.
+    */
+  def sqlCte(spark: SparkSession, sfDir: String): DataFrame = {
+    registerViews(spark, sfDir, "customer", "nation")
+    spark.sql(sqlCteText)
+  }
+
+  private val sqlCteText: String =
+    """WITH ranked AS (
+      |  SELECT n_name, c_custkey, ROUND(c_acctbal, 2) AS bal,
+      |    row_number() OVER (PARTITION BY n_name
+      |                       ORDER BY c_acctbal DESC, c_custkey) AS rn
+      |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |)
+      |SELECT n_name, c_custkey, bal, rn FROM ranked
+      |WHERE rn <= 2 ORDER BY n_name, rn""".stripMargin
+
+  val sqlCteOracle: String = sqlCteText
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -978,7 +1037,9 @@ object Relational {
     "set_except_all" -> setExceptAll,
     "set_intersect_all" -> setIntersectAll,
     "set_union" -> setUnion,
-    "filter_predicates" -> filterPredicates)
+    "filter_predicates" -> filterPredicates,
+    "sql_subquery" -> sqlSubquery,
+    "sql_cte" -> sqlCte)
 
   def oracles: Map[String, String] = Map(
     "join_inner" -> joinInnerOracle,
@@ -1017,5 +1078,7 @@ object Relational {
     "set_except_all" -> setExceptAllOracle,
     "set_intersect_all" -> setIntersectAllOracle,
     "set_union" -> setUnionOracle,
-    "filter_predicates" -> filterPredicatesOracle)
+    "filter_predicates" -> filterPredicatesOracle,
+    "sql_subquery" -> sqlSubqueryOracle,
+    "sql_cte" -> sqlCteOracle)
 }
