@@ -99,6 +99,44 @@ class PipelineSpec extends SparkTestBase {
     assert(lines.get(lines.size() - 1).contains("note"))
   }
 
+  test("ProcessingTime trigger ingests files as they arrive (A13 live mode)") {
+    CdcAdmin.enableCdc("commerce.customer", Seq("c_custkey"))
+    val store = freshStore()
+    val logDir = Files.createTempDirectory("pipe-live-").toString
+    val target = "cdc.commerce_customer"
+    val log = customerLog
+    val rowSchema = log.schema("after").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val cfg = PipelineConfig(logDir,
+      Files.createTempDirectory("pipe-live-ck-").toString,
+      includeTables = Seq("customer"),
+      triggerIntervalMs = Some(500L), maxFilesPerTrigger = 10)
+    val q = new Pipeline(store).start(spark, rowSchema, cfg)
+
+    def await(cond: => Boolean, what: String): Unit = {
+      val deadline = System.nanoTime() + 90L * 1000 * 1000 * 1000
+      while (!cond) {
+        assert(System.nanoTime() < deadline, s"timed out waiting for $what")
+        Thread.sleep(300)
+      }
+    }
+    try {
+      // Wave 1: snapshot + stale events.
+      log.filter(col("ts_ms") <= 1000).write.mode("append").parquet(logDir)
+      await(store.exists(target) &&
+        store.currentState(spark, target).count() ==
+          Tables.load(spark, sf, "customer").count(),
+        "snapshot wave materialized")
+      // Wave 2: updates + deletes arriving later.
+      log.filter(col("ts_ms") > 1000).write.mode("append").parquet(logDir)
+      val want = Merge.compact(Envelope.flatten(log), Seq("c_custkey"))
+      await(store.currentState(spark, target).count() == want.count(),
+        "update/delete wave merged")
+      val got = store.currentState(spark, target)
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    } finally q.stop()
+  }
+
   test("commit recovers from crash debris at the next version (A14)") {
     CdcAdmin.enableCdc("commerce.customer", Seq("c_custkey"))
     val store = freshStore()
