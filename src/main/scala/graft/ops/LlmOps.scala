@@ -470,6 +470,49 @@ object LlmOps {
       |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
       |GROUP BY term ORDER BY tf DESC, term LIMIT 25""".stripMargin
 
+  /** tf-idf ranked retrieval: score documents against a fixed query
+    * term set with tf(t,d) · ln(N/df(t)), top-10. The shapes are all
+    * partial-aggregable: term frequencies per (doc, term), document
+    * frequencies per term (tiny — broadcast into the join), one sum
+    * per doc, TakeOrderedAndProject for the cut. The inverted-index
+    * build a 100 TB search pipeline runs is exactly the tf stage
+    * written to a term-bucketed table.
+    */
+  def textTfidf(spark: SparkSession, sfDir: String): DataFrame = {
+    val queryTerms = Seq("data", "table", "row")
+    val docs = t(spark, sfDir, "documents")
+    val n = docs.select(countDistinct("doc_id").as("n"))
+    val terms = docs
+      .select(col("doc_id"), explode(words).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(n))
+      .groupBy("doc_id")
+      .agg(round(sum(col("tf") * log(col("n").cast("double") / col("df"))), 6)
+        .as("score"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  val textTfidfOracle: String =
+    """WITH tf AS (
+      |  SELECT doc_id, term, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |        FROM documents)
+      |  WHERE term IN ('data', 'table', 'row')
+      |  GROUP BY doc_id, term
+      |), df AS (
+      |  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+      |), n AS (SELECT count(DISTINCT doc_id) AS n FROM documents)
+      |SELECT doc_id,
+      |  ROUND(sum(tf * ln(CAST(n AS DOUBLE) / df)), 6) AS score,
+      |  count(*) AS n_terms
+      |FROM tf JOIN df USING (term), n
+      |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+
   /** Quality scoring + language routing: type-token ratio and length
     * window decide high/low quality; the route key
     * `docs_<lang>_<quality>` is the partition column a 100 TB pipeline
@@ -607,6 +650,7 @@ object LlmOps {
     "llm_sim_centroids" -> simCentroids,
     "llm_text_stats" -> textStats,
     "llm_text_termfreq" -> textTermFreq,
+    "llm_text_tfidf" -> textTfidf,
     "llm_text_quality_route" -> textQualityRoute,
     "llm_mm_binary" -> mmBinary,
     "llm_mm_features" -> mmFeatures,
@@ -624,6 +668,7 @@ object LlmOps {
     "llm_sim_centroids" -> simCentroidsOracle,
     "llm_text_stats" -> textStatsOracle,
     "llm_text_termfreq" -> textTermFreqOracle,
+    "llm_text_tfidf" -> textTfidfOracle,
     "llm_text_quality_route" -> textQualityRouteOracle,
     "llm_mm_binary" -> mmBinaryOracle,
     "llm_mm_features" -> mmFeaturesOracle,
