@@ -249,7 +249,10 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
-  val dedupSimhashOracle: String = {
+  /** Shared oracle text computing (doc_id, simhash) — used by the
+    * fingerprint query and as the CTE of the pair search.
+    */
+  private val simhashSelectSql: String = {
     val cases = (0 until 16).map { i =>
       val pos = 1 + i / 4
       val shift = 3 - i % 4
@@ -260,8 +263,51 @@ object LlmOps {
     s"""SELECT doc_id, $cases AS simhash
        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
        |      FROM documents)
-       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |GROUP BY doc_id""".stripMargin
   }
+
+  val dedupSimhashOracle: String = simhashSelectSql + "\nORDER BY doc_id"
+
+  /** SimHash near-dup PAIR search, driven by the custom codegen'd
+    * [[graft.functions.HammingDistance]] expression: candidates are
+    * bucketed by the fingerprint's first 8 bits (never all-pairs —
+    * same banding principle as MinHash), then kept when the full
+    * 16-bit Hamming distance is ≤ 3. The expression is also installed
+    * in the session function registry, so `hamming(a, b)` resolves in
+    * SQL text.
+    */
+  def dedupSimhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val sims = dedupSimhash(spark, sfDir)
+      .withColumn("bkt", substring(col("simhash"), 1, 8))
+    val a = sims.select(col("bkt"), col("doc_id").as("d1"),
+      col("simhash").as("s1"))
+    val b = sims.select(col("bkt"), col("doc_id").as("d2"),
+      col("simhash").as("s2"))
+    a.join(b, Seq("bkt"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        graft.functions.GraftFunctions.hamming(col("s1"), col("s2"))
+          .as("dist"))
+      .filter(col("dist") <= 3)
+      .orderBy("d1", "d2")
+  }
+
+  val dedupSimhashPairsOracle: String =
+    s"""WITH sims AS (
+       |$simhashSelectSql
+       |)
+       |SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |  CAST(len([i FOR i IN range(1, 17)
+       |            IF substr(a.simhash, CAST(i AS INT), 1) <>
+       |               substr(b.simhash, CAST(i AS INT), 1)]) AS INT) AS dist
+       |FROM sims a JOIN sims b
+       |  ON substr(a.simhash, 1, 8) = substr(b.simhash, 1, 8)
+       | AND a.doc_id < b.doc_id
+       |WHERE len([i FOR i IN range(1, 17)
+       |           IF substr(a.simhash, CAST(i AS INT), 1) <>
+       |              substr(b.simhash, CAST(i AS INT), 1)]) <= 3
+       |ORDER BY d1, d2""".stripMargin
 
   // -------------------------------------------------- similarity search
 
@@ -644,6 +690,7 @@ object LlmOps {
     "llm_dedup_minhash" -> dedupMinhash,
     "llm_dedup_jaccard" -> dedupJaccard,
     "llm_dedup_simhash" -> dedupSimhash,
+    "llm_dedup_simhash_pairs" -> dedupSimhashPairs,
     "llm_sim_topk" -> simTopk,
     "llm_sim_join" -> simJoin,
     "llm_sim_ivf" -> simIvf,
@@ -662,6 +709,7 @@ object LlmOps {
     "llm_dedup_minhash" -> dedupMinhashOracle,
     "llm_dedup_jaccard" -> dedupJaccardOracle,
     "llm_dedup_simhash" -> dedupSimhashOracle,
+    "llm_dedup_simhash_pairs" -> dedupSimhashPairsOracle,
     "llm_sim_topk" -> simTopkOracle,
     "llm_sim_join" -> simJoinOracle,
     "llm_sim_ivf" -> simIvfOracle,
