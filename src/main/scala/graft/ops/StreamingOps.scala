@@ -54,10 +54,20 @@ object StreamingOps {
     val src = spark.readStream.schema(prepared.schema)
       .option("maxFilesPerTrigger", 2).parquet(staged)
     val name = s"stream_sink_${nameCounter.incrementAndGet()}"
-    val q = f(src).writeStream
-      .format("memory").queryName(name).outputMode(mode)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    // Size the state-store partition count to the STATE volume, not
+    // the batch default: these queries key state by user/window (~1e2
+    // entities), and every state partition costs checkpoint files per
+    // micro-batch — 8 partitions cuts that fixed cost 4× vs the batch
+    // setting. At 100 TB you size this to keyspace × state row size,
+    // the same calculation in the other direction.
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = f(src).writeStream
+        .format("memory").queryName(name).outputMode(mode)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     spark.table(name)
   }
 
