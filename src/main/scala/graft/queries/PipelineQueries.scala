@@ -43,8 +43,15 @@ object PipelineQueries {
       // trigger overhead (PipelineSpec drives the 1-file-per-batch
       // worst case).
       maxFilesPerTrigger = 2)
-    val q = new Pipeline(store).start(spark, rowSchemaOf(log), cfg)
-    q.awaitTermination()
+    // Per-target micro-batch merges shuffle ~1e3 keys into an 8-bucket
+    // store — size the merge shuffle to that, not the batch default
+    // (same state-volume rule as StreamingOps).
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = new Pipeline(store).start(spark, rowSchemaOf(log), cfg)
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
   /** Flagship streaming query: the customer change log through the full
@@ -130,10 +137,14 @@ object PipelineQueries {
     val cfg = PipelineConfig(logDir.toString, ckptDir.toString,
       includeTables = Seq("customer", "supplier"),
       triggerIntervalMs = None, maxFilesPerTrigger = 2)
-    val q = new Pipeline(store).startWire(spark, cfg, Map(
-      "commerce.customer" -> cust.schema,
-      "commerce.supplier" -> supp.schema))
-    q.awaitTermination()
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = new Pipeline(store).startWire(spark, cfg, Map(
+        "commerce.customer" -> cust.schema,
+        "commerce.supplier" -> supp.schema))
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     def summary(target: String, balCol: String): DataFrame =
       store.currentState(spark, target)
         .agg(lit(target).as("target"), count(lit(1)).as("n"),
