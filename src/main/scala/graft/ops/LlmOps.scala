@@ -593,6 +593,64 @@ object LlmOps {
       |         THEN 'high' ELSE 'low' END) AS route
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Language identification by term-profile heuristic: learn each
+    * language's top-10 characteristic terms from the corpus itself,
+    * score every document by profile overlap, predict the argmax
+    * language, and emit the (actual, predicted) confusion matrix.
+    * The structure is the standard n-gram-profile langid pipeline
+    * (profiles are tiny → broadcast; scoring is an explode + join +
+    * partial-agg count; argmax is one ranked window over ≤5 rows per
+    * doc). The fixture's languages share one vocabulary, so accuracy
+    * is intentionally unimpressive — the operator shape is the point.
+    */
+  def textLangId(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    val docTerms = docs.select(col("doc_id"), col("lang"),
+      explode(array_distinct(words)).as("term"))
+    val profW = org.apache.spark.sql.expressions.Window
+      .partitionBy("p_lang").orderBy(col("cnt").desc, col("term"))
+    val profiles = docTerms
+      .groupBy(col("lang").as("p_lang"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(profW))
+      .filter(col("rn") <= 10)
+      .select("p_lang", "term")
+    val scoreW = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("p_lang"))
+    val predicted = docTerms
+      .join(broadcast(profiles), Seq("term"))
+      .groupBy(col("doc_id"), col("lang"), col("p_lang"))
+      .agg(count(lit(1)).as("score"))
+      .withColumn("rn", row_number().over(scoreW))
+      .filter(col("rn") === 1)
+    predicted
+      .groupBy(col("lang").as("actual"), col("p_lang").as("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("actual", "predicted")
+  }
+
+  val textLangIdOracle: String =
+    """WITH docterms AS (
+      |  SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS term
+      |  FROM documents
+      |), profiles AS (
+      |  SELECT p_lang, term FROM (
+      |    SELECT lang AS p_lang, term, count(*) AS cnt,
+      |      row_number() OVER (PARTITION BY lang
+      |                         ORDER BY count(*) DESC, term) AS rn
+      |    FROM docterms GROUP BY lang, term)
+      |  WHERE rn <= 10
+      |), predicted AS (
+      |  SELECT doc_id, lang, p_lang,
+      |    row_number() OVER (PARTITION BY doc_id
+      |                       ORDER BY count(*) DESC, p_lang) AS rn
+      |  FROM docterms JOIN profiles USING (term)
+      |  GROUP BY doc_id, lang, p_lang
+      |)
+      |SELECT lang AS actual, p_lang AS predicted, count(*) AS n
+      |FROM predicted WHERE rn = 1
+      |GROUP BY lang, p_lang ORDER BY actual, predicted""".stripMargin
+
   // ------------------------------------------------- multimodal columns
 
   /** Multimodal columns as opaque binary + typed metadata: the text
@@ -699,6 +757,7 @@ object LlmOps {
     "llm_text_termfreq" -> textTermFreq,
     "llm_text_tfidf" -> textTfidf,
     "llm_text_quality_route" -> textQualityRoute,
+    "llm_text_langid" -> textLangId,
     "llm_mm_binary" -> mmBinary,
     "llm_mm_features" -> mmFeatures,
     "llm_mm_join" -> mmJoin)
@@ -718,6 +777,7 @@ object LlmOps {
     "llm_text_termfreq" -> textTermFreqOracle,
     "llm_text_tfidf" -> textTfidfOracle,
     "llm_text_quality_route" -> textQualityRouteOracle,
+    "llm_text_langid" -> textLangIdOracle,
     "llm_mm_binary" -> mmBinaryOracle,
     "llm_mm_features" -> mmFeaturesOracle,
     "llm_mm_join" -> mmJoinOracle)
