@@ -34,7 +34,12 @@ object Bench {
     var errors = Map.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+      // noop sink, not count(): count() lets Catalyst prune unused
+      // projections and EliminateSorts drop result sorts, under-measuring
+      // projection-heavy queries; noop materializes every output row.
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      } catch { case e: Throwable =>
         errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName)
           .replaceAll("[\"\\\\\n\r\t]", " ").take(160)
       }

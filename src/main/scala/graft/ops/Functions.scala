@@ -108,17 +108,20 @@ object Functions {
 
   /** Array family over document word arrays: size, slice, contains,
     * sorted access, higher-order transform, distinct count. Arrays stay
-    * first-class columns end to end.
+    * first-class columns through the plan; the result serializes them to
+    * canonical '|'-joined strings so every output cell is a hashable
+    * scalar for the comparison harness.
     */
   def fnArray(spark: SparkSession, sfDir: String): DataFrame = {
     val words = split(col("text"), " ")
     t(spark, sfDir, "documents")
       .select(col("doc_id"),
         size(words).as("n_words"),
-        slice(words, 1, 3).as("first3"),
+        array_join(slice(words, 1, 3), "|").as("first3"),
         array_contains(words, "data").as("has_data"),
         element_at(sort_array(words), 1).as("first_sorted"),
-        transform(slice(words, 1, 3), w => upper(w)).as("upper3"),
+        array_join(transform(slice(words, 1, 3), w => upper(w)), "|")
+          .as("upper3"),
         size(array_distinct(words)).as("n_distinct"))
       .orderBy("doc_id")
   }
@@ -126,10 +129,11 @@ object Functions {
   val fnArrayOracle: String =
     """SELECT doc_id,
       |  len(string_split(text, ' ')) AS n_words,
-      |  (string_split(text, ' '))[1:3] AS first3,
+      |  array_to_string((string_split(text, ' '))[1:3], '|') AS first3,
       |  list_contains(string_split(text, ' '), 'data') AS has_data,
       |  (list_sort(string_split(text, ' ')))[1] AS first_sorted,
-      |  list_transform((string_split(text, ' '))[1:3], w -> upper(w)) AS upper3,
+      |  array_to_string(list_transform((string_split(text, ' '))[1:3],
+      |    w -> upper(w)), '|') AS upper3,
       |  len(list_distinct(string_split(text, ' '))) AS n_distinct
       |FROM documents ORDER BY doc_id""".stripMargin
 
@@ -145,7 +149,7 @@ object Functions {
         element_at(m, "chars").as("m_chars"),
         element_at(m, "words").as("m_words"),
         size(m).as("n_keys"),
-        map_keys(m).as("keys"))
+        array_join(sort_array(map_keys(m)), "|").as("keys"))
       .orderBy("doc_id")
   }
 
@@ -154,7 +158,7 @@ object Functions {
       |  (m['chars'])[1] AS m_chars,
       |  (m['words'])[1] AS m_words,
       |  CAST(cardinality(m) AS INT) AS n_keys,
-      |  map_keys(m) AS keys
+      |  array_to_string(list_sort(map_keys(m)), '|') AS keys
       |FROM (
       |  SELECT doc_id,
       |    MAP {'chars': n_chars,

@@ -91,22 +91,35 @@ object LlmOps {
     * floods) before the within-bucket self-join, which bounds the
     * quadratic term at maxBucket² per bucket. NEVER an all-pairs join.
     */
-  def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
-    val maxBucket = 100
+  /** Word 3-gram shingles as exploded (doc_id, s) rows — the one shared
+    * projection both the MinHash candidate stage and the exact-Jaccard
+    * verification derive from (so [[dedupJaccard]] never rebuilds it).
+    */
+  private def shingleRows(docs: DataFrame): DataFrame = {
     val shingles = filter(
       transform(sequence(lit(0), greatest(size(words) - 3, lit(-1))),
         i => concat_ws(" ",
           element_at(words, i + 1), element_at(words, i + 2),
           element_at(words, i + 3))),
       s => s.isNotNull)
-    // Explode → one md5 per shingle ROW (Catalyst would otherwise
-    // collapse a transform(md5) array into every band expression and
-    // recompute it 4×), then all 4 band minima in ONE hash aggregation:
-    // map-side partial agg means the shuffle carries one (doc, 4 mins)
-    // row per doc per partition, never the shingles.
-    val sigs = t(spark, sfDir, "documents")
-      .filter(size(words) >= 3)
+    docs.filter(size(words) >= 3)
       .select(col("doc_id"), explode(shingles).as("s"))
+  }
+
+  /** Banded-MinHash candidate pairs from a shingle frame: returns
+    * (band, mh, d1, d2) bucket-collision rows (one per shared band).
+    * The tiny per-doc signature frame is persisted so the bucket-size
+    * census, the bucket prune and both self-join sides read it once
+    * instead of re-deriving the explode+md5 subtree three times.
+    */
+  private def minhashPairs(sh: DataFrame): DataFrame = {
+    val maxBucket = 100
+    // One md5 per shingle ROW (Catalyst would otherwise collapse a
+    // transform(md5) array into every band expression and recompute it
+    // 4×), then all 4 band minima in ONE hash aggregation: map-side
+    // partial agg means the shuffle carries one (doc, 4 mins) row per
+    // doc per partition, never the shingles.
+    val sigs = sh
       .select(col("doc_id"), md5(col("s")).as("h"))
       .groupBy("doc_id")
       .agg(min(col("h").substr(1, 8)).as("mh0"),
@@ -119,6 +132,7 @@ object LlmOps {
         struct(lit(2).as("band"), col("mh2").as("mh")),
         struct(lit(3).as("band"), col("mh3").as("mh")))).as("bm"))
       .select(col("doc_id"), col("bm.band").as("band"), col("bm.mh").as("mh"))
+      .persist()
     val okBuckets = sigs.groupBy("band", "mh")
       .agg(count(lit(1)).as("bn"))
       .filter(col("bn") <= maxBucket && col("bn") >= 2)
@@ -128,10 +142,13 @@ object LlmOps {
     val b = inBucket.select(col("band"), col("mh"), col("doc_id").as("d2"))
     a.join(b, Seq("band", "mh"))
       .filter(col("d1") < col("d2"))
+  }
+
+  def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame =
+    minhashPairs(shingleRows(t(spark, sfDir, "documents")))
       .groupBy("d1", "d2")
       .agg(countDistinct("band").as("n_bands"))
       .orderBy("d1", "d2")
-  }
 
   val dedupMinhashOracle: String =
     """WITH sigs AS (
@@ -166,16 +183,13 @@ object LlmOps {
     * analysis is possible downstream.
     */
   def dedupJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    val shingles = filter(
-      transform(sequence(lit(0), greatest(size(words) - 3, lit(-1))),
-        i => concat_ws(" ",
-          element_at(words, i + 1), element_at(words, i + 2),
-          element_at(words, i + 3))),
-      s => s.isNotNull)
-    val ssets = t(spark, sfDir, "documents")
-      .filter(size(words) >= 3)
-      .select(col("doc_id"), array_distinct(shingles).as("sset"))
-    val cands = dedupMinhash(spark, sfDir).select("d1", "d2")
+    // ONE exploded shingle frame feeds both stages (persisted — ~tens of
+    // bytes per shingle row): the MinHash candidate generator and the
+    // shingle-set build. Previously the candidate stage re-derived its
+    // own shingles end to end, doubling the query's cost.
+    val sh = shingleRows(t(spark, sfDir, "documents")).persist()
+    val cands = minhashPairs(sh).select("d1", "d2").distinct()
+    val ssets = sh.groupBy("doc_id").agg(collect_set("s").as("sset"))
     val jac = size(array_intersect(col("sa"), col("sb"))).cast("double") /
       size(array_union(col("sa"), col("sb")))
     cands
@@ -346,18 +360,26 @@ object LlmOps {
     * buckets. Sign-agreement correlates with cosine, so recall
     * concentrates where it matters while the join does ~N²/64 of the
     * all-pairs work — and at 100 TB you raise the bit count so bucket
-    * sizes stay bounded (16 bits → 65k buckets), plus the same
-    * degenerate-bucket cap as MinHash.
+    * sizes stay bounded (16 bits → 65k buckets). Degenerate buckets
+    * (anything over `maxBucket` members — e.g. a flood of near-zero
+    * vectors all landing on one sign pattern) are dropped by an exact
+    * bucket-size census BEFORE the self-join, bounding the quadratic
+    * term at maxBucket² per bucket exactly as [[minhashPairs]] does.
     */
   def simJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val maxBucket = 200
     val bucket = concat_ws("",
       (1 to 6).map(i =>
         when(element_at(col("embedding"), i) >= 0f, lit("1"))
           .otherwise(lit("0"))): _*)
     val emb = t(spark, sfDir, "embeddings")
       .select(col("vec_id"), vecD(col("embedding")).as("v"), bucket.as("bkt"))
-    val a = emb.select(col("bkt"), col("vec_id").as("v1"), col("v").as("va"))
-    val b = emb.select(col("bkt"), col("vec_id").as("v2"), col("v").as("vb"))
+    val okBuckets = emb.groupBy("bkt").agg(count(lit(1)).as("bn"))
+      .filter(col("bn").between(2, maxBucket))
+      .select("bkt")
+    val pruned = emb.join(okBuckets, Seq("bkt"))
+    val a = pruned.select(col("bkt"), col("vec_id").as("v1"), col("v").as("va"))
+    val b = pruned.select(col("bkt"), col("vec_id").as("v2"), col("v").as("vb"))
     a.join(b, Seq("bkt"))
       .filter(col("v1") < col("v2"))
       .select(col("v1"), col("v2"),
@@ -377,12 +399,15 @@ object LlmOps {
       |      CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END,
       |      CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END) AS bkt
       |  FROM embeddings
+      |), ok AS (
+      |  SELECT bkt FROM e GROUP BY bkt HAVING count(*) BETWEEN 2 AND 200
       |)
       |SELECT a.vec_id AS v1, b.vec_id AS v2,
       |  ROUND(list_dot_product(a.v, b.v) /
       |    (sqrt(list_dot_product(a.v, a.v)) *
       |     sqrt(list_dot_product(b.v, b.v))), 6) AS cos
       |FROM e a JOIN e b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+      |JOIN ok ON ok.bkt = a.bkt
       |WHERE ROUND(list_dot_product(a.v, b.v) /
       |    (sqrt(list_dot_product(a.v, a.v)) *
       |     sqrt(list_dot_product(b.v, b.v))), 6) >= 0.30
@@ -449,42 +474,55 @@ object LlmOps {
       |WHERE vec_id <> 0
       |ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin
 
-  /** Per-label centroid vectors themselves (the per-class "average
-    * embedding" aggregate), rounded inside the array.
+  /** Per-label centroid vectors (the per-class "average embedding"
+    * aggregate), published as one (label, dim, m) row per coordinate:
+    * exploded scalar rows rather than an array column, so every output
+    * cell is hashable by the comparison harness and the per-value float
+    * normalization applies. `dim` is the 1-based coordinate index; the
+    * array-valued form stays internal to [[simIvf]] via
+    * [[labelCentroids]] (same posexplode + avg subtree, so the two
+    * cannot diverge numerically).
     */
   def simCentroids(spark: SparkSession, sfDir: String): DataFrame =
-    labelCentroids(t(spark, sfDir, "embeddings"))
-      .select(col("label"), col("dim"),
-        transform(col("centroid"), m => round(m, 6)).as("centroid"))
-      .orderBy("label")
+    t(spark, sfDir, "embeddings")
+      .select(col("label"), posexplode(vecD(col("embedding"))))
+      .groupBy("label", "pos")
+      .agg(round(avg("col"), 6).as("m"))
+      .select(col("label"), (col("pos") + 1).as("dim"), col("m"))
+      .orderBy("label", "dim")
 
   val simCentroidsOracle: String =
-    """SELECT label, count(*) AS dim,
-      |  list(ROUND(m, 6) ORDER BY i) AS centroid
-      |FROM (
-      |  SELECT label, i.i, avg(embedding[i.i]) AS m
-      |  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) i
-      |  GROUP BY label, i.i)
-      |GROUP BY label ORDER BY label""".stripMargin
+    """SELECT label, i.i AS dim, ROUND(avg(embedding[i.i]), 6) AS m
+      |FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) i
+      |GROUP BY label, i.i ORDER BY label, dim""".stripMargin
 
   // ------------------------------------------------------ text analysis
 
   /** Corpus statistics per language: doc counts, char/word averages,
     * token totals, average word length — the profiling pass before any
     * filtering decision.
+    *
+    * `avg_word_len` is the corpus-level ratio Σ word_chars / Σ words
+    * (not a mean of per-doc double ratios): both operands are exact
+    * integer sums, so the aggregate is summation-order-independent and
+    * the final division is one IEEE op on identical inputs in any
+    * engine — a mean of per-doc doubles differs between engines at the
+    * rounding boundary because float addition isn't associative.
+    * avg_chars/avg_words are safe as plain avg: integer sums below 2^53
+    * are exact in double regardless of order.
     */
   def textStats(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "documents")
       .select(col("lang"), col("n_chars"),
         size(words).as("n_words"),
-        (length(regexp_replace(col("text"), " ", ""))
-          .cast("double") / size(words)).as("wlen"))
+        length(regexp_replace(col("text"), " ", "")).as("nospace"))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         round(avg("n_chars"), 4).as("avg_chars"),
         round(avg("n_words"), 4).as("avg_words"),
         sum("n_words").as("total_words"),
-        round(avg("wlen"), 4).as("avg_word_len"))
+        round(sum("nospace").cast("double") / sum("n_words"), 4)
+          .as("avg_word_len"))
       .orderBy("lang")
 
   val textStatsOracle: String =
@@ -492,8 +530,8 @@ object LlmOps {
       |  ROUND(avg(n_chars), 4) AS avg_chars,
       |  ROUND(avg(len(string_split(text, ' '))), 4) AS avg_words,
       |  sum(len(string_split(text, ' '))) AS total_words,
-      |  ROUND(avg(CAST(length(replace(text, ' ', '')) AS DOUBLE) /
-      |            len(string_split(text, ' '))), 4) AS avg_word_len
+      |  ROUND(CAST(sum(length(replace(text, ' ', ''))) AS DOUBLE) /
+      |        sum(len(string_split(text, ' '))), 4) AS avg_word_len
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
   /** Corpus term frequency via the generator path (explode → count):
@@ -677,16 +715,47 @@ object LlmOps {
       |  ascii(substr(text, 1, 1)) AS first_code
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Multimodal feature extraction over the binary payload via
-    * `mapPartitions` — the Spark-side plumbing (schema, batch
-    * iteration, partition preservation) is real; the per-payload
-    * "decoder" is a deterministic stand-in (byte-level stats) for the
-    * image/audio codecs absent from this environment, marked clearly
-    * below. At scale this is the one operator that must leave codegen:
-    * it runs batched per partition, never per-row-per-call, and its
-    * output re-enters Catalyst as plain typed columns.
+  /** Multimodal feature extraction over the binary payload, fully in
+    * codegen'd built-in expressions — each feature is its own typed
+    * scalar column (the feature-store layout a training pipeline joins
+    * on). The per-payload "decoder" is a deterministic byte-stat
+    * stand-in for the image/audio codecs absent from this environment;
+    * when a real codec is needed, [[mmFeaturesPartition]] below shows
+    * the batched escape hatch — but nothing expressible as expressions
+    * should ever leave codegen, which is why THIS is the registered
+    * query.
     */
   def mmFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    val bin = col("text").cast("binary")
+    t(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        octet_length(bin).cast("double").as("f_bytes"),
+        ascii(substring(col("text"), 1, 1)).cast("double").as("f_first"),
+        ascii(substring(col("text"), -1, 1)).cast("double").as("f_last"),
+        (length(col("text")) - length(regexp_replace(col("text"), " ", "")))
+          .cast("double").as("f_spaces"))
+      .orderBy("doc_id")
+  }
+
+  val mmFeaturesOracle: String =
+    """SELECT doc_id,
+      |  CAST(octet_length(text::BLOB) AS DOUBLE) AS f_bytes,
+      |  CAST(ascii(substr(text, 1, 1)) AS DOUBLE) AS f_first,
+      |  CAST(ascii(substr(text, -1, 1)) AS DOUBLE) AS f_last,
+      |  CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)
+      |    AS f_spaces
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** The batched per-partition decode path (spec-tested against
+    * [[mmFeatures]], not registered): real codec work — image decode,
+    * audio resample, frame sampling — can't be a Catalyst expression,
+    * so it runs as `mapPartitions` over the typed payload Dataset, one
+    * JVM hop per PARTITION (never per row), and its output re-enters
+    * Catalyst as plain typed columns. The stub decoder computes the
+    * same deterministic byte stats as the expression twin so the spec
+    * can assert the two paths agree exactly.
+    */
+  def mmFeaturesPartition(spark: SparkSession, sfDir: String): DataFrame = {
     val session = spark
     import session.implicits._
     t(spark, sfDir, "documents")
@@ -695,26 +764,17 @@ object LlmOps {
       .mapPartitions { it =>
         it.map { case (id, payload) =>
           // STUB decoder: real pipelines decode image/audio here; this
-          // deterministic byte-stat extractor keeps the oracle exact.
+          // deterministic byte-stat extractor mirrors mmFeatures.
           val nBytes = payload.length.toDouble
           val first = if (payload.isEmpty) 0.0 else payload.head.toDouble
           val last = if (payload.isEmpty) 0.0 else payload.last.toDouble
           val spaces = payload.count(_ == ' '.toByte).toDouble
-          (id, Array(nBytes, first, last, spaces))
+          (id, nBytes, first, last, spaces)
         }
       }
-      .toDF("doc_id", "features")
+      .toDF("doc_id", "f_bytes", "f_first", "f_last", "f_spaces")
       .orderBy("doc_id")
   }
-
-  val mmFeaturesOracle: String =
-    """SELECT doc_id,
-      |  [CAST(octet_length(text::BLOB) AS DOUBLE),
-      |   CAST(ascii(substr(text, 1, 1)) AS DOUBLE),
-      |   CAST(ascii(substr(text, -1, 1)) AS DOUBLE),
-      |   CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)]
-      |    AS features
-      |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Multimodal join: text metadata ⋈ embedding vectors (doc_id =
     * vec_id), the ArrayType(Float) column flowing through the join and

@@ -516,19 +516,24 @@ object Relational {
 
   /** Collect aggregates: distinct (collect_set) and multiset
     * (collect_list) segment collections per nation, both sorted inside
-    * the array for determinism.
+    * the array for determinism. The arrays are serialized to a canonical
+    * delimited string in the result so every output column is a hashable
+    * scalar (the comparison harness cannot hash array cells).
     */
   def aggCollect(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "customer")
       .groupBy("c_nationkey")
-      .agg(sort_array(collect_set("c_mktsegment")).as("segments"),
-        sort_array(collect_list("c_mktsegment")).as("all_segments"),
+      .agg(
+        array_join(sort_array(collect_set("c_mktsegment")), "|").as("segments"),
+        array_join(sort_array(collect_list("c_mktsegment")), "|")
+          .as("all_segments"),
         count(lit(1)).as("n_cust"))
       .orderBy("c_nationkey")
 
   val aggCollectOracle: String =
-    """SELECT c_nationkey, list_sort(list(DISTINCT c_mktsegment)) AS segments,
-      |       list_sort(list(c_mktsegment)) AS all_segments,
+    """SELECT c_nationkey,
+      |       array_to_string(list_sort(list(DISTINCT c_mktsegment)), '|') AS segments,
+      |       array_to_string(list_sort(list(c_mktsegment)), '|') AS all_segments,
       |       count(*) AS n_cust
       |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
 

@@ -66,6 +66,19 @@ def main():
             print(f"FAIL {name}: spark result missing: {e}")
             n_bad += 1
             continue
+        # The driver's pandas compare crashes on array/map-typed cells
+        # ("unhashable type: numpy.ndarray"); reject them here so the
+        # local gate can never pass where the driver fails.
+        bad_cols = {g_cols[i] for r in g_rows[:50] for i, v in enumerate(r)
+                    if isinstance(v, (list, dict))}
+        bad_cols |= {o_cols[i] for r in o_rows[:50] for i, v in enumerate(r)
+                     if isinstance(v, (list, dict))}
+        if bad_cols:
+            print(f"FAIL {name}: complex-typed output columns "
+                  f"{sorted(bad_cols)} — driver harness cannot hash these; "
+                  "serialize to strings or explode to scalar rows")
+            n_bad += 1
+            continue
         oc, orows = canon(o_cols, o_rows)
         gc, grows = canon(g_cols, g_rows)
         if oc != gc:
