@@ -1,0 +1,64 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+
+/** LLM-pipeline operator invariants that the DuckDB oracle can't
+  * express: the expression/mapPartitions twin agreement for multimodal
+  * feature extraction, and the degenerate-bucket caps that guard the
+  * pairwise operators' quadratic term.
+  */
+class LlmOpsSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
+
+  test("mmFeatures expression and mapPartitions decode paths agree exactly") {
+    val expr = LlmOps.mmFeatures(spark, sf).collect()
+    val part = LlmOps.mmFeaturesPartition(spark, sf).collect()
+    assert(expr.length === part.length)
+    expr.zip(part).foreach { case (a, b) => assert(a === b) }
+  }
+
+  test("mmFeatures registered path stays inside whole-stage codegen") {
+    val plan = LlmOps.mmFeatures(spark, sf).queryExecution.executedPlan
+    // No deserialize-to-JVM-objects hop: the registered query must not
+    // contain the mapPartitions escape hatch.
+    assert(!plan.toString.contains("MapPartitions"),
+      s"registered mmFeatures left codegen:\n$plan")
+  }
+
+  test("simJoin drops degenerate buckets before the self-join") {
+    // Build an embeddings-shaped frame where one sign-bucket holds far
+    // more vectors than the cap: all vectors positive in dims 1..6 →
+    // bucket "111111" with 300 members (> maxBucket=200), plus two
+    // vectors in a small bucket. Stage it as a parquet dir so the
+    // operator reads it like the fixture.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("simjoin_cap").toString
+    val big = (0 until 300).map { i =>
+      (i.toLong, s"l${i % 3}", Array.fill(64)(0.5f + (i % 7) * 0.01f))
+    }
+    val small = Seq(
+      (1000L, "s", Array.fill(64)(-0.5f)),
+      (1001L, "s", Array.fill(64)(-0.4f)))
+    (big ++ small).toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = LlmOps.simJoin(spark, dir).collect()
+    // Every surviving pair comes from the small bucket; the degenerate
+    // 300-member bucket contributes zero pairs (not 300·299/2).
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getLong(0) >= 1000L && r.getLong(1) >= 1000L),
+      s"degenerate bucket leaked pairs: ${out.take(3).mkString(",")}")
+  }
+
+  test("textStats avg_word_len is invariant to input partitioning") {
+    // The corpus-ratio form must produce identical doubles however the
+    // rows are partitioned (integer sums are exact); a mean of per-doc
+    // double ratios would not survive this check at the boundary.
+    val a = LlmOps.textStats(spark, sf).collect()
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("ts_repart").toString
+    docs.repartition(7).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val b = LlmOps.textStats(spark, dir).collect()
+    assert(a.toSeq === b.toSeq)
+  }
+}
