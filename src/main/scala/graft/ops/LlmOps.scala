@@ -474,6 +474,97 @@ object LlmOps {
       |WHERE vec_id <> 0
       |ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin
 
+  /** Multi-probe IVF ANN: identical coarse quantizer to [[simIvf]], but
+    * the probe searches its `nprobe`=2 nearest centroids' clusters
+    * instead of 1 — the standard recall lever (IVF's single-probe
+    * recall cliff: the true neighbor often sits just across a Voronoi
+    * boundary). Cost model at 100 TB: scanned fraction ≈ nprobe/nlist,
+    * so probing 2 of 10 clusters reads 20% of the data for a large
+    * recall jump — [[simIvfRecall]] measures it against the exact
+    * baseline (0.3 at sf0.01: the fixture's label "clusters" are not
+    * geometric, the worst case for IVF — exactly why the recall dial
+    * must be measured, not assumed). The cluster prune stays a
+    * partition-prunable equality filter (label IN (best 2)); centroids
+    * stay broadcast.
+    */
+  def simIvfMultiprobe(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = t(spark, sfDir, "embeddings")
+    val centroids = labelCentroids(emb).select("label", "centroid")
+    val probe = emb.filter(col("vec_id") === 0)
+      .select(vecD(col("embedding")).as("probe"))
+    val best2 = centroids.crossJoin(broadcast(probe))
+      .select(col("label"), col("probe"),
+        round(cosine(col("centroid"), col("probe")), 6).as("ccos"))
+      .orderBy(col("ccos").desc, col("label"))
+      .limit(2)
+      .select("label", "probe")
+    emb.filter(col("vec_id") =!= 0)
+      .join(broadcast(best2), Seq("label"))
+      .select(col("vec_id"), col("label"),
+        round(cosine(vecD(col("embedding")), col("probe")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  private val ivf2BestSql: String =
+    """WITH cent AS (
+      |  SELECT label, list(m ORDER BY i) AS centroid
+      |  FROM (
+      |    SELECT label, i.i, avg(embedding[i.i]) AS m
+      |    FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) i
+      |    GROUP BY label, i.i)
+      |  GROUP BY label
+      |), probe AS (
+      |  SELECT embedding::DOUBLE[] AS p FROM embeddings WHERE vec_id = 0
+      |), best AS (
+      |  SELECT label FROM cent, probe
+      |  ORDER BY ROUND(list_dot_product(centroid, p) /
+      |    (sqrt(list_dot_product(centroid, centroid)) *
+      |     sqrt(list_dot_product(p, p))), 6) DESC, label
+      |  LIMIT 2
+      |)""".stripMargin
+
+  val simIvfMultiprobeOracle: String =
+    ivf2BestSql + "\n" +
+      """SELECT vec_id, e.label,
+        |  ROUND(list_dot_product(e.embedding::DOUBLE[], p) /
+        |    (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+        |     sqrt(list_dot_product(p, p))), 6) AS cos
+        |FROM embeddings e JOIN best USING (label), probe
+        |WHERE vec_id <> 0
+        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+
+  /** recall@10 of the multi-probe IVF search against the exact
+    * brute-force baseline [[simTopk]] — one row: how many of the true
+    * top-10 the 2-probe search recovered. This is the quality/cost dial
+    * an ANN deployment tunes: nprobe up → recall up, scan fraction up.
+    */
+  def simIvfRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val exact = simTopk(spark, sfDir).select(col("vec_id"))
+    val approx = simIvfMultiprobe(spark, sfDir).select(col("vec_id"))
+    exact.join(approx, Seq("vec_id"))
+      .agg(count(lit(1)).as("hits"))
+      .select(lit(10).as("k"), col("hits"),
+        round(col("hits").cast("double") / 10, 2).as("recall"))
+  }
+
+  val simIvfRecallOracle: String =
+    ivf2BestSql + """, exact AS (
+      |  SELECT vec_id FROM embeddings, probe WHERE vec_id <> 0
+      |  ORDER BY ROUND(list_dot_product(embedding::DOUBLE[], p) /
+      |    (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+      |     sqrt(list_dot_product(p, p))), 6) DESC, vec_id LIMIT 10
+      |), approx AS (
+      |  SELECT vec_id FROM embeddings e JOIN best USING (label), probe
+      |  WHERE vec_id <> 0
+      |  ORDER BY ROUND(list_dot_product(e.embedding::DOUBLE[], p) /
+      |    (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+      |     sqrt(list_dot_product(p, p))), 6) DESC, vec_id LIMIT 10
+      |)
+      |SELECT 10 AS k, count(*) AS hits,
+      |  ROUND(CAST(count(*) AS DOUBLE) / 10, 2) AS recall
+      |FROM exact JOIN approx USING (vec_id)""".stripMargin
+
   /** Per-label centroid vectors (the per-class "average embedding"
     * aggregate), published as one (label, dim, m) row per coordinate:
     * exploded scalar rows rather than an array column, so every output
@@ -812,6 +903,8 @@ object LlmOps {
     "llm_sim_topk" -> simTopk,
     "llm_sim_join" -> simJoin,
     "llm_sim_ivf" -> simIvf,
+    "llm_sim_ivf_multiprobe" -> simIvfMultiprobe,
+    "llm_sim_ivf_recall" -> simIvfRecall,
     "llm_sim_centroids" -> simCentroids,
     "llm_text_stats" -> textStats,
     "llm_text_termfreq" -> textTermFreq,
@@ -832,6 +925,8 @@ object LlmOps {
     "llm_sim_topk" -> simTopkOracle,
     "llm_sim_join" -> simJoinOracle,
     "llm_sim_ivf" -> simIvfOracle,
+    "llm_sim_ivf_multiprobe" -> simIvfMultiprobeOracle,
+    "llm_sim_ivf_recall" -> simIvfRecallOracle,
     "llm_sim_centroids" -> simCentroidsOracle,
     "llm_text_stats" -> textStatsOracle,
     "llm_text_termfreq" -> textTermFreqOracle,

@@ -164,6 +164,28 @@ object StreamingOps {
     """SELECT DISTINCT user_id, event_type FROM events
       |ORDER BY user_id, event_type""".stripMargin
 
+  /** Watermark-BOUNDED streaming dedup: dropDuplicatesWithinWatermark
+    * holds each key only until the watermark passes it, so state is
+    * bounded by the duplicate-arrival window instead of the full key
+    * cardinality — the production form of [[dedup]] for unbounded
+    * keyspaces (plain dropDuplicates state grows forever at 100 TB;
+    * this evicts). The test watermark spans the fixture's whole time
+    * range because the staged replay is randomly file-sliced, making
+    * the result slicing-independent and equal to batch DISTINCT; a
+    * production deployment on a time-ordered log uses the tight delay
+    * (the actual duplicate window) with the identical plan.
+    */
+  def dedupWatermark(spark: SparkSession, sfDir: String): DataFrame =
+    streamEvents(spark, sfDir, "append") { src =>
+      src.withWatermark("ts", "40 days")
+        .dropDuplicatesWithinWatermark(Seq("user_id", "event_type"))
+        .select("user_id", "event_type")
+    }.orderBy("user_id", "event_type")
+
+  val dedupWatermarkOracle: String =
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type""".stripMargin
+
   /** Stream-static join: the event stream enriched against the static
     * customer dim (broadcast — the static side is planned once and
     * reused every micro-batch; no stream-side shuffle).
@@ -259,6 +281,7 @@ object StreamingOps {
     "stream_sliding" -> sliding,
     "stream_session" -> session,
     "stream_dedup" -> dedup,
+    "stream_dedup_watermark" -> dedupWatermark,
     "stream_static_join" -> staticJoin,
     "stream_stream_join" -> streamStreamJoin,
     "stream_stateful" -> stateful)
@@ -268,6 +291,7 @@ object StreamingOps {
     "stream_sliding" -> slidingOracle,
     "stream_session" -> sessionOracle,
     "stream_dedup" -> dedupOracle,
+    "stream_dedup_watermark" -> dedupWatermarkOracle,
     "stream_static_join" -> staticJoinOracle,
     "stream_stream_join" -> streamStreamJoinOracle,
     "stream_stateful" -> statefulOracle)
