@@ -419,17 +419,30 @@ object LlmOps {
     * (nlist × dim doubles) and broadcast; the cluster prune is a
     * partition-prunable equality filter on `label`.
     */
+  /** Fixture embedding dimensionality (TESTDATA: 64-dim float
+    * vectors); the oracles hardcode the same via generate_series(1,64).
+    */
+  private val EmbDim = 64
+
   /** Per-label mean vector (label, centroid) — the shared coarse
     * quantizer for [[simIvf]] and the published [[simCentroids]]
     * aggregate: one definition so the two can't diverge.
+    *
+    * Computed as `EmbDim` per-dimension `avg` expressions in ONE
+    * hash-aggregated groupBy, not posexplode → groupBy: exploding
+    * inflates the shuffle 64× (N·64 rows) for zero information gain,
+    * while 64 agg buffers partial-aggregate map-side so the shuffle
+    * carries one 64-wide row per (label, partition) — the difference
+    * between reshuffling 100 TB×64 and a few KB per partition.
     */
-  private def labelCentroids(emb: DataFrame): DataFrame =
-    emb.select(col("label"), posexplode(vecD(col("embedding"))))
-      .groupBy("label", "pos").agg(avg("col").as("m"))
-      .groupBy("label")
-      .agg(count(lit(1)).as("dim"),
-        transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => s.getField("m")).as("centroid"))
+  private def labelCentroids(emb: DataFrame): DataFrame = {
+    val dims = (1 to EmbDim).map(i =>
+      avg(element_at(vecD(col("embedding")), i)).as(s"m$i"))
+    emb.groupBy("label")
+      .agg(dims.head, dims.tail: _*)
+      .select(col("label"), lit(EmbDim).as("dim"),
+        array((1 to EmbDim).map(i => col(s"m$i")): _*).as("centroid"))
+  }
 
   def simIvf(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = t(spark, sfDir, "embeddings")
@@ -569,17 +582,16 @@ object LlmOps {
     * aggregate), published as one (label, dim, m) row per coordinate:
     * exploded scalar rows rather than an array column, so every output
     * cell is hashable by the comparison harness and the per-value float
-    * normalization applies. `dim` is the 1-based coordinate index; the
-    * array-valued form stays internal to [[simIvf]] via
-    * [[labelCentroids]] (same posexplode + avg subtree, so the two
-    * cannot diverge numerically).
+    * normalization applies. `dim` is the 1-based coordinate index.
+    * Built by posexploding [[labelCentroids]]' output (nlist rows, not
+    * the N·64 input), so the published aggregate and [[simIvf]]'s
+    * quantizer are the same subtree and cannot diverge numerically.
     */
   def simCentroids(spark: SparkSession, sfDir: String): DataFrame =
-    t(spark, sfDir, "embeddings")
-      .select(col("label"), posexplode(vecD(col("embedding"))))
-      .groupBy("label", "pos")
-      .agg(round(avg("col"), 6).as("m"))
-      .select(col("label"), (col("pos") + 1).as("dim"), col("m"))
+    labelCentroids(t(spark, sfDir, "embeddings"))
+      .select(col("label"), posexplode(col("centroid")))
+      .select(col("label"), (col("pos") + 1).as("dim"),
+        round(col("col"), 6).as("m"))
       .orderBy("label", "dim")
 
   val simCentroidsOracle: String =
@@ -687,6 +699,71 @@ object LlmOps {
       |  count(*) AS n_terms
       |FROM tf JOIN df USING (term), n
       |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+
+  /** Token counting, whitespace AND BPE-ish: the pre-training budget
+    * estimate every corpus decision hangs on. `n_ws_tokens` is the
+    * whitespace split; `n_bpe_tokens` counts matches of the GPT-style
+    * pre-tokenizer shape (letter runs | single digits | single
+    * punctuation) — digits never merge, which is why BPE token counts
+    * exceed word counts on numeric text. `chars_per_token` is the
+    * compression-ratio health metric (integer÷integer: one exact IEEE
+    * op, engine-independent). Pure codegen'd projection — at 100 TB
+    * this runs scan-local with zero shuffle.
+    */
+  def textTokens(spark: SparkSession, sfDir: String): DataFrame = {
+    val bpe = regexp_extract_all(col("text"),
+      lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"), lit(0))
+    t(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        size(words).as("n_ws_tokens"),
+        size(bpe).as("n_bpe_tokens"),
+        round(col("n_chars").cast("double") / size(bpe), 4)
+          .as("chars_per_token"))
+      .orderBy("doc_id")
+  }
+
+  val textTokensOracle: String =
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS n_ws_tokens,
+      |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'))
+      |    AS n_bpe_tokens,
+      |  ROUND(CAST(n_chars AS DOUBLE) /
+      |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')), 4)
+      |    AS chars_per_token
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Rolling-hash document fingerprint (Rabin–Karp shape): per-word
+    * values folded left through h ← (h·31 + v) mod p, so the
+    * fingerprint is ORDER-SENSITIVE — reordered words change it, unlike
+    * the bag-of-words [[dedupFingerprint]]; the pair of fingerprints
+    * distinguishes exact-sequence dups from shuffled near-dups. The
+    * fold is a higher-order `aggregate` over the in-row array: scan-
+    * local, zero shuffle, stays in codegen. Seeded with the first
+    * word's value (mirroring the oracle's list_reduce semantics); mod
+    * keeps every intermediate below 2^35, far from Long overflow.
+    */
+  def textRollhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = 1000000007L
+    val vals = transform(words,
+      w => (length(w).cast("long") * 131 + ascii(w)))
+    val roll = aggregate(
+      slice(vals, lit(2), greatest(size(vals) - 1, lit(0))),
+      element_at(vals, 1),
+      (acc, v) => (acc * 31 + v) % p)
+    t(spark, sfDir, "documents")
+      .select(col("doc_id"), roll.as("rollhash"),
+        size(words).as("n_words"))
+      .orderBy("doc_id")
+  }
+
+  val textRollhashOracle: String =
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_transform(string_split(text, ' '),
+      |                   w -> CAST(length(w) AS BIGINT) * 131 + ascii(w)),
+      |    (acc, v) -> (acc * 31 + v) % 1000000007) AS rollhash,
+      |  len(string_split(text, ' ')) AS n_words
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Quality scoring + language routing: type-token ratio and length
     * window decide high/low quality; the route key
@@ -907,6 +984,8 @@ object LlmOps {
     "llm_sim_ivf_recall" -> simIvfRecall,
     "llm_sim_centroids" -> simCentroids,
     "llm_text_stats" -> textStats,
+    "llm_text_tokens" -> textTokens,
+    "llm_text_rollhash" -> textRollhash,
     "llm_text_termfreq" -> textTermFreq,
     "llm_text_tfidf" -> textTfidf,
     "llm_text_quality_route" -> textQualityRoute,
@@ -929,6 +1008,8 @@ object LlmOps {
     "llm_sim_ivf_recall" -> simIvfRecallOracle,
     "llm_sim_centroids" -> simCentroidsOracle,
     "llm_text_stats" -> textStatsOracle,
+    "llm_text_tokens" -> textTokensOracle,
+    "llm_text_rollhash" -> textRollhashOracle,
     "llm_text_termfreq" -> textTermFreqOracle,
     "llm_text_tfidf" -> textTfidfOracle,
     "llm_text_quality_route" -> textQualityRouteOracle,

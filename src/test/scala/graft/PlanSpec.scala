@@ -46,6 +46,31 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
   }
 
+  test("llm_sim_centroids: 64 agg buffers in one groupBy, no pre-agg explode") {
+    val p = plan("llm_sim_centroids")
+    // The centroid build must NOT posexplode N rows into N·64 before
+    // aggregating (64× shuffle inflation at 100 TB): one partial+final
+    // HashAggregate pair over 64 avg buffers; the only Generate allowed
+    // is the tiny post-agg posexplode of nlist centroid rows.
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "centroids must partial-aggregate")
+    val genIdx = p.indexOf("Generate")
+    val aggIdx = p.indexOf("HashAggregate")
+    assert(genIdx >= 0 && aggIdx >= 0, s"expected Generate + HashAggregate:\n$p")
+    // Formatted plans list operators leaf-last; the explode node must
+    // sit ABOVE (before, in print order) the aggregates, i.e. run after.
+    assert(genIdx < aggIdx,
+      "posexplode must run on aggregated centroids, not raw embeddings")
+  }
+
+  test("llm_text_rollhash/tokens: scan-local projections, no shuffle") {
+    for (q <- Seq("llm_text_rollhash", "llm_text_tokens")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q must not shuffle — it is a pure projection")
+    }
+  }
+
   test("cdc merge compaction partial-aggregates before the shuffle, no window") {
     val p = plan("cdc_merge_customer")
     // max_by(struct, struct) buffers a struct, so Spark picks
