@@ -366,7 +366,11 @@ object LlmOps {
     * bucket-size census BEFORE the self-join, bounding the quadratic
     * term at maxBucket² per bucket exactly as [[minhashPairs]] does.
     */
-  def simJoin(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Sign-bucketed candidate pairs with exact cosine — the shared stage
+    * behind [[simJoin]] and [[dedupEmbed]]: census-pruned buckets, then
+    * within-bucket pairs only (threshold applied by the caller).
+    */
+  private def signBucketPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val maxBucket = 200
     val bucket = concat_ws("",
       (1 to 6).map(i =>
@@ -384,9 +388,12 @@ object LlmOps {
       .filter(col("v1") < col("v2"))
       .select(col("v1"), col("v2"),
         round(cosine(col("va"), col("vb")), 6).as("cos"))
+  }
+
+  def simJoin(spark: SparkSession, sfDir: String): DataFrame =
+    signBucketPairs(spark, sfDir)
       .filter(col("cos") >= 0.30)
       .orderBy("v1", "v2")
-  }
 
   val simJoinOracle: String =
     """WITH e AS (
@@ -486,6 +493,47 @@ object LlmOps {
       |FROM embeddings e JOIN best USING (label), probe
       |WHERE vec_id <> 0
       |ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin
+
+  /** Embedding-cosine near-dup DEDUP DECISION: candidate pairs from the
+    * sign-bucket LSH (never all-pairs), a similarity cut, then the
+    * greedy keep-lowest-id rule — each dropped vector names the kept
+    * one it duplicates, which is the drop-list a curation pipeline
+    * anti-joins against the corpus. Threshold is domain-calibrated;
+    * 0.45 here because the synthetic fixture plants no true near-dups
+    * (max pairwise cosine ≈ 0.51), so the cut selects the most-similar
+    * tail and keeps the operator's decision shape exercised.
+    */
+  def dedupEmbed(spark: SparkSession, sfDir: String): DataFrame =
+    signBucketPairs(spark, sfDir)
+      .filter(col("cos") >= 0.45)
+      .groupBy(col("v2").as("dropped"))
+      .agg(min("v1").as("kept_for"), count(lit(1)).as("n_pairs"))
+      .orderBy("dropped")
+
+  val dedupEmbedOracle: String =
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |    concat(
+      |      CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+      |      CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+      |      CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+      |      CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END,
+      |      CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END,
+      |      CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END) AS bkt
+      |  FROM embeddings
+      |), ok AS (
+      |  SELECT bkt FROM e GROUP BY bkt HAVING count(*) BETWEEN 2 AND 200
+      |), pairs AS (
+      |  SELECT a.vec_id AS v1, b.vec_id AS v2,
+      |    ROUND(list_dot_product(a.v, b.v) /
+      |      (sqrt(list_dot_product(a.v, a.v)) *
+      |       sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+      |  FROM e a JOIN e b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+      |  JOIN ok ON ok.bkt = a.bkt
+      |)
+      |SELECT v2 AS dropped, min(v1) AS kept_for, count(*) AS n_pairs
+      |FROM pairs WHERE cos >= 0.45
+      |GROUP BY v2 ORDER BY dropped""".stripMargin
 
   /** Multi-probe IVF ANN: identical coarse quantizer to [[simIvf]], but
     * the probe searches its `nprobe`=2 nearest centroids' clusters
@@ -977,6 +1025,7 @@ object LlmOps {
     "llm_dedup_jaccard" -> dedupJaccard,
     "llm_dedup_simhash" -> dedupSimhash,
     "llm_dedup_simhash_pairs" -> dedupSimhashPairs,
+    "llm_dedup_embed" -> dedupEmbed,
     "llm_sim_topk" -> simTopk,
     "llm_sim_join" -> simJoin,
     "llm_sim_ivf" -> simIvf,
@@ -1001,6 +1050,7 @@ object LlmOps {
     "llm_dedup_jaccard" -> dedupJaccardOracle,
     "llm_dedup_simhash" -> dedupSimhashOracle,
     "llm_dedup_simhash_pairs" -> dedupSimhashPairsOracle,
+    "llm_dedup_embed" -> dedupEmbedOracle,
     "llm_sim_topk" -> simTopkOracle,
     "llm_sim_join" -> simJoinOracle,
     "llm_sim_ivf" -> simIvfOracle,

@@ -823,6 +823,56 @@ object Relational {
       .agg(count(lit(1)).as("n_sampled"))
       .orderBy("l_returnflag")
 
+  /** DETERMINISTIC hash sampling: keep rows whose key digest lands in
+    * 1/10 of hash space. Unlike Bernoulli `sample` (engine-RNG-bound,
+    * rows-only check), this is reproducible across engines, runs, AND
+    * cluster topologies — the property a 100 TB pipeline needs so a
+    * sampled experiment can be re-materialized bit-identically later,
+    * and the sample of a changed table stays stable for unchanged rows.
+    * Filter is scan-local (no shuffle) and composes with pushdown.
+    */
+  def sampleHash(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .filter(substring(md5(col("o_orderkey").cast("string")), 1, 1) === "0")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_sampled"),
+        round(sum("o_totalprice"), 2).as("sampled_revenue"))
+      .orderBy("o_orderstatus")
+
+  val sampleHashOracle: String =
+    """SELECT o_orderstatus, count(*) AS n_sampled,
+      |  ROUND(sum(o_totalprice), 2) AS sampled_revenue
+      |FROM orders WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** Explicit GROUPING SETS (the general form rollup/cube specialize):
+    * revenue by (status), by (priority), and the grand total in one
+    * pass — Spark expands to a single Expand + aggregate, one shuffle
+    * for all three groupings instead of three jobs over the fact table.
+    */
+  def aggGroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = t(spark, sfDir, "orders")
+    df.createOrReplaceTempView("graft_orders_gs")
+    spark.sql(
+      """SELECT CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        |       CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+        |       o_orderstatus, o_orderpriority,
+        |       count(*) AS n, ROUND(sum(o_totalprice), 2) AS revenue
+        |FROM graft_orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority
+        |""".stripMargin)
+  }
+
+  val aggGroupingSetsOracle: String =
+    """SELECT CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+      |       CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+      |       o_orderstatus, o_orderpriority,
+      |       count(*) AS n, ROUND(sum(o_totalprice), 2) AS revenue
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""".stripMargin
+
   // ------------------------------------------------------------- set ops
 
   /** INTERSECT: customers active in both open ('O') and finished ('F')
@@ -1026,6 +1076,7 @@ object Relational {
     "agg_approx_distinct" -> aggApproxDistinct,
     "agg_rollup" -> aggRollup,
     "agg_cube" -> aggCube,
+    "agg_grouping_sets" -> aggGroupingSets,
     "agg_collect" -> aggCollect,
     "agg_udaf" -> aggUdaf,
     "win_rank" -> winRank,
@@ -1037,6 +1088,7 @@ object Relational {
     "sort_topk_group" -> sortTopkGroup,
     "sort_nulls" -> sortNulls,
     "sort_sample" -> sortSample,
+    "sample_hash" -> sampleHash,
     "set_intersect" -> setIntersect,
     "set_except" -> setExcept,
     "set_except_all" -> setExceptAll,
@@ -1068,6 +1120,7 @@ object Relational {
     "agg_count_distinct" -> aggCountDistinctOracle,
     "agg_rollup" -> aggRollupOracle,
     "agg_cube" -> aggCubeOracle,
+    "agg_grouping_sets" -> aggGroupingSetsOracle,
     "agg_collect" -> aggCollectOracle,
     "agg_udaf" -> aggUdafOracle,
     "win_rank" -> winRankOracle,
@@ -1078,6 +1131,7 @@ object Relational {
     "sort_topk" -> sortTopkOracle,
     "sort_topk_group" -> sortTopkGroupOracle,
     "sort_nulls" -> sortNullsOracle,
+    "sample_hash" -> sampleHashOracle,
     "set_intersect" -> setIntersectOracle,
     "set_except" -> setExceptOracle,
     "set_except_all" -> setExceptAllOracle,
