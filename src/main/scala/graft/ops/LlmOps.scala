@@ -443,8 +443,12 @@ object LlmOps {
     * between reshuffling 100 TB×64 and a few KB per partition.
     */
   private def labelCentroids(emb: DataFrame): DataFrame = {
+    // element_at BEFORE the double cast: casting the whole array inside
+    // every agg expression would repeat the 64-element cast 64× per row
+    // (Catalyst does not CSE across agg buffers); extracting the float
+    // and casting the scalar is one O(1) op per buffer.
     val dims = (1 to EmbDim).map(i =>
-      avg(element_at(vecD(col("embedding")), i)).as(s"m$i"))
+      avg(element_at(col("embedding"), i).cast("double")).as(s"m$i"))
     emb.groupBy("label")
       .agg(dims.head, dims.tail: _*)
       .select(col("label"), lit(EmbDim).as("dim"),
