@@ -187,6 +187,13 @@ object LlmOps {
     // bytes per shingle row): the MinHash candidate generator and the
     // shingle-set build. Previously the candidate stage re-derived its
     // own shingles end to end, doubling the query's cost.
+    // Deployment note: when candidates << corpus (the 100 TB regime),
+    // left_semi-prune `sh` to candidate doc_ids before the collect_set
+    // so the set-build shuffle carries only candidates' shingles; at
+    // fixture scale the prune's extra exchange + the serialized DAG
+    // (set build waiting on the candidate pipeline) cost MORE than the
+    // full set build, so it is deliberately not applied here — measured,
+    // not assumed (sf0.1: 6.2 s unpruned vs 8-10 s pruned).
     val sh = shingleRows(t(spark, sfDir, "documents")).persist()
     val cands = minhashPairs(sh).select("d1", "d2").distinct()
     val ssets = sh.groupBy("doc_id").agg(collect_set("s").as("sset"))
