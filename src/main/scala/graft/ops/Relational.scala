@@ -873,6 +873,37 @@ object Relational {
       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
       |ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""".stripMargin
 
+  /** UNPIVOT (wide → long reshape): three measure columns melted to
+    * (measure, value) rows — the feature-store normalization that turns
+    * a metrics-wide table into the EAV layout aggregation pipelines
+    * want. Spark plans this as a single Expand (one pass, 3× output,
+    * no shuffle, no join against a measure dimension).
+    */
+  def reshapeUnpivot(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .filter(col("l_orderkey") < 1000)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("double").as("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "measure", "value")
+      .select(col("l_orderkey"), col("l_linenumber"), col("measure"),
+        round(col("value"), 2).as("val"))
+      // val is in the sort key because (l_orderkey, l_linenumber) is
+      // NOT unique in the synthetic fixture — without it the order of
+      // tied rows is engine-dependent.
+      .orderBy("l_orderkey", "l_linenumber", "measure", "val")
+
+  val reshapeUnpivotOracle: String =
+    """SELECT l_orderkey, l_linenumber, measure, ROUND(value, 2) AS val
+      |FROM (SELECT l_orderkey, l_linenumber, l_quantity,
+      |             l_extendedprice, l_discount
+      |      FROM lineitem WHERE l_orderkey < 1000)
+      |UNPIVOT (value FOR measure IN (l_quantity, l_extendedprice, l_discount))
+      |ORDER BY l_orderkey, l_linenumber, measure, val""".stripMargin
+
   // ------------------------------------------------------------- set ops
 
   /** INTERSECT: customers active in both open ('O') and finished ('F')
@@ -1089,6 +1120,7 @@ object Relational {
     "sort_nulls" -> sortNulls,
     "sort_sample" -> sortSample,
     "sample_hash" -> sampleHash,
+    "reshape_unpivot" -> reshapeUnpivot,
     "set_intersect" -> setIntersect,
     "set_except" -> setExcept,
     "set_except_all" -> setExceptAll,
@@ -1132,6 +1164,7 @@ object Relational {
     "sort_topk_group" -> sortTopkGroupOracle,
     "sort_nulls" -> sortNullsOracle,
     "sample_hash" -> sampleHashOracle,
+    "reshape_unpivot" -> reshapeUnpivotOracle,
     "set_intersect" -> setIntersectOracle,
     "set_except" -> setExceptOracle,
     "set_except_all" -> setExceptAllOracle,

@@ -49,6 +49,25 @@ class LlmOpsSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       s"degenerate bucket leaked pairs: ${out.take(3).mkString(",")}")
   }
 
+  test("fingerprint is permutation-invariant; rollhash is order-sensitive") {
+    // The two fingerprints answer different dedup questions and the
+    // pair must disagree on a word-reordered document: bag-of-words
+    // md5 identical, rolling hash different.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fp_perm").toString
+    Seq(
+      (1L, "alpha beta gamma delta epsilon", "en", 30L),
+      (2L, "epsilon delta gamma beta alpha", "en", 30L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val fp = LlmOps.dedupFingerprint(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) === fp(2L), "bag-of-words fingerprint must ignore order")
+    val rh = LlmOps.textRollhash(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rh(1L) !== rh(2L), "rolling hash must be order-sensitive")
+  }
+
   test("textStats avg_word_len is invariant to input partitioning") {
     // The corpus-ratio form must produce identical doubles however the
     // rows are partitioned (integer sums are exact); a mean of per-doc
