@@ -91,11 +91,16 @@ object LlmOps {
     * floods) before the within-bucket self-join, which bounds the
     * quadratic term at maxBucket² per bucket. NEVER an all-pairs join.
     */
-  /** Word 3-gram shingles as exploded (doc_id, s) rows — the one shared
-    * projection both the MinHash candidate stage and the exact-Jaccard
-    * verification derive from (so [[dedupJaccard]] never rebuilds it).
+  /** Per-doc DISTINCT word-3-gram shingle sets as a scan-local
+    * projection (doc_id, sset) — no explode, no shuffle: the set stays
+    * an in-row array. Both the MinHash signature stage and the exact-
+    * Jaccard verification derive from this one frame; min-over-a-set
+    * equals min-over-the-multiset, so distinct shingles are equivalent
+    * for MinHash while making the Jaccard sets free (the alternative —
+    * collect_set after an explode — shuffles every shingle of every
+    * doc to rebuild what the row already had).
     */
-  private def shingleRows(docs: DataFrame): DataFrame = {
+  private def shingleSets(docs: DataFrame): DataFrame = {
     val shingles = filter(
       transform(sequence(lit(0), greatest(size(words) - 3, lit(-1))),
         i => concat_ws(" ",
@@ -103,8 +108,14 @@ object LlmOps {
           element_at(words, i + 3))),
       s => s.isNotNull)
     docs.filter(size(words) >= 3)
-      .select(col("doc_id"), explode(shingles).as("s"))
+      .select(col("doc_id"), array_distinct(shingles).as("sset"))
   }
+
+  /** Exploded (doc_id, s) distinct-shingle rows — the generator input
+    * of the MinHash signature aggregation.
+    */
+  private def shingleRows(docs: DataFrame): DataFrame =
+    shingleSets(docs).select(col("doc_id"), explode(col("sset")).as("s"))
 
   /** Banded-MinHash candidate pairs from a shingle frame: returns
     * (band, mh, d1, d2) bucket-collision rows (one per shared band).
@@ -183,20 +194,19 @@ object LlmOps {
     * analysis is possible downstream.
     */
   def dedupJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    // ONE exploded shingle frame feeds both stages (persisted — ~tens of
-    // bytes per shingle row): the MinHash candidate generator and the
-    // shingle-set build. Previously the candidate stage re-derived its
-    // own shingles end to end, doubling the query's cost.
-    // Deployment note: when candidates << corpus (the 100 TB regime),
-    // left_semi-prune `sh` to candidate doc_ids before the collect_set
-    // so the set-build shuffle carries only candidates' shingles; at
-    // fixture scale the prune's extra exchange + the serialized DAG
-    // (set build waiting on the candidate pipeline) cost MORE than the
-    // full set build, so it is deliberately not applied here — measured,
-    // not assumed (sf0.1: 6.2 s unpruned vs 8-10 s pruned).
-    val sh = shingleRows(t(spark, sfDir, "documents")).persist()
+    // ONE shingle-set frame feeds both stages (persisted — the sets are
+    // the same bytes the raw text held): the MinHash candidate generator
+    // explodes it; the exact-Jaccard verification joins it directly —
+    // zero set-(re)building shuffles. Earlier designs measured at sf0.1:
+    // recomputing candidates end to end 12.7 s; one exploded-rows frame
+    // + collect_set rebuild 6.2 s; semi-join-pruning that collect_set to
+    // candidate docs 8-10 s (serialized DAG + extra exchange). In-row
+    // sets win because the shuffle never carries per-shingle rows for
+    // set building at all.
+    val ss = shingleSets(t(spark, sfDir, "documents")).persist()
+    val sh = ss.select(col("doc_id"), explode(col("sset")).as("s"))
     val cands = minhashPairs(sh).select("d1", "d2").distinct()
-    val ssets = sh.groupBy("doc_id").agg(collect_set("s").as("sset"))
+    val ssets = ss
     val jac = size(array_intersect(col("sa"), col("sb"))).cast("double") /
       size(array_union(col("sa"), col("sb")))
     cands
