@@ -43,7 +43,12 @@ object Bench {
         errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName)
           .replaceAll("[\"\\\\\n\r\t]", " ").take(160)
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // Queries may persist() intermediates internally (e.g. the dedup
+      // pipelines); drop them OUTSIDE the timing so every query is
+      // measured cold and cached blocks never accumulate across the run.
+      spark.catalog.clearCache()
+      name -> elapsed
     }
     // Locale.ROOT: the f-interpolator is locale-sensitive and a
     // comma-decimal default locale would break the JSON line.

@@ -111,37 +111,40 @@ object LlmOps {
       .select(col("doc_id"), array_distinct(shingles).as("sset"))
   }
 
-  /** Exploded (doc_id, s) distinct-shingle rows — the generator input
-    * of the MinHash signature aggregation.
-    */
-  private def shingleRows(docs: DataFrame): DataFrame =
-    shingleSets(docs).select(col("doc_id"), explode(col("sset")).as("s"))
-
-  /** Banded-MinHash candidate pairs from a shingle frame: returns
+  /** Banded-MinHash candidate pairs from a shingle-SET frame: returns
     * (band, mh, d1, d2) bucket-collision rows (one per shared band).
-    * The tiny per-doc signature frame is persisted so the bucket-size
-    * census, the bucket prune and both self-join sides read it once
-    * instead of re-deriving the explode+md5 subtree three times.
+    *
+    * The 4 band minima are computed IN-ROW by one higher-order
+    * `aggregate` fold over `transform(sset, md5)`: the md5 array is
+    * bound once as the fold input, so each shingle is hashed exactly
+    * once (naively projecting 4 × array_min(transform(md5…)) columns
+    * trips Catalyst's projection collapse, which inlines the transform
+    * into every band expression and hashes 4×). Signatures therefore
+    * cost ZERO shuffle — the per-doc explode that follows emits 4 tiny
+    * (band, mh) rows per doc, and the only exchanges in the whole
+    * operator are on the bucket key. The 4-rows-per-doc signature
+    * frame is persisted because the census and both self-join sides
+    * consume it.
     */
-  private def minhashPairs(sh: DataFrame): DataFrame = {
+  private def minhashPairs(ss: DataFrame): DataFrame = {
     val maxBucket = 100
-    // One md5 per shingle ROW (Catalyst would otherwise collapse a
-    // transform(md5) array into every band expression and recompute it
-    // 4×), then all 4 band minima in ONE hash aggregation: map-side
-    // partial agg means the shuffle carries one (doc, 4 mins) row per
-    // doc per partition, never the shingles.
-    val sigs = sh
-      .select(col("doc_id"), md5(col("s")).as("h"))
-      .groupBy("doc_id")
-      .agg(min(col("h").substr(1, 8)).as("mh0"),
-        min(col("h").substr(9, 8)).as("mh1"),
-        min(col("h").substr(17, 8)).as("mh2"),
-        min(col("h").substr(25, 8)).as("mh3"))
+    val sentinel = lit("zzzzzzzz") // sorts after every lowercase-hex slice
+    val mins = aggregate(
+      transform(col("sset"), s => md5(s)),
+      struct(sentinel.as("m0"), sentinel.as("m1"),
+        sentinel.as("m2"), sentinel.as("m3")),
+      (acc, h) => struct(
+        least(acc.getField("m0"), h.substr(1, 8)).as("m0"),
+        least(acc.getField("m1"), h.substr(9, 8)).as("m1"),
+        least(acc.getField("m2"), h.substr(17, 8)).as("m2"),
+        least(acc.getField("m3"), h.substr(25, 8)).as("m3")))
+    val sigs = ss
+      .select(col("doc_id"), mins.as("m"))
       .select(col("doc_id"), explode(array(
-        struct(lit(0).as("band"), col("mh0").as("mh")),
-        struct(lit(1).as("band"), col("mh1").as("mh")),
-        struct(lit(2).as("band"), col("mh2").as("mh")),
-        struct(lit(3).as("band"), col("mh3").as("mh")))).as("bm"))
+        struct(lit(0).as("band"), col("m.m0").as("mh")),
+        struct(lit(1).as("band"), col("m.m1").as("mh")),
+        struct(lit(2).as("band"), col("m.m2").as("mh")),
+        struct(lit(3).as("band"), col("m.m3").as("mh")))).as("bm"))
       .select(col("doc_id"), col("bm.band").as("band"), col("bm.mh").as("mh"))
       .persist()
     val okBuckets = sigs.groupBy("band", "mh")
@@ -156,7 +159,7 @@ object LlmOps {
   }
 
   def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame =
-    minhashPairs(shingleRows(t(spark, sfDir, "documents")))
+    minhashPairs(shingleSets(t(spark, sfDir, "documents")))
       .groupBy("d1", "d2")
       .agg(countDistinct("band").as("n_bands"))
       .orderBy("d1", "d2")
@@ -196,22 +199,25 @@ object LlmOps {
   def dedupJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     // ONE shingle-set frame feeds both stages (persisted — the sets are
     // the same bytes the raw text held): the MinHash candidate generator
-    // explodes it; the exact-Jaccard verification joins it directly —
-    // zero set-(re)building shuffles. Earlier designs measured at sf0.1:
-    // recomputing candidates end to end 12.7 s; one exploded-rows frame
-    // + collect_set rebuild 6.2 s; semi-join-pruning that collect_set to
-    // candidate docs 8-10 s (serialized DAG + extra exchange). In-row
-    // sets win because the shuffle never carries per-shingle rows for
-    // set building at all.
+    // folds signatures from it in-row; the exact-Jaccard verification
+    // joins it directly — zero set-(re)building shuffles. Earlier
+    // designs measured at sf0.1: recomputing candidates end to end
+    // 12.7 s; exploded rows + collect_set rebuild 6.2 s; semi-join-
+    // pruning that collect_set to candidate docs 8-10 s (serialized DAG
+    // + extra exchange). In-row sets win because the shuffle never
+    // carries per-shingle rows at all.
     val ss = shingleSets(t(spark, sfDir, "documents")).persist()
-    val sh = ss.select(col("doc_id"), explode(col("sset")).as("s"))
-    val cands = minhashPairs(sh).select("d1", "d2").distinct()
-    val ssets = ss
+    val cands = minhashPairs(ss).select("d1", "d2").distinct()
     val jac = size(array_intersect(col("sa"), col("sb"))).cast("double") /
       size(array_union(col("sa"), col("sb")))
+    // Shuffle-join the candidate ids against the set frame (both joins
+    // repartition by doc id). Broadcasting the candidate side was
+    // measured SLOWER here: the broadcast collect serializes the whole
+    // LSH pipeline into a blocking job before the set joins can start,
+    // while the shuffle plan overlaps them.
     cands
-      .join(ssets.select(col("doc_id").as("d1"), col("sset").as("sa")), Seq("d1"))
-      .join(ssets.select(col("doc_id").as("d2"), col("sset").as("sb")), Seq("d2"))
+      .join(ss.select(col("doc_id").as("d1"), col("sset").as("sa")), Seq("d1"))
+      .join(ss.select(col("doc_id").as("d2"), col("sset").as("sb")), Seq("d2"))
       .select(col("d1"), col("d2"), round(jac, 6).as("jaccard"),
         (round(jac, 6) >= 0.5).as("is_dup"))
       .orderBy("d1", "d2")
@@ -516,10 +522,13 @@ object LlmOps {
       |ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin
 
   /** Embedding-cosine near-dup DEDUP DECISION: candidate pairs from the
-    * sign-bucket LSH (never all-pairs), a similarity cut, then the
-    * greedy keep-lowest-id rule — each dropped vector names the kept
-    * one it duplicates, which is the drop-list a curation pipeline
-    * anti-joins against the corpus. Threshold is domain-calibrated;
+    * sign-bucket LSH (never all-pairs), a similarity cut, then each
+    * higher-id vector of a surviving pair is marked dropped, naming its
+    * lowest-id collision partner — the PAIR-LEVEL drop-list a curation
+    * pipeline anti-joins against the corpus. On chains (1~2, 2~3, 1≁3)
+    * the named partner may itself be dropped; full transitive
+    * resolution is a connected-components pass downstream, deliberately
+    * out of scope for this operator. Threshold is domain-calibrated;
     * 0.45 here because the synthetic fixture plants no true near-dups
     * (max pairwise cosine ≈ 0.51), so the cut selects the most-similar
     * tail and keeps the operator's decision shape exercised.
@@ -786,8 +795,11 @@ object LlmOps {
       .select(col("doc_id"),
         size(words).as("n_ws_tokens"),
         size(bpe).as("n_bpe_tokens"),
-        round(col("n_chars").cast("double") / size(bpe), 4)
-          .as("chars_per_token"))
+        // nullif guard: an all-space/empty doc has zero BPE tokens and
+        // under Spark 4's default ANSI mode a bare /0 would THROW (the
+        // oracle's nullif mirrors this to NULL on both sides).
+        round(col("n_chars").cast("double") /
+          nullif(size(bpe), lit(0)), 4).as("chars_per_token"))
       .orderBy("doc_id")
   }
 
@@ -797,7 +809,8 @@ object LlmOps {
       |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'))
       |    AS n_bpe_tokens,
       |  ROUND(CAST(n_chars AS DOUBLE) /
-      |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')), 4)
+      |    nullif(len(regexp_extract_all(text,
+      |      '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')), 0), 4)
       |    AS chars_per_token
       |FROM documents ORDER BY doc_id""".stripMargin
 

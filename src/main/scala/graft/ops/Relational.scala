@@ -824,7 +824,8 @@ object Relational {
       .orderBy("l_returnflag")
 
   /** DETERMINISTIC hash sampling: keep rows whose key digest lands in
-    * 1/10 of hash space. Unlike Bernoulli `sample` (engine-RNG-bound,
+    * 1/16 of hash space (first hex nibble = '0'; widen the prefix match
+    * for other rates). Unlike Bernoulli `sample` (engine-RNG-bound,
     * rows-only check), this is reproducible across engines, runs, AND
     * cluster topologies — the property a 100 TB pipeline needs so a
     * sampled experiment can be re-materialized bit-identically later,
@@ -850,19 +851,18 @@ object Relational {
     * pass — Spark expands to a single Expand + aggregate, one shuffle
     * for all three groupings instead of three jobs over the fact table.
     */
-  def aggGroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
-    val df = t(spark, sfDir, "orders")
-    df.createOrReplaceTempView("graft_orders_gs")
-    spark.sql(
-      """SELECT CAST(grouping(o_orderstatus) AS INT) AS g_status,
-        |       CAST(grouping(o_orderpriority) AS INT) AS g_prio,
-        |       o_orderstatus, o_orderpriority,
-        |       count(*) AS n, ROUND(sum(o_totalprice), 2) AS revenue
-        |FROM graft_orders_gs
-        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-        |ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority
-        |""".stripMargin)
-  }
+  def aggGroupingSets(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping("o_orderstatus").cast("int").as("g_status"),
+        grouping("o_orderpriority").cast("int").as("g_prio"),
+        count(lit(1)).as("n"),
+        round(sum("o_totalprice"), 2).as("revenue"))
+      .select(col("g_status"), col("g_prio"),
+        col("o_orderstatus"), col("o_orderpriority"), col("n"), col("revenue"))
+      .orderBy("g_status", "g_prio", "o_orderstatus", "o_orderpriority")
 
   val aggGroupingSetsOracle: String =
     """SELECT CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
@@ -889,6 +889,10 @@ object Relational {
         Array(col("l_orderkey"), col("l_linenumber")),
         Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
         "measure", "value")
+      // Spark unpivot RETAINS null measure values; DuckDB UNPIVOT drops
+      // them by default — filter to the common (exclude-NULLs) semantics
+      // so the two can't diverge if a fixture ever carries nulls here.
+      .filter(col("value").isNotNull)
       .select(col("l_orderkey"), col("l_linenumber"), col("measure"),
         round(col("value"), 2).as("val"))
       // val is in the sort key because (l_orderkey, l_linenumber) is

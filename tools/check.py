@@ -69,9 +69,9 @@ def main():
         # The driver's pandas compare crashes on array/map-typed cells
         # ("unhashable type: numpy.ndarray"); reject them here so the
         # local gate can never pass where the driver fails.
-        bad_cols = {g_cols[i] for r in g_rows[:50] for i, v in enumerate(r)
+        bad_cols = {g_cols[i] for r in g_rows for i, v in enumerate(r)
                     if isinstance(v, (list, dict))}
-        bad_cols |= {o_cols[i] for r in o_rows[:50] for i, v in enumerate(r)
+        bad_cols |= {o_cols[i] for r in o_rows for i, v in enumerate(r)
                      if isinstance(v, (list, dict))}
         if bad_cols:
             print(f"FAIL {name}: complex-typed output columns "
