@@ -74,23 +74,6 @@ object LlmOps {
       |    AS fingerprint
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Near-duplicate candidates via MinHash + LSH banding over word
-    * 3-gram shingles.
-    *
-    * Each shingle is hashed ONCE (md5); band b ∈ 0..3 uses the digest's
-    * b-th disjoint 8-hex-char slice as its hash value, so the 4 band
-    * hashes cost one md5 pass, not four. minhash_b = min over shingles
-    * of slice_b — a per-band minimum of a uniform hash, so P(two docs
-    * agree on a band) = their shingle-set Jaccard. Docs sharing any
-    * (band, minhash) bucket are candidates.
-    *
-    * 100 TB story: the signature computation is a pure projection (no
-    * shuffle — array_min over transform); the only shuffle is
-    * groupBy/join on the (band, minhash) bucket key, and buckets larger
-    * than `maxBucket` are dropped as degenerate (identical-boilerplate
-    * floods) before the within-bucket self-join, which bounds the
-    * quadratic term at maxBucket² per bucket. NEVER an all-pairs join.
-    */
   /** Per-doc DISTINCT word-3-gram shingle sets as a scan-local
     * projection (doc_id, sset) — no explode, no shuffle: the set stays
     * an in-row array. Both the MinHash signature stage and the exact-
@@ -158,6 +141,23 @@ object LlmOps {
       .filter(col("d1") < col("d2"))
   }
 
+  /** Near-duplicate candidates via MinHash + LSH banding over word
+    * 3-gram shingles.
+    *
+    * Each shingle is hashed ONCE (md5); band b ∈ 0..3 uses the digest's
+    * b-th disjoint 8-hex-char slice as its hash value, so the 4 band
+    * hashes cost one md5 pass, not four. minhash_b = min over shingles
+    * of slice_b — a per-band minimum of a uniform hash, so P(two docs
+    * agree on a band) = their shingle-set Jaccard. Docs sharing any
+    * (band, minhash) bucket are candidates.
+    *
+    * 100 TB story: signatures are a scan-local fold (zero shuffle, see
+    * [[minhashPairs]]); the only shuffles are on the (band, minhash)
+    * bucket key, and buckets larger than `maxBucket` are dropped as
+    * degenerate (identical-boilerplate floods) before the within-bucket
+    * self-join, which bounds the quadratic term at maxBucket² per
+    * bucket. NEVER an all-pairs join.
+    */
   def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame =
     minhashPairs(shingleSets(t(spark, sfDir, "documents")))
       .groupBy("d1", "d2")
