@@ -3,9 +3,36 @@ package graft.ops
 import java.util.concurrent.atomic.AtomicInteger
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, Trigger}
+
+/** Spark 4 StatefulProcessor for [[StreamingOps.transformState]]: per-user
+  * running (event count, max value) in a typed ValueState handle over the
+  * RocksDB state store — the transformWithState successor API to
+  * mapGroupsWithState (multiple named state handles, TTL, timers; here a
+  * single value handle suffices). Emits the running pair each batch;
+  * counts increase monotonically, so the converged emission per key is
+  * the one with the highest count.
+  */
+class UserRunningStats
+    extends StatefulProcessor[Long, (Long, Double), (Long, Long, Double)] {
+  @transient private var state:
+    org.apache.spark.sql.streaming.ValueState[(Long, Double)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[(Long, Double)]("stats",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble), TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+      timerValues: TimerValues): Iterator[(Long, Long, Double)] = {
+    var (n, mx) =
+      if (state.exists()) state.get() else (0L, Double.NegativeInfinity)
+    rows.foreach { r => n += 1; mx = math.max(mx, r._2) }
+    state.update((n, mx))
+    Iterator.single((key, n, mx))
+  }
+}
 
 /** Tier C streaming analytics over the `events` fixture, run as REAL
   * Structured Streaming: file source micro-batches (maxFilesPerTrigger
@@ -276,6 +303,44 @@ object StreamingOps {
       |  ROUND(sum(value), 2) AS total_value
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Arbitrary state via Spark 4's transformWithState ([[UserRunningStats]]):
+    * the same running-aggregate shape as [[stateful]] but on the successor
+    * API — typed ValueState handles over the RocksDB state-store provider
+    * (which transformWithState requires). The converged per-key emission
+    * is selected by max event count, exactly as in [[stateful]].
+    */
+  def transformState(spark: SparkSession, sfDir: String): DataFrame = {
+    val session = spark
+    import session.implicits._
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      streamEvents(spark, sfDir, "update") { src =>
+        src.select(col("user_id").as[Long], col("value").as[Double])
+          .as[(Long, Double)]
+          .groupByKey(_._1)
+          .transformWithState(new UserRunningStats, TimeMode.None(),
+            OutputMode.Update())
+          .toDF("user_id", "n_events", "maxv")
+      }.groupBy("user_id")
+        .agg(max("n_events").as("n_events"),
+          round(max_by(col("maxv"), col("n_events")), 2).as("max_value"))
+        .orderBy("user_id")
+    } finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  val transformStateOracle: String =
+    """SELECT user_id, count(*) AS n_events,
+      |  ROUND(max(value), 2) AS max_value
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling" -> tumbling,
     "stream_sliding" -> sliding,
@@ -284,7 +349,8 @@ object StreamingOps {
     "stream_dedup_watermark" -> dedupWatermark,
     "stream_static_join" -> staticJoin,
     "stream_stream_join" -> streamStreamJoin,
-    "stream_stateful" -> stateful)
+    "stream_stateful" -> stateful,
+    "stream_transform_state" -> transformState)
 
   def oracles: Map[String, String] = Map(
     "stream_tumbling" -> tumblingOracle,
@@ -294,5 +360,6 @@ object StreamingOps {
     "stream_dedup_watermark" -> dedupWatermarkOracle,
     "stream_static_join" -> staticJoinOracle,
     "stream_stream_join" -> streamStreamJoinOracle,
-    "stream_stateful" -> statefulOracle)
+    "stream_stateful" -> statefulOracle,
+    "stream_transform_state" -> transformStateOracle)
 }
