@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: wall-clocks every registered query on the sf dir from
   * SPARK_GRAFT_SF_DIR and prints ONE JSON metrics line.
@@ -14,12 +13,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = Tables.sessionConfigs.foldLeft(SparkSession.builder()
-        .master(s"local[$cpus]")
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.ui.enabled", "false")) {
-        case (b, (k, v)) => b.config(k, v)
-      }.getOrCreate()
+    val spark = Tables.localSession(cpus)
     spark.sparkContext.setLogLevel("WARN")
 
     // Warmup: run the flagship twice on the smallest sf — fills the JIT,

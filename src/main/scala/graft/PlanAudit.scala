@@ -1,13 +1,7 @@
 package graft
-import org.apache.spark.sql.SparkSession
 object PlanAudit {
   def main(args: Array[String]): Unit = {
-    val spark = Tables.sessionConfigs.foldLeft(SparkSession.builder()
-        .master("local[8]")
-        .config("spark.sql.shuffle.partitions", "8")
-        .config("spark.ui.enabled", "false")) {
-        case (b, (k, v)) => b.config(k, v)
-      }.getOrCreate()
+    val spark = Tables.localSession("8")
     spark.sparkContext.setLogLevel("ERROR")
     val sf = "/root/testdata/sf0.01"
     for (q <- Seq("agg_q1", "join_broadcast", "join_q3", "join_skew_salted",

@@ -24,6 +24,20 @@ object Tables {
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.session.timeZone" -> "UTC")
 
+  /** The one local-session builder every tool main (Bench, Verify,
+    * TimeQ, PlanAudit) shares: `cores` drives both the local[...]
+    * parallelism and the shuffle-partition count, and the fixture
+    * configs above are always applied — so a fixture-required config
+    * added here can never be missed by one of the harnesses.
+    */
+  def localSession(cores: String): SparkSession =
+    sessionConfigs.foldLeft(SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.ui.enabled", "false")) {
+      case (b, (k, v)) => b.config(k, v)
+    }.getOrCreate()
+
   def load(spark: SparkSession, sfDir: String, table: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$table.parquet")
     if (table == "events" && df.schema("ts").dataType == LongType)

@@ -1,26 +1,24 @@
 package graft
-import org.apache.spark.sql.SparkSession
 
 /** Ad-hoc single-query timer: runs each named query cold (cache cleared
-  * between runs) with the same noop-sink executor Bench uses, at sf0.1.
-  * Repeat a name to measure steady-state vs first-run JIT effects:
+  * between runs) with the same noop-sink executor, session builder, and
+  * SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS environment as Bench, so its
+  * numbers line up with BENCH_r{N}.json. Repeat a name to separate
+  * first-run JIT effects from steady state:
   * `sbt "runMain graft.TimeQ llm_dedup_minhash llm_dedup_minhash"`.
   */
 object TimeQ {
   def main(args: Array[String]): Unit = {
-    val sfDir = "/root/testdata/sf0.1"
-    val spark = Tables.sessionConfigs.foldLeft(SparkSession.builder()
-        .master("local[32]")
-        .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.ui.enabled", "false")) {
-        case (b, (k, v)) => b.config(k, v)
-      }.getOrCreate()
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Tables.localSession(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.entry(spark).count() // warmup
     for (q <- args) {
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      SparkEntry.queries(q)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      SparkEntry.queries(q)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
       println(f"$q%-24s ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()

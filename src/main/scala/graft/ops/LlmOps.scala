@@ -795,9 +795,10 @@ object LlmOps {
       .select(col("doc_id"),
         size(words).as("n_ws_tokens"),
         size(bpe).as("n_bpe_tokens"),
-        // nullif guard: an all-space/empty doc has zero BPE tokens and
-        // under Spark 4's default ANSI mode a bare /0 would THROW (the
-        // oracle's nullif mirrors this to NULL on both sides).
+        // nullif guard: an all-space/empty doc has zero BPE tokens;
+        // double /0 is IEEE Infinity in both engines, and NULL is the
+        // saner published value for "no tokens" than inf (the oracle's
+        // nullif mirrors it).
         round(col("n_chars").cast("double") /
           nullif(size(bpe), lit(0)), 4).as("chars_per_token"))
       .orderBy("doc_id")

@@ -312,8 +312,10 @@ object StreamingOps {
   def transformState(spark: SparkSession, sfDir: String): DataFrame = {
     val session = spark
     import session.implicits._
-    val prev = spark.conf.getOption(
-      "spark.sql.streaming.stateStore.providerClass")
+    // getOption on a registered SQLConf key returns the default even
+    // when never set, so "restore" means re-pinning the prior effective
+    // value — there is no true unset path to return to.
+    val prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
@@ -328,12 +330,8 @@ object StreamingOps {
         .agg(max("n_events").as("n_events"),
           round(max_by(col("maxv"), col("n_events")), 2).as("max_value"))
         .orderBy("user_id")
-    } finally prev match {
-      case Some(v) =>
-        spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
-      case None =>
-        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-    }
+    } finally spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass", prev)
   }
 
   val transformStateOracle: String =
