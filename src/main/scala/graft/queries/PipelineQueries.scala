@@ -22,19 +22,39 @@ object PipelineQueries {
   private def rowSchemaOf(log: DataFrame): StructType =
     log.schema("after").dataType.asInstanceOf[StructType]
 
+  /** Change-log staging, once per (sfDir, variant) per JVM: the logs
+    * are deterministic functions of the fixtures (ChangeGen is seeded),
+    * so every invocation reads the same immutable staged copy — the
+    * same discipline StreamingOps applies to its events staging. The
+    * pipeline's own dirs (checkpoint, warehouse) stay fresh per run;
+    * only the INPUT is cached, so the measured work is the pipeline,
+    * not the test harness's log writing.
+    */
+  private val stagedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def stageOnce(key: String)(write: String => Unit): String =
+    stagedCache.computeIfAbsent(key, { _ =>
+      val dir = Files.createTempDirectory("graft-changelog-").toString
+      write(dir)
+      dir
+    })
+
   /** Run one bounded pipeline pass over `log`, returning the target's
-    * current state. Fresh dirs per invocation; 4 log files ×
-    * maxFilesPerTrigger=1 forces multiple micro-batches, so
-    * cross-batch ordering (late events in later batches) is really
-    * exercised in every run.
+    * current state. Fresh checkpoint/warehouse dirs per invocation;
+    * 4 staged log files × maxFilesPerTrigger=2 forces multiple
+    * micro-batches, so cross-batch ordering (late events in later
+    * batches) is really exercised in every run.
     */
   private def runPipeline(spark: SparkSession, store: StateStore,
-                          log: DataFrame, target: String): Unit = {
-    val logDir = Files.createTempDirectory("graft-changelog-")
+                          log: DataFrame, logKey: String,
+                          target: String): Unit = {
+    val logDir = stageOnce(logKey) { dir =>
+      log.repartition(4).write.mode("overwrite").parquet(dir)
+    }
     val ckptDir = Files.createTempDirectory("graft-ckpt-")
-    log.repartition(4).write.mode("overwrite").parquet(logDir.toString)
     val cfg = PipelineConfig(
-      changeLogDir = logDir.toString,
+      changeLogDir = logDir,
       checkpointDir = ckptDir.toString,
       includeTables = Seq("customer", "product", "supplier"),
       triggerIntervalMs = None,
@@ -63,7 +83,8 @@ object PipelineQueries {
       Files.createTempDirectory("graft-warehouse-").toString, nBuckets = 8)
     val log = ChangeGen.changeLog(Tables.load(spark, sfDir, "customer"),
       "c_custkey", "c_acctbal", "commerce", "customer")
-    runPipeline(spark, store, log, "cdc.commerce_customer")
+    runPipeline(spark, store, log, s"$sfDir:customer",
+      "cdc.commerce_customer")
     store.currentState(spark, "cdc.commerce_customer")
       .withColumn("c_acctbal", round(col("c_acctbal"), 2))
       .orderBy("c_custkey")
@@ -88,11 +109,11 @@ object PipelineQueries {
     runPipeline(spark, store,
       ChangeGen.changeLogIntPk(base, "c_custkey", "c_acctbal",
         "commerce", "customer"),
-      "cdc.commerce_customer")
+      s"$sfDir:customer-intpk", "cdc.commerce_customer")
     runPipeline(spark, store,
       ChangeGen.evolvedChangeLog(base, "c_custkey", "c_acctbal",
         "commerce", "customer"),
-      "cdc.commerce_customer")
+      s"$sfDir:customer-evolved", "cdc.commerce_customer")
     store.currentState(spark, "cdc.commerce_customer")
       .withColumn("c_acctbal", round(col("c_acctbal"), 2))
       .select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
@@ -131,10 +152,11 @@ object PipelineQueries {
         "c_custkey", "c_acctbal", "commerce", "customer"))
       .unionAll(Envelope.toWire(ChangeGen.changeLog(supp,
         "s_suppkey", "s_acctbal", "commerce", "supplier")))
-    val logDir = Files.createTempDirectory("graft-wire-")
+    val logDir = stageOnce(s"$sfDir:wire-fanout") { dir =>
+      wire.repartition(4).write.mode("overwrite").text(dir)
+    }
     val ckptDir = Files.createTempDirectory("graft-ckpt-")
-    wire.repartition(4).write.mode("overwrite").text(logDir.toString)
-    val cfg = PipelineConfig(logDir.toString, ckptDir.toString,
+    val cfg = PipelineConfig(logDir, ckptDir.toString,
       includeTables = Seq("customer", "supplier"),
       triggerIntervalMs = None, maxFilesPerTrigger = 2)
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
