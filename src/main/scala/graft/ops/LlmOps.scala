@@ -25,16 +25,27 @@ object LlmOps {
 
   private def words: Column = split(col("text"), " ")
 
-  /** Cosine similarity between two array<double> columns, computed as
-    * sequential dot / (|a|·|b|) — same element order as DuckDB's
-    * list_dot_product so doubles agree bit-for-bit; results are still
-    * rounded to 6dp before any compare or threshold.
+  /** Cosine similarity between two array<double> columns — the custom
+    * codegen'd [[graft.functions.CosineSim]] expression: one fused loop
+    * for dot + both norms instead of three interpreted higher-order
+    * folds. Same left-to-right element order as DuckDB's
+    * list_dot_product (and as the HOF formula it replaced —
+    * CosineSimSpec asserts bit-identical doubles), so oracles agree
+    * exactly; results are still rounded to 6dp before any compare or
+    * threshold.
     */
-  private def dot(x: Column, y: Column): Column =
+  private def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSim.cosineSim(a, b)
+
+  /** The higher-order-function cosine the expression replaced — kept as
+    * the spec-tested reference implementation (CosineSimSpec proves the
+    * codegen'd twin matches it bit-for-bit on the fixtures).
+    */
+  private[ops] def dotHof(x: Column, y: Column): Column =
     aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
 
-  private def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  private[ops] def cosineHof(a: Column, b: Column): Column =
+    dotHof(a, b) / (sqrt(dotHof(a, a)) * sqrt(dotHof(b, b)))
 
   private def vecD(c: Column): Column = c.cast("array<double>")
 
@@ -1034,7 +1045,7 @@ object LlmOps {
     * pattern of a multimodal training table.
     */
   def mmJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val norm = sqrt(dot(vecD(col("embedding")), vecD(col("embedding"))))
+    val norm = sqrt(dotHof(vecD(col("embedding")), vecD(col("embedding"))))
     t(spark, sfDir, "documents")
       .select(col("doc_id"), col("lang"))
       .join(t(spark, sfDir, "embeddings"),
