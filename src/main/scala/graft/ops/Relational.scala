@@ -685,6 +685,35 @@ object Relational {
       |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** Distribution window functions: percent_rank and cume_dist of each
+    * customer's balance within its nation — the score-normalization
+    * shape (percentile features for ML, quantile routing). Same single
+    * shuffle-by-nation serves both; ties share values identically in
+    * both engines, and the rounded doubles come from the same
+    * rank/count integer ratios so they agree exactly.
+    */
+  def winDist(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    t(spark, sfDir, "customer")
+      .filter(col("c_custkey") < 300)
+      .select(col("c_nationkey"), col("c_custkey"),
+        round(col("c_acctbal"), 2).as("acctbal"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy("c_nationkey", "c_custkey")
+  }
+
+  val winDistOracle: String =
+    """SELECT c_nationkey, c_custkey,
+      |  ROUND(c_acctbal, 2) AS acctbal,
+      |  ROUND(percent_rank() OVER w, 6) AS pct_rank,
+      |  ROUND(cume_dist() OVER w, 6) AS cume
+      |FROM customer WHERE c_custkey < 300
+      |WINDOW w AS (PARTITION BY c_nationkey
+      |             ORDER BY c_acctbal, c_custkey)
+      |ORDER BY c_nationkey, c_custkey""".stripMargin
+
   /** Window frames: running total (unbounded preceding) and 3-row
     * moving average per customer.
     */
@@ -1118,6 +1147,7 @@ object Relational {
     "win_analytic" -> winAnalytic,
     "win_frame" -> winFrame,
     "win_ntile" -> winNtile,
+    "win_dist" -> winDist,
     "sort_scan" -> sortScan,
     "sort_topk" -> sortTopk,
     "sort_topk_group" -> sortTopkGroup,
@@ -1163,6 +1193,7 @@ object Relational {
     "win_analytic" -> winAnalyticOracle,
     "win_frame" -> winFrameOracle,
     "win_ntile" -> winNtileOracle,
+    "win_dist" -> winDistOracle,
     "sort_scan" -> sortScanOracle,
     "sort_topk" -> sortTopkOracle,
     "sort_topk_group" -> sortTopkGroupOracle,
