@@ -1038,6 +1038,49 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** Multimodal frame sampling: N deterministic "frames" (fixed-ratio
+    * byte windows) per payload, one typed row each — the video/audio
+    * frame-extraction access pattern (sample k frames per clip, hash or
+    * embed each, train on the frame table). The frame positions are a
+    * pure function of payload length (0% / 50% / 90%), so the sample is
+    * reproducible like [[graft.ops.Relational.sampleHash]]; the decode
+    * stand-in is a windowed hash (codec libs absent here — the schema,
+    * explode shape and per-frame typing are the real plumbing). One
+    * posexplode of a 3-element in-row array: scan-local, 3× row count,
+    * no shuffle.
+    */
+  def mmFrames(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = col("n_chars")
+    // .cast("long") after the division: Spark's / on integers yields
+    // DOUBLE; truncation matches DuckDB's // floor for these
+    // non-negative operands, and keeps frame_off integral.
+    val offs = array(
+      struct(lit(0).as("idx"), lit(1L).as("off")),
+      struct(lit(1).as("idx"),
+        greatest((n / 2).cast("long"), lit(1L)).as("off")),
+      struct(lit(2).as("idx"),
+        greatest((n * 9 / 10).cast("long"), lit(1L)).as("off")))
+    t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"), posexplode(offs))
+      .select(col("doc_id"), col("col.idx").as("frame_idx"),
+        col("col.off").as("frame_off"),
+        md5(col("text").substr(col("col.off").cast("int"), lit(16)))
+          .as("frame_md5"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  val mmFramesOracle: String =
+    """SELECT doc_id, f.idx AS frame_idx, f.off AS frame_off,
+      |  md5(substr(text, CAST(f.off AS INT), 16)) AS frame_md5
+      |FROM documents,
+      |  LATERAL (
+      |    SELECT * FROM (VALUES
+      |      (0, CAST(1 AS BIGINT)),
+      |      (1, GREATEST(n_chars // 2, CAST(1 AS BIGINT))),
+      |      (2, GREATEST(n_chars * 9 // 10, CAST(1 AS BIGINT))))
+      |      AS t(idx, off)) f
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   /** Multimodal join: text metadata ⋈ embedding vectors (doc_id =
     * vec_id), the ArrayType(Float) column flowing through the join and
     * into per-(lang, label) aggregation — vector norms averaged per
@@ -1087,6 +1130,7 @@ object LlmOps {
     "llm_text_langid" -> textLangId,
     "llm_mm_binary" -> mmBinary,
     "llm_mm_features" -> mmFeatures,
+    "llm_mm_frames" -> mmFrames,
     "llm_mm_join" -> mmJoin)
 
   def oracles: Map[String, String] = Map(
@@ -1112,5 +1156,6 @@ object LlmOps {
     "llm_text_langid" -> textLangIdOracle,
     "llm_mm_binary" -> mmBinaryOracle,
     "llm_mm_features" -> mmFeaturesOracle,
+    "llm_mm_frames" -> mmFramesOracle,
     "llm_mm_join" -> mmJoinOracle)
 }
