@@ -107,10 +107,12 @@ object Functions {
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
   /** Array family over document word arrays: size, slice, contains,
-    * sorted access, higher-order transform, distinct count. Arrays stay
+    * min element, higher-order transform, distinct count. Arrays stay
     * first-class columns through the plan; the result serializes them to
     * canonical '|'-joined strings so every output cell is a hashable
-    * scalar for the comparison harness.
+    * scalar for the comparison harness. The minimum uses `array_min`
+    * (one O(n) scan) — an earlier draft sorted the whole array to read
+    * element 1, an O(n log n) detour no 100 TB row width should pay.
     */
   def fnArray(spark: SparkSession, sfDir: String): DataFrame = {
     val words = split(col("text"), " ")
@@ -119,7 +121,7 @@ object Functions {
         size(words).as("n_words"),
         array_join(slice(words, 1, 3), "|").as("first3"),
         array_contains(words, "data").as("has_data"),
-        element_at(sort_array(words), 1).as("first_sorted"),
+        array_min(words).as("first_sorted"),
         array_join(transform(slice(words, 1, 3), w => upper(w)), "|")
           .as("upper3"),
         size(array_distinct(words)).as("n_distinct"))
@@ -131,7 +133,7 @@ object Functions {
       |  len(string_split(text, ' ')) AS n_words,
       |  array_to_string((string_split(text, ' '))[1:3], '|') AS first3,
       |  list_contains(string_split(text, ' '), 'data') AS has_data,
-      |  (list_sort(string_split(text, ' ')))[1] AS first_sorted,
+      |  list_min(string_split(text, ' ')) AS first_sorted,
       |  array_to_string(list_transform((string_split(text, ' '))[1:3],
       |    w -> upper(w)), '|') AS upper3,
       |  len(list_distinct(string_split(text, ' '))) AS n_distinct

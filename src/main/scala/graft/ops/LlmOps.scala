@@ -721,7 +721,7 @@ object LlmOps {
     """SELECT lang, count(*) AS n_docs,
       |  ROUND(avg(n_chars), 4) AS avg_chars,
       |  ROUND(avg(len(string_split(text, ' '))), 4) AS avg_words,
-      |  sum(len(string_split(text, ' '))) AS total_words,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_words,
       |  ROUND(CAST(sum(length(replace(text, ' ', ''))) AS DOUBLE) /
       |        sum(len(string_split(text, ' '))), 4) AS avg_word_len
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin

@@ -12,9 +12,48 @@ Usage: python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
 import decimal, json, math, sys
 
 import duckdb
+import pyarrow as pa
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_type(t):
+    """Collapse an arrow type to the equivalence class the driver's
+    dtype-sensitive hash sees after pandas conversion. Integer widths
+    collapse (pandas upcasts int8..int64 to int64 — r3 evidence: Spark
+    INT vs DuckDB BIGINT queries hash green), but DuckDB HUGEINT
+    arrives as decimal128(38,0), which pandas keeps as object/Decimal
+    and the driver hash rejects — the exact r3 llm_text_stats failure.
+    Floats stay width-strict."""
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_floating(t):
+        return str(t)
+    return str(t)
+
+
+def fetch(cur):
+    """Fetch a cursor as (cols, type-class map, row tuples) via arrow so
+    dtypes are visible. to_pylist restores Decimal/datetime python values
+    that norm() already knows how to canonicalize."""
+    tbl = cur.arrow()
+    cols = tbl.column_names
+    types = {n: norm_type(t) for n, t in zip(cols, tbl.schema.types)}
+    rows = [tuple(d[c] for c in cols) for d in tbl.to_pylist()]
+    return cols, types, rows
 
 
 def norm(v):
@@ -50,18 +89,14 @@ def main():
         if only and name not in only:
             continue
         try:
-            o = con.execute(sql)
-            o_cols = [d[0] for d in o.description]
-            o_rows = o.fetchall()
+            o_cols, o_types, o_rows = fetch(con.execute(sql))
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             n_bad += 1
             continue
         try:
-            g = con.execute(
-                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
-            g_cols = [d[0] for d in g.description]
-            g_rows = g.fetchall()
+            g_cols, g_types, g_rows = fetch(con.execute(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"))
         except Exception as e:
             print(f"FAIL {name}: spark result missing: {e}")
             n_bad += 1
@@ -83,6 +118,16 @@ def main():
         gc, grows = canon(g_cols, g_rows)
         if oc != gc:
             print(f"FAIL {name}: columns differ oracle={oc} spark={gc}")
+            n_bad += 1
+            continue
+        mism = [(c, o_types[c], g_types[c]) for c in oc
+                if o_types[c] != g_types[c]]
+        if mism:
+            detail = ", ".join(f"{c}: oracle {ot} vs spark {st}"
+                               for c, ot, st in mism)
+            print(f"FAIL {name}: dtype mismatch ({detail}) — the driver's "
+                  "hash is dtype-sensitive; CAST the oracle to the Spark "
+                  "type")
             n_bad += 1
             continue
         if orows == grows:
