@@ -92,54 +92,37 @@ object LlmOps {
     * equals min-over-the-multiset, so distinct shingles are equivalent
     * for MinHash while making the Jaccard sets free (the alternative —
     * collect_set after an explode — shuffles every shingle of every
-    * doc to rebuild what the row already had).
+    * doc to rebuild what the row already had). The set itself is built
+    * by the codegen'd [[graft.functions.ShingleSet]] expression — the
+    * declarative sequence/transform/concat_ws/array_distinct spelling
+    * it replaced ran interpreted and was profiled as the dominant cost
+    * of the whole LSH pair (~4.2 s of the bench at sf0.1).
     */
-  private def shingleSets(docs: DataFrame): DataFrame = {
-    val shingles = filter(
-      transform(sequence(lit(0), greatest(size(words) - 3, lit(-1))),
-        i => concat_ws(" ",
-          element_at(words, i + 1), element_at(words, i + 2),
-          element_at(words, i + 3))),
-      s => s.isNotNull)
+  private def shingleSets(docs: DataFrame): DataFrame =
     docs.filter(size(words) >= 3)
-      .select(col("doc_id"), array_distinct(shingles).as("sset"))
-  }
+      .select(col("doc_id"),
+        graft.functions.ShingleSet.shingleSet(words).as("sset"))
 
   /** Banded-MinHash candidate pairs from a shingle-SET frame: returns
     * (band, mh, d1, d2) bucket-collision rows (one per shared band).
     *
-    * The 4 band minima are computed IN-ROW by one higher-order
-    * `aggregate` fold over `transform(sset, md5)`: the md5 array is
-    * bound once as the fold input, so each shingle is hashed exactly
-    * once (naively projecting 4 × array_min(transform(md5…)) columns
-    * trips Catalyst's projection collapse, which inlines the transform
-    * into every band expression and hashes 4×). Signatures therefore
-    * cost ZERO shuffle — the per-doc explode that follows emits 4 tiny
-    * (band, mh) rows per doc, and the only exchanges in the whole
-    * operator are on the bucket key. The 4-rows-per-doc signature
-    * frame is persisted because the census and both self-join sides
-    * consume it.
+    * The 4 band minima are computed IN-ROW by the codegen'd
+    * [[graft.functions.BandedMinHash]] expression — one compiled pass
+    * that md5s each shingle exactly once and keeps 4 unsigned-int
+    * accumulators (see its scaladoc; it replaced an interpreted HOF
+    * fold that made this the joint-slowest bench query). Signatures
+    * therefore cost ZERO shuffle — the per-doc posexplode that follows
+    * emits 4 tiny (band, mh) rows per doc, and the only exchanges in
+    * the whole operator are on the bucket key. The 4-rows-per-doc
+    * signature frame is persisted because the census and both
+    * self-join sides consume it.
     */
   private def minhashPairs(ss: DataFrame): DataFrame = {
     val maxBucket = 100
-    val sentinel = lit("zzzzzzzz") // sorts after every lowercase-hex slice
-    val mins = aggregate(
-      transform(col("sset"), s => md5(s)),
-      struct(sentinel.as("m0"), sentinel.as("m1"),
-        sentinel.as("m2"), sentinel.as("m3")),
-      (acc, h) => struct(
-        least(acc.getField("m0"), h.substr(1, 8)).as("m0"),
-        least(acc.getField("m1"), h.substr(9, 8)).as("m1"),
-        least(acc.getField("m2"), h.substr(17, 8)).as("m2"),
-        least(acc.getField("m3"), h.substr(25, 8)).as("m3")))
     val sigs = ss
-      .select(col("doc_id"), mins.as("m"))
-      .select(col("doc_id"), explode(array(
-        struct(lit(0).as("band"), col("m.m0").as("mh")),
-        struct(lit(1).as("band"), col("m.m1").as("mh")),
-        struct(lit(2).as("band"), col("m.m2").as("mh")),
-        struct(lit(3).as("band"), col("m.m3").as("mh")))).as("bm"))
-      .select(col("doc_id"), col("bm.band").as("band"), col("bm.mh").as("mh"))
+      .select(col("doc_id"),
+        graft.functions.BandedMinHash.bandedMinhash(col("sset")).as("ms"))
+      .select(col("doc_id"), posexplode(col("ms")).as(Seq("band", "mh")))
       .persist()
     val okBuckets = sigs.groupBy("band", "mh")
       .agg(count(lit(1)).as("bn"))
