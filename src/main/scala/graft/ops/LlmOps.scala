@@ -437,6 +437,98 @@ object LlmOps {
       |     sqrt(list_dot_product(b.v, b.v))), 6) >= 0.30
       |ORDER BY v1, v2""".stripMargin
 
+  /** Transitive near-dup resolution: connected components over the
+    * sign-bucket candidate graph (cos >= 0.30, the [[simJoin]] cut so
+    * chains actually occur in the fixture), emitting each member's
+    * canonical representative — the min vec_id reachable through
+    * near-dup edges. This is the pass [[dedupEmbed]] explicitly defers:
+    * its pair-level drop-list can name a partner that is itself
+    * dropped; after this pass a curation pipeline keeps exactly one doc
+    * (the rep) per duplicate cluster.
+    *
+    * Algorithm: min-label propagation to fixpoint. labels start as the
+    * vertex id; each round every vertex takes the min of its own label
+    * and its neighbors' labels (one shuffle join edges⋈labels + one
+    * partial-aggregated groupBy min per round). Convergence is detected
+    * by sum(label): labels are monotone non-increasing, so the sum is
+    * strictly decreasing until fixpoint — a 1-row aggregate per round,
+    * not a data collect. Rounds needed = graph diameter; the LSH
+    * candidate graph's components are bucket-local by construction
+    * (diameter rarely above a handful), and the loop is capped. For
+    * adversarial diameters the same join shape supports small-star/
+    * large-star halving in O(log n) rounds — not needed while the
+    * candidate generator census-caps buckets at 200.
+    */
+  def dedupComponents(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = signBucketPairs(spark, sfDir)
+      .filter(col("cos") >= 0.30)
+      .select("v1", "v2")
+    val edges = pairs
+      .union(pairs.select(col("v2").as("v1"), col("v1").as("v2")))
+      .persist()
+    var labels = edges.select(col("v1").as("v"))
+      .distinct()
+      .select(col("v"), col("v").as("rep"))
+      .persist()
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum("rep"), lit(0L))).head.getLong(0)
+    var prev = labelSum(labels)
+    var rounds = 0
+    var converged = prev == 0L // empty graph → nothing to propagate
+    while (!converged && rounds < 20) {
+      val nbrMin = edges
+        .join(labels.select(col("v").as("v2"), col("rep").as("nrep")),
+          Seq("v2"))
+        .groupBy("v1")
+        .agg(min("nrep").as("nbr_min"))
+      val next = labels
+        .join(nbrMin.select(col("v1").as("v"), col("nbr_min")), Seq("v"))
+        .select(col("v"), least(col("rep"), col("nbr_min")).as("rep"))
+        .persist()
+      val cur = labelSum(next)
+      labels.unpersist(blocking = false)
+      labels = next
+      converged = cur == prev
+      prev = cur
+      rounds += 1
+    }
+    edges.unpersist(blocking = false)
+    labels
+      .select(col("v").as("vec_id"), col("rep").as("canonical_rep"))
+      .orderBy("vec_id")
+  }
+
+  val dedupComponentsOracle: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |    concat(
+      |      CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+      |      CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+      |      CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+      |      CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END,
+      |      CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END,
+      |      CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END) AS bkt
+      |  FROM embeddings
+      |), ok AS (
+      |  SELECT bkt FROM e GROUP BY bkt HAVING count(*) BETWEEN 2 AND 200
+      |), pairs AS (
+      |  SELECT a.vec_id AS v1, b.vec_id AS v2
+      |  FROM e a JOIN e b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+      |  JOIN ok ON ok.bkt = a.bkt
+      |  WHERE ROUND(list_dot_product(a.v, b.v) /
+      |      (sqrt(list_dot_product(a.v, a.v)) *
+      |       sqrt(list_dot_product(b.v, b.v))), 6) >= 0.30
+      |), edges AS (
+      |  SELECT v1 AS u, v2 AS w FROM pairs
+      |  UNION ALL SELECT v2, v1 FROM pairs
+      |), reach(u, r) AS (
+      |  SELECT DISTINCT u, u FROM edges
+      |  UNION
+      |  SELECT g.u, reach.r FROM edges g JOIN reach ON reach.u = g.w
+      |)
+      |SELECT u AS vec_id, min(r) AS canonical_rep
+      |FROM reach GROUP BY u ORDER BY vec_id""".stripMargin
+
   /** IVF-style clustered ANN: per-label centroids are the coarse
     * quantizer; the probe searches only its nearest centroid's cluster
     * (1/10th of the data here; 1/nlist in general). Centroids are tiny
@@ -1098,6 +1190,7 @@ object LlmOps {
     "llm_dedup_simhash" -> dedupSimhash,
     "llm_dedup_simhash_pairs" -> dedupSimhashPairs,
     "llm_dedup_embed" -> dedupEmbed,
+    "llm_dedup_components" -> dedupComponents,
     "llm_sim_topk" -> simTopk,
     "llm_sim_join" -> simJoin,
     "llm_sim_ivf" -> simIvf,
@@ -1124,6 +1217,7 @@ object LlmOps {
     "llm_dedup_simhash" -> dedupSimhashOracle,
     "llm_dedup_simhash_pairs" -> dedupSimhashPairsOracle,
     "llm_dedup_embed" -> dedupEmbedOracle,
+    "llm_dedup_components" -> dedupComponentsOracle,
     "llm_sim_topk" -> simTopkOracle,
     "llm_sim_join" -> simJoinOracle,
     "llm_sim_ivf" -> simIvfOracle,

@@ -80,4 +80,27 @@ class LlmOpsSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     val b = LlmOps.textStats(spark, dir).collect()
     assert(a.toSeq === b.toSeq)
   }
+
+  test("dedupComponents is a valid connected-components labeling") {
+    import org.apache.spark.sql.functions._
+    val reps = LlmOps.dedupComponents(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reps.nonEmpty)
+    // The rep is a member of the graph, labels itself, and is the
+    // component minimum (rep <= every member naming it).
+    reps.foreach { case (v, r) =>
+      assert(r <= v, s"rep $r above member $v")
+      assert(reps(r) === r, s"rep $r of $v is not its own rep")
+    }
+    // Transitivity: both endpoints of every surviving near-dup pair
+    // land in the same component — the property dedupEmbed's
+    // pair-level drop-list cannot guarantee on chains.
+    val pairs = LlmOps.simJoin(spark, sf)
+      .select(col("v1"), col("v2")).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { p =>
+      assert(reps(p.getLong(0)) === reps(p.getLong(1)),
+        s"pair ${p.getLong(0)}~${p.getLong(1)} split across components")
+    }
+  }
 }
