@@ -131,7 +131,68 @@ object CdcQueries {
     "supplier", "s_suppkey", "s_acctbal",
     Seq("s_name", "s_nationkey", "s_acctbal"))
 
+  /** A12 through the SQL FRONT DOOR: the keyed upsert expressed as one
+    * `spark.sql` MERGE-shaped statement over temp-viewed target/source —
+    * the surface the reference exposes via Trino SQL on the CDC-
+    * maintained tables (docker-compose.yaml trino service; the engine's
+    * own upsert API is [[Merge.mergeOrdered]]). Vanilla OSS Spark has no
+    * row-level MERGE INTO for v1 parquet tables, so the front door
+    * lowers the MERGE onto the same plan shape the API path uses:
+    *
+    *  - latest-per-key via `max_by(struct(...), struct(_ts, _seq))` —
+    *    one map-side-combinable hash aggregation, NOT a row_number
+    *    window (same 100 TB argument as [[Merge.compactKeepTombstones]]:
+    *    only one pre-combined row per key per partition crosses the
+    *    shuffle);
+    *  - a single FULL OUTER JOIN then encodes every MERGE branch:
+    *    matched+op='d' → DELETE (filtered), matched → UPDATE (source
+    *    image wins), not-matched-by-target → INSERT, not-matched-by-
+    *    source → target row survives.
+    *
+    * The target is deliberately a PARTIAL state (pk%11 keys missing) so
+    * the INSERT branch genuinely fires; the change log's snapshot wave
+    * restores those keys, which keeps the final state equal to the
+    * suite's trusted merged-state oracle.
+    */
+  def sqlMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.load(spark, sfDir, "customer")
+      .filter(col("c_custkey") % 11 =!= 0)
+      .createOrReplaceTempView("graft_merge_target")
+    Envelope.flatten(customerLog(spark, sfDir))
+      .select(col("row.*"), col("_cdc.op").as("_op"),
+        col("_cdc.ts_ms").as("_ts"), col("_cdc.seq").as("_seq"))
+      .createOrReplaceTempView("graft_merge_source")
+    spark.sql(
+      """WITH latest AS (
+        |  SELECT c_custkey, l.* FROM (
+        |    SELECT c_custkey,
+        |      max_by(struct(c_name, c_nationkey, c_acctbal,
+        |                    c_mktsegment, _op),
+        |             struct(_ts, _seq)) AS l
+        |    FROM graft_merge_source GROUP BY c_custkey) g
+        |), merged AS (
+        |  SELECT coalesce(s.c_custkey, t.c_custkey) AS c_custkey,
+        |    CASE WHEN s.c_custkey IS NULL THEN t.c_name
+        |         ELSE s.c_name END AS c_name,
+        |    CASE WHEN s.c_custkey IS NULL THEN t.c_nationkey
+        |         ELSE s.c_nationkey END AS c_nationkey,
+        |    CASE WHEN s.c_custkey IS NULL THEN t.c_acctbal
+        |         ELSE s.c_acctbal END AS c_acctbal,
+        |    CASE WHEN s.c_custkey IS NULL THEN t.c_mktsegment
+        |         ELSE s.c_mktsegment END AS c_mktsegment,
+        |    s._op AS _op
+        |  FROM graft_merge_target t
+        |  FULL OUTER JOIN latest s ON t.c_custkey = s.c_custkey
+        |)
+        |SELECT c_custkey, c_name, c_nationkey,
+        |       ROUND(c_acctbal, 2) AS c_acctbal, c_mktsegment
+        |FROM merged
+        |WHERE _op IS NULL OR _op <> 'd'
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_merge" -> sqlMerge,
     "cdc_merge_customer" -> mergeCustomer,
     "cdc_merge_customer_wire" -> mergeCustomerWire,
     "cdc_merge_supplier" -> mergeSupplier,
@@ -139,6 +200,7 @@ object CdcQueries {
     "cdc_route_fanout" -> routeFanout)
 
   def oracles: Map[String, String] = Map(
+    "sql_merge" -> mergeCustomerOracle,
     "cdc_merge_customer" -> mergeCustomerOracle,
     "cdc_merge_customer_wire" -> mergeCustomerOracle,
     "cdc_merge_supplier" -> mergeSupplierOracle,
