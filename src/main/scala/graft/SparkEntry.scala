@@ -19,7 +19,15 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     graft.queries.CdcQueries.mergeCustomer(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * CALLER CONTRACT: some operators `.persist()` frames that several
+    * branches of their own plan consume (LSH signatures, shingle sets,
+    * CC labels); those blocks stay cached until the session drops them.
+    * Harnesses that run many queries in one session must call
+    * `spark.catalog.clearCache()` between queries — Bench, Verify and
+    * TimeQ all do — or cached blocks accumulate across invocations.
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CdcQueries.queries ++
       graft.queries.PipelineQueries.queries ++

@@ -26,9 +26,19 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * `dab / (sqrt(daa) * sqrt(dbb))` — so oracle comparisons (DuckDB
   * list_dot_product, same element order) agree bit-for-bit, as
   * CosineSimSpec asserts against the HOF twin.
+  *
+  * Edge contract: mismatched lengths FAIL (an embedding-dimension
+  * mismatch is a data bug — silent truncation would hide it; the HOF
+  * twin silently yields NULL instead); a null element yields NULL (the
+  * HOF's propagation); a zero-norm vector yields NaN — the honest IEEE
+  * 0/0, identical in the HOF twin and the DuckDB oracle.
   */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  // Null elements yield NULL even when the child arrays themselves are
+  // non-nullable, so this expression is always nullable.
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -44,10 +54,12 @@ case class CosineSim(left: Expression, right: Expression)
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) throw CosineSim.lengthMismatch(n, b.numElements())
     var dab = 0.0; var daa = 0.0; var dbb = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = a.getDouble(i); val y = b.getDouble(i)
       dab += x * y; daa += x * x; dbb += y * y
       i += 1
@@ -65,15 +77,24 @@ case class CosineSim(left: Expression, right: Expression)
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw graft.functions.CosineSim.lengthMismatch(
+         |    $n, $b.numElements());
+         |}
          |double $dab = 0.0; double $daa = 0.0; double $dbb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |    ${ev.isNull} = true; break;
+         |  }
          |  double $x = $a.getDouble($i);
          |  double $y = $b.getDouble($i);
          |  $dab += $x * $y; $daa += $x * $x; $dbb += $y * $y;
          |}
-         |${ev.value} = $dab /
-         |  (java.lang.Math.sqrt($daa) * java.lang.Math.sqrt($dbb));
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = $dab /
+         |    (java.lang.Math.sqrt($daa) * java.lang.Math.sqrt($dbb));
+         |}
        """.stripMargin
     })
 
@@ -83,6 +104,13 @@ case class CosineSim(left: Expression, right: Expression)
 }
 
 object CosineSim {
+
+  /** Shared by the interpreted and generated paths (and by the
+    * generated Java, which is why it is public). */
+  def lengthMismatch(l: Int, r: Int): IllegalArgumentException =
+    new IllegalArgumentException(
+      s"cosine_sim: embedding dimensions differ ($l vs $r) — " +
+        "refusing to silently truncate")
 
   def cosineSim(a: Column, b: Column): Column =
     GraftBridge.column(CosineSim(
@@ -94,7 +122,10 @@ object CosineSim {
     registry.registerFunction(
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
-      (children: Seq[Expression]) =>
-        CosineSim(children.head, children(1)))
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"cosine_sim expects 2 arguments, got ${children.length}")
+        CosineSim(children.head, children(1))
+      })
   }
 }

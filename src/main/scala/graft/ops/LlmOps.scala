@@ -1102,9 +1102,14 @@ object LlmOps {
         it.map { case (id, payload) =>
           // STUB decoder: real pipelines decode image/audio here; this
           // deterministic byte-stat extractor mirrors mmFeatures.
+          // first/last decode the CHARACTER codepoint from the UTF-8
+          // bytes (not the raw signed byte, which diverges from the
+          // expression twin's ascii() on any multibyte text).
           val nBytes = payload.length.toDouble
-          val first = if (payload.isEmpty) 0.0 else payload.head.toDouble
-          val last = if (payload.isEmpty) 0.0 else payload.last.toDouble
+          val s = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
+          val first = if (s.isEmpty) 0.0 else s.codePointAt(0).toDouble
+          val last =
+            if (s.isEmpty) 0.0 else s.codePointBefore(s.length).toDouble
           val spaces = payload.count(_ == ' '.toByte).toDouble
           (id, nBytes, first, last, spaces)
         }

@@ -42,6 +42,28 @@ class CosineSimSpec extends SparkTestBase {
     assert(out.head.getDouble(0) === 1.0)
   }
 
+  test("edge contract: length mismatch fails, null element yields NULL, " +
+    "zero norm yields NaN, registry rejects bad arity") {
+    CosineSim.register(spark)
+    val err = intercept[Exception] {
+      spark.sql("SELECT cosine_sim(array(1.0d, 2.0d), array(1.0d))").collect()
+    }
+    assert(err.getMessage.contains("dimensions differ") ||
+      Option(err.getCause).exists(_.getMessage.contains("dimensions differ")))
+    val nullElem = spark.sql(
+      "SELECT cosine_sim(array(1.0d, CAST(NULL AS DOUBLE)), " +
+        "array(1.0d, 2.0d)) AS c").collect()
+    assert(nullElem.head.isNullAt(0))
+    val zeroNorm = spark.sql(
+      "SELECT cosine_sim(array(0.0d, 0.0d), array(1.0d, 2.0d)) AS c")
+      .collect()
+    assert(zeroNorm.head.getDouble(0).isNaN)
+    val arity = intercept[Exception] {
+      spark.sql("SELECT cosine_sim(array(1.0d))").collect()
+    }
+    assert(arity.getMessage.contains("cosine_sim"))
+  }
+
   test("expression runs inside whole-stage codegen") {
     val emb = Tables.load(spark, sf, "embeddings")
       .select(vecD(col("embedding")).as("v"))

@@ -17,6 +17,24 @@ class LlmOpsSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     expr.zip(part).foreach { case (a, b) => assert(a === b) }
   }
 
+  test("mmFeatures twin agreement holds on multibyte text, not just " +
+    "the ASCII fixture") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("mm_mb").toString
+    spark.sql(
+      """SELECT * FROM VALUES
+        |  (CAST(1 AS BIGINT), 'émile — œuvres 東京'),
+        |  (CAST(2 AS BIGINT), '東京 plain tail é'),
+        |  (CAST(3 AS BIGINT), 'ascii only here')
+        |AS t(doc_id, text)""".stripMargin)
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val expr = LlmOps.mmFeatures(spark, dir).collect()
+    val part = LlmOps.mmFeaturesPartition(spark, dir).collect()
+    assert(expr.length === 3)
+    expr.zip(part).foreach { case (a, b) => assert(a === b) }
+  }
+
   test("mmFeatures registered path stays inside whole-stage codegen") {
     val plan = LlmOps.mmFeatures(spark, sf).queryExecution.executedPlan
     // No deserialize-to-JVM-objects hop: the registered query must not
