@@ -742,6 +742,122 @@ object LlmOps {
       |  ROUND(CAST(count(*) AS DOUBLE) / 10, 2) AS recall
       |FROM exact JOIN approx USING (vec_id)""".stripMargin
 
+  /** PQ-flavored COARSE-TO-FINE search — the recall lever that is
+    * orthogonal to nprobe: stage 1 scans a HALF-WIDTH sketch (the
+    * first 32 of 64 dims — the fixed-projection stand-in for a learned
+    * product-quantization codebook, which needs k-means training this
+    * fixture can't justify) and keeps the top-50 candidates by sketch
+    * cosine; stage 2 re-ranks those 50 with the exact full-width cosine
+    * and emits the top-10. The asymmetry is the point: the O(N) scan
+    * touches half the bytes per row (a deployment stores the sketch as
+    * its own column — or PQ codes at 8×-64× compression — so the scan
+    * cost drops proportionally), while the exact distance is computed
+    * for only C=50 rows.
+    *
+    * Measured recall/cost at sf0.01 (500 vectors, probe vec_id 0):
+    * 2-probe IVF recall@10 = 0.3 scanning 2/16 of the corpus — the
+    * label partitions are not geometric, so probing more labels buys
+    * recall only linearly at linear cost. The sketch+re-rank curve
+    * (half scan width + C exact re-ranks, C swept in DuckDB):
+    * C=50 → 0.7, C=100 → 0.9, C=250 → 1.0. The registered query
+    * keeps C=50 (10% of the corpus re-ranked exactly) as the honest
+    * mid-curve point; [[simRerankRecall]] emits it next to the IVF
+    * baseline. Both plans are TakeOrderedAndProject over a broadcast
+    * probe — no shuffle, no all-pairs.
+    */
+  def simRerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = t(spark, sfDir, "embeddings")
+    val probe = emb.filter(col("vec_id") === 0)
+      .select(vecD(col("embedding")).as("probe"))
+    val sketchCos = round(cosine(
+      slice(vecD(col("embedding")), 1, 32), slice(col("probe"), 1, 32)), 6)
+    val cands = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), col("label"),
+        vecD(col("embedding")).as("v"), col("probe"),
+        sketchCos.as("scos"))
+      .orderBy(col("scos").desc, col("vec_id"))
+      .limit(50)
+    cands
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("v"), col("probe")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  val simRerankOracle: String =
+    """WITH probe AS (
+      |  SELECT embedding::DOUBLE[] AS p FROM embeddings WHERE vec_id = 0
+      |), cand AS (
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS v, p
+      |  FROM embeddings, probe WHERE vec_id <> 0
+      |  ORDER BY ROUND(
+      |    list_dot_product((embedding::DOUBLE[])[1:32], p[1:32]) /
+      |    (sqrt(list_dot_product((embedding::DOUBLE[])[1:32],
+      |                           (embedding::DOUBLE[])[1:32])) *
+      |     sqrt(list_dot_product(p[1:32], p[1:32]))), 6) DESC, vec_id
+      |  LIMIT 50
+      |)
+      |SELECT vec_id, label,
+      |  ROUND(list_dot_product(v, p) /
+      |    (sqrt(list_dot_product(v, v)) *
+      |     sqrt(list_dot_product(p, p))), 6) AS cos
+      |FROM cand ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+
+  /** recall@10 of BOTH approximate searches against the exact
+    * brute-force baseline, side by side in one frame — the measured
+    * recall/cost curve: nprobe (scan fewer partitions, recall capped by
+    * how geometric the partitioning is) vs sketch+re-rank (scan all
+    * rows at reduced width, recall capped by sketch fidelity and C).
+    */
+  def simRerankRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val exact = simTopk(spark, sfDir).select("vec_id")
+    def recallOf(method: String, approx: DataFrame): DataFrame =
+      exact.join(approx.select("vec_id"), Seq("vec_id"))
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(method).as("method"), lit(10).as("k"), col("hits"),
+          round(col("hits").cast("double") / 10, 2).as("recall"))
+    recallOf("ivf_2probe", simIvfMultiprobe(spark, sfDir))
+      .unionAll(recallOf("sketch_rerank", simRerank(spark, sfDir)))
+      .orderBy("method")
+  }
+
+  val simRerankRecallOracle: String =
+    ivf2BestSql + """, exact AS (
+      |  SELECT vec_id FROM embeddings, probe WHERE vec_id <> 0
+      |  ORDER BY ROUND(list_dot_product(embedding::DOUBLE[], p) /
+      |    (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+      |     sqrt(list_dot_product(p, p))), 6) DESC, vec_id LIMIT 10
+      |), approx_ivf AS (
+      |  SELECT vec_id FROM embeddings e JOIN best USING (label), probe
+      |  WHERE vec_id <> 0
+      |  ORDER BY ROUND(list_dot_product(e.embedding::DOUBLE[], p) /
+      |    (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+      |     sqrt(list_dot_product(p, p))), 6) DESC, vec_id LIMIT 10
+      |), cand AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v, p
+      |  FROM embeddings, probe WHERE vec_id <> 0
+      |  ORDER BY ROUND(
+      |    list_dot_product((embedding::DOUBLE[])[1:32], p[1:32]) /
+      |    (sqrt(list_dot_product((embedding::DOUBLE[])[1:32],
+      |                           (embedding::DOUBLE[])[1:32])) *
+      |     sqrt(list_dot_product(p[1:32], p[1:32]))), 6) DESC, vec_id
+      |  LIMIT 50
+      |), approx_rr AS (
+      |  SELECT vec_id FROM cand
+      |  ORDER BY ROUND(list_dot_product(v, p) /
+      |    (sqrt(list_dot_product(v, v)) *
+      |     sqrt(list_dot_product(p, p))), 6) DESC, vec_id LIMIT 10
+      |)
+      |SELECT 'ivf_2probe' AS method, 10 AS k, count(*) AS hits,
+      |  ROUND(CAST(count(*) AS DOUBLE) / 10, 2) AS recall
+      |FROM exact JOIN approx_ivf USING (vec_id)
+      |UNION ALL
+      |SELECT 'sketch_rerank', 10, count(*),
+      |  ROUND(CAST(count(*) AS DOUBLE) / 10, 2)
+      |FROM exact JOIN approx_rr USING (vec_id)
+      |ORDER BY method""".stripMargin
+
   /** Per-label centroid vectors (the per-class "average embedding"
     * aggregate), published as one (label, dim, m) row per coordinate:
     * exploded scalar rows rather than an array column, so every output
@@ -1201,6 +1317,8 @@ object LlmOps {
     "llm_sim_ivf" -> simIvf,
     "llm_sim_ivf_multiprobe" -> simIvfMultiprobe,
     "llm_sim_ivf_recall" -> simIvfRecall,
+    "llm_sim_rerank" -> simRerank,
+    "llm_sim_rerank_recall" -> simRerankRecall,
     "llm_sim_centroids" -> simCentroids,
     "llm_text_stats" -> textStats,
     "llm_text_tokens" -> textTokens,
@@ -1228,6 +1346,8 @@ object LlmOps {
     "llm_sim_ivf" -> simIvfOracle,
     "llm_sim_ivf_multiprobe" -> simIvfMultiprobeOracle,
     "llm_sim_ivf_recall" -> simIvfRecallOracle,
+    "llm_sim_rerank" -> simRerankOracle,
+    "llm_sim_rerank_recall" -> simRerankRecallOracle,
     "llm_sim_centroids" -> simCentroidsOracle,
     "llm_text_stats" -> textStatsOracle,
     "llm_text_tokens" -> textTokensOracle,
