@@ -202,8 +202,10 @@ object LlmOps {
     // carries per-shingle rows at all.
     val ss = shingleSets(t(spark, sfDir, "documents")).persist()
     val cands = minhashPairs(ss).select("d1", "d2").distinct()
-    val jac = size(array_intersect(col("sa"), col("sb"))).cast("double") /
-      size(array_union(col("sa"), col("sb")))
+    // One compiled pass per pair (hash set + membership counts) instead
+    // of the interpreted array_intersect/array_union twin — see
+    // [[graft.functions.JaccardSim]].
+    val jac = graft.functions.JaccardSim.jaccardSim(col("sa"), col("sb"))
     // Shuffle-join the candidate ids against the set frame (both joins
     // repartition by doc id). Broadcasting the candidate side was
     // measured SLOWER here: the broadcast collect serializes the whole
