@@ -542,6 +542,102 @@ object LlmOps {
       |SELECT u AS vec_id, min(r) AS canonical_rep
       |FROM reach GROUP BY u ORDER BY vec_id""".stripMargin
 
+  /** End-to-end corpus curation — the pipeline a training-data run
+    * actually executes, composed from the operators above in ONE plan:
+    *
+    *   1. quality gate: type-token ratio >= 0.5 and 20..1000 words
+    *      (same cut as [[textQualityRoute]]) — a scan-local filter, so
+    *      Catalyst pushes the cheap length predicate toward the scan
+    *      and everything downstream sees only survivors;
+    *   2. exact dedup: keep min doc_id per md5(text) — one hash shuffle
+    *      carrying (digest, doc_id), never the text;
+    *   3. near-dup drop: banded-MinHash candidates over the SURVIVING
+    *      set ([[minhashPairs]] — census-capped buckets, zero-shuffle
+    *      signatures), exact-Jaccard >= 0.5 verification
+    *      ([[graft.functions.JaccardSim]]), then greedy min-keep: any
+    *      doc with a smaller-id near-duplicate partner is dropped.
+    *
+    * Output is the kept corpus (doc_id, lang, n_words). The LSH census
+    * and band minima are computed over the post-quality post-exact-dedup
+    * population — dedup-after-filter is deliberate (filtering first
+    * shrinks the quadratic stage), and the oracle mirrors that staging
+    * exactly. Greedy min-keep (not connected components) is the
+    * documented semantic here: a doc is dropped iff some kept-or-dropped
+    * smaller doc is its near-dup; [[dedupComponents]] is the transitive
+    * alternative when cluster-canonical reps are needed.
+    */
+  def curate(spark: SparkSession, sfDir: String): DataFrame = {
+    val nWords = size(words)
+    val ttr = round(size(array_distinct(words)).cast("double") / nWords, 6)
+    val qualified = t(spark, sfDir, "documents")
+      .filter(ttr >= 0.5 && nWords.between(20, 1000))
+      .select(col("doc_id"), col("lang"), col("text"), nWords.as("n_words"))
+    val keepers = qualified
+      .select(md5(col("text")).as("h"), col("doc_id"))
+      .groupBy("h").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val exactKept = qualified.join(keepers, Seq("doc_id"), "left_semi")
+    val ss = shingleSets(exactKept).persist()
+    val jac = graft.functions.JaccardSim.jaccardSim(col("sa"), col("sb"))
+    val dropped = minhashPairs(ss).select("d1", "d2").distinct()
+      .join(ss.select(col("doc_id").as("d1"), col("sset").as("sa")), Seq("d1"))
+      .join(ss.select(col("doc_id").as("d2"), col("sset").as("sb")), Seq("d2"))
+      .filter(round(jac, 6) >= 0.5)
+      .select(col("d2").as("doc_id"))
+      .distinct()
+    exactKept.join(dropped, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "n_words")
+      .orderBy("doc_id")
+  }
+
+  val curateOracle: String =
+    """WITH q AS (
+      |  SELECT doc_id, lang, text,
+      |    len(string_split(text, ' ')) AS n_words
+      |  FROM documents
+      |  WHERE ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+      |        len(string_split(text, ' ')), 6) >= 0.5
+      |    AND len(string_split(text, ' ')) BETWEEN 20 AND 1000
+      |), keep AS (
+      |  SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)
+      |), ek AS (
+      |  SELECT q.* FROM q JOIN keep USING (doc_id)
+      |), sh AS (
+      |  SELECT doc_id,
+      |    string_split(text, ' ')[idx.i] || ' ' ||
+      |    string_split(text, ' ')[idx.i + 1] || ' ' ||
+      |    string_split(text, ' ')[idx.i + 2] AS s
+      |  FROM ek,
+      |    LATERAL (SELECT unnest(range(1, len(string_split(text, ' ')) - 1)) AS i) idx
+      |  WHERE len(string_split(text, ' ')) >= 3
+      |), ssets AS (
+      |  SELECT doc_id, list_distinct(list(s)) AS sset FROM sh GROUP BY doc_id
+      |), sigs AS (
+      |  SELECT doc_id, b.band, min(substr(md5(s), b.band * 8 + 1, 8)) AS mh
+      |  FROM sh, LATERAL (SELECT unnest(range(4)) AS band) b
+      |  GROUP BY doc_id, b.band
+      |), ok AS (
+      |  SELECT band, mh FROM sigs GROUP BY band, mh
+      |  HAVING count(*) BETWEEN 2 AND 100
+      |), inb AS (
+      |  SELECT s.doc_id, s.band, s.mh FROM sigs s JOIN ok USING (band, mh)
+      |), cands AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2
+      |  FROM inb a JOIN inb b ON a.band = b.band AND a.mh = b.mh
+      |  WHERE a.doc_id < b.doc_id
+      |  GROUP BY d1, d2
+      |), dups AS (
+      |  SELECT DISTINCT d2 AS doc_id
+      |  FROM cands
+      |  JOIN ssets sa ON sa.doc_id = d1
+      |  JOIN ssets sb ON sb.doc_id = d2
+      |  WHERE ROUND(CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE) /
+      |        len(list_distinct(list_concat(sa.sset, sb.sset))), 6) >= 0.5
+      |)
+      |SELECT doc_id, lang, n_words FROM ek
+      |WHERE doc_id NOT IN (SELECT doc_id FROM dups)
+      |ORDER BY doc_id""".stripMargin
+
   /** IVF-style clustered ANN: per-label centroids are the coarse
     * quantizer; the probe searches only its nearest centroid's cluster
     * (1/10th of the data here; 1/nlist in general). Centroids are tiny
@@ -1325,6 +1421,7 @@ object LlmOps {
     "llm_dedup_simhash_pairs" -> dedupSimhashPairs,
     "llm_dedup_embed" -> dedupEmbed,
     "llm_dedup_components" -> dedupComponents,
+    "llm_curate" -> curate,
     "llm_sim_topk" -> simTopk,
     "llm_sim_join" -> simJoin,
     "llm_sim_ivf" -> simIvf,
@@ -1354,6 +1451,7 @@ object LlmOps {
     "llm_dedup_simhash_pairs" -> dedupSimhashPairsOracle,
     "llm_dedup_embed" -> dedupEmbedOracle,
     "llm_dedup_components" -> dedupComponentsOracle,
+    "llm_curate" -> curateOracle,
     "llm_sim_topk" -> simTopkOracle,
     "llm_sim_join" -> simJoinOracle,
     "llm_sim_ivf" -> simIvfOracle,

@@ -121,4 +121,26 @@ class LlmOpsSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
         s"pair ${p.getLong(0)}~${p.getLong(1)} split across components")
     }
   }
+
+  test("curate output honors every stage's invariant") {
+    import org.apache.spark.sql.functions._
+    val kept = LlmOps.curate(spark, sf)
+    val rows = kept.collect()
+    assert(rows.nonEmpty)
+    // Stage 1 — quality gate: every survivor is inside the word window
+    // (TTR is re-checked via the oracle at sf0.01; here the cheap bound).
+    rows.foreach { r =>
+      val n = r.getAs[Int]("n_words")
+      assert(n >= 20 && n <= 1000, s"doc ${r.getLong(0)} n_words=$n")
+    }
+    // Stage 2 — exact dedup: no two kept docs share a text digest.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val dupDigests = kept.select("doc_id")
+      .join(docs, Seq("doc_id"))
+      .groupBy(md5(col("text"))).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).count()
+    assert(dupDigests === 0L, "kept corpus still has exact duplicates")
+    // Monotonicity: curation only removes rows, never invents them.
+    assert(rows.length <= docs.count())
+  }
 }
