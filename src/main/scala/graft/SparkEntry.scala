@@ -27,6 +27,11 @@ object SparkEntry {
     * Harnesses that run many queries in one session must call
     * `spark.catalog.clearCache()` between queries — Bench, Verify and
     * TimeQ all do — or cached blocks accumulate across invocations.
+    * (The iterative connected-components pass additionally writes
+    * per-round `localCheckpoint` blocks; those are outside the catalog
+    * cache and are reclaimed by the ContextCleaner once the round's
+    * frame is unreferenced — tiny label frames, bounded by the round
+    * cap, no action needed from callers.)
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CdcQueries.queries ++
