@@ -60,21 +60,21 @@ object StreamingOps {
   private val stagedCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Stream the events table through `f` into a memory sink; return
+  /** Stream a fixture table through `f` into a memory sink; return
     * the drained sink table. The fixture is a single parquet file and
     * Spark's file stream source needs a directory, so the (ts-
     * normalized) table is staged into a temp dir as 4 files first —
-    * which with maxFilesPerTrigger=1 also forces a genuinely
-    * multi-micro-batch run on every invocation.
+    * which with maxFilesPerTrigger below the file count also forces a
+    * genuinely multi-micro-batch run on every invocation.
     */
-  private def streamEvents(spark: SparkSession, sfDir: String,
-                           mode: String)(f: DataFrame => DataFrame): DataFrame = {
-    val prepared = Tables.load(spark, sfDir, "events")
-    // Stage once per sfDir per JVM — every streaming query reads the
-    // same immutable staged copy.
-    val staged = stagedCache.computeIfAbsent(sfDir, { _ =>
+  private def streamTable(spark: SparkSession, sfDir: String, table: String,
+                          mode: String)(f: DataFrame => DataFrame): DataFrame = {
+    val prepared = Tables.load(spark, sfDir, table)
+    // Stage once per (sfDir, table) per JVM — every streaming query
+    // reads the same immutable staged copy.
+    val staged = stagedCache.computeIfAbsent(s"$sfDir/$table", { _ =>
       val dir = java.nio.file.Files
-        .createTempDirectory("graft-events-").toString
+        .createTempDirectory(s"graft-$table-").toString
       prepared.repartition(4).write.mode("overwrite").parquet(dir)
       dir
     })
@@ -97,6 +97,10 @@ object StreamingOps {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     spark.table(name)
   }
+
+  private def streamEvents(spark: SparkSession, sfDir: String,
+                           mode: String)(f: DataFrame => DataFrame): DataFrame =
+    streamTable(spark, sfDir, "events", mode)(f)
 
   private def usCol(c: String): org.apache.spark.sql.Column =
     unix_micros(col(c))
@@ -231,6 +235,55 @@ object StreamingOps {
       |FROM events JOIN customer ON user_id = c_custkey
       |ORDER BY event_id""".stripMargin
 
+  /** Incremental corpus curation — the streaming twin of
+    * [[LlmOps.curate]]: newly ingested documents flow through the
+    * quality gate, are deduped against the STATIC history corpus
+    * (docs with doc_id % 4 == 0 stand in for the already-curated
+    * store), and exact-dedup counts are maintained per language.
+    *
+    * The shape a 100 TB ingest actually runs: the history digest set
+    * is an anti-joined broadcast (16-byte digests, not text — a
+    * billion-doc corpus is a few GB of digests; beyond broadcast
+    * range the identical plan shuffle-joins on the digest), the
+    * quality filter is scan-local per micro-batch, and the only
+    * stateful operator is one (lang, digest) count whose state is the
+    * UNIQUE new-digest set — duplicates fold into their group instead
+    * of accumulating rows. The per-lang rollup happens batch-side on
+    * the drained sink (complete mode re-emits converged groups), so
+    * the result is independent of micro-batch slicing.
+    */
+  def streamCurate(spark: SparkSession, sfDir: String): DataFrame =
+    streamTable(spark, sfDir, "documents", "complete") { src =>
+      val w = split(col("text"), " ")
+      val nWords = size(w)
+      val ttr = round(size(array_distinct(w)).cast("double") / nWords, 6)
+      val hist = Tables.load(spark, sfDir, "documents")
+        .filter(col("doc_id") % 4 === 0)
+        .select(md5(col("text")).as("h"))
+        .distinct()
+      src.filter(ttr >= 0.5 && nWords.between(20, 1000))
+        .select(col("lang"), md5(col("text")).as("h"))
+        .join(broadcast(hist), Seq("h"), "left_anti")
+        .groupBy("lang", "h")
+        .agg(count(lit(1)).as("n"))
+    }.groupBy("lang")
+      .agg(count(lit(1)).as("n_unique"), sum("n").as("n_docs"))
+      .orderBy("lang")
+
+  val streamCurateOracle: String =
+    """WITH hist AS (
+      |  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 4 = 0
+      |), q AS (
+      |  SELECT lang, md5(text) AS h FROM documents
+      |  WHERE ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+      |        len(string_split(text, ' ')), 6) >= 0.5
+      |    AND len(string_split(text, ' ')) BETWEEN 20 AND 1000
+      |    AND md5(text) NOT IN (SELECT h FROM hist)
+      |)
+      |SELECT lang, count(DISTINCT h) AS n_unique,
+      |  CAST(count(*) AS BIGINT) AS n_docs
+      |FROM q GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Stream-STREAM interval join (self-join of the event stream):
     * each purchase matched to the same user's clicks in the preceding
     * hour. Both sides carry watermarks and the join condition bounds
@@ -346,6 +399,7 @@ object StreamingOps {
     "stream_dedup" -> dedup,
     "stream_dedup_watermark" -> dedupWatermark,
     "stream_static_join" -> staticJoin,
+    "stream_curate" -> streamCurate,
     "stream_stream_join" -> streamStreamJoin,
     "stream_stateful" -> stateful,
     "stream_transform_state" -> transformState)
@@ -357,6 +411,7 @@ object StreamingOps {
     "stream_dedup" -> dedupOracle,
     "stream_dedup_watermark" -> dedupWatermarkOracle,
     "stream_static_join" -> staticJoinOracle,
+    "stream_curate" -> streamCurateOracle,
     "stream_stream_join" -> streamStreamJoinOracle,
     "stream_stateful" -> statefulOracle,
     "stream_transform_state" -> transformStateOracle)
