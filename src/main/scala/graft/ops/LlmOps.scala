@@ -25,6 +25,25 @@ object LlmOps {
 
   private def words: Column = split(col("text"), " ")
 
+  /** THE quality cut — type-token ratio >= 0.5 (rounded to 6 places so
+    * both engines compare the same value) inside a 20..1000-word
+    * window. One definition shared by the router ([[textQualityRoute]]),
+    * the batch pipeline ([[curate]]) and the streaming twin
+    * ([[StreamingOps.streamCurate]]) so the three can't desynchronize;
+    * [[qualityPredSql]] is the DuckDB spelling their oracles embed.
+    */
+  private[ops] def qualityPred: Column = {
+    val n = size(words)
+    round(size(array_distinct(words)).cast("double") / n, 6) >= 0.5 &&
+      n.between(20, 1000)
+  }
+
+  /** DuckDB twin of [[qualityPred]], interpolated into the oracles. */
+  private[ops] val qualityPredSql: String =
+    """ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+      |        len(string_split(text, ' ')), 6) >= 0.5
+      |    AND len(string_split(text, ' ')) BETWEEN 20 AND 1000""".stripMargin
+
   /** Cosine similarity between two array<double> columns — the custom
     * codegen'd [[graft.functions.CosineSim]] expression: one fused loop
     * for dot + both norms instead of three interpreted higher-order
@@ -489,7 +508,9 @@ object LlmOps {
     var prev = labelSum(labels)
     var rounds = 0
     var converged = prev == 0L // empty graph → nothing to propagate
-    while (!converged && rounds < 20) {
+    val maxRounds = 64 // >> any non-adversarial diameter; rounds are
+    // cheap post-checkpoint (~0.1 s), so the headroom costs nothing
+    while (!converged && rounds < maxRounds) {
       val nbrMin = edges
         .join(labels.select(col("v").as("v2"), col("rep").as("nrep")),
           Seq("v2"))
@@ -506,6 +527,15 @@ object LlmOps {
       rounds += 1
     }
     edges.unpersist(blocking = false)
+    // Non-convergence means the emitted labels are NOT the documented
+    // component minima — fail loudly rather than hand a correctness
+    // gate silently-wrong canonical reps. A diameter above maxRounds
+    // is adversarial for this propagation scheme; the remedy is the
+    // small-star/large-star halving variant (O(log n) rounds), not a
+    // bigger cap.
+    if (!converged) throw new IllegalStateException(
+      s"connected components did not converge within $maxRounds rounds " +
+        "(graph diameter exceeds the propagation cap); use star-halving")
     labels
       .select(col("v").as("vec_id"), col("rep").as("canonical_rep"))
       .orderBy("vec_id")
@@ -567,16 +597,19 @@ object LlmOps {
     * alternative when cluster-canonical reps are needed.
     */
   def curate(spark: SparkSession, sfDir: String): DataFrame = {
-    val nWords = size(words)
-    val ttr = round(size(array_distinct(words)).cast("double") / nWords, 6)
     val qualified = t(spark, sfDir, "documents")
-      .filter(ttr >= 0.5 && nWords.between(20, 1000))
-      .select(col("doc_id"), col("lang"), col("text"), nWords.as("n_words"))
+      .filter(qualityPred)
+      .select(col("doc_id"), col("lang"), col("text"),
+        size(words).as("n_words"))
     val keepers = qualified
       .select(md5(col("text")).as("h"), col("doc_id"))
       .groupBy("h").agg(min("doc_id").as("doc_id"))
       .select("doc_id")
+    // Persisted because BOTH the shingle-set frame and the final
+    // anti-join consume it — without this the scan + TTR eval + digest
+    // shuffle + semi join re-execute for the second consumer.
     val exactKept = qualified.join(keepers, Seq("doc_id"), "left_semi")
+      .persist()
     val ss = shingleSets(exactKept).persist()
     val jac = graft.functions.JaccardSim.jaccardSim(col("sa"), col("sb"))
     val dropped = minhashPairs(ss).select("d1", "d2").distinct()
@@ -591,13 +624,11 @@ object LlmOps {
   }
 
   val curateOracle: String =
-    """WITH q AS (
+    s"""WITH q AS (
       |  SELECT doc_id, lang, text,
       |    len(string_split(text, ' ')) AS n_words
       |  FROM documents
-      |  WHERE ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
-      |        len(string_split(text, ' ')), 6) >= 0.5
-      |    AND len(string_split(text, ' ')) BETWEEN 20 AND 1000
+      |  WHERE $qualityPredSql
       |), keep AS (
       |  SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)
       |), ek AS (
@@ -1170,7 +1201,7 @@ object LlmOps {
     t(spark, sfDir, "documents")
       .select(col("doc_id"), col("lang"), nWords.as("n_words"),
         ttr.as("ttr"),
-        when(ttr >= 0.5 && nWords.between(20, 1000), lit("high"))
+        when(qualityPred, lit("high"))
           .otherwise(lit("low")).as("quality"))
       .withColumn("route",
         concat_ws("_", lit("docs"), col("lang"), col("quality")))
@@ -1178,18 +1209,14 @@ object LlmOps {
   }
 
   val textQualityRouteOracle: String =
-    """SELECT doc_id, lang,
+    s"""SELECT doc_id, lang,
       |  len(string_split(text, ' ')) AS n_words,
       |  ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
       |        len(string_split(text, ' ')), 6) AS ttr,
-      |  CASE WHEN ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
-      |            len(string_split(text, ' ')), 6) >= 0.5
-      |        AND len(string_split(text, ' ')) BETWEEN 20 AND 1000
+      |  CASE WHEN $qualityPredSql
       |       THEN 'high' ELSE 'low' END AS quality,
       |  concat_ws('_', 'docs', lang,
-      |    CASE WHEN ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
-      |              len(string_split(text, ' ')), 6) >= 0.5
-      |          AND len(string_split(text, ' ')) BETWEEN 20 AND 1000
+      |    CASE WHEN $qualityPredSql
       |         THEN 'high' ELSE 'low' END) AS route
       |FROM documents ORDER BY doc_id""".stripMargin
 

@@ -254,14 +254,16 @@ object StreamingOps {
     */
   def streamCurate(spark: SparkSession, sfDir: String): DataFrame =
     streamTable(spark, sfDir, "documents", "complete") { src =>
-      val w = split(col("text"), " ")
-      val nWords = size(w)
-      val ttr = round(size(array_distinct(w)).cast("double") / nWords, 6)
+      // Persisted: the stream-static join is REPLANNED per micro-batch,
+      // so an uncached history side would re-scan + re-digest + re-
+      // broadcast the whole corpus on every trigger. Cached, each
+      // trigger rebuilds the broadcast from the materialized digests.
       val hist = Tables.load(spark, sfDir, "documents")
         .filter(col("doc_id") % 4 === 0)
         .select(md5(col("text")).as("h"))
         .distinct()
-      src.filter(ttr >= 0.5 && nWords.between(20, 1000))
+        .persist()
+      src.filter(LlmOps.qualityPred)
         .select(col("lang"), md5(col("text")).as("h"))
         .join(broadcast(hist), Seq("h"), "left_anti")
         .groupBy("lang", "h")
@@ -271,13 +273,11 @@ object StreamingOps {
       .orderBy("lang")
 
   val streamCurateOracle: String =
-    """WITH hist AS (
+    s"""WITH hist AS (
       |  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 4 = 0
       |), q AS (
       |  SELECT lang, md5(text) AS h FROM documents
-      |  WHERE ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
-      |        len(string_split(text, ' ')), 6) >= 0.5
-      |    AND len(string_split(text, ' ')) BETWEEN 20 AND 1000
+      |  WHERE ${LlmOps.qualityPredSql}
       |    AND md5(text) NOT IN (SELECT h FROM hist)
       |)
       |SELECT lang, count(DISTINCT h) AS n_unique,

@@ -25,11 +25,15 @@ def norm_type(t):
     INT vs DuckDB BIGINT queries hash green), but DuckDB HUGEINT
     arrives as decimal128(38,0), which pandas keeps as object/Decimal
     and the driver hash rejects — the exact r3 llm_text_stats failure.
-    Floats stay width-strict."""
+    Decimal WIDTHS collapse too: pandas keeps every decimal as a python
+    Decimal whose ==/hash are numeric, so decimal(38,2) vs decimal(22,2)
+    with equal values is green for the driver (DuckDB SUM over DECIMAL
+    always widens to precision 38 — width-strictness here would fail
+    locally where the driver passes). Floats stay width-strict."""
     if pa.types.is_integer(t):
         return "int"
     if pa.types.is_decimal(t):
-        return f"decimal({t.precision},{t.scale})"
+        return "decimal"
     if pa.types.is_boolean(t):
         return "bool"
     if pa.types.is_string(t) or pa.types.is_large_string(t):
@@ -47,12 +51,15 @@ def norm_type(t):
 
 def fetch(cur):
     """Fetch a cursor as (cols, type-class map, row tuples) via arrow so
-    dtypes are visible. to_pylist restores Decimal/datetime python values
+    dtypes are visible. Rows are extracted POSITIONALLY (column arrays
+    zipped), not via to_pylist()'s name-keyed dicts — duplicate output
+    column names would silently collapse there and mask a real value
+    mismatch. Arrow's to_pylist restores Decimal/datetime python values
     that norm() already knows how to canonicalize."""
     tbl = cur.arrow()
     cols = tbl.column_names
     types = {n: norm_type(t) for n, t in zip(cols, tbl.schema.types)}
-    rows = [tuple(d[c] for c in cols) for d in tbl.to_pylist()]
+    rows = list(zip(*(c.to_pylist() for c in tbl.columns))) if cols else []
     return cols, types, rows
 
 
