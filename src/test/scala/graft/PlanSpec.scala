@@ -83,4 +83,16 @@ class PlanSpec extends SparkTestBase {
       "compaction must partial-aggregate before the exchange")
     assert(!p.contains("Window"), "compaction must not use a window operator")
   }
+
+  test("llm_curate: join-based dedup stages, no cartesian, no window") {
+    val p = plan("llm_curate")
+    // The exact-dedup keeper set joins back semi/anti — hash joins on
+    // the id, never a cartesian product; the LSH stage's only joins are
+    // on the (band, minhash) bucket key. A window (row_number-per-
+    // digest) would shuffle and sort whole text partitions instead.
+    assert(p.contains("LeftSemi"), "keeper set must semi-join back")
+    assert(p.contains("LeftAnti"), "near-dup drop must be an anti join")
+    assert(!p.contains("CartesianProduct"), "curate must never cross-join")
+    assert(!p.contains("Window"), "dedup must stay join-based, not window")
+  }
 }
