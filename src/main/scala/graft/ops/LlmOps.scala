@@ -467,18 +467,22 @@ object LlmOps {
     * dropped; after this pass a curation pipeline keeps exactly one doc
     * (the rep) per duplicate cluster.
     *
-    * Algorithm: min-label propagation to fixpoint. labels start as the
-    * vertex id; each round every vertex takes the min of its own label
-    * and its neighbors' labels (one shuffle join edges⋈labels + one
-    * partial-aggregated groupBy min per round). Convergence is detected
-    * by sum(label): labels are monotone non-increasing, so the sum is
-    * strictly decreasing until fixpoint — a 1-row aggregate per round,
-    * not a data collect. Rounds needed = graph diameter; the LSH
-    * candidate graph's components are bucket-local by construction
-    * (diameter rarely above a handful), and the loop is capped. For
-    * adversarial diameters the same join shape supports small-star/
-    * large-star halving in O(log n) rounds — not needed while the
-    * candidate generator census-caps buckets at 200.
+    * Algorithm: min-label propagation WITH POINTER JUMPING to fixpoint.
+    * Labels start as the vertex id; each round every vertex takes the
+    * min of (its own label, its neighbors' labels, its label's label).
+    * The first two are plain propagation (one shuffle join
+    * edges⋈labels + one partial-aggregated groupBy min); the third —
+    * path halving, one extra join of the label frame against itself on
+    * `rep` — lets information skip along already-discovered chains, so
+    * convergence needs O(log diameter) rounds instead of O(diameter):
+    * a 2^64-hop chain would converge inside the 64-round cap.
+    * Convergence is detected by sum(label): labels are monotone
+    * non-increasing, so the sum is strictly decreasing until fixpoint —
+    * a 1-row aggregate per round, not a data collect. The jump join
+    * shuffles by `rep`, which concentrates as components merge — at
+    * 100 TB that skew is AQE's split-skewed-partitions case, and every
+    * round's frames stay (vertex, label) pairs regardless of data
+    * width.
     *
     * LINEAGE DISCIPLINE (the part that makes iteration viable at all):
     * each round's label frame is cut from its history with an eager
@@ -516,9 +520,15 @@ object LlmOps {
           Seq("v2"))
         .groupBy("v1")
         .agg(min("nrep").as("nbr_min"))
-      val next = labels
+      val stepped = labels
         .join(nbrMin.select(col("v1").as("v"), col("nbr_min")), Seq("v"))
         .select(col("v"), least(col("rep"), col("nbr_min")).as("rep"))
+      // Path halving: rep := min(rep, label(rep)). Every rep is itself
+      // a graph vertex, so the inner self-join is total.
+      val next = stepped
+        .join(labels.select(col("v").as("rep"), col("rep").as("rrep")),
+          Seq("rep"))
+        .select(col("v"), least(col("rep"), col("rrep")).as("rep"))
         .localCheckpoint(true) // eager: materialize + cut lineage now
       val cur = labelSum(next)
       labels = next
@@ -529,13 +539,12 @@ object LlmOps {
     edges.unpersist(blocking = false)
     // Non-convergence means the emitted labels are NOT the documented
     // component minima — fail loudly rather than hand a correctness
-    // gate silently-wrong canonical reps. A diameter above maxRounds
-    // is adversarial for this propagation scheme; the remedy is the
-    // small-star/large-star halving variant (O(log n) rounds), not a
-    // bigger cap.
+    // gate silently-wrong canonical reps. With path halving the cap
+    // covers chains up to ~2^64 hops, so reaching this line means a
+    // bug, not a big graph.
     if (!converged) throw new IllegalStateException(
       s"connected components did not converge within $maxRounds rounds " +
-        "(graph diameter exceeds the propagation cap); use star-halving")
+        "despite path halving — investigate, this should be unreachable")
     labels
       .select(col("v").as("vec_id"), col("rep").as("canonical_rep"))
       .orderBy("vec_id")
