@@ -122,6 +122,33 @@ class LlmOpsSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("dedupComponents resolves a 50-vector chain (diameter 49) to " +
+    "one component") {
+    import spark.implicits._
+    // All vectors share sign bucket 111111 (dims 1-6 positive baseline)
+    // but vector i is supported on dims {7+i, 8+i}: consecutive vectors
+    // share one support dim (cos ~0.5, above the 0.30 cut) while any
+    // non-adjacent pair overlaps only through the 0.01 baseline
+    // (cos ~0.02, below it). The candidate graph is a pure path — the
+    // adversarial depth case for label propagation; path halving must
+    // still converge it well inside the round cap.
+    val dir = java.nio.file.Files.createTempDirectory("cc_chain").toString
+    val n = 50
+    val vecs = (0 until n).map { i =>
+      val a = Array.fill(64)(0.01f)
+      a(6 + i) = 1.01f
+      a(7 + i) = 1.01f
+      (100L + i, "c", a)
+    }
+    vecs.toDF("vec_id", "label", "embedding").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val reps = LlmOps.dedupComponents(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reps.size === n, "every chain member must be labeled")
+    assert(reps.values.toSet === Set(100L),
+      s"all labels must collapse to the chain minimum, got ${reps.values.toSet}")
+  }
+
   test("curate output honors every stage's invariant") {
     import org.apache.spark.sql.functions._
     val kept = LlmOps.curate(spark, sf)
