@@ -149,6 +149,19 @@ class LlmOpsSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       s"all labels must collapse to the chain minimum, got ${reps.values.toSet}")
   }
 
+  test("curate returns an empty corpus (not an error) when no doc " +
+    "passes the quality gate") {
+    import spark.implicits._
+    // Every doc is below the 20-word floor, so stage 1 empties the
+    // pipeline; the LSH stages must tolerate empty shingle/candidate
+    // frames rather than assuming survivors exist.
+    val dir = java.nio.file.Files.createTempDirectory("curate_empty").toString
+    Seq((1L, "en", "too short"), (2L, "de", "auch kurz"))
+      .toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(LlmOps.curate(spark, dir).count() === 0L)
+  }
+
   test("curate output honors every stage's invariant") {
     import org.apache.spark.sql.functions._
     val kept = LlmOps.curate(spark, sf)
