@@ -1287,6 +1287,39 @@ object LlmOps {
       |FROM predicted WHERE rn = 1
       |GROUP BY lang, p_lang ORDER BY actual, predicted""".stripMargin
 
+  /** Vocabulary induction: the top-5 corpus terms per language by raw
+    * frequency — the precursor a tokenizer-training run computes before
+    * BPE merges. Two-stage shape on purpose: the corpus-sized work is
+    * the (lang, term) count, which partial-aggregates map-side and
+    * shuffles on the well-distributed (lang, term) key; the ranked
+    * window then runs over the AGGREGATED vocabulary (|V| rows per
+    * language, millions at web scale — not the corpus), so the
+    * per-language sort is bounded by vocabulary size, never by the
+    * 100 TB of text.
+    */
+  def textVocab(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("n").desc, col("term"))
+    t(spark, sfDir, "documents")
+      .select(col("lang"), explode(words).as("term"))
+      .groupBy("lang", "term")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select("lang", "term", "n", "rk")
+      .orderBy("lang", "rk")
+  }
+
+  val textVocabOracle: String =
+    """SELECT lang, term, n, rk FROM (
+      |  SELECT lang, term, count(*) AS n,
+      |    row_number() OVER (PARTITION BY lang
+      |                       ORDER BY count(*) DESC, term) AS rk
+      |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS term
+      |        FROM documents)
+      |  GROUP BY lang, term)
+      |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin
+
   // ------------------------------------------------- multimodal columns
 
   /** Multimodal columns as opaque binary + typed metadata: the text
@@ -1473,6 +1506,7 @@ object LlmOps {
     "llm_text_tfidf" -> textTfidf,
     "llm_text_quality_route" -> textQualityRoute,
     "llm_text_langid" -> textLangId,
+    "llm_text_vocab" -> textVocab,
     "llm_mm_binary" -> mmBinary,
     "llm_mm_features" -> mmFeatures,
     "llm_mm_frames" -> mmFrames,
@@ -1503,6 +1537,7 @@ object LlmOps {
     "llm_text_tfidf" -> textTfidfOracle,
     "llm_text_quality_route" -> textQualityRouteOracle,
     "llm_text_langid" -> textLangIdOracle,
+    "llm_text_vocab" -> textVocabOracle,
     "llm_mm_binary" -> mmBinaryOracle,
     "llm_mm_features" -> mmFeaturesOracle,
     "llm_mm_frames" -> mmFramesOracle,
