@@ -1320,6 +1320,80 @@ object LlmOps {
       |  GROUP BY lang, term)
       |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin
 
+  /** Full quality scoring: the punctuation-ratio and stopword-ratio
+    * signals (alongside [[textQualityRoute]]'s TTR + length window)
+    * that a heuristic corpus filter stacks — all scan-local per-row
+    * expressions, no shuffle until the final sort. The synthetic
+    * fixture contains no punctuation, so punct_ratio is structurally 0
+    * here (like langid's accuracy, the operator shape is the point);
+    * stop_ratio varies for real. `keep` is the stacked verdict: low
+    * punctuation noise AND a plausible stopword share (word salad has
+    * too few; boilerplate has too many).
+    */
+  def textQualityFull(spark: SparkSession, sfDir: String): DataFrame = {
+    val stops = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+    val nW = size(words)
+    val nChars = length(col("text"))
+    val punct = length(regexp_replace(col("text"), "[^.,;:!?]", ""))
+    val pr = round(punct.cast("double") / nChars, 6)
+    val sr = round(
+      size(filter(words, w => w.isin(stops: _*))).cast("double") / nW, 6)
+    t(spark, sfDir, "documents")
+      .select(col("doc_id"), nChars.as("n_chars"),
+        pr.as("punct_ratio"), sr.as("stop_ratio"),
+        (pr <= 0.1 && sr.between(0.02, 0.5)).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val textQualityFullOracle: String =
+    """SELECT doc_id, len(text) AS n_chars,
+      |  ROUND(CAST(len(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+      |    / len(text), 6) AS punct_ratio,
+      |  ROUND(CAST(len(list_filter(string_split(text, ' '),
+      |      w -> w IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+      |    / len(string_split(text, ' ')), 6) AS stop_ratio,
+      |  (ROUND(CAST(len(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+      |    / len(text), 6) <= 0.1
+      |   AND ROUND(CAST(len(list_filter(string_split(text, ' '),
+      |      w -> w IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+      |    / len(string_split(text, ' ')), 6) BETWEEN 0.02 AND 0.5) AS keep
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Sequence packing: assign documents to fixed token-budget bins —
+    * the batch-prep step between curation and pretraining. Documents
+    * are sharded by a hash key (pmod(doc_id, 8) here; shard count
+    * scales with the cluster) and packed independently per shard by a
+    * running token cumsum, so the only window runs per-shard — packing
+    * is sequential WITHIN a shard by construction (any packer is), and
+    * embarrassingly parallel across shards; there is no global-order
+    * window anywhere. bin = floor(tokens_before / budget): a document
+    * may straddle a boundary by at most its own length, the same
+    * overflow rule streaming packers use.
+    */
+  def pack(spark: SparkSession, sfDir: String): DataFrame = {
+    val budget = 512
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    t(spark, sfDir, "documents")
+      .select(col("doc_id"), pmod(col("doc_id"), lit(8)).as("shard"),
+        size(words).as("n_tokens"))
+      .withColumn("tokens_before",
+        coalesce(sum("n_tokens").over(w), lit(0L)))
+      .withColumn("bin", (col("tokens_before") / budget).cast("long"))
+      .select("doc_id", "shard", "n_tokens", "bin")
+      .orderBy("doc_id")
+  }
+
+  val packOracle: String =
+    """SELECT doc_id, doc_id % 8 AS shard,
+      |  len(string_split(text, ' ')) AS n_tokens,
+      |  CAST(floor(coalesce(sum(len(string_split(text, ' ')))
+      |    OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    / 512.0) AS BIGINT) AS bin
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------- multimodal columns
 
   /** Multimodal columns as opaque binary + typed metadata: the text
@@ -1507,6 +1581,8 @@ object LlmOps {
     "llm_text_quality_route" -> textQualityRoute,
     "llm_text_langid" -> textLangId,
     "llm_text_vocab" -> textVocab,
+    "llm_pack" -> pack,
+    "llm_text_quality_full" -> textQualityFull,
     "llm_mm_binary" -> mmBinary,
     "llm_mm_features" -> mmFeatures,
     "llm_mm_frames" -> mmFrames,
@@ -1538,6 +1614,8 @@ object LlmOps {
     "llm_text_quality_route" -> textQualityRouteOracle,
     "llm_text_langid" -> textLangIdOracle,
     "llm_text_vocab" -> textVocabOracle,
+    "llm_pack" -> packOracle,
+    "llm_text_quality_full" -> textQualityFullOracle,
     "llm_mm_binary" -> mmBinaryOracle,
     "llm_mm_features" -> mmFeaturesOracle,
     "llm_mm_frames" -> mmFramesOracle,
