@@ -1320,6 +1320,60 @@ object LlmOps {
       |  GROUP BY lang, term)
       |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin
 
+  /** Benchmark decontamination: flag training documents that overlap
+    * the evaluation set's n-grams (docs with doc_id % 10 == 0 stand in
+    * for the benchmark corpus). The eval side reduces to a DISTINCT
+    * word-3-gram shingle set — benchmark suites are tiny relative to
+    * training corpora, so it BROADCASTS; the corpus side explodes its
+    * (already distinct, in-row) shingles once and partial-aggregates
+    * hit counts per doc. The only shuffle carries (doc_id, counts) —
+    * never text — and the corpus is scanned exactly once.
+    * contamination = |doc ∩ eval| / |doc|; docs at or above 20% are
+    * flagged for removal.
+    */
+  def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = shingleSets(t(spark, sfDir, "documents"))
+    val evalShingles = ss.filter(col("doc_id") % 10 === 0)
+      .select(explode(col("sset")).as("s"))
+      .distinct()
+      .withColumn("hit", lit(1))
+    ss.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), size(col("sset")).as("n_shingles"),
+        explode(col("sset")).as("s"))
+      .join(broadcast(evalShingles), Seq("s"), "left")
+      .groupBy("doc_id", "n_shingles")
+      .agg(count(col("hit")).as("n_hits"))
+      .select(col("doc_id"), col("n_shingles"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_shingles"), 6)
+          .as("contamination"))
+      .withColumn("flagged", col("contamination") >= 0.2)
+      .orderBy("doc_id")
+  }
+
+  val decontaminateOracle: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    string_split(text, ' ')[idx.i] || ' ' ||
+      |    string_split(text, ' ')[idx.i + 1] || ' ' ||
+      |    string_split(text, ' ')[idx.i + 2] AS s
+      |  FROM documents,
+      |    LATERAL (SELECT unnest(range(1, len(string_split(text, ' ')) - 1)) AS i) idx
+      |  WHERE len(string_split(text, ' ')) >= 3
+      |), dsh AS (
+      |  SELECT DISTINCT doc_id, s FROM sh
+      |), eval_set AS (
+      |  SELECT DISTINCT s FROM dsh WHERE doc_id % 10 = 0
+      |), scored AS (
+      |  SELECT d.doc_id, count(*) AS n_shingles, count(e.s) AS n_hits
+      |  FROM dsh d LEFT JOIN eval_set e ON d.s = e.s
+      |  WHERE d.doc_id % 10 <> 0
+      |  GROUP BY d.doc_id
+      |)
+      |SELECT doc_id, n_shingles, n_hits,
+      |  ROUND(CAST(n_hits AS DOUBLE) / n_shingles, 6) AS contamination,
+      |  (ROUND(CAST(n_hits AS DOUBLE) / n_shingles, 6) >= 0.2) AS flagged
+      |FROM scored ORDER BY doc_id""".stripMargin
+
   /** Full quality scoring: the punctuation-ratio and stopword-ratio
     * signals (alongside [[textQualityRoute]]'s TTR + length window)
     * that a heuristic corpus filter stacks — all scan-local per-row
@@ -1583,6 +1637,7 @@ object LlmOps {
     "llm_text_vocab" -> textVocab,
     "llm_pack" -> pack,
     "llm_text_quality_full" -> textQualityFull,
+    "llm_decontaminate" -> decontaminate,
     "llm_mm_binary" -> mmBinary,
     "llm_mm_features" -> mmFeatures,
     "llm_mm_frames" -> mmFrames,
@@ -1616,6 +1671,7 @@ object LlmOps {
     "llm_text_vocab" -> textVocabOracle,
     "llm_pack" -> packOracle,
     "llm_text_quality_full" -> textQualityFullOracle,
+    "llm_decontaminate" -> decontaminateOracle,
     "llm_mm_binary" -> mmBinaryOracle,
     "llm_mm_features" -> mmFeaturesOracle,
     "llm_mm_frames" -> mmFramesOracle,
