@@ -162,6 +162,44 @@ class LlmOpsSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(LlmOps.curate(spark, dir).count() === 0L)
   }
 
+  test("pack/vocab/decontaminate invariants hold") {
+    // pack: per shard, bins are non-decreasing in doc order and equal
+    // floor(tokens_before / 512) recomputed from the rows themselves.
+    val packed = LlmOps.pack(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    packed.groupBy(_._2).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(_._1)
+      var cum = 0L
+      ordered.foreach { case (id, _, n, bin) =>
+        assert(bin === cum / 512, s"doc $id bin $bin != ${cum / 512}")
+        cum += n
+      }
+      assert(ordered.map(_._4).sliding(2).forall(p =>
+        p.length < 2 || p(0) <= p(1)), "bins must be non-decreasing")
+    }
+    // vocab: at most 5 ranks per language, contiguous from 1, counts
+    // non-increasing along the rank order.
+    val vocab = LlmOps.textVocab(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getInt(3)))
+    vocab.groupBy(_._1).foreach { case (lang, rows) =>
+      val ranks = rows.map(_._3).sorted
+      assert(ranks.length <= 5 && ranks === (1 to ranks.length).toArray,
+        s"$lang ranks $ranks")
+      val byRank = rows.sortBy(_._3).map(_._2)
+      assert(byRank.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)),
+        s"$lang counts must be non-increasing by rank")
+    }
+    // decontaminate: eval docs excluded, ratio in [0,1], flag at 0.2.
+    val dec = LlmOps.decontaminate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(3), r.getBoolean(4)))
+    assert(dec.nonEmpty)
+    dec.foreach { case (id, c, f) =>
+      assert(id % 10 !== 0, s"eval doc $id leaked into the corpus side")
+      assert(c >= 0.0 && c <= 1.0, s"doc $id contamination $c")
+      assert(f === (c >= 0.2), s"doc $id flag disagrees with ratio $c")
+    }
+  }
+
   test("curate output honors every stage's invariant") {
     import org.apache.spark.sql.functions._
     val kept = LlmOps.curate(spark, sf)
