@@ -1,7 +1,10 @@
 package graft
 
 /** Benchmark main: wall-clocks every registered query on the sf dir from
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON metrics line.
+  * SPARK_GRAFT_SF_DIR and prints TWO JSON metrics lines — first the
+  * full per-query map, then a compact tail-window-safe summary (total +
+  * the 15 slowest); take the FIRST for per-query tooling
+  * (tools/bench_compare.py), see the note above the second println.
   *
   * Hygiene (VERDICT r1 "what's wrong" #1): a warmup pass absorbs
   * JVM/Spark cold-start so the first measured query isn't charged for

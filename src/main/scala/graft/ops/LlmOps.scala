@@ -1322,27 +1322,32 @@ object LlmOps {
 
   /** Benchmark decontamination: flag training documents that overlap
     * the evaluation set's n-grams (docs with doc_id % 10 == 0 stand in
-    * for the benchmark corpus). The eval side reduces to a DISTINCT
-    * word-3-gram shingle set — benchmark suites are tiny relative to
-    * training corpora, so it BROADCASTS; the corpus side explodes its
-    * (already distinct, in-row) shingles once and partial-aggregates
-    * hit counts per doc. The only shuffle carries (doc_id, counts) —
-    * never text — and the corpus is scanned exactly once.
+    * for the benchmark corpus — in production the eval side is a
+    * separate, genuinely tiny benchmark table). The eval side reduces
+    * to a DISTINCT word-3-gram shingle set; the corpus side explodes
+    * its (already distinct, in-row) shingles and partial-aggregates
+    * hit counts per doc, so the only shuffles carry shingle keys and
+    * (doc_id, counts) — never text. The shared shingle frame is
+    * persisted because BOTH branches consume it (same discipline as
+    * [[dedupJaccard]]); without it each branch re-scans the table,
+    * since a modulo filter doesn't push to parquet. No broadcast hint:
+    * a real benchmark set auto-broadcasts under the threshold, while
+    * the fixture's 10%-of-corpus stand-in is exactly the case a forced
+    * hint would OOM at scale — AQE picks the strategy per actual size.
     * contamination = |doc ∩ eval| / |doc|; docs at or above 20% are
     * flagged for removal.
     */
   def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
-    val ss = shingleSets(t(spark, sfDir, "documents"))
+    val ss = shingleSets(t(spark, sfDir, "documents")).persist()
     val evalShingles = ss.filter(col("doc_id") % 10 === 0)
-      .select(explode(col("sset")).as("s"))
+      .select(explode(col("sset")).as("es"))
       .distinct()
-      .withColumn("hit", lit(1))
     ss.filter(col("doc_id") % 10 =!= 0)
       .select(col("doc_id"), size(col("sset")).as("n_shingles"),
         explode(col("sset")).as("s"))
-      .join(broadcast(evalShingles), Seq("s"), "left")
+      .join(evalShingles, col("s") === col("es"), "left")
       .groupBy("doc_id", "n_shingles")
-      .agg(count(col("hit")).as("n_hits"))
+      .agg(count(col("es")).as("n_hits"))
       .select(col("doc_id"), col("n_shingles"), col("n_hits"),
         round(col("n_hits").cast("double") / col("n_shingles"), 6)
           .as("contamination"))
@@ -1389,7 +1394,11 @@ object LlmOps {
     val nW = size(words)
     val nChars = length(col("text"))
     val punct = length(regexp_replace(col("text"), "[^.,;:!?]", ""))
-    val pr = round(punct.cast("double") / nChars, 6)
+    // nullif guards the empty-text row: under Spark's default ANSI mode
+    // a bare /0 raises instead of matching the oracle's NULL; both
+    // sides spell the same NULLIF so empty docs yield NULL ratios (and
+    // a NULL keep) in both engines. nW is never 0 — split('') is [''].
+    val pr = round(punct.cast("double") / nullif(nChars, lit(0)), 6)
     val sr = round(
       size(filter(words, w => w.isin(stops: _*))).cast("double") / nW, 6)
     t(spark, sfDir, "documents")
@@ -1402,12 +1411,12 @@ object LlmOps {
   val textQualityFullOracle: String =
     """SELECT doc_id, len(text) AS n_chars,
       |  ROUND(CAST(len(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
-      |    / len(text), 6) AS punct_ratio,
+      |    / NULLIF(len(text), 0), 6) AS punct_ratio,
       |  ROUND(CAST(len(list_filter(string_split(text, ' '),
       |      w -> w IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
       |    / len(string_split(text, ' ')), 6) AS stop_ratio,
       |  (ROUND(CAST(len(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
-      |    / len(text), 6) <= 0.1
+      |    / NULLIF(len(text), 0), 6) <= 0.1
       |   AND ROUND(CAST(len(list_filter(string_split(text, ' '),
       |      w -> w IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
       |    / len(string_split(text, ' ')), 6) BETWEEN 0.02 AND 0.5) AS keep
