@@ -632,7 +632,11 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
-  val curateOracle: String =
+  /** The curate pipeline as an un-ordered SQL body — shared by
+    * [[curateOracle]] and the [[curateWrite]] rollup so the two can't
+    * drift.
+    */
+  private val curateBodySql: String =
     s"""WITH q AS (
       |  SELECT doc_id, lang, text,
       |    len(string_split(text, ' ')) AS n_words
@@ -675,8 +679,36 @@ object LlmOps {
       |        len(list_distinct(list_concat(sa.sset, sb.sset))), 6) >= 0.5
       |)
       |SELECT doc_id, lang, n_words FROM ek
-      |WHERE doc_id NOT IN (SELECT doc_id FROM dups)
-      |ORDER BY doc_id""".stripMargin
+      |WHERE doc_id NOT IN (SELECT doc_id FROM dups)""".stripMargin
+
+  val curateOracle: String = curateBodySql + "\nORDER BY doc_id"
+
+  /** [[curate]] + the route-partitioned sink: the curated corpus is
+    * written `partitionBy(lang)` — the layout downstream trainers
+    * actually read, where a per-language job scans ONLY its partition
+    * directories (partition pruning, no file content touched for other
+    * languages) — then read back and rolled up per language. The
+    * rollup reads the lang value from the partition directory name,
+    * proving the round trip; a fresh output dir per invocation keeps
+    * the measured work the write+read, not dir reuse.
+    */
+  def curateWrite(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-corpus-").toString
+    curate(spark, sfDir).write.mode("overwrite")
+      .partitionBy("lang").parquet(out)
+    spark.read.parquet(out)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").cast("long").as("n_tokens"))
+      .orderBy("lang")
+  }
+
+  val curateWriteOracle: String =
+    s"""SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_words) AS BIGINT) AS n_tokens
+      |FROM ($curateBodySql)
+      |GROUP BY lang ORDER BY lang""".stripMargin
 
   /** IVF-style clustered ANN: per-label centroids are the coarse
     * quantizer; the probe searches only its nearest centroid's cluster
@@ -1647,6 +1679,7 @@ object LlmOps {
     "llm_pack" -> pack,
     "llm_text_quality_full" -> textQualityFull,
     "llm_decontaminate" -> decontaminate,
+    "llm_curate_write" -> curateWrite,
     "llm_mm_binary" -> mmBinary,
     "llm_mm_features" -> mmFeatures,
     "llm_mm_frames" -> mmFrames,
@@ -1681,6 +1714,7 @@ object LlmOps {
     "llm_pack" -> packOracle,
     "llm_text_quality_full" -> textQualityFullOracle,
     "llm_decontaminate" -> decontaminateOracle,
+    "llm_curate_write" -> curateWriteOracle,
     "llm_mm_binary" -> mmBinaryOracle,
     "llm_mm_features" -> mmFeaturesOracle,
     "llm_mm_frames" -> mmFramesOracle,
