@@ -8,7 +8,7 @@ object PlanAudit {
         "sort_topk", "filter_predicates", "cdc_merge_customer",
         "llm_sim_topk", "llm_dedup_minhash", "llm_sim_centroids",
         "llm_sim_ivf_multiprobe", "llm_text_rollhash", "sample_hash",
-        "llm_curate", "llm_sim_rerank")) {
+        "llm_curate", "llm_sim_rerank", "llm_decontaminate", "llm_pack")) {
       println(s"===== $q =====")
       println(SparkEntry.queries(q)(spark, sf).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode).linesIterator
