@@ -200,6 +200,20 @@ class LlmOpsSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("curate's partitioned corpus prunes partitions on a lang filter") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("corpus_prune").toString
+    LlmOps.curate(spark, sf).write.mode("overwrite")
+      .partitionBy("lang").parquet(out)
+    val plan = spark.read.parquet(out).filter(col("lang") === "en")
+      .queryExecution.executedPlan.toString
+    // The filter must resolve against partition DIRECTORIES, not file
+    // contents — the claim llm_curate_write's layout makes for
+    // downstream per-language readers.
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+      s"lang filter did not reach partition pruning:\n$plan")
+  }
+
   test("curate output honors every stage's invariant") {
     import org.apache.spark.sql.functions._
     val kept = LlmOps.curate(spark, sf)
