@@ -50,15 +50,16 @@ def norm_type(t):
 
 
 def fetch(cur):
-    """Fetch a cursor as (cols, type-class map, row tuples) via arrow so
-    dtypes are visible. Rows are extracted POSITIONALLY (column arrays
-    zipped), not via to_pylist()'s name-keyed dicts — duplicate output
-    column names would silently collapse there and mask a real value
-    mismatch. Arrow's to_pylist restores Decimal/datetime python values
-    that norm() already knows how to canonicalize."""
+    """Fetch a cursor as (cols, type-class list, row tuples) via arrow so
+    dtypes are visible. Rows AND types are extracted POSITIONALLY (column
+    arrays zipped / schema types listed), never via name-keyed dicts —
+    duplicate output column names would silently collapse there and mask
+    a real value or dtype mismatch. Arrow's to_pylist restores
+    Decimal/datetime python values that norm() already knows how to
+    canonicalize."""
     tbl = cur.arrow()
     cols = tbl.column_names
-    types = {n: norm_type(t) for n, t in zip(cols, tbl.schema.types)}
+    types = [norm_type(t) for t in tbl.schema.types]
     rows = list(zip(*(c.to_pylist() for c in tbl.columns))) if cols else []
     return cols, types, rows
 
@@ -77,10 +78,13 @@ def norm(v):
     return v
 
 
-def canon(cols, rows):
+def canon(cols, types, rows):
+    """Reorder columns by name (the driver's compare discipline),
+    carrying dtypes along positionally. sorted() is stable, so duplicate
+    column names keep their relative order on both sides."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(norm(r[i]) for i in order) for r in rows]
-    return [cols[i] for i in order], out
+    return [cols[i] for i in order], [types[i] for i in order], out
 
 
 def main():
@@ -121,14 +125,14 @@ def main():
                   "serialize to strings or explode to scalar rows")
             n_bad += 1
             continue
-        oc, orows = canon(o_cols, o_rows)
-        gc, grows = canon(g_cols, g_rows)
+        oc, ot_sorted, orows = canon(o_cols, o_types, o_rows)
+        gc, gt_sorted, grows = canon(g_cols, g_types, g_rows)
         if oc != gc:
             print(f"FAIL {name}: columns differ oracle={oc} spark={gc}")
             n_bad += 1
             continue
-        mism = [(c, o_types[c], g_types[c]) for c in oc
-                if o_types[c] != g_types[c]]
+        mism = [(c, ot, st) for c, ot, st in zip(oc, ot_sorted, gt_sorted)
+                if ot != st]
         if mism:
             detail = ", ".join(f"{c}: oracle {ot} vs spark {st}"
                                for c, ot, st in mism)
