@@ -284,6 +284,92 @@ object StreamingOps {
       |  CAST(count(*) AS BIGINT) AS n_docs
       |FROM q GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Incremental NEAR-duplicate curation — the streaming twin of the
+    * batch LSH pipeline ([[LlmOps.dedupMinhash]]): each micro-batch of
+    * quality-passing documents folds its banded-MinHash signature
+    * in-row (codegen'd [[graft.functions.ShingleSet]] +
+    * [[graft.functions.BandedMinHash]] — identical expressions to the
+    * batch path, so batch and stream CANNOT disagree on what "near"
+    * means), and a document is dropped when ANY of its 4 band minima
+    * collides with the static history's band-minima set.
+    *
+    * Plan shape for 100 TB ingest: the history index is (band, mh)
+    * pairs — 4 ints per curated doc, ~16 bytes, so a billion-doc
+    * corpus is a few-GB broadcast; beyond broadcast range the same
+    * equi-join shuffles on (band, mh). The signature fold is
+    * scan-local per micro-batch (zero shuffle), the collision check is
+    * a broadcast equi-join — NEVER a nested-loop array-overlap probe —
+    * and the per-doc "any band hit" verdict is a max() aggregate over
+    * the doc's 4 signature rows. The drained sink is rolled up per
+    * language batch-side (complete mode re-emits converged groups), so
+    * the result is independent of micro-batch slicing; a production
+    * deployment emits per-doc verdicts in append mode with a watermark
+    * on ingest time and appends surviving signatures back into the
+    * history index each batch.
+    */
+  def streamCurateNear(spark: SparkSession, sfDir: String): DataFrame =
+    streamTable(spark, sfDir, "documents", "complete") { src =>
+      // Persisted for the same reason as streamCurate's digest history:
+      // the stream-static join replans per trigger and must not
+      // re-shingle the whole history corpus each micro-batch.
+      val histSigs = Tables.load(spark, sfDir, "documents")
+        .filter(col("doc_id") % 4 === 0)
+        .filter(size(split(col("text"), " ")) >= 3)
+        .select(graft.functions.BandedMinHash.bandedMinhash(
+          graft.functions.ShingleSet.shingleSet(split(col("text"), " ")))
+          .as("ms"))
+        .select(posexplode(col("ms")).as(Seq("band", "mh")))
+        .distinct()
+        .withColumn("hit", lit(1))
+        .persist()
+      src.filter(LlmOps.qualityPred)
+        .select(col("doc_id"), col("lang"), md5(col("text")).as("h"),
+          posexplode(graft.functions.BandedMinHash.bandedMinhash(
+            graft.functions.ShingleSet.shingleSet(split(col("text"), " "))))
+            .as(Seq("band", "mh")))
+        .join(broadcast(histSigs), Seq("band", "mh"), "left")
+        .groupBy("doc_id", "lang", "h")
+        .agg(max(coalesce(col("hit"), lit(0))).as("any_hit"))
+    }.filter(col("any_hit") === 0)
+      .groupBy("lang")
+      .agg(countDistinct("h").as("n_unique"), count(lit(1)).as("n_docs"))
+      .orderBy("lang")
+
+  val streamCurateNearOracle: String =
+    s"""WITH hs AS (
+      |  SELECT string_split(text, ' ')[idx.i] || ' ' ||
+      |    string_split(text, ' ')[idx.i + 1] || ' ' ||
+      |    string_split(text, ' ')[idx.i + 2] AS s, doc_id
+      |  FROM documents,
+      |    LATERAL (SELECT unnest(range(1, len(string_split(text, ' ')) - 1)) AS i) idx
+      |  WHERE doc_id % 4 = 0 AND len(string_split(text, ' ')) >= 3
+      |), hsig AS (
+      |  SELECT DISTINCT band, mh FROM (
+      |    SELECT doc_id, b.band, min(substr(md5(s), b.band * 8 + 1, 8)) AS mh
+      |    FROM hs, LATERAL (SELECT unnest(range(4)) AS band) b
+      |    GROUP BY doc_id, b.band)
+      |), q AS (
+      |  SELECT doc_id, lang, md5(text) AS h, text FROM documents
+      |  WHERE ${LlmOps.qualityPredSql}
+      |), qs AS (
+      |  SELECT q.doc_id,
+      |    string_split(text, ' ')[idx.i] || ' ' ||
+      |    string_split(text, ' ')[idx.i + 1] || ' ' ||
+      |    string_split(text, ' ')[idx.i + 2] AS s
+      |  FROM q,
+      |    LATERAL (SELECT unnest(range(1, len(string_split(text, ' ')) - 1)) AS i) idx
+      |), qsig AS (
+      |  SELECT doc_id, b.band, min(substr(md5(s), b.band * 8 + 1, 8)) AS mh
+      |  FROM qs, LATERAL (SELECT unnest(range(4)) AS band) b
+      |  GROUP BY doc_id, b.band
+      |), hits AS (
+      |  SELECT DISTINCT qsig.doc_id FROM qsig JOIN hsig USING (band, mh)
+      |)
+      |SELECT lang, count(DISTINCT h) AS n_unique,
+      |  CAST(count(*) AS BIGINT) AS n_docs
+      |FROM q WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Stream-STREAM interval join (self-join of the event stream):
     * each purchase matched to the same user's clicks in the preceding
     * hour. Both sides carry watermarks and the join condition bounds
@@ -400,6 +486,7 @@ object StreamingOps {
     "stream_dedup_watermark" -> dedupWatermark,
     "stream_static_join" -> staticJoin,
     "stream_curate" -> streamCurate,
+    "stream_curate_near" -> streamCurateNear,
     "stream_stream_join" -> streamStreamJoin,
     "stream_stateful" -> stateful,
     "stream_transform_state" -> transformState)
@@ -412,6 +499,7 @@ object StreamingOps {
     "stream_dedup_watermark" -> dedupWatermarkOracle,
     "stream_static_join" -> staticJoinOracle,
     "stream_curate" -> streamCurateOracle,
+    "stream_curate_near" -> streamCurateNearOracle,
     "stream_stream_join" -> streamStreamJoinOracle,
     "stream_stateful" -> statefulOracle,
     "stream_transform_state" -> transformStateOracle)

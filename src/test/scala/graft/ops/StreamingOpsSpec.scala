@@ -100,4 +100,24 @@ class StreamingOpsSpec extends SparkTestBase {
         s"in-tolerance late row must be merged: $rows")
     } finally q.stop()
   }
+
+  test("streaming near-dup curation drops every history doc (self-collision)") {
+    // A history doc (doc_id % 4 == 0) streaming through shares ALL 4
+    // band minima with its own history signature, so it must always be
+    // dropped: the kept-doc count has to equal the batch count of
+    // quality-passing docs minus every doc whose signature collides
+    // with the history index — at minimum, no quality-passing %4 doc
+    // survives. Cross-check via the batch sides of the same expressions.
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val kept = StreamingOps.streamCurateNear(spark, sf)
+      .agg(sum("n_docs")).collect()(0).getLong(0)
+    val qualityTotal = docs.filter(LlmOps.qualityPred).count()
+    val qualityHist = docs.filter(LlmOps.qualityPred)
+      .filter(col("doc_id") % 4 === 0).count()
+    assert(qualityHist > 0, "fixture must contain quality-passing history docs")
+    assert(kept <= qualityTotal - qualityHist,
+      s"kept=$kept must exclude all $qualityHist self-colliding history docs " +
+        s"of $qualityTotal quality-passing docs")
+    assert(kept > 0, "some non-history docs must survive")
+  }
 }
