@@ -493,22 +493,50 @@ object LlmOps {
     * twice (once directly, once inside the neighbor-min join), so under
     * persist the analyzed tree doubles every round and Catalyst spends
     * minutes optimizing a million-node plan by round 20 (measured here:
-    * 212 s at sf0.1; 3 s with checkpoints). On a cluster the same call
-    * works (executor-local blocks; replicated), or swap in a reliable
-    * `checkpoint()` against the warehouse dir when re-derivability
-    * after executor loss matters — the algorithm is unchanged.
+    * 212 s at sf0.1; 3 s with checkpoints). On a cluster, pass
+    * `reliable = true` to [[propagateComponents]] (after
+    * `sparkContext.setCheckpointDir` on the warehouse): each round then
+    * cuts lineage with a reliable `checkpoint()` that survives executor
+    * loss — localCheckpoint blocks are executor-local and a lost
+    * executor aborts the job mid-iteration. Same algorithm, same
+    * labels, same round count (ReliableComponentsSpec asserts all
+    * three); only the block durability differs.
     */
   def dedupComponents(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = signBucketPairs(spark, sfDir)
       .filter(col("cos") >= 0.30)
       .select("v1", "v2")
+    val (labels, _) = propagateComponents(pairs)
+    labels
+      .select(col("v").as("vec_id"), col("rep").as("canonical_rep"))
+      .orderBy("vec_id")
+  }
+
+  /** Min-label propagation + path halving to fixpoint over an undirected
+    * pair list (v1, v2) — the iteration core of [[dedupComponents]].
+    * Returns the (v, rep) label frame and the round count (the spec's
+    * O(log diameter) assertion hook). `reliable = false` cuts each
+    * round's lineage with an eager executor-local `localCheckpoint`
+    * (single-JVM / bench mode); `reliable = true` uses a reliable
+    * `checkpoint()` into `sparkContext.getCheckpointDir`, which the
+    * caller must have set — fail fast with a pointer at the fix rather
+    * than let Spark throw a bare NPE-grade error mid-loop.
+    */
+  private[ops] def propagateComponents(pairs: DataFrame,
+      reliable: Boolean = false): (DataFrame, Int) = {
+    val sc = pairs.sparkSession.sparkContext
+    if (reliable) require(sc.getCheckpointDir.isDefined,
+      "reliable components need sparkContext.setCheckpointDir(<warehouse " +
+        "path>) before the loop — reliable checkpoint() has nowhere to write")
+    def cut(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
     val edges = pairs
       .union(pairs.select(col("v2").as("v1"), col("v1").as("v2")))
       .persist()
-    var labels = edges.select(col("v1").as("v"))
+    var labels = cut(edges.select(col("v1").as("v"))
       .distinct()
-      .select(col("v"), col("v").as("rep"))
-      .localCheckpoint(true)
+      .select(col("v"), col("v").as("rep")))
     var rounds = 0
     var converged = false // empty graph: round 1 changes nothing → done
     val maxRounds = 64 // >> any non-adversarial diameter; rounds are
@@ -525,12 +553,11 @@ object LlmOps {
           least(col("rep"), col("nbr_min")).as("rep"))
       // Path halving: rep := min(rep, label(rep)). Every rep is itself
       // a graph vertex, so the inner self-join is total.
-      val next = stepped
+      val next = cut(stepped
         .join(labels.select(col("v").as("rep"), col("rep").as("rrep")),
           Seq("rep"))
         .select(col("v"), col("prev_rep"),
-          least(col("rep"), col("rrep")).as("rep"))
-        .localCheckpoint(true) // eager: materialize + cut lineage now
+          least(col("rep"), col("rrep")).as("rep"))) // eager cut per round
       // Overflow-proof fixpoint test: count labels that moved this
       // round (labels are monotone non-increasing, so 0 moved = done).
       val changed = next
@@ -551,9 +578,7 @@ object LlmOps {
     if (!converged) throw new IllegalStateException(
       s"connected components did not converge within $maxRounds rounds " +
         "despite path halving — investigate, this should be unreachable")
-    labels
-      .select(col("v").as("vec_id"), col("rep").as("canonical_rep"))
-      .orderBy("vec_id")
+    (labels, rounds)
   }
 
   val dedupComponentsOracle: String =
