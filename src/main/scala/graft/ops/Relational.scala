@@ -464,9 +464,28 @@ object Relational {
   def aggApproxDistinct(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "orders")
       .groupBy("o_orderstatus")
-      .agg(approx_count_distinct("o_custkey").as("approx_cust"),
+      .agg(approx_count_distinct(col("o_custkey"), rsd = 0.01)
+          .as("approx_cust"),
+        countDistinct(col("o_custkey")).as("exact_cust"),
         count(lit(1)).as("n_orders"))
+      // SELF-CHECKING (VERDICT r5 #5): the HLL++ estimate itself is
+      // engine-specific and can't be hash-compared, so emit the exact
+      // distinct count (hash-matched against DuckDB) plus a boolean
+      // asserting the estimate landed within 5% of it. rsd = 0.01 makes
+      // the 5% gate a 5-sigma bound — HLL merge is deterministic (no
+      // RNG, commutative register max), so the boolean is stable across
+      // runs and partitionings. Exact + approx in ONE aggregation pass;
+      // the production query drops the exact column and keeps the
+      // estimator's single-pass, fixed-memory advantage.
+      .select(col("o_orderstatus"), col("exact_cust"), col("n_orders"),
+        (abs(col("approx_cust") - col("exact_cust")) <=
+          col("exact_cust") * 0.05).as("approx_ok"))
       .orderBy("o_orderstatus")
+
+  val aggApproxDistinctOracle: String =
+    """SELECT o_orderstatus, count(DISTINCT o_custkey) AS exact_cust,
+      |  count(*) AS n_orders, TRUE AS approx_ok
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
   /** ROLLUP with grouping flags: per (returnflag, linestatus) +
     * per-returnflag subtotals + grand total.
@@ -841,16 +860,36 @@ object Relational {
       |ORDER BY status_np ASC NULLS FIRST, price DESC NULLS LAST,
       |  o_orderkey""".stripMargin
 
-  /** Bernoulli sample — seeded but engine-specific RNG, so no oracle
-    * (driver rows-only check). Aggregated so the output is small and
-    * the sample fraction is still observable.
+  /** Bernoulli sample, SELF-CHECKING (VERDICT r5 #5): the sampled set
+    * is seeded but engine- and partitioning-specific RNG, so the raw
+    * counts can't be hash-compared. Instead emit the exact per-group
+    * total (hash-matched) plus a boolean asserting the sampled count
+    * landed within 6 binomial sigmas of fraction*total — true for ANY
+    * correct Bernoulli(0.1) sampler regardless of its RNG stream (at
+    * ~20k-row groups that's ±255 around 2000, a P(false alarm) ~ 1e-9
+    * gate that a broken sampler — wrong fraction, duplicated partition,
+    * skipped split — still trips). Both aggregations prune the scan to
+    * l_returnflag; the sample-side filter is scan-local.
     */
-  def sortSample(spark: SparkSession, sfDir: String): DataFrame =
-    t(spark, sfDir, "lineitem")
-      .sample(withReplacement = false, fraction = 0.1, seed = 42L)
+  def sortSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = t(spark, sfDir, "lineitem")
+    val p = 0.1
+    val sampled = li.sample(withReplacement = false, fraction = p, seed = 42L)
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n_sampled"))
+    li.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_total"))
+      .join(sampled, Seq("l_returnflag"), "left")
+      .select(col("l_returnflag"), col("n_total"),
+        (abs(coalesce(col("n_sampled"), lit(0L)) - lit(p) * col("n_total")) <=
+          lit(6.0) * sqrt(col("n_total") * lit(p * (1 - p))))
+          .as("in_bounds"))
       .orderBy("l_returnflag")
+  }
+
+  val sortSampleOracle: String =
+    """SELECT l_returnflag, count(*) AS n_total, TRUE AS in_bounds
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** DETERMINISTIC hash sampling: keep rows whose key digest lands in
     * 1/16 of hash space (first hex nibble = '0'; widen the prefix match
@@ -1184,6 +1223,7 @@ object Relational {
     "agg_stats" -> aggStatsOracle,
     "agg_pivot" -> aggPivotOracle,
     "agg_count_distinct" -> aggCountDistinctOracle,
+    "agg_approx_distinct" -> aggApproxDistinctOracle,
     "agg_rollup" -> aggRollupOracle,
     "agg_cube" -> aggCubeOracle,
     "agg_grouping_sets" -> aggGroupingSetsOracle,
@@ -1199,6 +1239,7 @@ object Relational {
     "sort_topk_group" -> sortTopkGroupOracle,
     "sort_nulls" -> sortNullsOracle,
     "sample_hash" -> sampleHashOracle,
+    "sort_sample" -> sortSampleOracle,
     "reshape_unpivot" -> reshapeUnpivotOracle,
     "set_intersect" -> setIntersectOracle,
     "set_except" -> setExceptOracle,
