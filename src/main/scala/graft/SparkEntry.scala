@@ -36,6 +36,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CdcQueries.queries ++
       graft.queries.PipelineQueries.queries ++
+      graft.queries.IvfCdcQueries.queries ++
       graft.queries.CatalogQueries.queries ++
       graft.ops.Relational.queries ++
       graft.ops.Functions.queries ++
@@ -48,6 +49,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.CdcQueries.oracles ++
       graft.queries.PipelineQueries.oracles ++
+      graft.queries.IvfCdcQueries.oracles ++
       graft.queries.CatalogQueries.oracles ++
       graft.ops.Relational.oracles ++
       graft.ops.Functions.oracles ++

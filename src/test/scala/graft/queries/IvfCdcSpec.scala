@@ -1,0 +1,41 @@
+package graft.queries
+
+import graft.{SparkTestBase, Tables}
+import org.apache.spark.sql.functions._
+
+/** Incremental IVF maintenance vs a from-scratch rebuild: after the
+  * change log drains (snapshot, stale wave, cluster moves, deletes),
+  * the delta-maintained (label, dim) sums/counts must equal what a
+  * batch quantizer computes directly on the final corpus — the
+  * "incremental == rebuild" contract that makes delta maintenance safe
+  * to trust at scales where a rebuild is unaffordable.
+  */
+class IvfCdcSpec extends SparkTestBase {
+
+  test("delta-maintained index equals a batch rebuild on the final corpus") {
+    val inc = IvfCdcQueries.ivfIncremental(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    val embD = transform(col("embedding"), x => x.cast("double"))
+    val moved = col("vec_id") % 3 === 0
+    val finalCorpus = Tables.load(spark, sf, "embeddings")
+      .filter(col("vec_id") % 7 =!= 0)
+      .select(
+        when(moved, col("label") + 1000).otherwise(col("label")).as("label"),
+        when(moved, transform(embD, x => x * 1.5)).otherwise(embD).as("emb"))
+    val batch = finalCorpus
+      .select(col("label"), posexplode(col("emb")).as(Seq("p", "v")))
+      .groupBy(col("label"), (col("p") + 1).as("i"))
+      .agg(count(lit(1)).as("n"), round(avg("v"), 6).as("m"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(inc.keySet === batch.keySet, "index rows differ from rebuild")
+    assert(inc.nonEmpty)
+    inc.foreach { case (k, (n, m)) =>
+      assert(batch(k)._1 === n, s"member count diverged at $k")
+      assert(math.abs(batch(k)._2 - m) < 1e-9,
+        s"centroid component diverged at $k: rebuild=${batch(k)._2} inc=$m")
+    }
+  }
+}
