@@ -735,11 +735,18 @@ object LlmOps {
     })
     curate(spark, sfDir).write.mode("overwrite")
       .partitionBy("lang").parquet(out)
+    // Eagerly materialized (ADVICE r5): the returned frame must not
+    // read `out` lazily — a later invocation for the same sfDir
+    // overwrites that directory, which would leave a caller-held lazy
+    // DataFrame reading mixed or deleted files. The rollup is a
+    // handful of per-language rows; localCheckpoint pins them now and
+    // severs the plan's dependence on the shared directory.
     spark.read.parquet(out)
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         sum("n_words").cast("long").as("n_tokens"))
       .orderBy("lang")
+      .localCheckpoint(eager = true)
   }
 
   val curateWriteOracle: String =
