@@ -168,8 +168,13 @@ object IvfCdcQueries {
   /** The registered query: stream the staged embedding change log
     * through the incremental maintainer, then read the final index
     * back as (label, dim, member count, centroid component).
+    * `filesPerTrigger` controls micro-batch slicing (4 staged files /
+    * 2 per trigger → 2 batches for the registered query; IvfCdcSpec
+    * drives 1 and 4 to prove the telescoping deltas are
+    * slicing-independent).
     */
-  def ivfIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+  def ivfIncremental(spark: SparkSession, sfDir: String,
+                     filesPerTrigger: Int = 2): DataFrame = {
     val log = embeddingChangeLog(Tables.load(spark, sfDir, "embeddings"))
     val logDir = stagedCache.computeIfAbsent(s"$sfDir/ivf", { _ =>
       val dir = Files.createTempDirectory("graft-ivflog-").toString
@@ -180,7 +185,7 @@ object IvfCdcQueries {
       Files.createTempDirectory("graft-ivf-wh-").toString, NBuckets)
     val rowSchema = log.schema("after").dataType.asInstanceOf[StructType]
     val src = spark.readStream.schema(Envelope.envelopeSchema(rowSchema))
-      .option("maxFilesPerTrigger", 2).parquet(logDir)
+      .option("maxFilesPerTrigger", filesPerTrigger).parquet(logDir)
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
@@ -217,7 +222,7 @@ object IvfCdcQueries {
       |GROUP BY label, i.i ORDER BY label, i""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "cdc_ivf_incremental" -> ivfIncremental)
+    "cdc_ivf_incremental" -> ((s, d) => ivfIncremental(s, d)))
 
   def oracles: Map[String, String] = Map(
     "cdc_ivf_incremental" -> ivfIncrementalOracle)

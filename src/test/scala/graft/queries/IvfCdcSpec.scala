@@ -38,4 +38,24 @@ class IvfCdcSpec extends SparkTestBase {
         s"centroid component diverged at $k: rebuild=${batch(k)._2} inc=$m")
     }
   }
+
+  test("index state is independent of micro-batch slicing") {
+    // Telescoping deltas must converge to the same index whether the
+    // 4 staged log files drain as 4 micro-batches or as 1 — the waves
+    // (stale/snapshot/move/delete) interleave across batches
+    // differently in each case.
+    def run(filesPerTrigger: Int) =
+      IvfCdcQueries.ivfIncremental(spark, sf, filesPerTrigger).collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3)))
+        .toMap
+    val oneAtATime = run(1)
+    val allAtOnce = run(4)
+    assert(oneAtATime.keySet === allAtOnce.keySet)
+    assert(oneAtATime.nonEmpty)
+    oneAtATime.foreach { case (k, (n, m)) =>
+      assert(allAtOnce(k)._1 === n, s"count differs at $k across slicings")
+      assert(math.abs(allAtOnce(k)._2 - m) < 1e-9,
+        s"centroid differs at $k across slicings")
+    }
+  }
 }
