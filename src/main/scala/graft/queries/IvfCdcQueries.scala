@@ -174,7 +174,15 @@ object IvfCdcQueries {
     * slicing-independent).
     */
   def ivfIncremental(spark: SparkSession, sfDir: String,
-                     filesPerTrigger: Int = 2): DataFrame = {
+                     filesPerTrigger: Int = 2): DataFrame =
+    readIndex(spark, runMaintenance(spark, sfDir, filesPerTrigger))
+
+  /** Drain the staged change log through the maintainer; returns the
+    * store so callers (the registered query, the rebuild spec) can read
+    * either maintained table.
+    */
+  private[queries] def runMaintenance(spark: SparkSession, sfDir: String,
+      filesPerTrigger: Int): StateStore = {
     val log = embeddingChangeLog(Tables.load(spark, sfDir, "embeddings"))
     val logDir = stagedCache.computeIfAbsent(s"$sfDir/ivf", { _ =>
       val dir = Files.createTempDirectory("graft-ivflog-").toString
@@ -197,11 +205,51 @@ object IvfCdcQueries {
         .start()
       q.awaitTermination()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    store
+  }
+
+  private[queries] def readIndex(spark: SparkSession,
+      store: StateStore): DataFrame =
     store.rawState(spark, "ivf.index")
       .filter(col("n") > 0)
       .select(col("label"), col("i"), col("n"),
         round(col("s") / col("n"), 6).as("m"))
       .orderBy("label", "i")
+
+  /** The compaction-time hygiene pass the delta path's scaladoc
+    * promises: recompute the (label, i → s, n) index from the
+    * assignments table from scratch and commit it as a fresh version.
+    * Run periodically on a real deployment to re-zero double-precision
+    * drift (deltas accumulate machine epsilon per reorder); the rebuild
+    * spec asserts delta-maintained and rebuilt states agree, which is
+    * what makes the incremental path safe to trust between rebuilds.
+    * Cost: one scan of assignments — the same work as one initial
+    * snapshot batch, amortized over however many incremental batches
+    * ran since the last rebuild.
+    */
+  private[queries] def rebuildIndex(spark: SparkSession,
+      store: StateStore): Int = {
+    val rebuilt = store.currentState(spark, "ivf.assignments")
+      .select(col("label"), posexplode(col("emb")).as(Seq("p", "v")))
+      .groupBy(col("label"), (col("p") + 1).as("i"))
+      .agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .withColumn(StateStore.BucketCol,
+        StateStore.bucketExpr(Seq("label"), NBuckets))
+      .persist()
+    // Affected = the buckets the rebuild actually produced (partitionBy
+    // writes no dir for an empty bucket, so committing a bucket with no
+    // rows would leave the manifest pointing at a missing path). A
+    // previously-manifested bucket with NO surviving rows (every label
+    // hashing there emptied) can't be expressed by this commit API —
+    // fail loudly rather than silently keep its stale rows.
+    val affected = rebuilt.select(StateStore.BucketCol).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val orphaned = store.manifest("ivf.index").keySet -- affected.toSet
+    require(orphaned.isEmpty,
+      s"index rebuild would orphan stale buckets $orphaned (all their " +
+        "labels emptied); vacuum/compact the index table instead")
+    try store.commit(spark, "ivf.index", rebuilt, affected)
+    finally rebuilt.unpersist(blocking = false)
   }
 
   /** Batch quantizer over the merged final log — what a from-scratch

@@ -58,4 +58,23 @@ class IvfCdcSpec extends SparkTestBase {
         s"centroid differs at $k across slicings")
     }
   }
+
+  test("compaction-time index rebuild matches the delta-maintained state") {
+    val store = IvfCdcQueries.runMaintenance(spark, sf, 2)
+    val deltas = IvfCdcQueries.readIndex(spark, store).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    val v = IvfCdcQueries.rebuildIndex(spark, store)
+    assert(v > 0, "rebuild must commit a fresh version")
+    val rebuilt = IvfCdcQueries.readIndex(spark, store).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(rebuilt.keySet === deltas.keySet)
+    assert(rebuilt.nonEmpty)
+    rebuilt.foreach { case (k, (n, m)) =>
+      assert(deltas(k)._1 === n, s"count differs at $k after rebuild")
+      assert(math.abs(deltas(k)._2 - m) < 1e-9,
+        s"centroid differs at $k after rebuild (drift beyond epsilon)")
+    }
+  }
 }
