@@ -95,4 +95,35 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), "curate must never cross-join")
     assert(!p.contains("Window"), "dedup must stay join-based, not window")
   }
+
+  test("stream_curate_near collision check: broadcast EQUI-join, " +
+    "never a nested-loop array probe") {
+    // Batch twin of the streaming near-dup join (same expressions,
+    // static src): the history index must arrive as a broadcast hash
+    // join on (band, mh). The tempting alternative — keeping the
+    // signature in-row and probing the history with an array-overlap
+    // condition — plans a BroadcastNestedLoopJoin, O(docs × index),
+    // which is the scale failure this guard exists to catch.
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sf, "documents")
+      .filter(size(split(col("text"), " ")) >= 3)
+    def sigs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+        posexplode(graft.functions.BandedMinHash.bandedMinhash(
+          graft.functions.ShingleSet.shingleSet(split(col("text"), " "))))
+          .as(Seq("band", "mh")))
+    val hist = sigs(docs.filter(col("doc_id") % 4 === 0))
+      .select("band", "mh").distinct().withColumn("hit", lit(1))
+    val joined = sigs(docs)
+      .join(broadcast(hist), Seq("band", "mh"), "left")
+      .groupBy("doc_id").agg(max(coalesce(col("hit"), lit(0))).as("any_hit"))
+    val p = joined.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("BroadcastHashJoin"),
+      "history index must broadcast-equi-join on (band, mh)")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "collision check must never plan a nested-loop probe")
+    assert(!p.contains("SortMergeJoin"),
+      "tiny band-minima index must not force a sort-merge shuffle")
+  }
 }
