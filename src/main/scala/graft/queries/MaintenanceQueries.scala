@@ -1,0 +1,166 @@
+package graft.queries
+
+import graft.Tables
+import graft.cdc.{ChangeGen, Envelope, Merge}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lakehouse-maintenance views DERIVED from the CDC change log — the
+  * queries a consumer of the reference's Iceberg tables runs on top of
+  * the raw upsert stream (reference: the sink materializes current
+  * state only, connect-iceberg-sink.json:10-13; history and diff views
+  * are the standard downstream asks that state alone can't answer).
+  *
+  *  - SCD Type 2: every observed version of every key with its
+  *    validity interval — the audit/history table.
+  *  - table_changes: the row-level diff between two table versions —
+  *    the Delta CDF / Iceberg changelog-scan analog, feeding
+  *    incremental consumers that can't re-read the whole table.
+  */
+object MaintenanceQueries {
+
+  private def customerEvents(spark: SparkSession, sfDir: String): DataFrame =
+    Envelope.flatten(ChangeGen.changeLog(
+        Tables.load(spark, sfDir, "customer"),
+        "c_custkey", "c_acctbal", "commerce", "customer"))
+      .select(col("row.c_custkey").as("c_custkey"),
+        col("row.c_acctbal").as("c_acctbal"),
+        col("_cdc.op").as("op"),
+        col("_cdc.ts_ms").as("ts"),
+        col("_cdc.seq").as("seq"))
+
+  /** SCD TYPE 2 — the slowly-changing-dimension history table: one row
+    * per (key, observed version) with `[valid_from, valid_to)` and an
+    * `is_current` flag; a delete event closes the last interval without
+    * opening one.
+    *
+    * This is the one operator family where a per-key WINDOW is the
+    * right plan, not `max_by` (the house merge shape, Merge.scala:12-18):
+    * history keeps EVERY version, so each key's events must be ordered,
+    * not reduced. The window partitions by key — the shuffle carries
+    * (key, acctbal, op, ts, seq)-width rows and each partition sorts
+    * only that key's event history (bounded by per-key change count,
+    * never by table size), so the plan holds at 100 TB where a global
+    * ORDER BY or a row-appending SCD2 writer would not. Ordering by
+    * EVENT (ts, seq) rather than arrival also makes the result
+    * independent of log interleaving: a late-arriving event lands in
+    * its correct history slot instead of corrupting the chain the way
+    * append-in-arrival-order SCD2 implementations do.
+    */
+  def scd2(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("c_custkey").orderBy("ts", "seq")
+    customerEvents(spark, sfDir)
+      .withColumn("valid_to", lead("ts", 1).over(w))
+      .filter(col("op") =!= Envelope.OpDelete)
+      .select(col("c_custkey"),
+        round(col("c_acctbal"), 2).as("c_acctbal"),
+        col("ts").as("valid_from"),
+        col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy("c_custkey", "valid_from")
+  }
+
+  /** The event script (ChangeGen.scala:14-31) replayed in SQL, with the
+    * same lead() chaining. ts literals cast to BIGINT to match the
+    * Spark log's long ts_ms.
+    */
+  val scd2Oracle: String =
+    """WITH ev AS (
+      |  SELECT c_custkey, -999.0 AS c_acctbal, 'u' AS op, 500 AS ts FROM customer WHERE c_custkey % 2 = 0
+      |  UNION ALL SELECT c_custkey, c_acctbal, 'r', 1000 FROM customer
+      |  UNION ALL SELECT c_custkey, c_acctbal + 100.0, 'u', 2000 FROM customer WHERE c_custkey % 3 = 0
+      |  UNION ALL SELECT c_custkey, c_acctbal + 200.0, 'u', 3000 FROM customer WHERE c_custkey % 5 = 0
+      |  UNION ALL SELECT c_custkey, c_acctbal, 'd', 4000 FROM customer WHERE c_custkey % 7 = 0
+      |), v AS (
+      |  SELECT c_custkey, c_acctbal, op,
+      |    CAST(ts AS BIGINT) AS valid_from,
+      |    CAST(lead(ts) OVER (PARTITION BY c_custkey ORDER BY ts) AS BIGINT) AS valid_to
+      |  FROM ev
+      |)
+      |SELECT c_custkey, ROUND(c_acctbal, 2) AS c_acctbal, valid_from,
+      |       valid_to, valid_to IS NULL AS is_current
+      |FROM v WHERE op <> 'd' ORDER BY c_custkey, valid_from""".stripMargin
+
+  /** Version boundary for [[tableChanges]]: state "v1" is the log
+    * compacted through the pre-snapshot stale wave (ts<=500, so v1
+    * holds only the even keys), making every change class fire in the
+    * (500, ∞) window: delete (even, %7), update (even), insert (odd),
+    * and delete-of-absent-key (odd, %7 — emitted as NOTHING, the edge
+    * case the spec pins).
+    */
+  private val V1Ts = 500L
+
+  /** TABLE_CHANGES — row-level diff between two versions of the
+    * maintained table, computed FROM THE LOG, not by diffing snapshots:
+    * the latest event per key inside the version window, classified
+    * against the older version's key set. At 100 TB this is the only
+    * viable shape — cost scales with the CHANGE volume in the window
+    * plus a key-only semi-join against v1 (bucket-prunable on the
+    * store's layout, broadcast-able when the change set is small),
+    * while a snapshot diff would full-outer-join two corpus-sized
+    * tables to discover mostly-unchanged rows.
+    *
+    * Classification: latest op 'd' & key in v1 → delete (emitting the
+    * event's before-image, like Delta CDF's delete rows); 'd' & absent
+    * → no-op (dropped); non-'d' & in v1 → update; non-'d' & absent →
+    * insert. Latest-per-key reuses the merge shape: one map-side-
+    * combinable `max_by` aggregation (Merge.scala:12-18).
+    */
+  def tableChanges(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = customerEvents(spark, sfDir)
+    val order = struct(col("ts"), col("seq"))
+    val v1Keys = ev.filter(col("ts") <= V1Ts)
+      .groupBy("c_custkey")
+      .agg(max_by(col("op"), order).as("op"))
+      .filter(col("op") =!= Envelope.OpDelete)
+      .select(col("c_custkey"), lit(true).as("in_v1"))
+    val latest = ev.filter(col("ts") > V1Ts)
+      .groupBy("c_custkey")
+      .agg(max_by(struct(col("c_acctbal"), col("op")), order).as("l"))
+      .select(col("c_custkey"), col("l.c_acctbal").as("c_acctbal"),
+        col("l.op").as("op"))
+    latest.join(v1Keys, Seq("c_custkey"), "left")
+      .withColumn("change_type",
+        when(col("op") === Envelope.OpDelete,
+          when(col("in_v1"), lit("delete")).otherwise(lit(null)))
+          .when(col("in_v1"), lit("update"))
+          .otherwise(lit("insert")))
+      .filter(col("change_type").isNotNull)
+      .select(col("c_custkey"), round(col("c_acctbal"), 2).as("c_acctbal"),
+        col("change_type"))
+      .orderBy("c_custkey")
+  }
+
+  val tableChangesOracle: String =
+    """WITH ev AS (
+      |  SELECT c_custkey, -999.0 AS c_acctbal, 'u' AS op, 500 AS ts FROM customer WHERE c_custkey % 2 = 0
+      |  UNION ALL SELECT c_custkey, c_acctbal, 'r', 1000 FROM customer
+      |  UNION ALL SELECT c_custkey, c_acctbal + 100.0, 'u', 2000 FROM customer WHERE c_custkey % 3 = 0
+      |  UNION ALL SELECT c_custkey, c_acctbal + 200.0, 'u', 3000 FROM customer WHERE c_custkey % 5 = 0
+      |  UNION ALL SELECT c_custkey, c_acctbal, 'd', 4000 FROM customer WHERE c_custkey % 7 = 0
+      |), v1 AS (
+      |  SELECT c_custkey FROM (
+      |    SELECT c_custkey, arg_max(op, ts) AS op FROM ev WHERE ts <= 500 GROUP BY c_custkey)
+      |  WHERE op <> 'd'
+      |), w AS (
+      |  SELECT c_custkey, arg_max(c_acctbal, ts) AS c_acctbal,
+      |         arg_max(op, ts) AS op
+      |  FROM ev WHERE ts > 500 GROUP BY c_custkey
+      |)
+      |SELECT w.c_custkey, ROUND(w.c_acctbal, 2) AS c_acctbal,
+      |  CASE WHEN w.op = 'd' THEN 'delete'
+      |       WHEN v1.c_custkey IS NOT NULL THEN 'update'
+      |       ELSE 'insert' END AS change_type
+      |FROM w LEFT JOIN v1 ON w.c_custkey = v1.c_custkey
+      |WHERE NOT (w.op = 'd' AND v1.c_custkey IS NULL)
+      |ORDER BY w.c_custkey""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_scd2" -> scd2,
+    "cdc_table_changes" -> tableChanges)
+
+  def oracles: Map[String, String] = Map(
+    "cdc_scd2" -> scd2Oracle,
+    "cdc_table_changes" -> tableChangesOracle)
+}

@@ -1,0 +1,76 @@
+package graft.queries
+
+import graft.{SparkTestBase, Tables}
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants of the maintenance views that the oracle hash
+  * alone doesn't pin by name: SCD2's interval-chain integrity, and
+  * table_changes' class coverage including the delete-of-absent-key
+  * no-op.
+  */
+class MaintenanceQueriesSpec extends SparkTestBase {
+
+  test("scd2 history chains are contiguous and end in exactly one " +
+      "current version per surviving key") {
+    val hist = MaintenanceQueries.scd2(spark, sf).persist()
+    try {
+      // Intervals chain: within a key, each version's valid_to equals
+      // the next version's valid_from (lead over the same order).
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("c_custkey").orderBy("valid_from")
+      val broken = hist
+        .withColumn("next_from", lead("valid_from", 1).over(w))
+        .filter(col("next_from").isNotNull &&
+          col("valid_to") =!= col("next_from"))
+        .count()
+      assert(broken === 0, "non-contiguous validity chain")
+
+      // Keys deleted at ts=4000 (pk%7==0) have NO current version —
+      // their last interval is closed by the delete event; every other
+      // key has exactly one open interval.
+      val currents = hist.groupBy("c_custkey")
+        .agg(sum(col("is_current").cast("int")).as("n_current"))
+      assert(currents.filter(col("c_custkey") % 7 === 0)
+        .filter(col("n_current") =!= 0).count() === 0,
+        "deleted key still has an open version")
+      assert(currents.filter(col("c_custkey") % 7 =!= 0)
+        .filter(col("n_current") =!= 1).count() === 0,
+        "surviving key without exactly one current version")
+
+      // The current image equals the merged state the rest of the
+      // suite trusts: SCD2's open intervals ARE the current table.
+      val current = hist.filter(col("is_current"))
+        .select(col("c_custkey"), col("c_acctbal"))
+      val merged = CdcQueries.mergeCustomer(spark, sf)
+        .select(col("c_custkey"), col("c_acctbal"))
+      assert(current.exceptAll(merged).isEmpty &&
+        merged.exceptAll(current).isEmpty,
+        "open SCD2 intervals diverge from the merged current state")
+    } finally hist.unpersist(blocking = false)
+  }
+
+  test("table_changes emits all three classes and drops deletes of " +
+      "keys absent from v1") {
+    val ch = MaintenanceQueries.tableChanges(spark, sf).persist()
+    try {
+      val byClass = ch.groupBy("change_type").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byClass.keySet === Set("insert", "update", "delete"))
+      // v1 = even keys only (stale wave); classes follow the script:
+      // delete ⇔ even & %7, update ⇔ even & not %7, insert ⇔ odd &
+      // not %7. Odd %7 keys (delete of a key v1 never had) are absent.
+      val n = Tables.load(spark, sf, "customer")
+        .select(col("c_custkey") % 2 === 0, col("c_custkey") % 7 === 0)
+        .collect().map(r => (r.getBoolean(0), r.getBoolean(1)))
+      def cnt(f: ((Boolean, Boolean)) => Boolean) = n.count(f).toLong
+      assert(byClass("delete") === cnt { case (e, s) => e && s })
+      assert(byClass("update") === cnt { case (e, s) => e && !s })
+      assert(byClass("insert") === cnt { case (e, s) => !e && !s })
+      val absentDeletes = ch
+        .filter(col("c_custkey") % 2 =!= 0 && col("c_custkey") % 7 === 0)
+        .count()
+      assert(absentDeletes === 0,
+        "delete of a key absent from v1 must be a no-op")
+    } finally ch.unpersist(blocking = false)
+  }
+}
