@@ -37,6 +37,7 @@ object SparkEntry {
     graft.queries.CdcQueries.queries ++
       graft.queries.PipelineQueries.queries ++
       graft.queries.IvfCdcQueries.queries ++
+      graft.queries.AggCdcQueries.queries ++
       graft.queries.MaintenanceQueries.queries ++
       graft.queries.CatalogQueries.queries ++
       graft.ops.Relational.queries ++
@@ -51,6 +52,7 @@ object SparkEntry {
     graft.queries.CdcQueries.oracles ++
       graft.queries.PipelineQueries.oracles ++
       graft.queries.IvfCdcQueries.oracles ++
+      graft.queries.AggCdcQueries.oracles ++
       graft.queries.MaintenanceQueries.oracles ++
       graft.queries.CatalogQueries.oracles ++
       graft.ops.Relational.oracles ++

@@ -1,0 +1,247 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import graft.Tables
+import graft.cdc.{Envelope, Merge, SchemaEvolution, StateStore}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Incremental MATERIALIZED-AGGREGATE maintenance under CDC updates —
+  * the relational sibling of [[IvfCdcQueries]]: a per-nation summary
+  * (member count, account-balance total) of the customer table is kept
+  * current through the change stream by TELESCOPING DELTAS, never by
+  * re-aggregating the corpus.
+  *
+  * Each micro-batch (a) upserts the evented keys into the bucket-pruned
+  * `agg.state` table with the ordered merge every CDC target uses, and
+  * (b) applies (new stored winner − old stored winner) contribution
+  * deltas to the tiny `agg.summary` table. A row MOVING BETWEEN GROUPS
+  * (the change log's nation-move wave) is handled with no special case:
+  * its old contribution is subtracted from the old group and the new
+  * one added to the new group by the same two-sided delta. Batch cost
+  * scales with CHANGE volume, not table size — at 100 TB the summary
+  * of a billion-row table stays fresh for the price of each batch's
+  * evented keys, where a re-aggregation would scan everything.
+  *
+  * Unlike the IVF centroids (double sums, epsilon drift re-zeroed by
+  * periodic rebuild), this summary is EXACTLY drift-free: balances are
+  * maintained as integer cents (`round(bal*100)` per row), so delta
+  * sums are associative/commutative long arithmetic — any micro-batch
+  * slicing of the log telescopes to bit-identical state, which the
+  * spec asserts and the production practice (sum money as scaled
+  * integers, not floats) requires anyway.
+  */
+object AggCdcQueries {
+
+  private val NBuckets = 8
+  private val StateTable = "agg.state"
+  private val SummaryTable = "agg.summary"
+
+  /** Per-row contribution to the balance total, in integer cents. */
+  private def centsExpr(bal: Column): Column =
+    round(bal * 100).cast("long")
+
+  /** Deterministic account change log (envelope schema, ChangeGen's
+    * wave discipline) with a GROUP-MOVE wave: stale pre-snapshot
+    * updates that must lose the ordered merge, the op='r' snapshot,
+    * a balance-only update wave, a wave that changes BOTH the balance
+    * and the grouping key (nation += 25 — the re-grouping case a naive
+    * incremental aggregator corrupts), and a delete wave.
+    */
+  private[queries] def accountChangeLog(base: DataFrame): DataFrame = {
+    val src = struct(lit("commerce").as("schema"), lit("account").as("table"))
+    def image(nation: Column, bal: Column): Column =
+      struct(col("c_custkey").cast("long").as("c_custkey"),
+        nation.cast("int").as("c_nationkey"),
+        bal.cast("double").as("c_acctbal"))
+    val baseImage = image(col("c_nationkey"), col("c_acctbal"))
+    val nullImage = when(lit(false), baseImage)
+    val pk = col("c_custkey").cast("long")
+    def ev(filter: Column, before: Column, after: Column, op: String,
+           ts: Long): DataFrame =
+      base.filter(filter).select(
+        before.as("before"), after.as("after"), lit(op).as("op"),
+        lit(ts).as("ts_ms"), pk.as("seq"), src.as("source"))
+    val stale = ev(pk % 2 === 0, baseImage,
+      image(col("c_nationkey"), lit(-999.0)), Envelope.OpUpdate, 500L)
+    val snap = ev(lit(true), nullImage, baseImage, Envelope.OpRead, 1000L)
+    val u1 = ev(pk % 3 === 0, baseImage,
+      image(col("c_nationkey"), col("c_acctbal") + 100.0),
+      Envelope.OpUpdate, 2000L)
+    val move = ev(pk % 5 === 0, baseImage,
+      image(col("c_nationkey") + 25, col("c_acctbal") + 200.0),
+      Envelope.OpUpdate, 3000L)
+    val del = ev(pk % 7 === 0, baseImage, nullImage, Envelope.OpDelete, 4000L)
+    // Interleaved out of commit order, like ChangeGen.
+    move.unionAll(stale).unionAll(del).unionAll(snap).unionAll(u1)
+  }
+
+  private val stagedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** One micro-batch: ordered merge into `agg.state` (the
+    * Pipeline.mergeTarget shape), then the summary delta pass.
+    */
+  private def processBatch(store: StateStore, batch: DataFrame): Unit = {
+    val spark = batch.sparkSession
+    val compacted = Merge.compactKeepTombstones(batch, Seq("c_custkey")).persist()
+    try {
+      val batchMeta = compacted.select(
+        col("row.*") +: Seq(
+          col("_cdc.ts_ms").as(StateStore.TsCol),
+          col("_cdc.seq").as(StateStore.SeqCol),
+          (col("_cdc.op") === Envelope.OpDelete).as(StateStore.DeletedCol)): _*)
+        .withColumn(StateStore.BucketCol,
+          StateStore.bucketExpr(Seq("c_custkey"), NBuckets))
+      val affected = batchMeta.select(StateStore.BucketCol).distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted
+      val oldState =
+        if (store.exists(StateTable))
+          store.readBuckets(spark, StateTable, affected)
+        else store.emptyState(spark, StateTable)
+      val stateAligned = SchemaEvolution.align(oldState, batchMeta).persist()
+      val merged = Merge.mergeOrdered(stateAligned,
+        SchemaEvolution.align(batchMeta, stateAligned), Seq("c_custkey"))
+        .persist()
+      store.commit(spark, StateTable, merged, affected)
+
+      // Summary deltas: −(old stored contribution) + (new stored
+      // winner), restricted to this batch's keys. A stale event that
+      // loses the merge yields old == new → the pair cancels exactly
+      // (long cents, no epsilon); a group move subtracts from the old
+      // nation and adds to the new one.
+      val keys = batchMeta.select("c_custkey").distinct()
+      def contributions(state: DataFrame, sign: Int) =
+        state.join(keys, Seq("c_custkey"), "left_semi")
+          .filter(!col(StateStore.DeletedCol))
+          .select(col("c_nationkey"), lit(sign.toLong).as("dn"),
+            (centsExpr(col("c_acctbal")) * sign).as("dc"))
+      val deltas = contributions(stateAligned, -1)
+        .unionAll(contributions(merged, +1))
+        .groupBy("c_nationkey")
+        .agg(sum("dn").as("dn"), sum("dc").as("dc"))
+        .withColumn(StateStore.BucketCol,
+          StateStore.bucketExpr(Seq("c_nationkey"), NBuckets))
+        .persist()
+      val sumAffected = deltas.select(StateStore.BucketCol).distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted
+      if (sumAffected.nonEmpty) {
+        val sumState =
+          if (store.exists(SummaryTable))
+            store.readBuckets(spark, SummaryTable, sumAffected)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType.fromDDL(
+              "c_nationkey int, n bigint, cents bigint, _bucket int"))
+        // Additive upsert (no ordering metadata — long deltas commute).
+        val next = sumState.join(deltas.drop(StateStore.BucketCol),
+            Seq("c_nationkey"), "full_outer")
+          .select(col("c_nationkey"),
+            (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+              .as("n"),
+            (coalesce(col("cents"), lit(0L)) + coalesce(col("dc"), lit(0L)))
+              .as("cents"))
+          .withColumn(StateStore.BucketCol,
+            StateStore.bucketExpr(Seq("c_nationkey"), NBuckets))
+        store.commit(spark, SummaryTable, next, sumAffected)
+      }
+      deltas.unpersist(blocking = false)
+      merged.unpersist(blocking = false)
+      stateAligned.unpersist(blocking = false)
+    } finally compacted.unpersist(blocking = false)
+  }
+
+  /** Drain the staged change log through the maintainer; returns the
+    * store so callers can read either maintained table.
+    */
+  private[queries] def runMaintenance(spark: SparkSession, sfDir: String,
+      filesPerTrigger: Int): StateStore = {
+    val log = accountChangeLog(Tables.load(spark, sfDir, "customer"))
+    val logDir = stagedCache.computeIfAbsent(s"$sfDir/agg", { _ =>
+      val dir = Files.createTempDirectory("graft-agglog-").toString
+      log.repartition(4).write.mode("overwrite").parquet(dir)
+      dir
+    })
+    val store = new StateStore(
+      Files.createTempDirectory("graft-agg-wh-").toString, NBuckets)
+    val rowSchema = log.schema("after").dataType.asInstanceOf[StructType]
+    val src = spark.readStream.schema(Envelope.envelopeSchema(rowSchema))
+      .option("maxFilesPerTrigger", filesPerTrigger).parquet(logDir)
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = Envelope.flatten(src).writeStream
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-agg-ckpt-").toString)
+        .foreachBatch { (b: DataFrame, _: Long) => processBatch(store, b) }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    store
+  }
+
+  private[queries] def readSummary(spark: SparkSession,
+      store: StateStore): DataFrame =
+    store.rawState(spark, SummaryTable)
+      .filter(col("n") > 0)
+      .select(col("c_nationkey"), col("n"),
+        round(col("cents") / 100.0, 2).as("sum_bal"))
+      .orderBy("c_nationkey")
+
+  /** The registered query: drain the log, read the delta-maintained
+    * summary back.
+    */
+  def aggIncremental(spark: SparkSession, sfDir: String,
+                     filesPerTrigger: Int = 2): DataFrame =
+    readSummary(spark, runMaintenance(spark, sfDir, filesPerTrigger))
+
+  /** Compaction-time hygiene (here: an EQUALITY check, not a drift
+    * re-zero — long cents can't drift): recompute the summary from
+    * `agg.state` from scratch and commit it as a fresh version. The
+    * spec asserts rebuilt == delta-maintained bit-for-bit.
+    */
+  private[queries] def rebuildSummary(spark: SparkSession,
+      store: StateStore): Int = {
+    val rebuilt = store.currentState(spark, StateTable)
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n"), sum(centsExpr(col("c_acctbal"))).as("cents"))
+      .withColumn(StateStore.BucketCol,
+        StateStore.bucketExpr(Seq("c_nationkey"), NBuckets))
+      .persist()
+    val affected = rebuilt.select(StateStore.BucketCol).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val orphaned = store.manifest(SummaryTable).keySet -- affected.toSet
+    require(orphaned.isEmpty,
+      s"summary rebuild would orphan stale buckets $orphaned (every " +
+        "nation hashing there emptied); vacuum/compact instead")
+    try store.commit(spark, SummaryTable, rebuilt, affected)
+    finally rebuilt.unpersist(blocking = false)
+  }
+
+  /** Batch aggregate over the merged final log — what re-aggregating
+    * the post-CDC table from scratch computes. Cents are cast to
+    * BIGINT (DuckDB SUM(BIGINT) returns HUGEINT otherwise — r3
+    * verdict's dtype lesson).
+    */
+  val aggIncrementalOracle: String =
+    """WITH final AS (
+      |  SELECT CASE WHEN c_custkey % 5 = 0 THEN c_nationkey + 25
+      |              ELSE c_nationkey END AS c_nationkey,
+      |    CAST(ROUND((c_acctbal + CASE WHEN c_custkey % 5 = 0 THEN 200.0
+      |                                 WHEN c_custkey % 3 = 0 THEN 100.0
+      |                                 ELSE 0.0 END) * 100) AS BIGINT) AS cents
+      |  FROM customer WHERE c_custkey % 7 <> 0
+      |)
+      |SELECT c_nationkey, count(*) AS n,
+      |       ROUND(CAST(SUM(cents) AS BIGINT) / 100.0, 2) AS sum_bal
+      |FROM final GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_agg_incremental" -> ((s, d) => aggIncremental(s, d)))
+
+  def oracles: Map[String, String] = Map(
+    "cdc_agg_incremental" -> aggIncrementalOracle)
+}
