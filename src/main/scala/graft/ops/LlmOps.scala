@@ -1534,6 +1534,86 @@ object LlmOps {
       |    / 512.0) AS BIGINT) AS bin
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Per-document split tiles for [[splitStratified]], computed
+    * DISTRIBUTED: documents are range-sharded by the first hex nibble
+    * of their key digest (shard order == digest order, so shards are
+    * contiguous rank ranges), ranked locally per (stratum, shard), and
+    * local ranks are lifted to global per-stratum ranks by adding
+    * broadcast cumulative shard offsets. The result equals
+    * `ntile(10) OVER (PARTITION BY lang ORDER BY digest)` BIT-FOR-BIT
+    * (the spec asserts it) without ever forming a single-partition-
+    * per-stratum window: the only data-sized window runs per
+    * (lang, shard) — 1/16th of a stratum here; widen the prefix to 2-3
+    * nibbles (256-4096 shards) at 100 TB — and the offset frame is
+    * (strata × shards) rows. The SQL-NTILE arithmetic (first `n mod k`
+    * buckets take the extra row) is reproduced with integer division,
+    * so proportions are EXACT per stratum, not approximate like the
+    * hash-mod split ([[graft.ops.Relational.sampleHash]]'s shape) —
+    * use that one when binomial-bounded proportions are acceptable,
+    * this one when the eval contract demands exact counts.
+    */
+  private[ops] def stratifiedTiles(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val k = 10
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("shard", substring(col("h"), 1, 1))
+    val wLocal = Window.partitionBy("lang", "shard").orderBy("h", "doc_id")
+    val counts = docs.groupBy("lang", "shard").agg(count(lit(1)).as("c"))
+    val wOff = Window.partitionBy("lang").orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("off", coalesce(sum("c").over(wOff), lit(0L)))
+      .withColumn("ntotal", sum("c").over(Window.partitionBy("lang")))
+    docs.withColumn("lr", row_number().over(wLocal).cast("long"))
+      .join(broadcast(offsets), Seq("lang", "shard"))
+      .withColumn("rnk", col("off") + col("lr"))
+      .withColumn("q", expr(s"ntotal div $k"))
+      .withColumn("rem", col("ntotal") % k)
+      .withColumn("tile",
+        when(col("rnk") <= (col("q") + 1) * col("rem"),
+          expr("(rnk - 1) div (q + 1)") + 1)
+          .otherwise(col("rem") + expr("(rnk - 1 - (q + 1) * rem) div q") + 1))
+      .select(col("doc_id"), col("lang"), col("tile").cast("int").as("tile"))
+  }
+
+  /** Deterministic EXACT-proportion stratified train/val/test split
+    * (80/10/10 per language): the corpus-assembly step where eval
+    * contracts demand per-stratum counts exact to the row, not
+    * hash-mod-approximate. Keyed on the document digest so the
+    * assignment is reproducible across engines, runs and topologies,
+    * and stable under corpus growth within each stratum's re-rank.
+    * `id_sum` pins exact MEMBERSHIP per (stratum, split) — equal
+    * counts with swapped members would still hash-mismatch.
+    */
+  def splitStratified(spark: SparkSession, sfDir: String): DataFrame =
+    stratifiedTiles(spark, sfDir)
+      .withColumn("split",
+        when(col("tile") <= 8, "train")
+          .when(col("tile") === 9, "val")
+          .otherwise("test"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n"), sum("doc_id").as("id_sum"))
+      .orderBy("lang", "split")
+
+  /** Plain single-window NTILE on the DuckDB side — the semantics the
+    * distributed rank computation must reproduce exactly. SUM(doc_id)
+    * cast to BIGINT (HUGEINT otherwise — r3 dtype lesson).
+    */
+  val splitStratifiedOracle: String =
+    """WITH ranked AS (
+      |  SELECT doc_id, lang,
+      |    ntile(10) OVER (PARTITION BY lang
+      |                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS tile
+      |  FROM documents)
+      |SELECT lang,
+      |  CASE WHEN tile <= 8 THEN 'train'
+      |       WHEN tile = 9 THEN 'val' ELSE 'test' END AS split,
+      |  count(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      |FROM ranked GROUP BY lang, split ORDER BY lang, split""".stripMargin
+
   // ------------------------------------------------- multimodal columns
 
   /** Multimodal columns as opaque binary + typed metadata: the text
@@ -1722,6 +1802,7 @@ object LlmOps {
     "llm_text_langid" -> textLangId,
     "llm_text_vocab" -> textVocab,
     "llm_pack" -> pack,
+    "llm_split_stratified" -> splitStratified,
     "llm_text_quality_full" -> textQualityFull,
     "llm_decontaminate" -> decontaminate,
     "llm_curate_write" -> curateWrite,
@@ -1757,6 +1838,7 @@ object LlmOps {
     "llm_text_langid" -> textLangIdOracle,
     "llm_text_vocab" -> textVocabOracle,
     "llm_pack" -> packOracle,
+    "llm_split_stratified" -> splitStratifiedOracle,
     "llm_text_quality_full" -> textQualityFullOracle,
     "llm_decontaminate" -> decontaminateOracle,
     "llm_curate_write" -> curateWriteOracle,
