@@ -38,6 +38,7 @@ object SparkEntry {
       graft.queries.PipelineQueries.queries ++
       graft.queries.IvfCdcQueries.queries ++
       graft.queries.AggCdcQueries.queries ++
+      graft.queries.Scd2CdcQueries.queries ++
       graft.queries.MaintenanceQueries.queries ++
       graft.queries.CatalogQueries.queries ++
       graft.ops.Relational.queries ++
@@ -53,6 +54,7 @@ object SparkEntry {
       graft.queries.PipelineQueries.oracles ++
       graft.queries.IvfCdcQueries.oracles ++
       graft.queries.AggCdcQueries.oracles ++
+      graft.queries.Scd2CdcQueries.oracles ++
       graft.queries.MaintenanceQueries.oracles ++
       graft.queries.CatalogQueries.oracles ++
       graft.ops.Relational.oracles ++
