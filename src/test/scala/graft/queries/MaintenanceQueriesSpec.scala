@@ -73,4 +73,39 @@ class MaintenanceQueriesSpec extends SparkTestBase {
         "delete of a key absent from v1 must be a no-op")
     } finally ch.unpersist(blocking = false)
   }
+
+  test("log-derived table_changes agrees with a materialized snapshot " +
+      "diff of the two versions") {
+    import graft.cdc.{ChangeGen, Envelope, Merge}
+    val flat = Envelope.flatten(ChangeGen.changeLog(
+      Tables.load(spark, sf, "customer"),
+      "c_custkey", "c_acctbal", "commerce", "customer"))
+    def stateAt(maxTs: Long) =
+      Merge.compact(flat.filter(col("_cdc.ts_ms") <= maxTs), Seq("c_custkey"))
+        .select(col("c_custkey"), round(col("c_acctbal"), 2).as("c_acctbal"))
+    val v1 = stateAt(500L)
+    val v2 = stateAt(Long.MaxValue)
+    val diff = v1.as("a").join(v2.as("b"), Seq("c_custkey"), "full_outer")
+      .select(col("c_custkey"),
+        when(col("a.c_acctbal").isNull, "insert")
+          .when(col("b.c_acctbal").isNull, "delete")
+          .otherwise("update").as("change_type"),
+        coalesce(col("b.c_acctbal"), col("a.c_acctbal")).as("c_acctbal"))
+    val ch = MaintenanceQueries.tableChanges(spark, sf)
+    // Keys + classes must match exactly. Values match for inserts and
+    // updates (the post-image); delete rows deliberately carry the
+    // delete EVENT's before-image (Debezium's convention), not the v1
+    // snapshot value — the stale wave makes those differ, so deletes
+    // compare by key only.
+    val a = ch.select("c_custkey", "change_type")
+    val b = diff.select("c_custkey", "change_type")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "class/key sets diverge between log-derived and snapshot diff")
+    val av = ch.filter(col("change_type") =!= "delete")
+      .select("c_custkey", "c_acctbal", "change_type")
+    val bv = diff.filter(col("change_type") =!= "delete")
+      .select("c_custkey", "c_acctbal", "change_type")
+    assert(av.exceptAll(bv).isEmpty && bv.exceptAll(av).isEmpty,
+      "insert/update post-images diverge from the v2 snapshot")
+  }
 }
