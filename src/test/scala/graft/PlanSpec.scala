@@ -126,4 +126,27 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"),
       "tiny band-minima index must not force a sort-merge shuffle")
   }
+
+  test("llm_split_stratified: offset frame broadcasts; the data-sized " +
+      "window shuffles by (lang, shard), never one partition per stratum") {
+    val p = plan("llm_split_stratified")
+    assert(p.contains("BroadcastHashJoin"),
+      "shard-offset frame must broadcast back onto the docs")
+    assert(!p.contains("SortMergeJoin"),
+      "tiny offset frame must not force a sort-merge shuffle")
+    // The doc-sized exchange must carry the shard in its key — a
+    // lang-only partitioning would be the single-partition-per-stratum
+    // window this operator exists to avoid.
+    assert("hashpartitioning\\(lang#\\d+, shard#\\d+".r.findFirstIn(p).isDefined,
+      "doc window must partition by (lang, shard)")
+  }
+
+  test("cdc_table_changes: v1 key set broadcasts; latest-per-key " +
+      "partial-aggregates map-side") {
+    val p = plan("cdc_table_changes")
+    assert(p.contains("BroadcastHashJoin"),
+      "v1 key set must broadcast onto the change window")
+    assert(p.contains("partial_max_by"),
+      "latest-per-key must partial-aggregate before the shuffle")
+  }
 }
