@@ -1534,6 +1534,98 @@ object LlmOps {
       |    / 512.0) AS BIGINT) AS bin
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** REPETITION-based quality scoring (the Gopher/C4 duplicate-n-gram
+    * family): per document, the duplicate-unigram and duplicate-bigram
+    * fractions (1 − distinct/total) and a keep verdict on the bigram
+    * signal — boilerplate and degenerate generations repeat phrases
+    * long before they repeat whole documents, so this catches what the
+    * whole-doc dedup family (digest/MinHash) structurally cannot.
+    * Everything is scan-local per row (split → windowed n-grams →
+    * distinct count inside one codegen'd projection, no explode, no
+    * shuffle before the final orderBy) — the same in-row-fold shape as
+    * the shingle expressions, so the operator scans at I/O speed at
+    * any corpus size.
+    */
+  def textRepetition(spark: SparkSession, sfDir: String): DataFrame = {
+    val nW = size(words)
+    val bigrams = when(nW >= 2,
+      transform(sequence(lit(0), nW - 2),
+        i => concat_ws(" ", slice(words, i + 1, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    val dupW = round(lit(1.0) -
+      size(array_distinct(words)).cast("double") / nW, 6)
+    val dupB = round(lit(1.0) -
+      size(array_distinct(bigrams)).cast("double") / size(bigrams), 6)
+    t(spark, sfDir, "documents")
+      .select(col("doc_id"), nW.as("n_words"),
+        dupW.as("dup_word_ratio"), dupB.as("dup_bigram_ratio"),
+        (dupB <= 0.05).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val textRepetitionOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |), g AS (
+      |  SELECT doc_id, len(w) AS n_words,
+      |    ROUND(1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6)
+      |      AS dup_word_ratio,
+      |    ROUND(1.0 - CAST(len(list_distinct(
+      |        [array_to_string(w[i:i+1], ' ')
+      |         for i in generate_series(1, len(w)-1)])) AS DOUBLE)
+      |      / (len(w) - 1), 6) AS dup_bigram_ratio
+      |  FROM d
+      |)
+      |SELECT doc_id, CAST(n_words AS INT) AS n_words, dup_word_ratio,
+      |       dup_bigram_ratio, dup_bigram_ratio <= 0.05 AS keep
+      |FROM g ORDER BY doc_id""".stripMargin
+
+  /** Deterministic WEIGHTED MIXTURE sampling — the corpus-assembly
+    * step that realizes per-source mixing weights (web 50%, books 25%,
+    * …) as a reproducible subset: a document survives iff its key
+    * digest's 2-hex prefix falls below the source's weight threshold,
+    * so the sample is scan-local (filter at I/O speed, composes with
+    * pushdown), stable under corpus growth (an unchanged row's fate
+    * never changes), and identical across engines/runs/topologies —
+    * [[graft.ops.Relational.sampleHash]]'s determinism argument
+    * applied per-stratum with per-stratum rates. Weights here cycle
+    * 1.0/0.75/0.5/0.25 by source id; realized rates are
+    * binomial-around-target at 1/256 granularity (widen the prefix
+    * for finer rates). `id_sum_kept` pins exact membership.
+    */
+  def mixWeighted(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = pmod(substring(col("source"), 4, 10).cast("int"), lit(4))
+    val thr = when(m === 0, "g").when(m === 1, "c0")
+      .when(m === 2, "80").otherwise("40")
+    val keep = substring(md5(col("doc_id").cast("string")), 1, 2) < thr
+    t(spark, sfDir, "documents")
+      .select(col("source"), col("doc_id"),
+        (lit(1.0) - lit(0.25) * m).as("target_w"), keep.as("keep"))
+      .groupBy("source", "target_w")
+      .agg(count(lit(1)).as("n_total"),
+        sum(col("keep").cast("long")).as("n_kept"),
+        sum(when(col("keep"), col("doc_id")).otherwise(0L)).as("id_sum_kept"))
+      .orderBy("source")
+  }
+
+  val mixWeightedOracle: String =
+    """WITH d AS (
+      |  SELECT source, doc_id,
+      |    CAST(substr(source, 4) AS INT) % 4 AS m,
+      |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h2
+      |  FROM documents
+      |), k AS (
+      |  SELECT source, doc_id, CAST(1.0 - 0.25 * m AS DOUBLE) AS target_w,
+      |    h2 < CASE m WHEN 0 THEN 'g' WHEN 1 THEN 'c0'
+      |                WHEN 2 THEN '80' ELSE '40' END AS keep
+      |  FROM d
+      |)
+      |SELECT source, target_w, count(*) AS n_total,
+      |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN keep THEN doc_id ELSE 0 END) AS BIGINT)
+      |    AS id_sum_kept
+      |FROM k GROUP BY source, target_w ORDER BY source""".stripMargin
+
   /** Per-document split tiles for [[splitStratified]], computed
     * DISTRIBUTED: documents are range-sharded by the first hex nibble
     * of their key digest (shard order == digest order, so shards are
@@ -1803,6 +1895,8 @@ object LlmOps {
     "llm_text_vocab" -> textVocab,
     "llm_pack" -> pack,
     "llm_split_stratified" -> splitStratified,
+    "llm_text_repetition" -> textRepetition,
+    "llm_mix_weighted" -> mixWeighted,
     "llm_text_quality_full" -> textQualityFull,
     "llm_decontaminate" -> decontaminate,
     "llm_curate_write" -> curateWrite,
@@ -1839,6 +1933,8 @@ object LlmOps {
     "llm_text_vocab" -> textVocabOracle,
     "llm_pack" -> packOracle,
     "llm_split_stratified" -> splitStratifiedOracle,
+    "llm_text_repetition" -> textRepetitionOracle,
+    "llm_mix_weighted" -> mixWeightedOracle,
     "llm_text_quality_full" -> textQualityFullOracle,
     "llm_decontaminate" -> decontaminateOracle,
     "llm_curate_write" -> curateWriteOracle,
