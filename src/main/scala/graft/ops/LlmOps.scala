@@ -1540,22 +1540,21 @@ object LlmOps {
     * signal — boilerplate and degenerate generations repeat phrases
     * long before they repeat whole documents, so this catches what the
     * whole-doc dedup family (digest/MinHash) structurally cannot.
-    * Everything is scan-local per row (split → windowed n-grams →
-    * distinct count inside one codegen'd projection, no explode, no
-    * shuffle before the final orderBy) — the same in-row-fold shape as
-    * the shingle expressions, so the operator scans at I/O speed at
-    * any corpus size.
+    * Everything is scan-local per row: the distinct-n-gram counts come
+    * from the codegen'd [[graft.functions.NgramDistinctCount]] kernel
+    * (one compiled sliding-window pass per n, nothing materialized per
+    * row — the declarative array_distinct spelling's pairwise compare
+    * measured 5.3 s at sf0.1 vs ~0.5 s for its scan-local siblings),
+    * so the operator scans at I/O speed at any corpus size: no
+    * explode, no shuffle before the final orderBy.
     */
   def textRepetition(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.NgramDistinctCount.ngramDistinctCount
     val nW = size(words)
-    val bigrams = when(nW >= 2,
-      transform(sequence(lit(0), nW - 2),
-        i => concat_ws(" ", slice(words, i + 1, lit(2)))))
-      .otherwise(array().cast("array<string>"))
     val dupW = round(lit(1.0) -
-      size(array_distinct(words)).cast("double") / nW, 6)
+      ngramDistinctCount(words, 1).cast("double") / nW, 6)
     val dupB = round(lit(1.0) -
-      size(array_distinct(bigrams)).cast("double") / size(bigrams), 6)
+      ngramDistinctCount(words, 2).cast("double") / (nW - 1), 6)
     t(spark, sfDir, "documents")
       .select(col("doc_id"), nW.as("n_words"),
         dupW.as("dup_word_ratio"), dupB.as("dup_bigram_ratio"),
