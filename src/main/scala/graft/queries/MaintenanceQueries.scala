@@ -82,6 +82,65 @@ object MaintenanceQueries {
       |       valid_to, valid_to IS NULL AS is_current
       |FROM v WHERE op <> 'd' ORDER BY c_custkey, valid_from""".stripMargin
 
+  /** POINT-IN-TIME (temporal) join against the SCD2 history — the
+    * enrichment SCD2 exists to serve, and the feature-store pattern
+    * that keeps training data leakage-free: each (key, probe_ts) pair
+    * joins the version whose `[valid_from, valid_to)` interval covers
+    * the probe, never the current image. Probes are derived
+    * deterministically from the key (ts 500..4500 across the wave
+    * timeline), so some probe a pre-first-version instant (odd keys at
+    * ts 500, before their snapshot) and some probe after a delete —
+    * both must resolve to NULL, not to a nearest neighbor (that's the
+    * contract difference vs `join_asof`, which matches backward to the
+    * latest earlier row regardless of deletion).
+    *
+    * Plan shape: an equi-join on the key carries the interval predicate
+    * as a join filter — key-partitioned shuffle (or broadcast when the
+    * probe side is small), never a range cross-product; intervals are
+    * disjoint per key by construction so at most one version matches.
+    */
+  def scd2Asof(spark: SparkSession, sfDir: String): DataFrame = {
+    val hist = scd2(spark, sfDir)
+      .select(col("c_custkey"), col("c_acctbal"),
+        col("valid_from"), col("valid_to"))
+    val probes = Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey"),
+        (lit(500L) * (pmod(col("c_custkey"), lit(9)) + 1)).as("probe_ts"))
+    probes.join(hist,
+        probes("c_custkey") === hist("c_custkey") &&
+          col("probe_ts") >= col("valid_from") &&
+          (col("valid_to").isNull || col("probe_ts") < col("valid_to")),
+        "left")
+      .select(probes("c_custkey"), col("probe_ts"), col("c_acctbal"))
+      .orderBy("c_custkey", "probe_ts")
+  }
+
+  val scd2AsofOracle: String =
+    """WITH ev AS (
+      |  SELECT c_custkey, -999.0 AS c_acctbal, 'u' AS op, 500 AS ts FROM customer WHERE c_custkey % 2 = 0
+      |  UNION ALL SELECT c_custkey, c_acctbal, 'r', 1000 FROM customer
+      |  UNION ALL SELECT c_custkey, c_acctbal + 100.0, 'u', 2000 FROM customer WHERE c_custkey % 3 = 0
+      |  UNION ALL SELECT c_custkey, c_acctbal + 200.0, 'u', 3000 FROM customer WHERE c_custkey % 5 = 0
+      |  UNION ALL SELECT c_custkey, c_acctbal, 'd', 4000 FROM customer WHERE c_custkey % 7 = 0
+      |), v AS (
+      |  SELECT c_custkey, c_acctbal, op,
+      |    CAST(ts AS BIGINT) AS valid_from,
+      |    CAST(lead(ts) OVER (PARTITION BY c_custkey ORDER BY ts) AS BIGINT) AS valid_to
+      |  FROM ev
+      |), hist AS (
+      |  SELECT c_custkey, ROUND(c_acctbal, 2) AS c_acctbal, valid_from, valid_to
+      |  FROM v WHERE op <> 'd'
+      |), probes AS (
+      |  SELECT c_custkey, CAST(500 * (c_custkey % 9 + 1) AS BIGINT) AS probe_ts
+      |  FROM customer
+      |)
+      |SELECT p.c_custkey, p.probe_ts, h.c_acctbal
+      |FROM probes p LEFT JOIN hist h
+      |  ON p.c_custkey = h.c_custkey
+      | AND p.probe_ts >= h.valid_from
+      | AND (h.valid_to IS NULL OR p.probe_ts < h.valid_to)
+      |ORDER BY p.c_custkey, p.probe_ts""".stripMargin
+
   /** Version boundary for [[tableChanges]]: state "v1" is the log
     * compacted through the pre-snapshot stale wave (ts<=500, so v1
     * holds only the even keys), making every change class fire in the
@@ -158,9 +217,11 @@ object MaintenanceQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_scd2" -> scd2,
+    "cdc_scd2_asof" -> scd2Asof,
     "cdc_table_changes" -> tableChanges)
 
   def oracles: Map[String, String] = Map(
     "cdc_scd2" -> scd2Oracle,
+    "cdc_scd2_asof" -> scd2AsofOracle,
     "cdc_table_changes" -> tableChangesOracle)
 }
