@@ -48,17 +48,26 @@ object MaintenanceQueries {
     * its correct history slot instead of corrupting the chain the way
     * append-in-arrival-order SCD2 implementations do.
     */
-  def scd2(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.partitionBy("c_custkey").orderBy("ts", "seq")
-    customerEvents(spark, sfDir)
-      .withColumn("valid_to", lead("ts", 1).over(w))
-      .filter(col("op") =!= Envelope.OpDelete)
+  def scd2(spark: SparkSession, sfDir: String): DataFrame =
+    intervalize(customerEvents(spark, sfDir), "c_custkey")
       .select(col("c_custkey"),
         round(col("c_acctbal"), 2).as("c_acctbal"),
-        col("ts").as("valid_from"),
-        col("valid_to"),
-        col("valid_to").isNull.as("is_current"))
+        col("valid_from"), col("valid_to"), col("is_current"))
       .orderBy("c_custkey", "valid_from")
+
+  /** The interval-derivation core (shared with the property spec):
+    * events carrying (`op`, `ts`, `seq`) plus the key and payload
+    * columns become versions with `[valid_from, valid_to)` /
+    * `is_current`; a delete closes its predecessor and emits nothing.
+    */
+  private[graft] def intervalize(events: DataFrame, pk: String): DataFrame = {
+    val w = Window.partitionBy(pk).orderBy("ts", "seq")
+    events
+      .withColumn("valid_to", lead("ts", 1).over(w))
+      .filter(col("op") =!= Envelope.OpDelete)
+      .withColumn("valid_from", col("ts"))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop("op", "ts", "seq")
   }
 
   /** The event script (ChangeGen.scala:14-31) replayed in SQL, with the

@@ -141,6 +141,17 @@ class PlanSpec extends SparkTestBase {
       "doc window must partition by (lang, shard)")
   }
 
+  test("cdc_scd2_asof: interval predicate rides the key equi-join — " +
+      "never a range cross-product") {
+    val p = plan("cdc_scd2_asof")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"),
+      "temporal join must hash/merge on the key")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "interval matching must not plan a cross-product")
+  }
+
   test("cdc_table_changes: v1 key set broadcasts; latest-per-key " +
       "partial-aggregates map-side") {
     val p = plan("cdc_table_changes")
