@@ -1625,6 +1625,153 @@ object LlmOps {
       |    AS id_sum_kept
       |FROM k GROUP BY source, target_w ORDER BY source""".stripMargin
 
+  /** EXACT SUBSTRING-WINDOW dedup — the Lee-et-al-2022 "train-data
+    * dedup at the substring level" family, Spark-shaped: a document is
+    * flagged when a large fraction of its 8-token windows already
+    * appear in an EARLIER document, catching copy-with-edits and
+    * quote-heavy near-copies that whole-document digests miss and that
+    * MinHash only catches above its Jaccard threshold.
+    *
+    * Shape: per-doc DISTINCT window digests are built IN-ROW (one
+    * transform over token offsets, md5 per window — the compiled-
+    * kernel upgrade path is [[graft.functions.NgramDistinctCount]]'s
+    * sliding-window layout), then ONE explode feeds a digest-
+    * partitioned window min that tags every (doc, window) with the
+    * smallest doc_id sharing it; the per-doc rollup counts windows
+    * owned by an earlier doc. The shuffle carries (16-byte digest,
+    * doc_id) pairs — never text — and each digest partition holds one
+    * window's collision list, so the plan is the LSH bucket argument
+    * (LlmOps.scala:14-19) applied to exact windows: no all-pairs
+    * stage exists at any scale. A pathological window shared by
+    * billions of docs concentrates one digest partition — the same
+    * AQE-skew-split case as the dedup components' rep key.
+    */
+  def dedupSubstring(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 8
+    val wins = t(spark, sfDir, "documents")
+      .filter(size(words) >= k)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), size(words) - (k - 1)),
+          i => md5(concat_ws(" ", slice(words, i, lit(k))))))).as("dig"))
+    wins
+      .withColumn("first_doc", min("doc_id").over(Window.partitionBy("dig")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_win"),
+        sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L))
+          .as("n_dup"))
+      .withColumn("dup_frac",
+        round(col("n_dup").cast("double") / col("n_win"), 6))
+      .withColumn("drop_doc", col("dup_frac") >= 0.5)
+      .orderBy("doc_id")
+  }
+
+  val dedupSubstringOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 8
+      |), wins AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    [md5(array_to_string(w[i:i+7], ' '))
+      |     for i in generate_series(1, len(w)-7)])) AS dig
+      |  FROM d
+      |), f AS (
+      |  SELECT doc_id, min(doc_id) OVER (PARTITION BY dig) AS first_doc
+      |  FROM wins
+      |)
+      |SELECT doc_id, count(*) AS n_win,
+      |  CAST(sum(CASE WHEN first_doc < doc_id THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_dup,
+      |  ROUND(CAST(sum(CASE WHEN first_doc < doc_id THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / count(*), 6) AS dup_frac,
+      |  ROUND(CAST(sum(CASE WHEN first_doc < doc_id THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / count(*), 6) >= 0.5 AS drop_doc
+      |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** UNIGRAM-LM quality scoring — the CCNet/KenLM perplexity-filter
+    * proxy: train a unigram language model on the corpus itself (term
+    * frequency / total tokens), score each document by mean negative
+    * log-likelihood, keep the low-perplexity mass. Degenerate and
+    * off-distribution documents sit in the high-NLL tail; the fixture
+    * threshold 3.41 cuts at ~P90 (corpus NLL spans 3.38–3.70).
+    *
+    * Two passes, both scan-shaped: (1) the LM build is a map-side-
+    * combined word count (the [[textTermFreq]] shape) — at real-corpus
+    * scale the vocabulary truncates to top-V with an OOV floor and
+    * still broadcasts (millions of types ≪ executor memory);
+    * (2) scoring broadcast-joins the LM onto the exploded tokens, so
+    * the only data-sized shuffle is the per-doc partial-aggregated
+    * rollup of (doc_id, sum lp, count). NLL is rounded to 6dp BEFORE
+    * the keep compare so both engines threshold the same value (ln and
+    * double-sum agree far beyond 1e-6 — the [[textTfidf]] precedent).
+    */
+  def textLm(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = t(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(words).as("term"))
+    val total = toks.agg(count(lit(1)).as("n"))
+    val lm = toks.groupBy("term").agg(count(lit(1)).as("tf"))
+      .crossJoin(broadcast(total))
+      .select(col("term"), log(col("tf").cast("double") / col("n")).as("lp"))
+    toks.join(broadcast(lm), Seq("term"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(-avg(col("lp")), 6).as("nll"))
+      .withColumn("keep", col("nll") <= 3.41)
+      .orderBy("doc_id")
+  }
+
+  val textLmOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents
+      |), total AS (SELECT count(*) AS n FROM toks),
+      |lm AS (
+      |  SELECT term, ln(CAST(count(*) AS DOUBLE) / n) AS lp
+      |  FROM toks, total GROUP BY term, n
+      |)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |  ROUND(-avg(lp), 6) AS nll,
+      |  ROUND(-avg(lp), 6) <= 3.41 AS keep
+      |FROM toks JOIN lm USING (term)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** BPE MERGE-STEP pair counting — the tokenizer-training primitive:
+    * the frequency of every adjacent token pair, top-40 (the first
+    * iteration of BPE picks the argmax; training loops this with the
+    * winning pair merged into the vocabulary — each iteration is this
+    * same job over the rewritten corpus). Pairs are built IN-ROW by
+    * zipping the token array against its own 1-shifted slice — no
+    * positional self-join, no window — so the corpus cost is one
+    * explode of (tokens−1) rows per doc into a map-side-combined
+    * count; the pair key space is bounded by the realized bigram
+    * vocabulary, and the cut is TakeOrderedAndProject, never a global
+    * sort.
+    */
+  def textBpe(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = size(words)
+    val pairs = zip_with(
+      slice(words, lit(1), n - 1), slice(words, lit(2), n - 1),
+      (a, b) => concat(a, lit(" "), b))
+    t(spark, sfDir, "documents")
+      .filter(n >= 2)
+      .select(explode(pairs).as("pair"))
+      .groupBy("pair")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(40)
+  }
+
+  val textBpeOracle: String =
+    """WITH d AS (
+      |  SELECT string_split(text, ' ') AS w FROM documents
+      |), p AS (
+      |  SELECT unnest(w[1:len(w)-1]) AS a, unnest(w[2:len(w)]) AS b
+      |  FROM d WHERE len(w) >= 2
+      |)
+      |SELECT a || ' ' || b AS pair, count(*) AS cnt
+      |FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 40""".stripMargin
+
   /** Per-document split tiles for [[splitStratified]], computed
     * DISTRIBUTED: documents are range-sharded by the first hex nibble
     * of their key digest (shard order == digest order, so shards are
@@ -1896,6 +2043,9 @@ object LlmOps {
     "llm_split_stratified" -> splitStratified,
     "llm_text_repetition" -> textRepetition,
     "llm_mix_weighted" -> mixWeighted,
+    "llm_dedup_substring" -> dedupSubstring,
+    "llm_text_lm" -> textLm,
+    "llm_text_bpe" -> textBpe,
     "llm_text_quality_full" -> textQualityFull,
     "llm_decontaminate" -> decontaminate,
     "llm_curate_write" -> curateWrite,
@@ -1934,6 +2084,9 @@ object LlmOps {
     "llm_split_stratified" -> splitStratifiedOracle,
     "llm_text_repetition" -> textRepetitionOracle,
     "llm_mix_weighted" -> mixWeightedOracle,
+    "llm_dedup_substring" -> dedupSubstringOracle,
+    "llm_text_lm" -> textLmOracle,
+    "llm_text_bpe" -> textBpeOracle,
     "llm_text_quality_full" -> textQualityFullOracle,
     "llm_decontaminate" -> decontaminateOracle,
     "llm_curate_write" -> curateWriteOracle,

@@ -787,6 +787,64 @@ object Relational {
       |      FROM customer)
       |GROUP BY quartile ORDER BY quartile""".stripMargin
 
+  /** SESSIONIZATION (batch, gaps-and-islands): per-user sessions cut at
+    * a 30-minute inactivity gap, rolled up to one row per session —
+    * the clickstream shape every events pipeline needs and the batch
+    * twin of the streaming `session_window` query
+    * ([[StreamingOps]] `stream_session`).
+    *
+    * Plan: ONE shuffle by user_id serves the lag, the running
+    * session-number sum and (via a partial-agg after the window) the
+    * rollup — all three share the (user_id; ts, event_id) window spec,
+    * so Catalyst plans a single Window node over a single sort. Each
+    * partition sorts only that user's events (bounded by per-user
+    * activity, never table size) — the same argument that makes SCD2
+    * hold at 100 TB (MaintenanceQueries.scala:40-45); a hot user is an
+    * AQE skew-split case, not a plan change. The boundary is strict
+    * (gap > 30 min starts a new session) and ordering tie-breaks on
+    * event_id, so session numbering is deterministic cross-engine.
+    */
+  def winSessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gapUs = 30L * 60 * 1000 * 1000
+    t(spark, sfDir, "events")
+      .withColumn("prev_us", unix_micros(lag("ts", 1).over(w)))
+      .withColumn("new_s",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_no",
+        sum("new_s").over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .groupBy("user_id", "session_no")
+      .agg(unix_micros(min(col("ts"))).as("s_start_us"),
+        unix_micros(max(col("ts"))).as("s_end_us"),
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("total_value"))
+      .orderBy("user_id", "session_no")
+  }
+
+  val winSessionizeOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), s AS (
+      |  SELECT user_id, ts, value,
+      |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                          ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      |      AS session_no
+      |  FROM e
+      |)
+      |SELECT user_id, session_no, epoch_us(min(ts)) AS s_start_us,
+      |  epoch_us(max(ts)) AS s_end_us, count(*) AS n_events,
+      |  ROUND(sum(value), 2) AS total_value
+      |FROM s GROUP BY user_id, session_no
+      |ORDER BY user_id, session_no""".stripMargin
+
   // --------------------------------------------------- sort/limit/sample
 
   /** B1 standalone: full-projection scan + multi-column global sort —
@@ -1191,6 +1249,7 @@ object Relational {
     "win_frame" -> winFrame,
     "win_ntile" -> winNtile,
     "win_dist" -> winDist,
+    "win_sessionize" -> winSessionize,
     "sort_scan" -> sortScan,
     "sort_topk" -> sortTopk,
     "sort_topk_group" -> sortTopkGroup,
@@ -1238,6 +1297,7 @@ object Relational {
     "win_frame" -> winFrameOracle,
     "win_ntile" -> winNtileOracle,
     "win_dist" -> winDistOracle,
+    "win_sessionize" -> winSessionizeOracle,
     "sort_scan" -> sortScanOracle,
     "sort_topk" -> sortTopkOracle,
     "sort_topk_group" -> sortTopkGroupOracle,

@@ -160,4 +160,21 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("partial_max_by"),
       "latest-per-key must partial-aggregate before the shuffle")
   }
+
+  test("win_sessionize: ONE user_id shuffle serves window + rollup") {
+    val p = plan("win_sessionize")
+    // lag, the running session-number sum and the per-session rollup
+    // all cluster by user_id; hashpartitioning(user_id) satisfies the
+    // rollup's ClusteredDistribution(user_id, session_no), so a second
+    // data-sized exchange means the shared window spec broke. The only
+    // other exchanges allowed are the final presentation sort's range
+    // exchange and AQE's single-partition reads.
+    val hashEx = "hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected exactly 1 hash exchange, got $hashEx:\n$p")
+    // Both window functions (lag + running session sum) must ride ONE
+    // sorted pass — two Window nodes over one Sort, no re-sort between.
+    assert("\\+- Window".r.findAllIn(p).size == 2, "expected 2 Window nodes")
+    assert("\\+- Sort".r.findAllIn(p).size <= 2,
+      "windows must share one sort (plus the presentation sort only)")
+  }
 }

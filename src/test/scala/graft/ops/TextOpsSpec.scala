@@ -1,0 +1,64 @@
+package graft.ops
+
+import graft.SparkTestBase
+
+/** Constructed-case invariants for the round-7 text/dedup additions:
+  * substring-window dedup, unigram-LM scoring, BPE pair counting. The
+  * oracle gate proves fixture agreement; these pin the SEMANTICS on
+  * inputs where the right answer is computable by hand.
+  */
+class TextOpsSpec extends SparkTestBase {
+
+  private def docsDir(rows: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("textops").toString
+    rows.map { case (id, text) =>
+      (id, text, "en", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("dedupSubstring: exact copy fully flagged, partial overlap " +
+      "counted window-exactly, fresh docs clean") {
+    val base = (1 to 20).map(i => s"t$i").mkString(" ")
+    val partial = ((1 to 10).map(i => s"t$i") ++
+      (1 to 10).map(i => s"u$i")).mkString(" ")
+    val fresh = (1 to 8).map(i => s"v$i").mkString(" ")
+    val dir = docsDir(Seq(1L -> base, 2L -> base, 3L -> partial, 4L -> fresh))
+    val out = LlmOps.dedupSubstring(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getBoolean(4)))).toMap
+    // doc 1: 13 windows (20-8+1), first owner of all of them.
+    assert(out(1L) === ((13L, 0L, false)))
+    // doc 2 = exact copy: every window owned by doc 1 → dropped.
+    assert(out(2L) === ((13L, 13L, true)))
+    // doc 3 shares tokens 1..10 with doc 1: windows starting at
+    // offsets 1..3 lie fully inside the shared prefix → 3 of 13.
+    assert(out(3L) === ((13L, 3L, false)))
+    // doc 4: one window, nobody earlier has it.
+    assert(out(4L) === ((1L, 0L, false)))
+  }
+
+  test("textLm: NLL equals the hand-computed unigram model") {
+    val dir = docsDir(Seq(1L -> "x x x", 2L -> "z"))
+    val out = LlmOps.textLm(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // Corpus: x×3, z×1 → p(x)=0.75, p(z)=0.25.
+    val nll1 = BigDecimal(-math.log(0.75))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val nll2 = BigDecimal(-math.log(0.25))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) === ((3L, nll1)))
+    assert(out(2L) === ((1L, nll2)))
+  }
+
+  test("textBpe: adjacent-pair counts with deterministic tie order") {
+    val dir = docsDir(Seq(1L -> "a b a b a", 2L -> "c c"))
+    val out = LlmOps.textBpe(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // "a b a b a" → (a b)×2, (b a)×2; "c c" → (c c)×1.
+    // Ties (cnt 2) break on pair text ascending.
+    assert(out === Seq(("a b", 2L), ("b a", 2L), ("c c", 1L)))
+  }
+}
