@@ -87,11 +87,93 @@ object CatalogQueries {
       |  (SELECT unnest(['csv','json','orc','parquet']) AS fmt)
       |ORDER BY fmt""".stripMargin
 
+  /** ONE-PASS table profiling — the data-quality sweep every ingest
+    * runs before trusting a new drop: per column, non-null count,
+    * exact distinct count, and min/max, for a mixed numeric / string /
+    * timestamp column set, emitted long-format (one row per column).
+    *
+    * The whole profile is ONE aggregate over ONE scan — the naive
+    * per-column loop would scan the table k times, the difference
+    * between one pass and a day of I/O at 100 TB. The wide 1-row
+    * result pivots to long format with an in-row explode of literal
+    * structs (no union of re-scanning branches). Multi-column exact
+    * COUNT(DISTINCT) plans one Expand (×4 rows) over the scan — still
+    * one I/O pass; swap `approx_count_distinct` when the corpus is
+    * huge and ±2% is acceptable. Numerics/timestamps report min/max
+    * as doubles (timestamps as epoch micros), strings as strings —
+    * engine-neutral, no float-formatting ambiguity.
+    */
+  def profileTable(spark: SparkSession, sfDir: String): DataFrame = {
+    val wide = Tables.load(spark, sfDir, "lineitem")
+      .agg(
+        count(col("l_partkey")).as("pk_n"),
+        countDistinct(col("l_partkey")).as("pk_d"),
+        min("l_partkey").cast("double").as("pk_min"),
+        max("l_partkey").cast("double").as("pk_max"),
+        count(col("l_quantity")).as("qt_n"),
+        countDistinct(col("l_quantity")).as("qt_d"),
+        min("l_quantity").cast("double").as("qt_min"),
+        max("l_quantity").cast("double").as("qt_max"),
+        count(col("l_shipdate")).as("sd_n"),
+        countDistinct(col("l_shipdate")).as("sd_d"),
+        // fixture timestamps are NTZ; session tz is UTC so the cast is
+        // a no-op reinterpretation (Relational.tsMicros precedent).
+        unix_micros(min(col("l_shipdate")).cast("timestamp"))
+          .cast("double").as("sd_min"),
+        unix_micros(max(col("l_shipdate")).cast("timestamp"))
+          .cast("double").as("sd_max"),
+        count(col("l_returnflag")).as("rf_n"),
+        countDistinct(col("l_returnflag")).as("rf_d"),
+        min("l_returnflag").as("rf_min"),
+        max("l_returnflag").as("rf_max"))
+    def row(name: String, p: String, str: Boolean) = struct(
+      lit(name).as("col_name"),
+      col(s"${p}_n").as("n_nonnull"),
+      col(s"${p}_d").as("n_distinct"),
+      (if (str) lit(null).cast("double") else col(s"${p}_min")).as("min_num"),
+      (if (str) lit(null).cast("double") else col(s"${p}_max")).as("max_num"),
+      (if (str) col(s"${p}_min") else lit(null).cast("string")).as("min_str"),
+      (if (str) col(s"${p}_max") else lit(null).cast("string")).as("max_str"))
+    wide.select(explode(array(
+        row("l_partkey", "pk", str = false),
+        row("l_quantity", "qt", str = false),
+        row("l_shipdate", "sd", str = false),
+        row("l_returnflag", "rf", str = true))).as("r"))
+      .select("r.*")
+      .orderBy("col_name")
+  }
+
+  val profileTableOracle: String =
+    """SELECT 'l_partkey' AS col_name, count(l_partkey) AS n_nonnull,
+      |  count(DISTINCT l_partkey) AS n_distinct,
+      |  CAST(min(l_partkey) AS DOUBLE) AS min_num,
+      |  CAST(max(l_partkey) AS DOUBLE) AS max_num,
+      |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'l_quantity', count(l_quantity), count(DISTINCT l_quantity),
+      |  CAST(min(l_quantity) AS DOUBLE), CAST(max(l_quantity) AS DOUBLE),
+      |  NULL, NULL
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'l_shipdate', count(l_shipdate), count(DISTINCT l_shipdate),
+      |  CAST(epoch_us(min(l_shipdate)) AS DOUBLE),
+      |  CAST(epoch_us(max(l_shipdate)) AS DOUBLE), NULL, NULL
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'l_returnflag', count(l_returnflag),
+      |  count(DISTINCT l_returnflag), NULL, NULL,
+      |  min(l_returnflag), max(l_returnflag)
+      |FROM lineitem
+      |ORDER BY col_name""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "catalog_ddl" -> catalogDdl,
-    "sink_formats" -> sinkFormats)
+    "sink_formats" -> sinkFormats,
+    "profile_table" -> profileTable)
 
   def oracles: Map[String, String] = Map(
     "catalog_ddl" -> catalogDdlOracle,
-    "sink_formats" -> sinkFormatsOracle)
+    "sink_formats" -> sinkFormatsOracle,
+    "profile_table" -> profileTableOracle)
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.cdc.{ChangeGen, Envelope, Merge}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -224,13 +224,88 @@ object MaintenanceQueries {
       |WHERE NOT (w.op = 'd' AND v1.c_custkey IS NULL)
       |ORDER BY w.c_custkey""".stripMargin
 
+  /** Z-ORDER data layout — the `OPTIMIZE ... ZORDER BY (a, b)` analog:
+    * rows sort by the bit-interleaving of their quantized dimension
+    * values, so consecutive rows (→ the same output file) are close in
+    * BOTH dimensions at once and every file's parquet footer min/max
+    * is tight on both — a predicate on EITHER column prunes most
+    * files, where a linear sort only serves its leading column. The
+    * registered query emits the layout's pruning evidence: per
+    * z-bucket (the file boundary a writer would cut at) the row count
+    * and both dims' min/max — exactly the footer stats a scan planner
+    * would consult — and ZorderSpec quantifies the span-vs-linear win.
+    *
+    * Shape, 100 TB posture: the quantizer bounds come from one
+    * metadata-sized aggregate broadcast back onto the scan; the
+    * z-value is a 16-term in-row bit expression (codegen'd integer
+    * ops, no UDF); the rollup is a map-side-combined groupBy on the
+    * 256-value bucket key. Writing the physical layout is then
+    * `sort_within_partitions(zval)` under `repartitionByRange(zval)` +
+    * `maxRecordsPerFile` — the same plan this query's bucket key
+    * simulates; quantization exactness: (x−lo)·256 ≤ 2^53 so the
+    * double divide + floor is IEEE-exact and engine-independent.
+    */
+  def layoutZorder(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select("l_partkey", "l_suppkey")
+    val stats = li.agg(
+      min("l_partkey").as("pk_lo"), max("l_partkey").as("pk_hi"),
+      min("l_suppkey").as("sk_lo"), max("l_suppkey").as("sk_hi"))
+    def quant(x: Column, lo: Column, hi: Column): Column =
+      floor((x - lo) * lit(256.0) / (hi - lo + lit(1L))).cast("long")
+    val zval = (0 until 8).map { i =>
+      shiftleft(shiftright(col("qx"), i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(
+          shiftleft(shiftright(col("qy"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+    li.crossJoin(broadcast(stats))
+      .withColumn("qx", quant(col("l_partkey"), col("pk_lo"), col("pk_hi")))
+      .withColumn("qy", quant(col("l_suppkey"), col("sk_lo"), col("sk_hi")))
+      .withColumn("bucket", shiftright(zval, 8))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min("l_partkey").as("pk_min"), max("l_partkey").as("pk_max"),
+        min("l_suppkey").as("sk_min"), max("l_suppkey").as("sk_max"))
+      .orderBy("bucket")
+  }
+
+  /** The same 16-term interleave, spelled for DuckDB. */
+  private def zTermsSql(qx: String, qy: String): String =
+    (0 until 8).map { i =>
+      s"((($qx >> $i) & 1) << ${2 * i}) | ((($qy >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" | ")
+
+  val layoutZorderOracle: String =
+    s"""WITH s AS (
+       |  SELECT min(l_partkey) AS pk_lo, max(l_partkey) AS pk_hi,
+       |         min(l_suppkey) AS sk_lo, max(l_suppkey) AS sk_hi
+       |  FROM lineitem
+       |), q AS (
+       |  SELECT l_partkey, l_suppkey,
+       |    CAST(floor((l_partkey - pk_lo) * 256.0 / (pk_hi - pk_lo + 1))
+       |      AS BIGINT) AS qx,
+       |    CAST(floor((l_suppkey - sk_lo) * 256.0 / (sk_hi - sk_lo + 1))
+       |      AS BIGINT) AS qy
+       |  FROM lineitem, s
+       |), z AS (
+       |  SELECT l_partkey, l_suppkey,
+       |    (${zTermsSql("qx", "qy")}) AS zval
+       |  FROM q
+       |)
+       |SELECT zval >> 8 AS bucket, count(*) AS n_rows,
+       |  min(l_partkey) AS pk_min, max(l_partkey) AS pk_max,
+       |  min(l_suppkey) AS sk_min, max(l_suppkey) AS sk_max
+       |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_scd2" -> scd2,
     "cdc_scd2_asof" -> scd2Asof,
-    "cdc_table_changes" -> tableChanges)
+    "cdc_table_changes" -> tableChanges,
+    "layout_zorder" -> layoutZorder)
 
   def oracles: Map[String, String] = Map(
     "cdc_scd2" -> scd2Oracle,
     "cdc_scd2_asof" -> scd2AsofOracle,
-    "cdc_table_changes" -> tableChangesOracle)
+    "cdc_table_changes" -> tableChangesOracle,
+    "layout_zorder" -> layoutZorderOracle)
 }
