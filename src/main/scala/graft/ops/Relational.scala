@@ -379,6 +379,54 @@ object Relational {
       |GROUP BY o_orderkey, odate
       |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
 
+  /** TPC-H Q5 shape — local-supplier revenue per nation: a 6-table
+    * join (fact lineitem against orders + customer + supplier, the
+    * nation/region dim chain, a region constant and a 1-year date
+    * window) with the extra c_nationkey = s_nationkey "local" edge.
+    * This is the join-ORDERING stress test: declared as plain joins,
+    * Catalyst + AQE pick the order and the mixed strategy — tiny
+    * nation/region (and the pruned supplier side) broadcast while the
+    * fact↔orders edge shuffles — and the date filter pushes into the
+    * orders scan so the fact join starts from the pruned year, not
+    * the full table. At 100 TB nothing changes: dims stay broadcast,
+    * the one data-sized shuffle is lineitem↔orders on orderkey.
+    */
+  def joinQ5(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "customer")
+      .join(t(spark, sfDir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01") &&
+            col("o_orderdate") < lit("1997-01-01")),
+        col("c_custkey") === col("o_custkey"))
+      .join(t(spark, sfDir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(t(spark, sfDir, "supplier"),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(t(spark, sfDir, "nation"),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(t(spark, sfDir, "region"),
+        col("n_regionkey") === col("r_regionkey") &&
+          col("r_name") === "ASIA")
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+
+  val joinQ5Oracle: String =
+    """SELECT n_name,
+      |  ROUND(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
   /** Hot-key skew mitigation by SALTING, shown end to end: the fact
     * side's join key (`event_type`, 5 values over 100k+ rows — every
     * key is hot) gets a deterministic salt ∈ 0..7; the dim side is
@@ -1231,6 +1279,7 @@ object Relational {
     "join_asof" -> joinAsof,
     "join_self" -> joinSelf,
     "join_q3" -> joinQ3,
+    "join_q5" -> joinQ5,
     "join_range" -> joinRange,
     "join_skew_salted" -> joinSkewSalted,
     "agg_q1" -> aggQ1,
@@ -1279,6 +1328,7 @@ object Relational {
     "join_asof" -> joinAsofOracle,
     "join_self" -> joinSelfOracle,
     "join_q3" -> joinQ3Oracle,
+    "join_q5" -> joinQ5Oracle,
     "join_range" -> joinRangeOracle,
     "join_skew_salted" -> joinSkewSaltedOracle,
     "agg_q1" -> aggQ1Oracle,

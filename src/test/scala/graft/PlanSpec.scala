@@ -161,6 +161,19 @@ class PlanSpec extends SparkTestBase {
       "latest-per-key must partial-aggregate before the shuffle")
   }
 
+  test("join_q5: date window pushed to the orders scan, dims broadcast, " +
+      "no cartesian") {
+    val p = plan("join_q5")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      "date window must reach the orders scan's PushedFilters")
+    assert(p.contains("LessThan(o_orderdate"),
+      "date window upper bound must be pushed too")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      "nation/region/supplier dims must broadcast")
+    assert(!p.contains("CartesianProduct"),
+      "the 6-table join must never degrade to a cross-product")
+  }
+
   test("win_sessionize: ONE user_id shuffle serves window + rollup") {
     val p = plan("win_sessionize")
     // lag, the running session-number sum and the per-session rollup
