@@ -297,15 +297,151 @@ object MaintenanceQueries {
        |  min(l_suppkey) AS sk_min, max(l_suppkey) AS sk_max
        |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  // ------------------------------------------------- lifecycle
+
+  private val maintDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** One phase of the change log merged + committed into the store —
+    * the batch spelling of the pipeline's per-micro-batch commit
+    * (cdc/Pipeline.scala mergeTarget): compact the slice keeping
+    * tombstones, attach merge metadata + bucket, order-aware merge
+    * into the affected buckets only, atomic manifest commit.
+    */
+  private def commitPhase(spark: SparkSession, store: graft.cdc.StateStore,
+      target: String, pk: Seq[String], slice: DataFrame): Int = {
+    import graft.cdc.{Merge, SchemaEvolution, StateStore => SS}
+    val compacted = Merge.compactKeepTombstones(slice, pk)
+    val batchMeta = compacted.select(
+      (col("row.*") +:
+        Seq(col("_cdc.ts_ms").as(SS.TsCol),
+          col("_cdc.seq").as(SS.SeqCol),
+          (col("_cdc.op") === Envelope.OpDelete).as(SS.DeletedCol))): _*)
+      .withColumn(SS.BucketCol, SS.bucketExpr(pk, store.nBuckets))
+    val affected = batchMeta.select(SS.BucketCol).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val state =
+      if (store.exists(target)) store.readBuckets(spark, target, affected)
+      else store.emptyState(spark, target)
+    val stateAligned = SchemaEvolution.align(state, batchMeta)
+    val batchAligned = SchemaEvolution.align(batchMeta, stateAligned)
+    store.commit(spark, target,
+      Merge.mergeOrdered(stateAligned, batchAligned, pk), affected)
+  }
+
+  /** TABLE-MAINTENANCE LIFECYCLE as an oracle-checked query — the
+    * rewrite_data_files / expire_snapshots / VERSION AS OF trio run
+    * end-to-end on a store built from three committed change waves:
+    *
+    *  1. `phase1`   — time travel back to the first commit (events
+    *     ts ≤ 1000): the snapshot wave's state, read AFTER two more
+    *     commits landed on top — old manifests are immutable.
+    *  2. `compacted` — full-table compaction; `ok` asserts the rewrite
+    *     changed NO row (count + balance checksum + symmetric except
+    *     emptiness), readers just see fewer files.
+    *  3. `vacuumed` — expire to the current snapshot only; `ok`
+    *     asserts the first version's data dir and manifest are gone
+    *     while current state still reads identically.
+    *
+    * The store dir is cached per (JVM, sfDir) and WIPED at entry so
+    * every invocation rebuilds from version 0 deterministically and
+    * repeated bench/verify runs can't accumulate dirs (the curateWrite
+    * discipline). Driver-side `.head()` calls collect only scalar
+    * aggregates; the maintenance operators themselves are the tested
+    * full-plan paths (compactTable is one distributed rewrite commit).
+    */
+  def maintenanceLifecycle(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val wh = maintDirCache.computeIfAbsent(sfDir,
+      _ => Files.createTempDirectory("graft-maint-").toString)
+    val whPath = Paths.get(wh)
+    if (Files.exists(whPath)) {
+      Files.walk(whPath).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => if (p != whPath) Files.deleteIfExists(p))
+    }
+    val store = new graft.cdc.StateStore(wh, nBuckets = 8)
+    val target = "cdc.commerce_customer_maint"
+    val pk = Seq("c_custkey")
+    val ev = Envelope.flatten(ChangeGen.changeLog(
+      Tables.load(spark, sfDir, "customer"),
+      "c_custkey", "c_acctbal", "commerce", "customer"))
+    val ts = col("_cdc.ts_ms")
+    val v1 = commitPhase(spark, store, target, pk, ev.filter(ts <= 1000))
+    commitPhase(spark, store, target, pk,
+      ev.filter(ts > 1000 && ts <= 3000))
+    commitPhase(spark, store, target, pk, ev.filter(ts > 3000))
+
+    def summarize(df: DataFrame): (Long, Double) = {
+      val r = df.agg(count(lit(1)), round(sum(round(col("c_acctbal"), 2)), 2))
+        .head()
+      (r.getLong(0), r.getDouble(1))
+    }
+    val (p1n, p1bal) = summarize(store.stateAt(spark, target, v1))
+    val before = store.currentState(spark, target)
+    val (bn, bbal) = summarize(before)
+    store.compactTable(spark, target)
+    val after = store.currentState(spark, target)
+    val (an, abal) = summarize(after)
+    val compactOk = an == bn && abal == bbal &&
+      after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty
+    store.vacuum(target, keepVersions = 1)
+    val (vn, vbal) = summarize(store.currentState(spark, target))
+    val vacuumOk = !Files.exists(whPath.resolve(target).resolve(s"v$v1")) &&
+      !Files.exists(whPath.resolve(target).resolve(s"manifest-$v1.tsv")) &&
+      vn == an && vbal == abal
+    import spark.implicits._
+    Seq(
+      ("compacted", an, abal, compactOk),
+      ("phase1", p1n, p1bal, v1 == 0),
+      ("vacuumed", vn, vbal, vacuumOk))
+      .toDF("step", "n_rows", "bal_sum", "ok")
+      .orderBy("step")
+  }
+
+  /** The wave script re-merged in SQL: phase1 = arg_max over ts ≤ 1000
+    * (the snapshot wave outranks the stale pre-wave), final = arg_max
+    * over the full log minus deleted keys; compaction and vacuum must
+    * not change the final numbers, so all three steps derive from
+    * those two states plus literal-true invariants.
+    */
+  val maintenanceLifecycleOracle: String =
+    """WITH ev AS (
+      |  SELECT c_custkey, -999.0 AS c_acctbal, 'u' AS op, 500 AS ts FROM customer WHERE c_custkey % 2 = 0
+      |  UNION ALL SELECT c_custkey, c_acctbal, 'r', 1000 FROM customer
+      |  UNION ALL SELECT c_custkey, c_acctbal + 100.0, 'u', 2000 FROM customer WHERE c_custkey % 3 = 0
+      |  UNION ALL SELECT c_custkey, c_acctbal + 200.0, 'u', 3000 FROM customer WHERE c_custkey % 5 = 0
+      |  UNION ALL SELECT c_custkey, c_acctbal, 'd', 4000 FROM customer WHERE c_custkey % 7 = 0
+      |), p1 AS (
+      |  SELECT count(*) AS n,
+      |    ROUND(sum(ROUND(bal, 2)), 2) AS bal FROM (
+      |    SELECT c_custkey, arg_max(c_acctbal, ts) AS bal,
+      |           arg_max(op, ts) AS op
+      |    FROM ev WHERE ts <= 1000 GROUP BY c_custkey)
+      |  WHERE op <> 'd'
+      |), fin AS (
+      |  SELECT count(*) AS n,
+      |    ROUND(sum(ROUND(bal, 2)), 2) AS bal FROM (
+      |    SELECT c_custkey, arg_max(c_acctbal, ts) AS bal,
+      |           arg_max(op, ts) AS op
+      |    FROM ev GROUP BY c_custkey)
+      |  WHERE op <> 'd'
+      |)
+      |SELECT 'compacted' AS step, n AS n_rows, bal AS bal_sum, true AS ok FROM fin
+      |UNION ALL SELECT 'phase1', n, bal, true FROM p1
+      |UNION ALL SELECT 'vacuumed', n, bal, true FROM fin
+      |ORDER BY step""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_scd2" -> scd2,
     "cdc_scd2_asof" -> scd2Asof,
     "cdc_table_changes" -> tableChanges,
-    "layout_zorder" -> layoutZorder)
+    "layout_zorder" -> layoutZorder,
+    "maintenance_lifecycle" -> maintenanceLifecycle)
 
   def oracles: Map[String, String] = Map(
     "cdc_scd2" -> scd2Oracle,
     "cdc_scd2_asof" -> scd2AsofOracle,
     "cdc_table_changes" -> tableChangesOracle,
-    "layout_zorder" -> layoutZorderOracle)
+    "layout_zorder" -> layoutZorderOracle,
+    "maintenance_lifecycle" -> maintenanceLifecycleOracle)
 }

@@ -108,4 +108,13 @@ class MaintenanceQueriesSpec extends SparkTestBase {
     assert(av.exceptAll(bv).isEmpty && bv.exceptAll(av).isEmpty,
       "insert/update post-images diverge from the v2 snapshot")
   }
+
+  test("maintenance_lifecycle is idempotent per JVM: the cached store " +
+      "dir is wiped and rebuilt from version 0 on every invocation") {
+    val a = MaintenanceQueries.maintenanceLifecycle(spark, sf).collect()
+    val b = MaintenanceQueries.maintenanceLifecycle(spark, sf).collect()
+    assert(a.toSeq === b.toSeq)
+    assert(a.forall(_.getBoolean(3)),
+      s"every lifecycle invariant must hold: ${a.mkString(", ")}")
+  }
 }
