@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import graft.Tables
 import graft.catalog.Warehouse
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Tier B catalog + source/sink demonstration queries.
@@ -92,54 +92,50 @@ object CatalogQueries {
     * exact distinct count, and min/max, for a mixed numeric / string /
     * timestamp column set, emitted long-format (one row per column).
     *
-    * The whole profile is ONE aggregate over ONE scan — the naive
-    * per-column loop would scan the table k times, the difference
-    * between one pass and a day of I/O at 100 TB. The wide 1-row
-    * result pivots to long format with an in-row explode of literal
-    * structs (no union of re-scanning branches). Multi-column exact
-    * COUNT(DISTINCT) plans one Expand (×4 rows) over the scan — still
-    * one I/O pass; swap `approx_count_distinct` when the corpus is
-    * huge and ±2% is acceptable. Numerics/timestamps report min/max
-    * as doubles (timestamps as epoch micros), strings as strings —
-    * engine-neutral, no float-formatting ambiguity.
+    * Shape: ONE scan, an in-row explode into (col_name, value) pairs
+    * (numerics/timestamps canonicalized to double — timestamps as
+    * epoch micros — strings kept as strings), then TWO HASH
+    * aggregations: a map-side-combined count per distinct
+    * (column, value) pair — the hot combine, since value frequency is
+    * high — and a per-column rollup over the tiny distinct frame that
+    * derives everything at once (non-null count = sum of pair counts,
+    * distinct count = pair count, min/max = min/max over the distinct
+    * values). The naive spelling — one agg with four exact
+    * COUNT(DISTINCT)s plus min/max(string) — plans Expand into a
+    * SORT-based aggregate (string min/max has no mutable hash buffer),
+    * i.e. a global sort of 4× the table: measured 5.1 s vs 0.9 s at
+    * sf0.1 for this shape. The naive per-column loop is k full scans.
+    * Swap the pair count for `approx_count_distinct` per column when
+    * ±2% suffices and values are near-unique (the pair frame stops
+    * compressing); the two-stage shape itself holds at 100 TB because
+    * only (column, distinct-value, count) triples cross the shuffle.
     */
   def profileTable(spark: SparkSession, sfDir: String): DataFrame = {
-    val wide = Tables.load(spark, sfDir, "lineitem")
-      .agg(
-        count(col("l_partkey")).as("pk_n"),
-        countDistinct(col("l_partkey")).as("pk_d"),
-        min("l_partkey").cast("double").as("pk_min"),
-        max("l_partkey").cast("double").as("pk_max"),
-        count(col("l_quantity")).as("qt_n"),
-        countDistinct(col("l_quantity")).as("qt_d"),
-        min("l_quantity").cast("double").as("qt_min"),
-        max("l_quantity").cast("double").as("qt_max"),
-        count(col("l_shipdate")).as("sd_n"),
-        countDistinct(col("l_shipdate")).as("sd_d"),
+    def num(name: String, c: Column) = struct(
+      lit(name).as("col_name"), c.cast("double").as("v_num"),
+      lit(null).cast("string").as("v_str"))
+    def str(name: String, c: Column) = struct(
+      lit(name).as("col_name"), lit(null).cast("double").as("v_num"),
+      c.as("v_str"))
+    val present = col("v_num").isNotNull || col("v_str").isNotNull
+    Tables.load(spark, sfDir, "lineitem")
+      .select(explode(array(
+        num("l_partkey", col("l_partkey")),
+        num("l_quantity", col("l_quantity")),
         // fixture timestamps are NTZ; session tz is UTC so the cast is
         // a no-op reinterpretation (Relational.tsMicros precedent).
-        unix_micros(min(col("l_shipdate")).cast("timestamp"))
-          .cast("double").as("sd_min"),
-        unix_micros(max(col("l_shipdate")).cast("timestamp"))
-          .cast("double").as("sd_max"),
-        count(col("l_returnflag")).as("rf_n"),
-        countDistinct(col("l_returnflag")).as("rf_d"),
-        min("l_returnflag").as("rf_min"),
-        max("l_returnflag").as("rf_max"))
-    def row(name: String, p: String, str: Boolean) = struct(
-      lit(name).as("col_name"),
-      col(s"${p}_n").as("n_nonnull"),
-      col(s"${p}_d").as("n_distinct"),
-      (if (str) lit(null).cast("double") else col(s"${p}_min")).as("min_num"),
-      (if (str) lit(null).cast("double") else col(s"${p}_max")).as("max_num"),
-      (if (str) col(s"${p}_min") else lit(null).cast("string")).as("min_str"),
-      (if (str) col(s"${p}_max") else lit(null).cast("string")).as("max_str"))
-    wide.select(explode(array(
-        row("l_partkey", "pk", str = false),
-        row("l_quantity", "qt", str = false),
-        row("l_shipdate", "sd", str = false),
-        row("l_returnflag", "rf", str = true))).as("r"))
-      .select("r.*")
+        num("l_shipdate",
+          unix_micros(col("l_shipdate").cast("timestamp"))),
+        str("l_returnflag", col("l_returnflag")))).as("p"))
+      .select("p.*")
+      .groupBy("col_name", "v_num", "v_str")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("col_name")
+      .agg(
+        sum(when(present, col("cnt")).otherwise(0L)).as("n_nonnull"),
+        count(when(present, lit(1))).as("n_distinct"),
+        min("v_num").as("min_num"), max("v_num").as("max_num"),
+        min("v_str").as("min_str"), max("v_str").as("max_str"))
       .orderBy("col_name")
   }
 
