@@ -207,6 +207,38 @@ object Functions {
       |  length(c_name) AS name_len
       |FROM customer WHERE c_custkey < 500 ORDER BY c_custkey""".stripMargin
 
+  /** Bitwise family: AND/OR/XOR, shifts, population count, complement —
+    * the primitives behind hash bucketing, bloom probes, SimHash
+    * Hamming votes and the Z-order interleave
+    * (queries/MaintenanceQueries.layoutZorder), demonstrated as
+    * first-class scalars. All integer codegen'd expressions; the only
+    * cross-engine care is width (DuckDB bit_count returns TINYINT —
+    * cast; Spark's returns INT — cast both to BIGINT) and `~` on a
+    * BIGINT staying BIGINT on both sides.
+    */
+  def fnBitwise(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "part")
+      .select(col("p_partkey"),
+        col("p_partkey").bitwiseAND(col("p_size")).as("pk_and_size"),
+        col("p_partkey").bitwiseOR(col("p_size")).as("pk_or_size"),
+        col("p_partkey").bitwiseXOR(col("p_size")).as("pk_xor_size"),
+        shiftleft(col("p_size"), 3).as("size_shl3"),
+        shiftright(col("p_partkey"), 2).as("pk_shr2"),
+        bit_count(col("p_partkey")).cast("long").as("pk_popcount"),
+        bitwise_not(col("p_partkey")).as("pk_not"))
+      .orderBy("p_partkey")
+
+  val fnBitwiseOracle: String =
+    """SELECT p_partkey,
+      |  p_partkey & p_size AS pk_and_size,
+      |  p_partkey | p_size AS pk_or_size,
+      |  xor(p_partkey, CAST(p_size AS BIGINT)) AS pk_xor_size,
+      |  p_size << 3 AS size_shl3,
+      |  p_partkey >> 2 AS pk_shr2,
+      |  CAST(bit_count(p_partkey) AS BIGINT) AS pk_popcount,
+      |  ~p_partkey AS pk_not
+      |FROM part ORDER BY p_partkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fn_string" -> fnString,
     "fn_datetime" -> fnDatetime,
@@ -214,7 +246,8 @@ object Functions {
     "fn_array" -> fnArray,
     "fn_map" -> fnMap,
     "fn_json" -> fnJson,
-    "fn_hash" -> fnHash)
+    "fn_hash" -> fnHash,
+    "fn_bitwise" -> fnBitwise)
 
   def oracles: Map[String, String] = Map(
     "fn_string" -> fnStringOracle,
@@ -223,5 +256,6 @@ object Functions {
     "fn_array" -> fnArrayOracle,
     "fn_map" -> fnMapOracle,
     "fn_json" -> fnJsonOracle,
-    "fn_hash" -> fnHashOracle)
+    "fn_hash" -> fnHashOracle,
+    "fn_bitwise" -> fnBitwiseOracle)
 }
