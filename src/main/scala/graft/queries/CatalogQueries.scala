@@ -163,13 +163,57 @@ object CatalogQueries {
       |FROM lineitem
       |ORDER BY col_name""".stripMargin
 
+  /** SKEW PROFILING — the diagnostic a 100 TB pipeline runs BEFORE
+    * choosing a join strategy: per-key frequency distribution of the
+    * events stream's user_id (count percentiles, the hottest key and
+    * its share). `join_skew_salted` is the cure; this is the test that
+    * tells you whether to apply it — a skew_ratio (max/median key
+    * frequency) in the hundreds means the vanilla shuffle join will
+    * strand one task with the hot key's entire partition.
+    *
+    * Shape: one map-side-combined count per key, then scalar
+    * aggregates over the (key, cnt) frame — the second pass is
+    * key-cardinality-sized, not data-sized. The hottest key rides a
+    * packed max (cnt·2^20 + key) so the tie-break is deterministic
+    * without a second ranking pass.
+    */
+  def profileSkew(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.load(spark, sfDir, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+    counts.agg(
+      count(lit(1)).as("n_keys"),
+      sum("cnt").as("n_rows"),
+      max("cnt").as("max_cnt"),
+      round(expr("percentile(cnt, 0.5)"), 6).as("p50_cnt"),
+      round(expr("percentile(cnt, 0.99)"), 6).as("p99_cnt"),
+      round(max("cnt") / expr("percentile(cnt, 0.5)"), 6).as("skew_ratio"),
+      (max(col("cnt") * lit(1048576L) + col("user_id")) % 1048576L)
+        .as("hottest_key"))
+  }
+
+  val profileSkewOracle: String =
+    """WITH c AS (
+      |  SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+      |)
+      |SELECT count(*) AS n_keys,
+      |  CAST(sum(cnt) AS BIGINT) AS n_rows,
+      |  max(cnt) AS max_cnt,
+      |  ROUND(quantile_cont(cnt, 0.5), 6) AS p50_cnt,
+      |  ROUND(quantile_cont(cnt, 0.99), 6) AS p99_cnt,
+      |  ROUND(max(cnt) / quantile_cont(cnt, 0.5), 6) AS skew_ratio,
+      |  CAST(max(cnt * 1048576 + user_id) % 1048576 AS BIGINT)
+      |    AS hottest_key
+      |FROM c""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "catalog_ddl" -> catalogDdl,
     "sink_formats" -> sinkFormats,
-    "profile_table" -> profileTable)
+    "profile_table" -> profileTable,
+    "profile_skew" -> profileSkew)
 
   def oracles: Map[String, String] = Map(
     "catalog_ddl" -> catalogDdlOracle,
     "sink_formats" -> sinkFormatsOracle,
-    "profile_table" -> profileTableOracle)
+    "profile_table" -> profileTableOracle,
+    "profile_skew" -> profileSkewOracle)
 }

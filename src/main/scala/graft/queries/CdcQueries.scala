@@ -216,13 +216,75 @@ object CdcQueries {
       "graft_merge_full", "graft_merge_target", "graft_merge_source"))
   }
 
+  /** DEAD-LETTER CHANNEL — the errors.tolerance=all counterpart of the
+    * FAILFAST wire path (A15, Envelope.fromWire): corrupt wire records
+    * are captured and counted instead of failing the stream, and the
+    * merge proceeds over the records that parse. The reference pins
+    * tolerance=none (connect-iceberg-sink.json:6-8); production Connect
+    * deployments flip the same switch to a DLQ topic, so the engine
+    * exposes both disciplines.
+    *
+    * Corruption is injected deterministically — the ts=2000 update
+    * wave's pk%13 keys get a malformed-JSON prefix — so the oracle can
+    * state both channels exactly: the DLQ row count is those keys, and
+    * the merged state equals the full merge minus exactly those +100
+    * updates (keys where the later +200 wave or the delete wave wins
+    * are unaffected — latest-wins over the SURVIVING events).
+    *
+    * Scale shape: the PERMISSIVE from_json is scan-local; the split is
+    * one filter each way (no shuffle added over the FAILFAST path);
+    * the DLQ side is metadata-sized by construction (corruption rate ≪
+    * data rate) and in production lands in its own append sink.
+    */
+  def deadLetter(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.load(spark, sfDir, "customer")
+    val log = customerLog(spark, sfDir)
+    val json = to_json(struct(log.columns.map(col): _*))
+    val corrupt = col("op") === Envelope.OpUpdate &&
+      col("ts_ms") === 2000L && pmod(col("seq"), lit(13)) === 0
+    val wire = log.select(
+      when(corrupt, concat(lit("{corrupt::"), json)).otherwise(json)
+        .as("value"))
+    val env = Envelope.envelopeSchema(base.schema)
+    val parsed = wire.select(col("value"),
+      from_json(col("value"), env, Map("mode" -> "PERMISSIVE")).as("e"))
+    // A record is dead iff the envelope's required op field didn't
+    // materialize (PERMISSIVE yields a null/empty struct on corrupt).
+    val dead = parsed.filter(col("e.op").isNull)
+    val good = parsed.filter(col("e.op").isNotNull).select("e.*")
+    val state = Merge.compact(Envelope.flatten(good), Seq("c_custkey"))
+    val stateRow = state.agg(
+      count(lit(1)).as("n"),
+      round(sum(round(col("c_acctbal"), 2)), 2).as("bal"))
+      .select(lit("state").as("channel"), col("n").as("n_rows"),
+        col("bal").as("bal_sum"))
+    val dlqRow = dead.agg(count(lit(1)).as("n"))
+      .select(lit("dlq").as("channel"), col("n").as("n_rows"),
+        lit(null).cast("double").as("bal_sum"))
+    dlqRow.unionAll(stateRow).orderBy("channel")
+  }
+
+  val deadLetterOracle: String =
+    """SELECT 'dlq' AS channel, count(*) AS n_rows,
+      |  CAST(NULL AS DOUBLE) AS bal_sum
+      |FROM customer WHERE c_custkey % 3 = 0 AND c_custkey % 13 = 0
+      |UNION ALL
+      |SELECT 'state', count(*),
+      |  ROUND(sum(ROUND(c_acctbal +
+      |    CASE WHEN c_custkey % 5 = 0 THEN 200.0
+      |         WHEN c_custkey % 3 = 0 AND c_custkey % 13 <> 0 THEN 100.0
+      |         ELSE 0.0 END, 2)), 2)
+      |FROM customer WHERE c_custkey % 7 <> 0
+      |ORDER BY channel""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_merge" -> sqlMerge,
     "cdc_merge_customer" -> mergeCustomer,
     "cdc_merge_customer_wire" -> mergeCustomerWire,
     "cdc_merge_supplier" -> mergeSupplier,
     "cdc_envelope_route" -> envelopeRoute,
-    "cdc_route_fanout" -> routeFanout)
+    "cdc_route_fanout" -> routeFanout,
+    "cdc_dead_letter" -> deadLetter)
 
   def oracles: Map[String, String] = Map(
     "sql_merge" -> mergeCustomerOracle,
@@ -230,5 +292,6 @@ object CdcQueries {
     "cdc_merge_customer_wire" -> mergeCustomerOracle,
     "cdc_merge_supplier" -> mergeSupplierOracle,
     "cdc_envelope_route" -> envelopeRouteOracle,
-    "cdc_route_fanout" -> routeFanoutOracle)
+    "cdc_route_fanout" -> routeFanoutOracle,
+    "cdc_dead_letter" -> deadLetterOracle)
 }
