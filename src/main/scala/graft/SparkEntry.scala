@@ -38,6 +38,7 @@ object SparkEntry {
       graft.queries.PipelineQueries.queries ++
       graft.queries.IvfCdcQueries.queries ++
       graft.queries.AggCdcQueries.queries ++
+      graft.queries.JoinCdcQueries.queries ++
       graft.queries.Scd2CdcQueries.queries ++
       graft.queries.MaintenanceQueries.queries ++
       graft.queries.CatalogQueries.queries ++
@@ -54,6 +55,7 @@ object SparkEntry {
       graft.queries.PipelineQueries.oracles ++
       graft.queries.IvfCdcQueries.oracles ++
       graft.queries.AggCdcQueries.oracles ++
+      graft.queries.JoinCdcQueries.oracles ++
       graft.queries.Scd2CdcQueries.oracles ++
       graft.queries.MaintenanceQueries.oracles ++
       graft.queries.CatalogQueries.oracles ++

@@ -1,0 +1,324 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import graft.Tables
+import graft.cdc.{Envelope, Merge, SchemaEvolution, StateStore}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Incremental JOIN-VIEW maintenance under CDC updates — the third
+  * member of the incremental-materialization family ([[IvfCdcQueries]]:
+  * vector index; [[AggCdcQueries]]: aggregate; here: an enriched
+  * orders ⋈ customer view, the denormalized table a consumer of the
+  * reference's CDC sink (SURVEY §2 Tier B — "full ANSI SQL over the
+  * CDC-maintained tables") would otherwise recompute with a full join
+  * per refresh.
+  *
+  * ONE wire stream carries BOTH tables' events (the A7 topic-regex
+  * subscription shape); each micro-batch splits by `source.table`,
+  * ordered-merges each table into its bucketed state, then repairs the
+  * view for exactly the AFFECTED order keys:
+  *
+  *   ΔV keys = (evented orders) ∪ (orders referencing evented customers)
+  *
+  * The second term is the classic FK-side amplification — at 100 TB
+  * "which orders reference these customers?" must not scan the orders
+  * table. The engine maintains a SECONDARY INDEX table
+  * (`c_custkey, o_orderkey`, bucketed by c_custkey) alongside the view:
+  * customer-driven lookups read only the index buckets their keys hash
+  * to, so batch cost stays change-volume-scaled end to end. Order moves
+  * (o_custkey UPDATE) retire their old index entry with a tombstone
+  * carrying the new winner's (ts, seq) — a stale replay telescopes to a
+  * no-op. Affected view rows are then RECOMPUTED from the two
+  * current states (never patched from the delta images), so the view is
+  * correct under any micro-batch slicing of the log by construction —
+  * JoinCdcSpec asserts slicing-independence and view == join-of-states.
+  */
+object JoinCdcQueries {
+
+  private val NBuckets = 8
+  private val CustTable = "jv.customer"
+  private val OrdTable = "jv.orders"
+  private val IdxTable = "jv.orders_by_cust"
+  private val ViewTable = "jv.view"
+
+  private val viewSchemaDdl =
+    "o_orderkey bigint, o_custkey bigint, o_totalprice double, " +
+      "c_nationkey int, c_acctbal double, _bucket int"
+
+  /** Deterministic two-table change log in ONE envelope stream: the row
+    * image is the union of both tables' columns (each event fills its
+    * own table's fields), `source.table` routes. Waves: a stale
+    * pre-snapshot customer update that must lose the merge, both
+    * snapshots, a customer balance wave, an order price wave, an order
+    * MOVE wave (o_custkey reassignment — the index-retirement case),
+    * then customer and order delete waves. Interleaved out of commit
+    * order, like ChangeGen.
+    */
+  private[queries] def joinChangeLog(cust: DataFrame, ord: DataFrame): DataFrame = {
+    val cSrc = struct(lit("commerce").as("schema"), lit("customer").as("table"))
+    val oSrc = struct(lit("commerce").as("schema"), lit("orders").as("table"))
+    val nullL = lit(null).cast("long")
+    val nullI = lit(null).cast("int")
+    val nullD = lit(null).cast("double")
+    def cImage(bal: Column): Column =
+      struct(col("c_custkey").cast("long").as("c_custkey"),
+        col("c_nationkey").cast("int").as("c_nationkey"),
+        bal.cast("double").as("c_acctbal"),
+        nullL.as("o_orderkey"), nullL.as("o_custkey"),
+        nullD.as("o_totalprice"))
+    def oImage(custkey: Column, price: Column): Column =
+      struct(nullL.as("c_custkey"), nullI.as("c_nationkey"),
+        nullD.as("c_acctbal"),
+        col("o_orderkey").cast("long").as("o_orderkey"),
+        custkey.cast("long").as("o_custkey"),
+        price.cast("double").as("o_totalprice"))
+    def ev(base: DataFrame, filter: Column, before: Column, after: Column,
+           op: String, ts: Long, seq: Column, src: Column): DataFrame =
+      base.filter(filter).select(before.as("before"), after.as("after"),
+        lit(op).as("op"), lit(ts).as("ts_ms"), seq.cast("long").as("seq"),
+        src.as("source"))
+    val cpk = col("c_custkey").cast("long")
+    val opk = col("o_orderkey").cast("long")
+    val cBase = cImage(col("c_acctbal"))
+    val cNull = when(lit(false), cBase)
+    def cEv(f: Column, b: Column, a: Column, op: String, ts: Long) =
+      ev(cust, f, b, a, op, ts, cpk, cSrc)
+    // Order images reflect every wave already applied to the row (a
+    // real CDC after-image is the full current row, not a patch).
+    val priceNow =
+      col("o_totalprice") + when(opk % 4 === 0, 50.0).otherwise(0.0)
+    val oBase = oImage(col("o_custkey"), col("o_totalprice"))
+    val oNull = when(lit(false), oBase)
+    def oEv(f: Column, b: Column, a: Column, op: String, ts: Long) =
+      ev(ord, f, b, a, op, ts, opk, oSrc)
+    val cStale = cEv(cpk % 2 === 0, cBase, cImage(lit(-999.0)),
+      Envelope.OpUpdate, 500L)
+    val cSnap = cEv(lit(true), cNull, cBase, Envelope.OpRead, 1000L)
+    val cU1 = cEv(cpk % 3 === 0, cBase, cImage(col("c_acctbal") + 100.0),
+      Envelope.OpUpdate, 2000L)
+    val cDel = cEv(cpk % 7 === 0, cBase, cNull, Envelope.OpDelete, 4000L)
+    val oSnap = oEv(lit(true), oNull, oBase, Envelope.OpRead, 1200L)
+    val oPrice = oEv(opk % 4 === 0, oBase,
+      oImage(col("o_custkey"), col("o_totalprice") + 50.0),
+      Envelope.OpUpdate, 2500L)
+    val oMove = oEv(opk % 6 === 0, oBase,
+      oImage(col("o_custkey") + 1, priceNow), Envelope.OpUpdate, 3000L)
+    val oDel = oEv(opk % 9 === 0, oBase, oNull, Envelope.OpDelete, 4500L)
+    oMove.unionAll(cStale).unionAll(oDel).unionAll(cSnap)
+      .unionAll(oPrice).unionAll(cU1).unionAll(oSnap).unionAll(cDel)
+  }
+
+  /** Ordered merge of one table's compacted batch into its state table;
+    * returns the (pre-merge, post-merge) affected-bucket slices, both
+    * persisted — the caller unpersists. None when this micro-batch
+    * carried no events for the table.
+    */
+  private def mergeInto(store: StateStore, spark: SparkSession,
+      table: String, batchMeta: DataFrame,
+      pkCols: Seq[String]): Option[(DataFrame, DataFrame)] = {
+    val affected = batchMeta.select(StateStore.BucketCol).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    if (affected.isEmpty) return None
+    val old =
+      if (store.exists(table)) store.readBuckets(spark, table, affected)
+      else store.emptyState(spark, table)
+    val oldAligned = SchemaEvolution.align(old, batchMeta).persist()
+    val merged = Merge.mergeOrdered(oldAligned,
+      SchemaEvolution.align(batchMeta, oldAligned), pkCols).persist()
+    store.commit(spark, table, merged, affected)
+    Some((oldAligned, merged))
+  }
+
+  private def bucketIdsOf(df: DataFrame, keyCols: Seq[String]): Seq[Int] =
+    df.select(StateStore.bucketExpr(keyCols, NBuckets).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+
+  /** One micro-batch: split → merge both base tables → repair the
+    * secondary index → recompute the view for affected order keys.
+    */
+  private def processBatch(store: StateStore, batch: DataFrame): Unit = {
+    val spark = batch.sparkSession
+    def tableBatch(table: String, cols: Seq[String], pk: String): DataFrame =
+      Merge.compactKeepTombstones(
+          batch.filter(col("_cdc.source.table") === table), Seq(pk))
+        .select(cols.map(c => col(s"row.$c")) ++ Seq(
+          col("_cdc.ts_ms").as(StateStore.TsCol),
+          col("_cdc.seq").as(StateStore.SeqCol),
+          (col("_cdc.op") === Envelope.OpDelete).as(StateStore.DeletedCol)): _*)
+        .withColumn(StateStore.BucketCol,
+          StateStore.bucketExpr(Seq(pk), NBuckets))
+    val custB = tableBatch("customer",
+      Seq("c_custkey", "c_nationkey", "c_acctbal"), "c_custkey").persist()
+    val ordB = tableBatch("orders",
+      Seq("o_orderkey", "o_custkey", "o_totalprice"), "o_orderkey").persist()
+    val live = !col(StateStore.DeletedCol)
+    try {
+      mergeInto(store, spark, CustTable, custB, Seq("c_custkey"))
+        .foreach { case (o, n) =>
+          o.unpersist(blocking = false); n.unpersist(blocking = false)
+        }
+      val ordSlices = mergeInto(store, spark, OrdTable, ordB, Seq("o_orderkey"))
+
+      // Secondary-index repair for the evented order keys: live entries
+      // upserted under the winner's (ts, seq); entries whose (custkey,
+      // orderkey) no longer holds (move or delete) tombstoned under the
+      // SAME new (ts, seq), so replays telescope.
+      ordSlices.foreach { case (oldOrd, newOrd) =>
+        val entry = (df: DataFrame) => df.filter(live)
+          .select(col("o_custkey").as("c_custkey"), col("o_orderkey"))
+        val newLive = newOrd.filter(live).select(
+          col("o_custkey").as("c_custkey"), col("o_orderkey"),
+          col(StateStore.TsCol), col(StateStore.SeqCol))
+        val gone = entry(oldOrd)
+          .join(newLive.select("c_custkey", "o_orderkey"),
+            Seq("c_custkey", "o_orderkey"), "left_anti")
+          .join(newOrd.select(col("o_orderkey"), col(StateStore.TsCol),
+            col(StateStore.SeqCol)), Seq("o_orderkey"))
+        val idxBatch = newLive
+          .withColumn(StateStore.DeletedCol, lit(false))
+          .unionByName(gone.withColumn(StateStore.DeletedCol, lit(true)))
+          .withColumn(StateStore.BucketCol,
+            StateStore.bucketExpr(Seq("c_custkey"), NBuckets))
+        mergeInto(store, spark, IdxTable, idxBatch,
+          Seq("c_custkey", "o_orderkey")).foreach { case (o, n) =>
+            o.unpersist(blocking = false); n.unpersist(blocking = false)
+          }
+        oldOrd.unpersist(blocking = false)
+        newOrd.unpersist(blocking = false)
+      }
+
+      // Affected view keys: evented orders ∪ index hits of evented
+      // customers — the index read is bucket-pruned by the customers'
+      // hash buckets, never an orders-table scan.
+      val custKeys = custB.select("c_custkey").distinct()
+      val idxHits =
+        if (store.exists(IdxTable)) {
+          val bs = bucketIdsOf(custKeys, Seq("c_custkey"))
+          store.readBuckets(spark, IdxTable, bs).filter(live)
+            .join(custKeys, Seq("c_custkey"), "left_semi")
+            .select("o_orderkey")
+        } else custKeys.select(lit(0L).as("o_orderkey")).limit(0)
+      val affectedOk = ordB.select("o_orderkey").union(idxHits)
+        .distinct().persist()
+      val okBuckets = bucketIdsOf(affectedOk, Seq("o_orderkey"))
+      if (okBuckets.nonEmpty) {
+        // Recompute affected rows from the two committed states: the
+        // orders read prunes to the affected keys' buckets, the
+        // customer read to the buckets of the custkeys those orders
+        // reference. Inner join: a dangling FK yields no view row.
+        val ordSlice = store.readBuckets(spark, OrdTable, okBuckets)
+          .filter(live)
+          .join(affectedOk, Seq("o_orderkey"), "left_semi")
+          .select("o_orderkey", "o_custkey", "o_totalprice").persist()
+        val ckBuckets = bucketIdsOf(
+          ordSlice.select(col("o_custkey").as("c_custkey")), Seq("c_custkey"))
+        val custSlice =
+          if (store.exists(CustTable) && ckBuckets.nonEmpty)
+            store.readBuckets(spark, CustTable, ckBuckets).filter(live)
+              .select("c_custkey", "c_nationkey", "c_acctbal")
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType.fromDDL(
+              "c_custkey bigint, c_nationkey int, c_acctbal double"))
+        val liveView = ordSlice
+          .join(custSlice, col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            col("c_nationkey"), col("c_acctbal"))
+          .withColumn(StateStore.BucketCol,
+            StateStore.bucketExpr(Seq("o_orderkey"), NBuckets))
+        val oldView =
+          if (store.exists(ViewTable))
+            store.readBuckets(spark, ViewTable, okBuckets)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType.fromDDL(viewSchemaDdl))
+        val next = oldView.join(affectedOk, Seq("o_orderkey"), "left_anti")
+          .unionByName(liveView)
+        store.commit(spark, ViewTable, next, okBuckets)
+        ordSlice.unpersist(blocking = false)
+      }
+      affectedOk.unpersist(blocking = false)
+    } finally {
+      custB.unpersist(blocking = false)
+      ordB.unpersist(blocking = false)
+    }
+  }
+
+  private val stagedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Drain the staged two-table log through the maintainer; returns the
+    * store so callers can read the view, the index, or either base.
+    */
+  private[queries] def runMaintenance(spark: SparkSession, sfDir: String,
+      filesPerTrigger: Int): StateStore = {
+    val log = joinChangeLog(Tables.load(spark, sfDir, "customer"),
+      Tables.load(spark, sfDir, "orders"))
+    val logDir = stagedCache.computeIfAbsent(s"$sfDir/jv", { _ =>
+      val dir = Files.createTempDirectory("graft-jvlog-").toString
+      log.repartition(4).write.mode("overwrite").parquet(dir)
+      dir
+    })
+    val store = new StateStore(
+      Files.createTempDirectory("graft-jv-wh-").toString, NBuckets)
+    val rowSchema = log.schema("after").dataType.asInstanceOf[StructType]
+    val src = spark.readStream.schema(Envelope.envelopeSchema(rowSchema))
+      .option("maxFilesPerTrigger", filesPerTrigger).parquet(logDir)
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = Envelope.flatten(src).writeStream
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-jv-ckpt-").toString)
+        .foreachBatch { (b: DataFrame, _: Long) => processBatch(store, b) }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    store
+  }
+
+  private[queries] def readView(spark: SparkSession,
+      store: StateStore): DataFrame =
+    store.rawState(spark, ViewTable)
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"),
+        col("c_nationkey"), round(col("c_acctbal"), 2).as("c_acctbal"))
+      .orderBy("o_orderkey")
+
+  /** The registered query: drain the log, read the maintained view. */
+  def joinIncremental(spark: SparkSession, sfDir: String,
+                      filesPerTrigger: Int = 2): DataFrame =
+    readView(spark, runMaintenance(spark, sfDir, filesPerTrigger))
+
+  /** Batch join over the merged final log — what recomputing the view
+    * from scratch on the post-CDC tables computes.
+    */
+  val joinIncrementalOracle: String =
+    """WITH cust AS (
+      |  SELECT c_custkey, c_nationkey,
+      |    ROUND(c_acctbal + CASE WHEN c_custkey % 3 = 0 THEN 100.0
+      |                           ELSE 0.0 END, 2) AS c_acctbal
+      |  FROM customer WHERE c_custkey % 7 <> 0
+      |), ord AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 6 = 0 THEN o_custkey + 1
+      |         ELSE o_custkey END AS o_custkey,
+      |    ROUND(o_totalprice + CASE WHEN o_orderkey % 4 = 0 THEN 50.0
+      |                              ELSE 0.0 END, 2) AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 9 <> 0
+      |)
+      |SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+      |       c.c_nationkey, c.c_acctbal
+      |FROM ord o JOIN cust c ON o.o_custkey = c.c_custkey
+      |ORDER BY o.o_orderkey""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_join_incremental" -> ((s, d) => joinIncremental(s, d)))
+
+  def oracles: Map[String, String] = Map(
+    "cdc_join_incremental" -> joinIncrementalOracle)
+}
