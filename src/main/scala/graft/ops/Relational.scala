@@ -427,6 +427,47 @@ object Relational {
       |GROUP BY n_name
       |ORDER BY revenue DESC, n_name""".stripMargin
 
+  /** Runtime-filter join — the `InjectRuntimeFilter` bloom pattern
+    * hand-materialized: the selective build side (orders in a late date
+    * window) aggregates a bloom filter over its join key in one
+    * metadata-sized action; the filter is embedded as a literal and
+    * probes the fact scan BEFORE the shuffle, so only might-match rows
+    * are ever hashed and exchanged. False positives are removed by the
+    * exact join that follows, so the result is identical to the plain
+    * join (the oracle). The join is pinned to sort-merge (`merge`
+    * hint): this is the 100 TB scenario the pattern exists for — a
+    * build side too big to broadcast, where the bloom probe cuts the
+    * fact side's shuffle volume by the build's selectivity while
+    * costing one codegen'd long-hash + bitmap test per row.
+    */
+  def joinBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    val sel = t(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit("1998-01-01"))
+      .select("o_orderkey")
+    val bloom = sel
+      .agg(graft.functions.BloomFilters.bloomAgg(
+        xxhash64(col("o_orderkey")), 1000000L, 8000000L))
+      .head.getAs[Array[Byte]](0)
+    t(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_returnflag", "l_extendedprice", "l_discount")
+      .filter(graft.functions.BloomFilters.mightContain(bloom,
+        xxhash64(col("l_orderkey"))))
+      .hint("merge")
+      .join(sel, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy("l_returnflag")
+  }
+
+  val joinBloomOracle: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |  ROUND(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** Hot-key skew mitigation by SALTING, shown end to end: the fact
     * side's join key (`event_type`, 5 values over 100k+ rows — every
     * key is hot) gets a deterministic salt ∈ 0..7; the dim side is
@@ -1280,6 +1321,7 @@ object Relational {
     "join_self" -> joinSelf,
     "join_q3" -> joinQ3,
     "join_q5" -> joinQ5,
+    "join_bloom" -> joinBloom,
     "join_range" -> joinRange,
     "join_skew_salted" -> joinSkewSalted,
     "agg_q1" -> aggQ1,
@@ -1329,6 +1371,7 @@ object Relational {
     "join_self" -> joinSelfOracle,
     "join_q3" -> joinQ3Oracle,
     "join_q5" -> joinQ5Oracle,
+    "join_bloom" -> joinBloomOracle,
     "join_range" -> joinRangeOracle,
     "join_skew_salted" -> joinSkewSaltedOracle,
     "agg_q1" -> aggQ1Oracle,

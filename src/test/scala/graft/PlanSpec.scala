@@ -174,6 +174,21 @@ class PlanSpec extends SparkTestBase {
       "the 6-table join must never degrade to a cross-product")
   }
 
+  test("join_bloom: bloom probe filters the fact scan BEFORE the " +
+      "shuffle, join stays sort-merge") {
+    val p = plan("join_bloom")
+    assert(p.contains("might_contain"),
+      "bloom probe must appear as a filter in the fact branch")
+    assert(p.contains("SortMergeJoin"),
+      "the scenario pins the non-broadcast join the filter exists for")
+    // The probe must sit below the exchange: the filter's whole point
+    // is cutting shuffle input, not post-shuffle cleanup.
+    val probeAt = p.indexOf("might_contain")
+    val smjAt = p.indexOf("SortMergeJoin")
+    assert(probeAt > smjAt,
+      "bloom filter must be in the scan-side subtree under the join")
+  }
+
   test("win_sessionize: ONE user_id shuffle serves window + rollup") {
     val p = plan("win_sessionize")
     // lag, the running session-number sum and the per-session rollup
