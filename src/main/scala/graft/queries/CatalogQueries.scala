@@ -205,15 +205,83 @@ object CatalogQueries {
       |    AS hottest_key
       |FROM c""".stripMargin
 
+  /** EQUI-WIDTH HISTOGRAMS — the value-distribution statistic a CBO's
+    * selectivity estimator and a file-skipping layer consume beyond
+    * [[profileTable]]'s NDV/bounds: 16 buckets per numeric column, all
+    * columns in ONE data-sized scan. Bounds come from a 1-row metadata
+    * aggregate collected and re-embedded as literals (the zorder
+    * quantizer precedent), so the bucket id, lo and hi are scan-local
+    * in-row arithmetic; the per-(column, bucket) counts are map-side
+    * combined — at most cols×16 rows cross the shuffle regardless of
+    * table size. At 100 TB the bounds pass reads parquet footer stats
+    * instead of scanning; the shape is otherwise unchanged.
+    */
+  def profileHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val nb = 16
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val boundCols = cols.flatMap(c => Seq(min(col(c)).cast("double"),
+      max(col(c)).cast("double")))
+    val b = li.agg(boundCols.head, boundCols.tail: _*).head
+    val entries = cols.zipWithIndex.map { case (c, i) =>
+      val lo = b.getDouble(2 * i)
+      val width = (b.getDouble(2 * i + 1) - lo) / nb
+      // Fixture lineitem is non-null throughout; the max value lands in
+      // the last bucket via the least() clamp.
+      val bucket = least(floor((col(c) - lo) / width), lit(nb - 1))
+        .cast("int")
+      struct(lit(c).as("col_name"), bucket.as("bucket"),
+        round(lit(lo) + bucket.cast("double") * width, 6).as("lo"),
+        round(lit(lo) + (bucket + 1).cast("double") * width, 6).as("hi"))
+    }
+    li.select(explode(array(entries: _*)).as("h"))
+      .select("h.*")
+      .groupBy("col_name", "bucket", "lo", "hi")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("col_name", "bucket")
+  }
+
+  val profileHistogramOracle: String =
+    """WITH b AS (
+      |  SELECT min(l_quantity) AS q_lo, max(l_quantity) AS q_hi,
+      |         min(l_extendedprice) AS e_lo, max(l_extendedprice) AS e_hi,
+      |         min(l_discount) AS d_lo, max(l_discount) AS d_hi
+      |  FROM lineitem
+      |), raw AS (
+      |  SELECT 'l_quantity' AS col_name,
+      |    CAST(LEAST(FLOOR((l_quantity - q_lo) / ((q_hi - q_lo) / 16)),
+      |      15) AS INT) AS bucket,
+      |    q_lo AS lo0, (q_hi - q_lo) / 16 AS w
+      |  FROM lineitem, b
+      |  UNION ALL
+      |  SELECT 'l_extendedprice',
+      |    CAST(LEAST(FLOOR((l_extendedprice - e_lo) / ((e_hi - e_lo) / 16)),
+      |      15) AS INT),
+      |    e_lo, (e_hi - e_lo) / 16
+      |  FROM lineitem, b
+      |  UNION ALL
+      |  SELECT 'l_discount',
+      |    CAST(LEAST(FLOOR((l_discount - d_lo) / ((d_hi - d_lo) / 16)),
+      |      15) AS INT),
+      |    d_lo, (d_hi - d_lo) / 16
+      |  FROM lineitem, b
+      |)
+      |SELECT col_name, bucket, ROUND(lo0 + bucket * w, 6) AS lo,
+      |       ROUND(lo0 + (bucket + 1) * w, 6) AS hi, count(*) AS cnt
+      |FROM raw GROUP BY col_name, bucket, lo0, w
+      |ORDER BY col_name, bucket""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "catalog_ddl" -> catalogDdl,
     "sink_formats" -> sinkFormats,
     "profile_table" -> profileTable,
+    "profile_histogram" -> profileHistogram,
     "profile_skew" -> profileSkew)
 
   def oracles: Map[String, String] = Map(
     "catalog_ddl" -> catalogDdlOracle,
     "sink_formats" -> sinkFormatsOracle,
     "profile_table" -> profileTableOracle,
+    "profile_histogram" -> profileHistogramOracle,
     "profile_skew" -> profileSkewOracle)
 }
