@@ -580,6 +580,44 @@ object Relational {
       |  count(*) AS n_orders, TRUE AS approx_ok
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** Approximate QUANTILES, self-checking like [[aggApproxDistinct]]:
+    * `approx_percentile`'s Greenwald-Khanna sketch is the single-pass,
+    * fixed-memory quantile at 100 TB — the exact `percentile` buffers
+    * every group value in the agg buffer, which works at fixture group
+    * sizes and stops working at a few hundred million rows per group.
+    * The exact quantiles are hash-matched against DuckDB's
+    * `quantile_cont`; the sketch's estimates ride along behind a 1%
+    * relative-error gate (accuracy=10000 bounds RANK error at n/10000,
+    * orders tighter than 1% in value space on these distributions; the
+    * sketch is deterministic — no RNG — so the boolean is stable).
+    * The production query keeps only the sketch.
+    */
+  def aggApproxQuantile(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+          .as("approx_p50"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000))
+          .as("approx_p95"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("exact_p50"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 6).as("exact_p95"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("exact_p50"), col("exact_p95"),
+        col("n"),
+        (abs(col("approx_p50") - col("exact_p50")) <=
+          col("exact_p50") * 0.01 &&
+         abs(col("approx_p95") - col("exact_p95")) <=
+          col("exact_p95") * 0.01).as("approx_ok"))
+      .orderBy("l_returnflag")
+
+  val aggApproxQuantileOracle: String =
+    """SELECT l_returnflag,
+      |  ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS exact_p50,
+      |  ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS exact_p95,
+      |  count(*) AS n, TRUE AS approx_ok
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** ROLLUP with grouping flags: per (returnflag, linestatus) +
     * per-returnflag subtotals + grand total.
     */
@@ -1330,6 +1368,7 @@ object Relational {
     "agg_pivot" -> aggPivot,
     "agg_count_distinct" -> aggCountDistinct,
     "agg_approx_distinct" -> aggApproxDistinct,
+    "agg_approx_quantile" -> aggApproxQuantile,
     "agg_rollup" -> aggRollup,
     "agg_cube" -> aggCube,
     "agg_grouping_sets" -> aggGroupingSets,
@@ -1380,6 +1419,7 @@ object Relational {
     "agg_pivot" -> aggPivotOracle,
     "agg_count_distinct" -> aggCountDistinctOracle,
     "agg_approx_distinct" -> aggApproxDistinctOracle,
+    "agg_approx_quantile" -> aggApproxQuantileOracle,
     "agg_rollup" -> aggRollupOracle,
     "agg_cube" -> aggCubeOracle,
     "agg_grouping_sets" -> aggGroupingSetsOracle,
