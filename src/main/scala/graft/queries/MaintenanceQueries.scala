@@ -431,10 +431,121 @@ object MaintenanceQueries {
       |UNION ALL SELECT 'vacuumed', n, bal, true FROM fin
       |ORDER BY step""".stripMargin
 
+  // ------------------------------------------------- merge-on-read
+
+  private val morDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** MERGE-ON-READ current state — the write-amplification counterpart
+    * of the copy-on-write merge the cdc_merge_* family and every
+    * StateStore commit perform (the Iceberg v2 equality-delete / Delta
+    * deletion-vector contract). Change waves APPEND: an upsert wave
+    * writes its full-row images to the delta file set plus its keys to
+    * the equality-delete sidecar at the same version; a delete wave
+    * writes keys only. No base or delta file is ever rewritten, so
+    * per-wave write cost is change-volume-sized — copy-on-write
+    * rewrites every touched bucket per batch. The read masks each row
+    * against the newest delete version for its key (keep iff no delete
+    * NEWER than the row's own version — an upsert's delete masks older
+    * images, never its paired insert), so latest-per-key emerges from
+    * the version mask without a max_by; the delete-key aggregate is
+    * change-volume-sized and broadcast, making the read one
+    * shuffle-free broadcast join over the scan. MorSpec proves the
+    * sidecar volumes are change-sized, the read equals the
+    * copy-on-write answer, and compaction folds read state into a
+    * fresh base (the read-cost/write-cost trade is the compaction
+    * cadence, exactly the Iceberg/Delta MOR contract).
+    *
+    * The working dir is cached per (JVM, sfDir) and wiped at entry
+    * (the maintenanceLifecycle discipline): reruns rebuild from the
+    * base snapshot deterministically, and callers consume the returned
+    * frame before the next invocation.
+    */
+  def mergeMor(spark: SparkSession, sfDir: String): DataFrame =
+    morRead(spark, buildMor(spark, sfDir))
+
+  private[queries] def buildMor(spark: SparkSession, sfDir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val dir = morDirCache.computeIfAbsent(sfDir,
+      _ => Files.createTempDirectory("graft-mor-").toString)
+    val dirPath = Paths.get(dir)
+    if (Files.exists(dirPath)) {
+      Files.walk(dirPath).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => if (p != dirPath) Files.deleteIfExists(p))
+    }
+    val base = Tables.load(spark, sfDir, "customer")
+    val pk = col("c_custkey")
+    base.withColumn("_v", lit(0)).write.parquet(s"$dir/base")
+    def appendWave(rows: Option[DataFrame], keys: DataFrame, v: Int): Unit = {
+      rows.foreach(_.withColumn("_v", lit(v))
+        .write.mode("append").parquet(s"$dir/delta"))
+      keys.select(pk).withColumn("_v", lit(v))
+        .write.mode("append").parquet(s"$dir/deletes")
+    }
+    // The ChangeGen wave arithmetic, so the oracle is mergedOracleSql:
+    // +100 for pk%3 (v1), +200 for pk%5 (v2, wins for pk%15), delete
+    // pk%7 (v3). Images are full rows as of the wave, like a real CDC
+    // after-image.
+    val w1 = base.filter(pk % 3 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+    appendWave(Some(w1), w1, 1)
+    val w2 = base.filter(pk % 5 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 200.0)
+    appendWave(Some(w2), w2, 2)
+    appendWave(None, base.filter(pk % 7 === 0), 3)
+    dir
+  }
+
+  /** Assemble current rows from base + delta masked by the newest
+    * delete version per key. Missing sidecars (fresh or
+    * just-compacted tables) read as empty.
+    */
+  private def morAssemble(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val base = spark.read.parquet(s"$dir/base")
+    val rows =
+      if (Files.exists(Paths.get(dir, "delta")))
+        base.unionByName(spark.read.parquet(s"$dir/delta"))
+      else base
+    if (!Files.exists(Paths.get(dir, "deletes"))) return rows
+    val maxDel = spark.read.parquet(s"$dir/deletes")
+      .groupBy("c_custkey").agg(max("_v").as("_del_v"))
+    rows.join(broadcast(maxDel), Seq("c_custkey"), "left")
+      .filter(coalesce(col("_del_v"), lit(-1)) <= col("_v"))
+      .drop("_del_v")
+  }
+
+  private[queries] def morRead(spark: SparkSession, dir: String): DataFrame =
+    morAssemble(spark, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        round(col("c_acctbal"), 2).as("c_acctbal"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+
+  /** Fold the masked read into a fresh base and drop the sidecars —
+    * the rewrite_data_files moment that resets read amplification.
+    */
+  private[queries] def morCompact(spark: SparkSession, dir: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    morAssemble(spark, dir).drop("_v").withColumn("_v", lit(0))
+      .write.parquet(s"$dir/base-next")
+    def rm(p: java.nio.file.Path): Unit = if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(q => Files.deleteIfExists(q))
+    rm(Paths.get(dir, "base"))
+    rm(Paths.get(dir, "delta"))
+    rm(Paths.get(dir, "deletes"))
+    Files.move(Paths.get(dir, "base-next"), Paths.get(dir, "base"))
+  }
+
+  val mergeMorOracle: String = ChangeGen.mergedOracleSql(
+    "customer", "c_custkey", "c_acctbal",
+    Seq("c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_scd2" -> scd2,
     "cdc_scd2_asof" -> scd2Asof,
     "cdc_table_changes" -> tableChanges,
+    "cdc_merge_mor" -> mergeMor,
     "layout_zorder" -> layoutZorder,
     "maintenance_lifecycle" -> maintenanceLifecycle)
 
@@ -442,6 +553,7 @@ object MaintenanceQueries {
     "cdc_scd2" -> scd2Oracle,
     "cdc_scd2_asof" -> scd2AsofOracle,
     "cdc_table_changes" -> tableChangesOracle,
+    "cdc_merge_mor" -> mergeMorOracle,
     "layout_zorder" -> layoutZorderOracle,
     "maintenance_lifecycle" -> maintenanceLifecycleOracle)
 }
