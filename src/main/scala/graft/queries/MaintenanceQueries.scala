@@ -431,6 +431,60 @@ object MaintenanceQueries {
       |UNION ALL SELECT 'vacuumed', n, bal, true FROM fin
       |ORDER BY step""".stripMargin
 
+  // ------------------------------------------------- log compaction
+
+  /** CHANGE-LOG COMPACTION — the Kafka compacted-topic analog
+    * (`cleanup.policy=compact`, the standard retention config for the
+    * reference's CDC topics; setup.sh:30-32 creates them with default
+    * delete retention): events older than the retention horizon
+    * collapse to the latest record per key — tombstones included, the
+    * `delete.retention.ms` contract, so a late consumer still learns
+    * about deletes — while events inside the horizon pass through
+    * verbatim. Replaying the compacted log yields the same final state
+    * as the full log (asserted in MaintenanceQueriesSpec); what's lost
+    * is only the pre-horizon intermediate history, which is the point:
+    * the compactor bounds bootstrap/replay cost for new consumers at
+    * (key cardinality + recent change volume) instead of all-time
+    * change volume. Same scale shape as the merge itself: one
+    * map-side-combined `max_by` over the old slice, the recent slice
+    * untouched.
+    */
+  def logCompact(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = customerEvents(spark, sfDir)
+    val horizon = 2500L
+    val payload = struct(col("c_custkey"), col("c_acctbal"), col("op"),
+      col("ts"))
+    val oldPart = ev.filter(col("ts") <= horizon)
+      .groupBy("c_custkey")
+      .agg(max_by(payload, struct(col("ts"), col("seq"))).as("latest"))
+      .select("latest.*")
+    oldPart.unionByName(ev.filter(col("ts") > horizon).drop("seq"))
+      .select(col("c_custkey"), round(col("c_acctbal"), 2).as("bal"),
+        col("op"), col("ts"))
+      .orderBy("c_custkey", "ts")
+  }
+
+  val logCompactOracle: String =
+    """WITH ev AS (
+      |  SELECT c_custkey, -999.0 AS bal, 'u' AS op, 500 AS ts
+      |  FROM customer WHERE c_custkey % 2 = 0
+      |  UNION ALL SELECT c_custkey, c_acctbal, 'r', 1000 FROM customer
+      |  UNION ALL SELECT c_custkey, c_acctbal + 100.0, 'u', 2000
+      |  FROM customer WHERE c_custkey % 3 = 0
+      |  UNION ALL SELECT c_custkey, c_acctbal + 200.0, 'u', 3000
+      |  FROM customer WHERE c_custkey % 5 = 0
+      |  UNION ALL SELECT c_custkey, c_acctbal, 'd', 4000
+      |  FROM customer WHERE c_custkey % 7 = 0
+      |), old AS (
+      |  SELECT c_custkey, bal, op, ts FROM ev WHERE ts <= 2500
+      |  QUALIFY row_number() OVER (PARTITION BY c_custkey
+      |                             ORDER BY ts DESC) = 1
+      |)
+      |SELECT c_custkey, ROUND(bal, 2) AS bal, op, ts FROM old
+      |UNION ALL
+      |SELECT c_custkey, ROUND(bal, 2), op, ts FROM ev WHERE ts > 2500
+      |ORDER BY c_custkey, ts""".stripMargin
+
   // ------------------------------------------------- merge-on-read
 
   private val morDirCache =
@@ -546,6 +600,7 @@ object MaintenanceQueries {
     "cdc_scd2_asof" -> scd2Asof,
     "cdc_table_changes" -> tableChanges,
     "cdc_merge_mor" -> mergeMor,
+    "cdc_log_compact" -> logCompact,
     "layout_zorder" -> layoutZorder,
     "maintenance_lifecycle" -> maintenanceLifecycle)
 
@@ -554,6 +609,7 @@ object MaintenanceQueries {
     "cdc_scd2_asof" -> scd2AsofOracle,
     "cdc_table_changes" -> tableChangesOracle,
     "cdc_merge_mor" -> mergeMorOracle,
+    "cdc_log_compact" -> logCompactOracle,
     "layout_zorder" -> layoutZorderOracle,
     "maintenance_lifecycle" -> maintenanceLifecycleOracle)
 }

@@ -109,6 +109,35 @@ class MaintenanceQueriesSpec extends SparkTestBase {
       "insert/update post-images diverge from the v2 snapshot")
   }
 
+  test("replaying the compacted change log converges to the same " +
+      "final state as the full log") {
+    def finalState(ev: org.apache.spark.sql.DataFrame) =
+      ev.groupBy("c_custkey")
+        .agg(max_by(struct(col("bal"), col("op")), col("ts")).as("l"))
+        .filter(col("l.op") =!= "d")
+        .select(col("c_custkey"), col("l.bal").as("bal"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val full = MaintenanceQueries.logCompact(spark, sf)
+    // The compacted log IS an event stream: replay it.
+    val replayed = finalState(full)
+    val original = finalState(
+      graft.cdc.Envelope.flatten(graft.cdc.ChangeGen.changeLog(
+          graft.Tables.load(spark, sf, "customer"),
+          "c_custkey", "c_acctbal", "commerce", "customer"))
+        .select(col("row.c_custkey").as("c_custkey"),
+          round(col("row.c_acctbal"), 2).as("bal"),
+          col("_cdc.op").as("op"), col("_cdc.ts_ms").as("ts")))
+    assert(replayed.nonEmpty && replayed === original,
+      "compaction must preserve replay semantics")
+    // History inside the horizon survives verbatim: the %5 update wave
+    // and the delete wave are both still in the compacted log.
+    val ops = full.select("op", "ts").distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(ops.contains(("u", 3000L)) && ops.contains(("d", 4000L)))
+    // Pre-horizon history is folded: no stale ts=500 record survives.
+    assert(!ops.exists(_._2 == 500L), "pre-horizon events must fold away")
+  }
+
   test("maintenance_lifecycle is idempotent per JVM: the cached store " +
       "dir is wiped and rebuilt from version 0 on every invocation") {
     val a = MaintenanceQueries.maintenanceLifecycle(spark, sf).collect()
