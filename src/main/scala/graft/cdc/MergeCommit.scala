@@ -1,0 +1,80 @@
+package graft.cdc
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The ONE ordered-merge commit recipe (A11+A12+A13): compact a
+  * flattened micro-batch slice, attach merge metadata + bucket, read
+  * only the affected state buckets, mutually align schemas, run the
+  * latest-(ts,seq)-wins merge, commit just those buckets atomically.
+  * Every maintainer — the streaming pipeline's per-target merge, the
+  * lifecycle query's batch phases, and the incremental aggregate /
+  * join-view maintainers — runs THIS code path, so merge-metadata or
+  * affected-bucket changes happen in exactly one place.
+  */
+object MergeCommit {
+
+  /** The committed merge's working frames: the pre-merge and post-merge
+    * affected-bucket slices (for callers that derive deltas from the
+    * state transition, e.g. the incremental-aggregate contribution
+    * pass) and the committed version. Both slices stay readable after
+    * later commits — version dirs are immutable until vacuum.
+    */
+  final case class Result(preSlice: DataFrame, postSlice: DataFrame,
+                          version: Int) {
+    def unpersist(): Unit = {
+      preSlice.unpersist(blocking = false)
+      postSlice.unpersist(blocking = false)
+    }
+  }
+
+  /** Merge-metadata projection of a [[Merge.compactKeepTombstones]]
+    * batch: row columns + (ts, seq, deleted) + the pk hash bucket.
+    */
+  def toBatchMeta(compacted: DataFrame, pkCols: Seq[String],
+                  nBuckets: Int): DataFrame =
+    compacted.select(
+      (col("row.*") +:
+        Seq(col("_cdc.ts_ms").as(StateStore.TsCol),
+          col("_cdc.seq").as(StateStore.SeqCol),
+          (col("_cdc.op") === Envelope.OpDelete)
+            .as(StateStore.DeletedCol))): _*)
+      .withColumn(StateStore.BucketCol,
+        StateStore.bucketExpr(pkCols, nBuckets))
+
+  /** Merge a metadata-carrying batch (the [[toBatchMeta]] shape — any
+    * column subset that keeps the pk + metadata columns) into `table`.
+    * None when the batch is empty. With `persistSlices` both returned
+    * frames are persisted — the caller unpersists via
+    * [[Result.unpersist]].
+    */
+  def mergeBatchMeta(store: StateStore, table: String, batchMeta: DataFrame,
+                     pkCols: Seq[String],
+                     persistSlices: Boolean = false): Option[Result] = {
+    val spark = batchMeta.sparkSession
+    val affected = batchMeta.select(StateStore.BucketCol).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    if (affected.isEmpty) return None
+    val state =
+      if (store.exists(table)) store.readBuckets(spark, table, affected)
+      else store.emptyState(spark, table) // A10 auto-create on commit
+    // A11 — mutual alignment: widen conflicts, backfill missing columns.
+    val stateAligned0 = SchemaEvolution.align(state, batchMeta)
+    val stateAligned =
+      if (persistSlices) stateAligned0.persist() else stateAligned0
+    val merged0 = Merge.mergeOrdered(stateAligned,
+      SchemaEvolution.align(batchMeta, stateAligned), pkCols)
+    val merged = if (persistSlices) merged0.persist() else merged0
+    val v = store.commit(spark, table, merged, affected)
+    Some(Result(stateAligned, merged, v))
+  }
+
+  /** Compact + merge a flattened slice ([[Envelope.flatten]] output). */
+  def mergeFlattened(store: StateStore, table: String, slice: DataFrame,
+                     pkCols: Seq[String],
+                     persistSlices: Boolean = false): Option[Result] =
+    mergeBatchMeta(store, table,
+      toBatchMeta(Merge.compactKeepTombstones(slice, pkCols), pkCols,
+        store.nBuckets),
+      pkCols, persistSlices)
+}

@@ -226,30 +226,12 @@ final class Pipeline(store: StateStore) {
   }
 
   /** Ordered merge of one target's slice of the micro-batch into state:
-    * compact within batch → bucket → read ONLY affected state buckets →
-    * mutual schema alignment (A11) → latest-(ts,seq)-wins merge →
-    * atomic commit of just those buckets (A13).
+    * the shared [[MergeCommit]] recipe — compact within batch → bucket
+    * → read ONLY affected state buckets → mutual schema alignment
+    * (A11) → latest-(ts,seq)-wins merge → atomic commit of just those
+    * buckets (A13).
     */
   private def mergeTarget(target: String, pk: Seq[String],
-                          slice: DataFrame): Unit = {
-    val spark = slice.sparkSession
-    val compacted = Merge.compactKeepTombstones(slice, pk)
-    val batchMeta = compacted.select(
-      (col("row.*") +:
-        Seq(col("_cdc.ts_ms").as(StateStore.TsCol),
-          col("_cdc.seq").as(StateStore.SeqCol),
-          (col("_cdc.op") === Envelope.OpDelete).as(StateStore.DeletedCol))): _*)
-      .withColumn(StateStore.BucketCol,
-        StateStore.bucketExpr(pk, store.nBuckets))
-    val affected = batchMeta.select(StateStore.BucketCol).distinct()
-      .collect().map(_.getInt(0)).toSeq.sorted
-    val state =
-      if (store.exists(target)) store.readBuckets(spark, target, affected)
-      else store.emptyState(spark, target) // A10 auto-create on commit
-    // A11 — mutual alignment: widen conflicts, backfill missing columns.
-    val stateAligned = SchemaEvolution.align(state, batchMeta)
-    val batchAligned = SchemaEvolution.align(batchMeta, stateAligned)
-    val merged = Merge.mergeOrdered(stateAligned, batchAligned, pk)
-    store.commit(spark, target, merged, affected)
-  }
+                          slice: DataFrame): Unit =
+    MergeCommit.mergeFlattened(store, target, slice, pk)
 }

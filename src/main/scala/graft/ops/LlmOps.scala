@@ -1553,8 +1553,12 @@ object LlmOps {
     val nW = size(words)
     val dupW = round(lit(1.0) -
       ngramDistinctCount(words, 1).cast("double") / nW, 6)
-    val dupB = round(lit(1.0) -
-      ngramDistinctCount(words, 2).cast("double") / (nW - 1), 6)
+    // One-token docs have zero bigrams: define their bigram ratio as
+    // 0 (nothing repeats) rather than dividing by zero — Spark's
+    // non-ANSI divide would yield NULL where DuckDB yields ±inf.
+    val dupB = when(nW > 1, round(lit(1.0) -
+      ngramDistinctCount(words, 2).cast("double") / (nW - 1), 6))
+      .otherwise(0.0)
     t(spark, sfDir, "documents")
       .select(col("doc_id"), nW.as("n_words"),
         dupW.as("dup_word_ratio"), dupB.as("dup_bigram_ratio"),
@@ -1569,10 +1573,12 @@ object LlmOps {
       |  SELECT doc_id, len(w) AS n_words,
       |    ROUND(1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6)
       |      AS dup_word_ratio,
-      |    ROUND(1.0 - CAST(len(list_distinct(
-      |        [array_to_string(w[i:i+1], ' ')
-      |         for i in generate_series(1, len(w)-1)])) AS DOUBLE)
-      |      / (len(w) - 1), 6) AS dup_bigram_ratio
+      |    CASE WHEN len(w) > 1 THEN
+      |      ROUND(1.0 - CAST(len(list_distinct(
+      |          [array_to_string(w[i:i+1], ' ')
+      |           for i in generate_series(1, len(w)-1)])) AS DOUBLE)
+      |        / (len(w) - 1), 6)
+      |    ELSE 0.0 END AS dup_bigram_ratio
       |  FROM d
       |)
       |SELECT doc_id, CAST(n_words AS INT) AS n_words, dup_word_ratio,

@@ -1,9 +1,7 @@
 package graft.queries
 
-import java.nio.file.Files
-
 import graft.Tables
-import graft.cdc.{Envelope, Merge, SchemaEvolution, StateStore}
+import graft.cdc.{Envelope, Merge, MergeCommit, StateStore}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
@@ -78,34 +76,21 @@ object AggCdcQueries {
     move.unionAll(stale).unionAll(del).unionAll(snap).unionAll(u1)
   }
 
-  private val stagedCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  /** One micro-batch: ordered merge into `agg.state` (the
-    * Pipeline.mergeTarget shape), then the summary delta pass.
+  /** One micro-batch: ordered merge into `agg.state` (the shared
+    * [[MergeCommit]] recipe), then the summary delta pass over the
+    * returned (pre, post) state slices.
     */
   private def processBatch(store: StateStore, batch: DataFrame): Unit = {
     val spark = batch.sparkSession
     val compacted = Merge.compactKeepTombstones(batch, Seq("c_custkey")).persist()
     try {
-      val batchMeta = compacted.select(
-        col("row.*") +: Seq(
-          col("_cdc.ts_ms").as(StateStore.TsCol),
-          col("_cdc.seq").as(StateStore.SeqCol),
-          (col("_cdc.op") === Envelope.OpDelete).as(StateStore.DeletedCol)): _*)
-        .withColumn(StateStore.BucketCol,
-          StateStore.bucketExpr(Seq("c_custkey"), NBuckets))
-      val affected = batchMeta.select(StateStore.BucketCol).distinct()
-        .collect().map(_.getInt(0)).toSeq.sorted
-      val oldState =
-        if (store.exists(StateTable))
-          store.readBuckets(spark, StateTable, affected)
-        else store.emptyState(spark, StateTable)
-      val stateAligned = SchemaEvolution.align(oldState, batchMeta).persist()
-      val merged = Merge.mergeOrdered(stateAligned,
-        SchemaEvolution.align(batchMeta, stateAligned), Seq("c_custkey"))
-        .persist()
-      store.commit(spark, StateTable, merged, affected)
+      val batchMeta = MergeCommit.toBatchMeta(compacted, Seq("c_custkey"),
+        NBuckets)
+      val result = MergeCommit.mergeBatchMeta(store, StateTable, batchMeta,
+        Seq("c_custkey"), persistSlices = true)
+        .getOrElse(return)
+      val stateAligned = result.preSlice
+      val merged = result.postSlice
 
       // Summary deltas: −(old stored contribution) + (new stored
       // winner), restricted to this batch's keys. A stale event that
@@ -148,8 +133,7 @@ object AggCdcQueries {
         store.commit(spark, SummaryTable, next, sumAffected)
       }
       deltas.unpersist(blocking = false)
-      merged.unpersist(blocking = false)
-      stateAligned.unpersist(blocking = false)
+      result.unpersist()
     } finally compacted.unpersist(blocking = false)
   }
 
@@ -157,31 +141,10 @@ object AggCdcQueries {
     * store so callers can read either maintained table.
     */
   private[queries] def runMaintenance(spark: SparkSession, sfDir: String,
-      filesPerTrigger: Int): StateStore = {
-    val log = accountChangeLog(Tables.load(spark, sfDir, "customer"))
-    val logDir = stagedCache.computeIfAbsent(s"$sfDir/agg", { _ =>
-      val dir = Files.createTempDirectory("graft-agglog-").toString
-      log.repartition(4).write.mode("overwrite").parquet(dir)
-      dir
-    })
-    val store = new StateStore(
-      Files.createTempDirectory("graft-agg-wh-").toString, NBuckets)
-    val rowSchema = log.schema("after").dataType.asInstanceOf[StructType]
-    val src = spark.readStream.schema(Envelope.envelopeSchema(rowSchema))
-      .option("maxFilesPerTrigger", filesPerTrigger).parquet(logDir)
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val q = Envelope.flatten(src).writeStream
-        .option("checkpointLocation",
-          Files.createTempDirectory("graft-agg-ckpt-").toString)
-        .foreachBatch { (b: DataFrame, _: Long) => processBatch(store, b) }
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    store
-  }
+      filesPerTrigger: Int): StateStore =
+    DrainHarness.drain(spark,
+      accountChangeLog(Tables.load(spark, sfDir, "customer")),
+      s"$sfDir/agg", NBuckets, filesPerTrigger)(processBatch)
 
   private[queries] def readSummary(spark: SparkSession,
       store: StateStore): DataFrame =

@@ -173,22 +173,25 @@ object CatalogQueries {
     *
     * Shape: one map-side-combined count per key, then scalar
     * aggregates over the (key, cnt) frame — the second pass is
-    * key-cardinality-sized, not data-sized. The hottest key rides a
-    * packed max (cnt·2^20 + key) so the tie-break is deterministic
-    * without a second ranking pass.
+    * key-cardinality-sized, not data-sized. The hottest key is the
+    * max key id among keys at the max count (deterministic tie-break),
+    * via a broadcast of the 1-row max — a packed (cnt·2^k + key) max
+    * would silently misorder once key ids exceed 2^k, which a 100 TB
+    * id domain does.
     */
   def profileSkew(spark: SparkSession, sfDir: String): DataFrame = {
     val counts = Tables.load(spark, sfDir, "events")
       .groupBy("user_id").agg(count(lit(1)).as("cnt"))
-    counts.agg(
-      count(lit(1)).as("n_keys"),
-      sum("cnt").as("n_rows"),
-      max("cnt").as("max_cnt"),
-      round(expr("percentile(cnt, 0.5)"), 6).as("p50_cnt"),
-      round(expr("percentile(cnt, 0.99)"), 6).as("p99_cnt"),
-      round(max("cnt") / expr("percentile(cnt, 0.5)"), 6).as("skew_ratio"),
-      (max(col("cnt") * lit(1048576L) + col("user_id")) % 1048576L)
-        .as("hottest_key"))
+    counts.crossJoin(broadcast(counts.agg(max("cnt").as("top_cnt"))))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum("cnt").as("n_rows"),
+        max("cnt").as("max_cnt"),
+        round(expr("percentile(cnt, 0.5)"), 6).as("p50_cnt"),
+        round(expr("percentile(cnt, 0.99)"), 6).as("p99_cnt"),
+        round(max("cnt") / expr("percentile(cnt, 0.5)"), 6).as("skew_ratio"),
+        max(when(col("cnt") === col("top_cnt"), col("user_id")))
+          .as("hottest_key"))
   }
 
   val profileSkewOracle: String =
@@ -201,8 +204,8 @@ object CatalogQueries {
       |  ROUND(quantile_cont(cnt, 0.5), 6) AS p50_cnt,
       |  ROUND(quantile_cont(cnt, 0.99), 6) AS p99_cnt,
       |  ROUND(max(cnt) / quantile_cont(cnt, 0.5), 6) AS skew_ratio,
-      |  CAST(max(cnt * 1048576 + user_id) % 1048576 AS BIGINT)
-      |    AS hottest_key
+      |  (SELECT max(user_id) FROM c
+      |   WHERE cnt = (SELECT max(cnt) FROM c)) AS hottest_key
       |FROM c""".stripMargin
 
   /** EQUI-WIDTH HISTOGRAMS — the value-distribution statistic a CBO's

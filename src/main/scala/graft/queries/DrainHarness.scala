@@ -1,0 +1,70 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths}
+
+import graft.cdc.{Envelope, StateStore}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Shared micro-batch drain harness for the incremental-materialization
+  * family (IVF index, aggregate summary, join view, SCD2 history).
+  * Stages the deterministic change log once per (JVM, cache key);
+  * reuses ONE warehouse + checkpoint dir pair per key, WIPED at entry
+  * (the maintenanceLifecycle/curateWrite discipline — repeated
+  * bench/verify runs rebuild deterministically instead of accumulating
+  * /tmp dirs); drains the staged log through `processBatch` with
+  * AvailableNow micro-batches at a state-volume shuffle size.
+  */
+private[queries] object DrainHarness {
+
+  private val stagedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val workDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def wipe(dir: String): Unit = {
+    val p = Paths.get(dir)
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(q => if (q != p) Files.deleteIfExists(q))
+  }
+
+  /** Drain `log` (envelope rows, deterministic per cacheKey) through
+    * `processBatch`; returns the fresh store the batches committed
+    * into. Callers must consume frames read from the store before the
+    * next drain with the same key (which wipes the warehouse).
+    */
+  def drain(spark: SparkSession, log: DataFrame, cacheKey: String,
+            nBuckets: Int, filesPerTrigger: Int)
+           (processBatch: (StateStore, DataFrame) => Unit): StateStore = {
+    val logDir = stagedCache.computeIfAbsent(cacheKey, { _ =>
+      val dir = Files.createTempDirectory("graft-log-").toString
+      log.repartition(4).write.mode("overwrite").parquet(dir)
+      dir
+    })
+    val (whDir, ckptDir) = workDirCache.computeIfAbsent(cacheKey, { _ =>
+      (Files.createTempDirectory("graft-wh-").toString,
+        Files.createTempDirectory("graft-ckpt-").toString)
+    })
+    wipe(whDir)
+    wipe(ckptDir)
+    val store = new StateStore(whDir, nBuckets)
+    val rowSchema = log.schema("after").dataType.asInstanceOf[StructType]
+    val src = spark.readStream.schema(Envelope.envelopeSchema(rowSchema))
+      .option("maxFilesPerTrigger", filesPerTrigger).parquet(logDir)
+    // Per-target micro-batch merges shuffle ~1e3 keys into an 8-bucket
+    // store — size the merge shuffle to that state volume, not the
+    // batch default (the StreamingOps rule).
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = Envelope.flatten(src).writeStream
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (b: DataFrame, _: Long) => processBatch(store, b) }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    store
+  }
+}

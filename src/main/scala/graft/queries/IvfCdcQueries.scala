@@ -1,9 +1,7 @@
 package graft.queries
 
-import java.nio.file.Files
-
 import graft.Tables
-import graft.cdc.{Envelope, Merge, SchemaEvolution, StateStore}
+import graft.cdc.{Envelope, Merge, MergeCommit, StateStore}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
@@ -87,37 +85,21 @@ object IvfCdcQueries {
     move.unionAll(stale).unionAll(del).unionAll(snap)
   }
 
-  private val stagedCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  /** One micro-batch: ordered merge into assignments (bucket-pruned,
-    * exactly the Pipeline.mergeTarget shape) plus the index delta pass.
+  /** One micro-batch: ordered merge into assignments (the shared
+    * [[MergeCommit]] recipe) plus the index delta pass over the
+    * returned (pre, post) state slices.
     */
   private def processBatch(store: StateStore, batch: DataFrame): Unit = {
     val spark = batch.sparkSession
     val compacted = Merge.compactKeepTombstones(batch, Seq("vec_id")).persist()
     try {
-      val batchMeta = compacted.select(
-        col("row.*") +: Seq(
-          col("_cdc.ts_ms").as(StateStore.TsCol),
-          col("_cdc.seq").as(StateStore.SeqCol),
-          (col("_cdc.op") === Envelope.OpDelete).as(StateStore.DeletedCol)): _*)
-        .withColumn(StateStore.BucketCol,
-          StateStore.bucketExpr(Seq("vec_id"), NBuckets))
-      val affected = batchMeta.select(StateStore.BucketCol).distinct()
-        .collect().map(_.getInt(0)).toSeq.sorted
-      val target = "ivf.assignments"
-      val oldState =
-        if (store.exists(target)) store.readBuckets(spark, target, affected)
-        else store.emptyState(spark, target)
-      // Aligned (all batch columns backfilled) — the empty first-batch
-      // state has no columns yet; contributions() also needs the
-      // aligned shape for its vec_id semi-join.
-      val stateAligned = SchemaEvolution.align(oldState, batchMeta).persist()
-      val merged = Merge.mergeOrdered(stateAligned,
-        SchemaEvolution.align(batchMeta, stateAligned), Seq("vec_id"))
-        .persist()
-      store.commit(spark, target, merged, affected)
+      val batchMeta = MergeCommit.toBatchMeta(compacted, Seq("vec_id"),
+        NBuckets)
+      val result = MergeCommit.mergeBatchMeta(store, "ivf.assignments",
+        batchMeta, Seq("vec_id"), persistSlices = true)
+        .getOrElse(return)
+      val stateAligned = result.preSlice
+      val merged = result.postSlice
 
       // Index deltas: −(old stored contribution) + (new stored winner),
       // restricted to this batch's keys. When a stale event loses the
@@ -160,8 +142,7 @@ object IvfCdcQueries {
         store.commit(spark, idx, next, idxAffected)
       }
       deltas.unpersist(blocking = false)
-      merged.unpersist(blocking = false)
-      stateAligned.unpersist(blocking = false)
+      result.unpersist()
     } finally compacted.unpersist(blocking = false)
   }
 
@@ -182,31 +163,10 @@ object IvfCdcQueries {
     * either maintained table.
     */
   private[queries] def runMaintenance(spark: SparkSession, sfDir: String,
-      filesPerTrigger: Int): StateStore = {
-    val log = embeddingChangeLog(Tables.load(spark, sfDir, "embeddings"))
-    val logDir = stagedCache.computeIfAbsent(s"$sfDir/ivf", { _ =>
-      val dir = Files.createTempDirectory("graft-ivflog-").toString
-      log.repartition(4).write.mode("overwrite").parquet(dir)
-      dir
-    })
-    val store = new StateStore(
-      Files.createTempDirectory("graft-ivf-wh-").toString, NBuckets)
-    val rowSchema = log.schema("after").dataType.asInstanceOf[StructType]
-    val src = spark.readStream.schema(Envelope.envelopeSchema(rowSchema))
-      .option("maxFilesPerTrigger", filesPerTrigger).parquet(logDir)
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val q = Envelope.flatten(src).writeStream
-        .option("checkpointLocation",
-          Files.createTempDirectory("graft-ivf-ckpt-").toString)
-        .foreachBatch { (b: DataFrame, _: Long) => processBatch(store, b) }
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    store
-  }
+      filesPerTrigger: Int): StateStore =
+    DrainHarness.drain(spark,
+      embeddingChangeLog(Tables.load(spark, sfDir, "embeddings")),
+      s"$sfDir/ivf", NBuckets, filesPerTrigger)(processBatch)
 
   private[queries] def readIndex(spark: SparkSession,
       store: StateStore): DataFrame =

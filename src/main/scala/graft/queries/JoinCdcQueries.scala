@@ -1,9 +1,7 @@
 package graft.queries
 
-import java.nio.file.Files
-
 import graft.Tables
-import graft.cdc.{Envelope, Merge, SchemaEvolution, StateStore}
+import graft.cdc.{Envelope, Merge, MergeCommit, StateStore}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
@@ -111,27 +109,6 @@ object JoinCdcQueries {
       .unionAll(oPrice).unionAll(cU1).unionAll(oSnap).unionAll(cDel)
   }
 
-  /** Ordered merge of one table's compacted batch into its state table;
-    * returns the (pre-merge, post-merge) affected-bucket slices, both
-    * persisted — the caller unpersists. None when this micro-batch
-    * carried no events for the table.
-    */
-  private def mergeInto(store: StateStore, spark: SparkSession,
-      table: String, batchMeta: DataFrame,
-      pkCols: Seq[String]): Option[(DataFrame, DataFrame)] = {
-    val affected = batchMeta.select(StateStore.BucketCol).distinct()
-      .collect().map(_.getInt(0)).toSeq.sorted
-    if (affected.isEmpty) return None
-    val old =
-      if (store.exists(table)) store.readBuckets(spark, table, affected)
-      else store.emptyState(spark, table)
-    val oldAligned = SchemaEvolution.align(old, batchMeta).persist()
-    val merged = Merge.mergeOrdered(oldAligned,
-      SchemaEvolution.align(batchMeta, oldAligned), pkCols).persist()
-    store.commit(spark, table, merged, affected)
-    Some((oldAligned, merged))
-  }
-
   private def bucketIdsOf(df: DataFrame, keyCols: Seq[String]): Seq[Int] =
     df.select(StateStore.bucketExpr(keyCols, NBuckets).as("b"))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
@@ -156,17 +133,17 @@ object JoinCdcQueries {
       Seq("o_orderkey", "o_custkey", "o_totalprice"), "o_orderkey").persist()
     val live = !col(StateStore.DeletedCol)
     try {
-      mergeInto(store, spark, CustTable, custB, Seq("c_custkey"))
-        .foreach { case (o, n) =>
-          o.unpersist(blocking = false); n.unpersist(blocking = false)
-        }
-      val ordSlices = mergeInto(store, spark, OrdTable, ordB, Seq("o_orderkey"))
+      MergeCommit.mergeBatchMeta(store, CustTable, custB, Seq("c_custkey"),
+        persistSlices = true).foreach(_.unpersist())
+      val ordSlices = MergeCommit.mergeBatchMeta(store, OrdTable, ordB,
+        Seq("o_orderkey"), persistSlices = true)
 
       // Secondary-index repair for the evented order keys: live entries
       // upserted under the winner's (ts, seq); entries whose (custkey,
       // orderkey) no longer holds (move or delete) tombstoned under the
       // SAME new (ts, seq), so replays telescope.
-      ordSlices.foreach { case (oldOrd, newOrd) =>
+      ordSlices.foreach { slices =>
+        val (oldOrd, newOrd) = (slices.preSlice, slices.postSlice)
         val entry = (df: DataFrame) => df.filter(live)
           .select(col("o_custkey").as("c_custkey"), col("o_orderkey"))
         val newLive = newOrd.filter(live).select(
@@ -182,12 +159,10 @@ object JoinCdcQueries {
           .unionByName(gone.withColumn(StateStore.DeletedCol, lit(true)))
           .withColumn(StateStore.BucketCol,
             StateStore.bucketExpr(Seq("c_custkey"), NBuckets))
-        mergeInto(store, spark, IdxTable, idxBatch,
-          Seq("c_custkey", "o_orderkey")).foreach { case (o, n) =>
-            o.unpersist(blocking = false); n.unpersist(blocking = false)
-          }
-        oldOrd.unpersist(blocking = false)
-        newOrd.unpersist(blocking = false)
+        MergeCommit.mergeBatchMeta(store, IdxTable, idxBatch,
+          Seq("c_custkey", "o_orderkey"), persistSlices = true)
+          .foreach(_.unpersist())
+        slices.unpersist()
       }
 
       // Affected view keys: evented orders ∪ index hits of evented
@@ -247,39 +222,15 @@ object JoinCdcQueries {
     }
   }
 
-  private val stagedCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   /** Drain the staged two-table log through the maintainer; returns the
     * store so callers can read the view, the index, or either base.
     */
   private[queries] def runMaintenance(spark: SparkSession, sfDir: String,
-      filesPerTrigger: Int): StateStore = {
-    val log = joinChangeLog(Tables.load(spark, sfDir, "customer"),
-      Tables.load(spark, sfDir, "orders"))
-    val logDir = stagedCache.computeIfAbsent(s"$sfDir/jv", { _ =>
-      val dir = Files.createTempDirectory("graft-jvlog-").toString
-      log.repartition(4).write.mode("overwrite").parquet(dir)
-      dir
-    })
-    val store = new StateStore(
-      Files.createTempDirectory("graft-jv-wh-").toString, NBuckets)
-    val rowSchema = log.schema("after").dataType.asInstanceOf[StructType]
-    val src = spark.readStream.schema(Envelope.envelopeSchema(rowSchema))
-      .option("maxFilesPerTrigger", filesPerTrigger).parquet(logDir)
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val q = Envelope.flatten(src).writeStream
-        .option("checkpointLocation",
-          Files.createTempDirectory("graft-jv-ckpt-").toString)
-        .foreachBatch { (b: DataFrame, _: Long) => processBatch(store, b) }
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    store
-  }
+      filesPerTrigger: Int): StateStore =
+    DrainHarness.drain(spark,
+      joinChangeLog(Tables.load(spark, sfDir, "customer"),
+        Tables.load(spark, sfDir, "orders")),
+      s"$sfDir/jv", NBuckets, filesPerTrigger)(processBatch)
 
   private[queries] def readView(spark: SparkSession,
       store: StateStore): DataFrame =

@@ -303,31 +303,13 @@ object MaintenanceQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** One phase of the change log merged + committed into the store —
-    * the batch spelling of the pipeline's per-micro-batch commit
-    * (cdc/Pipeline.scala mergeTarget): compact the slice keeping
-    * tombstones, attach merge metadata + bucket, order-aware merge
-    * into the affected buckets only, atomic manifest commit.
+    * the batch spelling of the pipeline's per-micro-batch commit,
+    * running the same shared [[graft.cdc.MergeCommit]] recipe.
     */
   private def commitPhase(spark: SparkSession, store: graft.cdc.StateStore,
-      target: String, pk: Seq[String], slice: DataFrame): Int = {
-    import graft.cdc.{Merge, SchemaEvolution, StateStore => SS}
-    val compacted = Merge.compactKeepTombstones(slice, pk)
-    val batchMeta = compacted.select(
-      (col("row.*") +:
-        Seq(col("_cdc.ts_ms").as(SS.TsCol),
-          col("_cdc.seq").as(SS.SeqCol),
-          (col("_cdc.op") === Envelope.OpDelete).as(SS.DeletedCol))): _*)
-      .withColumn(SS.BucketCol, SS.bucketExpr(pk, store.nBuckets))
-    val affected = batchMeta.select(SS.BucketCol).distinct()
-      .collect().map(_.getInt(0)).toSeq.sorted
-    val state =
-      if (store.exists(target)) store.readBuckets(spark, target, affected)
-      else store.emptyState(spark, target)
-    val stateAligned = SchemaEvolution.align(state, batchMeta)
-    val batchAligned = SchemaEvolution.align(batchMeta, stateAligned)
-    store.commit(spark, target,
-      Merge.mergeOrdered(stateAligned, batchAligned, pk), affected)
-  }
+      target: String, pk: Seq[String], slice: DataFrame): Int =
+    graft.cdc.MergeCommit.mergeFlattened(store, target, slice, pk)
+      .fold(store.currentVersion(target))(_.version)
 
   /** TABLE-MAINTENANCE LIFECYCLE as an oracle-checked query — the
     * rewrite_data_files / expire_snapshots / VERSION AS OF trio run

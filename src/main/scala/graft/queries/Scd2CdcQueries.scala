@@ -1,11 +1,8 @@
 package graft.queries
 
-import java.nio.file.Files
-
 import graft.Tables
-import graft.cdc.{ChangeGen, Envelope, StateStore}
+import graft.cdc.{ChangeGen, StateStore}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -43,23 +40,13 @@ object Scd2CdcQueries {
   private val EventsTable = "hist.events"
   private val Scd2Table = "hist.scd2"
 
-  private val stagedCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  /** Interval derivation for one set of keys' complete event rows:
-    * the batch SCD2 window (MaintenanceQueries.scala:53-66) applied to
-    * a bucket-pruned slice.
+  /** Interval derivation for one set of keys' complete event rows: THE
+    * batch SCD2 core ([[MaintenanceQueries.intervalize]] — the
+    * property-tested derivation) applied to a bucket-pruned slice, so
+    * the incremental path can never drift from the batch semantics.
     */
-  private def deriveIntervals(events: DataFrame): DataFrame = {
-    val w = Window.partitionBy("c_custkey").orderBy("ts", "seq")
-    events
-      .withColumn("valid_to", lead("ts", 1).over(w))
-      .filter(col("op") =!= Envelope.OpDelete)
-      .select(col("c_custkey"), col("c_acctbal"),
-        col("ts").as("valid_from"), col("valid_to"),
-        col("valid_to").isNull.as("is_current"),
-        col(StateStore.BucketCol))
-  }
+  private def deriveIntervals(events: DataFrame): DataFrame =
+    MaintenanceQueries.intervalize(events, "c_custkey")
 
   private def processBatch(store: StateStore, batch: DataFrame): Unit = {
     val spark = batch.sparkSession
@@ -109,32 +96,11 @@ object Scd2CdcQueries {
   }
 
   private[queries] def runMaintenance(spark: SparkSession, sfDir: String,
-      filesPerTrigger: Int): StateStore = {
-    val log = ChangeGen.changeLog(Tables.load(spark, sfDir, "customer"),
-      "c_custkey", "c_acctbal", "commerce", "customer")
-    val logDir = stagedCache.computeIfAbsent(s"$sfDir/scd2", { _ =>
-      val dir = Files.createTempDirectory("graft-scd2log-").toString
-      log.repartition(4).write.mode("overwrite").parquet(dir)
-      dir
-    })
-    val store = new StateStore(
-      Files.createTempDirectory("graft-scd2-wh-").toString, NBuckets)
-    val rowSchema = log.schema("after").dataType.asInstanceOf[StructType]
-    val src = spark.readStream.schema(Envelope.envelopeSchema(rowSchema))
-      .option("maxFilesPerTrigger", filesPerTrigger).parquet(logDir)
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val q = Envelope.flatten(src).writeStream
-        .option("checkpointLocation",
-          Files.createTempDirectory("graft-scd2-ckpt-").toString)
-        .foreachBatch { (b: DataFrame, _: Long) => processBatch(store, b) }
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    store
-  }
+      filesPerTrigger: Int): StateStore =
+    DrainHarness.drain(spark,
+      ChangeGen.changeLog(Tables.load(spark, sfDir, "customer"),
+        "c_custkey", "c_acctbal", "commerce", "customer"),
+      s"$sfDir/scd2", NBuckets, filesPerTrigger)(processBatch)
 
   private[queries] def readHistory(spark: SparkSession,
       store: StateStore): DataFrame =
