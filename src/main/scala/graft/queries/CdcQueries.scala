@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.cdc.{ChangeGen, Envelope, Merge, Routing}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Tier A demonstration queries: the CDC dataflow run end-to-end in
@@ -277,8 +277,95 @@ object CdcQueries {
       |FROM customer WHERE c_custkey % 7 <> 0
       |ORDER BY channel""".stripMargin
 
+  /** INCREMENTAL (CHUNKED) SNAPSHOT — the Debezium/DBLog
+    * watermark-chunk backfill. The reference bootstraps with one
+    * locked snapshot pass (snapshot.mode=initial, 30 s lock budget —
+    * connect-sqlserver-source.json:14,18); at 100 TB that single pass
+    * is the thing that cannot run, so production Debezium reads the
+    * table in pk-RANGE chunks at different times, interleaved with the
+    * live change stream, each chunk's op='r' image reflecting whatever
+    * live updates had already been applied when that chunk was read.
+    *
+    * Under the engine's ordered merge the DBLog dedup rule costs
+    * nothing extra: a live event after a chunk's read time beats the
+    * chunk image on (ts, seq); a live event before it is already IN
+    * the image — both routes produce the same value, so the merged
+    * state is CHUNK-INVARIANT (ChunkedSnapshotSpec asserts equality
+    * with the monolithic-snapshot merge, and that early/late chunk
+    * images really differ). Each chunk is a bounded pk-range scan —
+    * no table lock, no all-at-once snapshot — and its merge cost is
+    * the chunk's bucket footprint.
+    */
+  private[queries] def chunkedLog(base: DataFrame,
+      nChunks: Int = 4): DataFrame = {
+    val maxPk = base.agg(max(col("c_custkey"))).head.getLong(0)
+    val pk = col("c_custkey").cast("long")
+    val chunkCol = floor(pk * nChunks / lit((maxPk + 1).toDouble))
+    val src = struct(lit("commerce").as("schema"),
+      lit("customer").as("table"))
+    def image(bal: Column): Column = struct(
+      col("c_custkey").cast("long").as("c_custkey"), col("c_name"),
+      col("c_nationkey"), bal.cast("double").as("c_acctbal"),
+      col("c_mktsegment"))
+    val baseImage = image(col("c_acctbal"))
+    val nullImage = when(lit(false), baseImage)
+    def ev(filter: Column, before: Column, after: Column, op: String,
+           ts: Long): DataFrame =
+      base.filter(filter).select(before.as("before"), after.as("after"),
+        lit(op).as("op"), lit(ts).as("ts_ms"), pk.as("seq"),
+        src.as("source"))
+    // Live stream: +100 (%3) at ts 1000, +200 (%5, absolute image —
+    // ChangeGen's convention) at 3000, delete (%7) at 5000.
+    val u1 = ev(pk % 3 === 0, baseImage, image(col("c_acctbal") + 100.0),
+      Envelope.OpUpdate, 1000L)
+    val u2 = ev(pk % 5 === 0, baseImage, image(col("c_acctbal") + 200.0),
+      Envelope.OpUpdate, 3000L)
+    val del = ev(pk % 7 === 0, baseImage, nullImage,
+      Envelope.OpDelete, 5000L)
+    // Chunk i reads its pk range at ts 1500 + i·1000 and captures the
+    // value the live stream had produced by then.
+    val chunks = (0 until nChunks).map { i =>
+      val ts = 1500L + i * 1000L
+      val balAtRead =
+        if (ts > 3000L)
+          col("c_acctbal") + when(pk % 5 === 0, 200.0)
+            .when(pk % 3 === 0, 100.0).otherwise(0.0)
+        else col("c_acctbal") + when(pk % 3 === 0, 100.0).otherwise(0.0)
+      ev(chunkCol === i, nullImage, image(balAtRead), Envelope.OpRead, ts)
+    }
+    // Interleaved out of commit order, like every generated log.
+    chunks(2).unionAll(u2).unionAll(chunks.head).unionAll(del)
+      .unionAll(chunks(1)).unionAll(u1).unionAll(chunks(3))
+  }
+
+  def snapshotChunked(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.load(spark, sfDir, "customer")
+    val maxPk = base.agg(max(col("c_custkey"))).head.getLong(0)
+    Merge.compact(Envelope.flatten(chunkedLog(base)), Seq("c_custkey"))
+      .withColumn("c_acctbal", round(col("c_acctbal"), 2))
+      .select(col("c_custkey"),
+        floor(col("c_custkey") * 4 / lit((maxPk + 1).toDouble))
+          .cast("int").as("chunk"),
+        col("c_name"), col("c_nationkey"), col("c_acctbal"),
+        col("c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+
+  val snapshotChunkedOracle: String =
+    """SELECT c_custkey,
+      |  CAST(FLOOR(c_custkey * 4 /
+      |    (SELECT max(c_custkey) + 1.0 FROM customer)) AS INT) AS chunk,
+      |  c_name, c_nationkey,
+      |  ROUND(c_acctbal + CASE WHEN c_custkey % 5 = 0 THEN 200.0
+      |                         WHEN c_custkey % 3 = 0 THEN 100.0
+      |                         ELSE 0.0 END, 2) AS c_acctbal,
+      |  c_mktsegment
+      |FROM customer WHERE c_custkey % 7 <> 0
+      |ORDER BY c_custkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_merge" -> sqlMerge,
+    "cdc_snapshot_chunked" -> snapshotChunked,
     "cdc_merge_customer" -> mergeCustomer,
     "cdc_merge_customer_wire" -> mergeCustomerWire,
     "cdc_merge_supplier" -> mergeSupplier,
@@ -288,6 +375,7 @@ object CdcQueries {
 
   def oracles: Map[String, String] = Map(
     "sql_merge" -> mergeCustomerOracle,
+    "cdc_snapshot_chunked" -> snapshotChunkedOracle,
     "cdc_merge_customer" -> mergeCustomerOracle,
     "cdc_merge_customer_wire" -> mergeCustomerOracle,
     "cdc_merge_supplier" -> mergeSupplierOracle,
