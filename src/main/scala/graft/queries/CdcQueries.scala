@@ -277,6 +277,26 @@ object CdcQueries {
       |FROM customer WHERE c_custkey % 7 <> 0
       |ORDER BY channel""".stripMargin
 
+  /** The merge through the AVRO wire format — the binary twin of
+    * [[mergeCustomerWire]]'s JSON round-trip, on the
+    * [[graft.cdc.AvroWire]] codec (avro core is in the environment;
+    * the spark-avro datasource is not — see AvroWire's scaladoc). The
+    * oracle is identical to the struct path: serialization must be
+    * lossless, including the delete events' null after-images through
+    * the union[null, record] encoding.
+    */
+  def mergeCustomerAvro(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.load(spark, sfDir, "customer")
+    val env = Envelope.envelopeSchema(base.schema)
+    // Encode and decode under the SAME canonical envelope schema (A6's
+    // out-of-band contract) — avro binary is not self-describing.
+    val wire = graft.cdc.AvroWire.toAvro(customerLog(spark, sfDir), env)
+    val parsed = graft.cdc.AvroWire.fromAvro(wire, env)
+    Merge.compact(Envelope.flatten(parsed), Seq("c_custkey"))
+      .withColumn("c_acctbal", round(col("c_acctbal"), 2))
+      .orderBy("c_custkey")
+  }
+
   /** INCREMENTAL (CHUNKED) SNAPSHOT — the Debezium/DBLog
     * watermark-chunk backfill. The reference bootstraps with one
     * locked snapshot pass (snapshot.mode=initial, 30 s lock budget —
@@ -368,6 +388,7 @@ object CdcQueries {
     "cdc_snapshot_chunked" -> snapshotChunked,
     "cdc_merge_customer" -> mergeCustomer,
     "cdc_merge_customer_wire" -> mergeCustomerWire,
+    "cdc_merge_customer_avro" -> mergeCustomerAvro,
     "cdc_merge_supplier" -> mergeSupplier,
     "cdc_envelope_route" -> envelopeRoute,
     "cdc_route_fanout" -> routeFanout,
@@ -378,6 +399,7 @@ object CdcQueries {
     "cdc_snapshot_chunked" -> snapshotChunkedOracle,
     "cdc_merge_customer" -> mergeCustomerOracle,
     "cdc_merge_customer_wire" -> mergeCustomerOracle,
+    "cdc_merge_customer_avro" -> mergeCustomerOracle,
     "cdc_merge_supplier" -> mergeSupplierOracle,
     "cdc_envelope_route" -> envelopeRouteOracle,
     "cdc_route_fanout" -> routeFanoutOracle,
