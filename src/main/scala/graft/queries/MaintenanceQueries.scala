@@ -413,6 +413,111 @@ object MaintenanceQueries {
       |UNION ALL SELECT 'vacuumed', n, bal, true FROM fin
       |ORDER BY step""".stripMargin
 
+  // ------------------------------------------------- rebucketing
+
+  private val rebucketDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** BUCKET-LAYOUT EVOLUTION — the partition-spec-evolution problem
+    * (Iceberg's headline feature the classic Hive layout lacks): the
+    * bucket count chosen at day 1 does not survive 100× growth, and at
+    * 100 TB "rewrite into more buckets" must be an ONLINE maintenance
+    * op, not a new table + backfill. The op: read the old store's raw
+    * state (merge metadata intact), re-hash into a 2× bucket layout,
+    * commit as version 0 of the evolved store — one distributed
+    * rewrite, after which incremental merges land on the new layout
+    * unchanged ([[graft.cdc.MergeCommit]] derives bucket ids from the
+    * store it is handed, so the post-migration delete wave here runs
+    * the SAME code path every maintainer uses). The query emits
+    * layout + checksum facts at each step; RebucketSpec asserts the
+    * migrated state is row-identical and stays bucket-prunable.
+    */
+  def rebucket(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val (wh8, wh16) = rebucketDirCache.computeIfAbsent(sfDir,
+      _ => (Files.createTempDirectory("graft-rb8-").toString,
+        Files.createTempDirectory("graft-rb16-").toString))
+    Seq(wh8, wh16).foreach { d =>
+      val p = Paths.get(d)
+      if (Files.exists(p))
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => if (q != p) Files.deleteIfExists(q))
+    }
+    val target = "cdc.commerce_customer_rb"
+    val pk = Seq("c_custkey")
+    val ev = Envelope.flatten(ChangeGen.changeLog(
+      Tables.load(spark, sfDir, "customer"),
+      "c_custkey", "c_acctbal", "commerce", "customer"))
+    val ts = col("_cdc.ts_ms")
+
+    val store8 = new graft.cdc.StateStore(wh8, nBuckets = 8)
+    commitPhase(spark, store8, target, pk, ev.filter(ts <= 3000))
+
+    def summarize(df: DataFrame): (Long, Double) = {
+      val r = df.agg(count(lit(1)), round(sum(round(col("c_acctbal"), 2)), 2))
+        .head()
+      (r.getLong(0), r.getDouble(1))
+    }
+    val (n8, bal8) = summarize(store8.currentState(spark, target))
+
+    // The migration rewrite: raw state (ts/seq/deleted carried — the
+    // evolved table must keep deciding merges by event order) re-hashed
+    // into the doubled layout, committed once.
+    val store16 = new graft.cdc.StateStore(wh16, nBuckets = 16)
+    val migrated = store8.rawState(spark, target)
+      .drop(graft.cdc.StateStore.BucketCol)
+      .withColumn(graft.cdc.StateStore.BucketCol,
+        graft.cdc.StateStore.bucketExpr(pk, 16))
+    store16.commit(spark, target, migrated, 0 until 16)
+    val (n16, bal16) = summarize(store16.currentState(spark, target))
+
+    // Incremental maintenance continues on the evolved layout: the
+    // delete wave merges through the shared recipe, bucket-pruned
+    // against the 16-bucket manifest.
+    graft.cdc.MergeCommit.mergeFlattened(store16, target,
+      ev.filter(ts > 3000), pk)
+    val (nf, balf) = summarize(store16.currentState(spark, target))
+
+    import spark.implicits._
+    Seq(
+      ("evolved", store16.manifest(target).size.toLong, n16, bal16),
+      ("post_wave", store16.manifest(target).size.toLong, nf, balf),
+      ("pre_evolve", store8.manifest(target).size.toLong, n8, bal8))
+      .toDF("step", "n_buckets", "n_rows", "bal_sum")
+      .orderBy("step")
+  }
+
+  /** The evolved store of the LAST [[rebucket]] run for this sfDir —
+    * spec access for bucket-pruning assertions on the 16-way layout.
+    */
+  private[queries] def evolvedStore(sfDir: String): graft.cdc.StateStore =
+    new graft.cdc.StateStore(rebucketDirCache.get(sfDir)._2, nBuckets = 16)
+
+  /** Checksums from the wave formulas: the ts ≤ 3000 state (every key,
+    * +100 %3 overridden by +200 %5) must survive the re-hash
+    * unchanged; the post-wave state drops %7. Bucket counts are layout
+    * literals.
+    */
+  val rebucketOracle: String =
+    """WITH pre AS (
+      |  SELECT count(*) AS n, ROUND(sum(ROUND(c_acctbal +
+      |    CASE WHEN c_custkey % 5 = 0 THEN 200.0
+      |         WHEN c_custkey % 3 = 0 THEN 100.0
+      |         ELSE 0.0 END, 2)), 2) AS bal
+      |  FROM customer
+      |), fin AS (
+      |  SELECT count(*) AS n, ROUND(sum(ROUND(c_acctbal +
+      |    CASE WHEN c_custkey % 5 = 0 THEN 200.0
+      |         WHEN c_custkey % 3 = 0 THEN 100.0
+      |         ELSE 0.0 END, 2)), 2) AS bal
+      |  FROM customer WHERE c_custkey % 7 <> 0
+      |)
+      |SELECT 'evolved' AS step, CAST(16 AS BIGINT) AS n_buckets,
+      |       n AS n_rows, bal AS bal_sum FROM pre
+      |UNION ALL SELECT 'post_wave', 16, n, bal FROM fin
+      |UNION ALL SELECT 'pre_evolve', 8, n, bal FROM pre
+      |ORDER BY step""".stripMargin
+
   // ------------------------------------------------- log compaction
 
   /** CHANGE-LOG COMPACTION — the Kafka compacted-topic analog
@@ -584,7 +689,8 @@ object MaintenanceQueries {
     "cdc_merge_mor" -> mergeMor,
     "cdc_log_compact" -> logCompact,
     "layout_zorder" -> layoutZorder,
-    "maintenance_lifecycle" -> maintenanceLifecycle)
+    "maintenance_lifecycle" -> maintenanceLifecycle,
+    "maintenance_rebucket" -> rebucket)
 
   def oracles: Map[String, String] = Map(
     "cdc_scd2" -> scd2Oracle,
@@ -593,5 +699,6 @@ object MaintenanceQueries {
     "cdc_merge_mor" -> mergeMorOracle,
     "cdc_log_compact" -> logCompactOracle,
     "layout_zorder" -> layoutZorderOracle,
-    "maintenance_lifecycle" -> maintenanceLifecycleOracle)
+    "maintenance_lifecycle" -> maintenanceLifecycleOracle,
+    "maintenance_rebucket" -> rebucketOracle)
 }
