@@ -618,6 +618,47 @@ object Relational {
       |  count(*) AS n, TRUE AS approx_ok
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** MERGEABLE DISTINCT SKETCHES (DataSketches HLL,
+    * `hll_sketch_agg`/`hll_union_agg`) — the property
+    * `approx_count_distinct` lacks: per-group sketches are
+    * MATERIALIZABLE state that any later rollup re-aggregates by
+    * unioning KB-sized binaries, never rescanning the fact table.
+    * At 100 TB this is the distinct-count cube: per-partition/day
+    * sketches built once at ingest; region/month/ad-hoc unions are
+    * metadata-sized merges (exact distincts can't pre-aggregate —
+    * distinct doesn't add across groups, which the ALL row here
+    * demonstrates: its estimate comes ONLY from unioning the
+    * per-status sketches). Self-checking like [[aggApproxDistinct]]:
+    * exact counts hash-matched, estimates behind a 5% gate (HLL
+    * merge is deterministic register-max — stable booleans).
+    */
+  def aggSketchUnion(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = t(spark, sfDir, "orders")
+    val perStatus = o.groupBy("o_orderstatus")
+      .agg(hll_sketch_agg(col("o_custkey")).as("sk"),
+        countDistinct(col("o_custkey")).as("exact_cust"))
+      .persist()
+    val statusRows = perStatus.select(
+      col("o_orderstatus").as("k"), col("exact_cust"),
+      (abs(hll_sketch_estimate(col("sk")) - col("exact_cust")) <=
+        col("exact_cust") * 0.05).as("approx_ok"))
+    val allRow = o.agg(countDistinct(col("o_custkey")).as("exact_cust"))
+      .crossJoin(perStatus.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est")))
+      .select(lit("ALL").as("k"), col("exact_cust"),
+        (abs(col("est") - col("exact_cust")) <=
+          col("exact_cust") * 0.05).as("approx_ok"))
+    statusRows.unionAll(allRow).orderBy("k")
+  }
+
+  val aggSketchUnionOracle: String =
+    """SELECT o_orderstatus AS k, count(DISTINCT o_custkey) AS exact_cust,
+      |  TRUE AS approx_ok
+      |FROM orders GROUP BY o_orderstatus
+      |UNION ALL
+      |SELECT 'ALL', count(DISTINCT o_custkey), TRUE FROM orders
+      |ORDER BY k""".stripMargin
+
   /** ROLLUP with grouping flags: per (returnflag, linestatus) +
     * per-returnflag subtotals + grand total.
     */
@@ -1369,6 +1410,7 @@ object Relational {
     "agg_count_distinct" -> aggCountDistinct,
     "agg_approx_distinct" -> aggApproxDistinct,
     "agg_approx_quantile" -> aggApproxQuantile,
+    "agg_sketch_union" -> aggSketchUnion,
     "agg_rollup" -> aggRollup,
     "agg_cube" -> aggCube,
     "agg_grouping_sets" -> aggGroupingSets,
@@ -1420,6 +1462,7 @@ object Relational {
     "agg_count_distinct" -> aggCountDistinctOracle,
     "agg_approx_distinct" -> aggApproxDistinctOracle,
     "agg_approx_quantile" -> aggApproxQuantileOracle,
+    "agg_sketch_union" -> aggSketchUnionOracle,
     "agg_rollup" -> aggRollupOracle,
     "agg_cube" -> aggCubeOracle,
     "agg_grouping_sets" -> aggGroupingSetsOracle,
