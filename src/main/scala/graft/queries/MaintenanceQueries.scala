@@ -413,6 +413,58 @@ object MaintenanceQueries {
       |UNION ALL SELECT 'vacuumed', n, bal, true FROM fin
       |ORDER BY step""".stripMargin
 
+  // ------------------------------------------------- point lookup
+
+  private val lookupDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** POINT LOOKUPS against the bucketed store — the serving-path read
+    * the CDC-maintained table exists for (the reference serves it via
+    * Trino; a feature store serves it by key). A probe set resolves by
+    * reading ONLY the buckets its keys hash to: the manifest IS the
+    * index, so a point read touches O(distinct probe buckets) files —
+    * at 100 TB that is a handful of bucket dirs against a
+    * billion-row table, the same pruning a partition-indexed KV layout
+    * buys, with no extra index structure to maintain. Deleted keys
+    * (tombstoned in state) must MISS — the probe set deliberately
+    * includes the delete wave's keys and the oracle excludes them.
+    */
+  def pointLookup(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val wh = lookupDirCache.computeIfAbsent(sfDir,
+      _ => Files.createTempDirectory("graft-lkp-").toString)
+    val whPath = Paths.get(wh)
+    if (Files.exists(whPath)) {
+      Files.walk(whPath).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => if (p != whPath) Files.deleteIfExists(p))
+    }
+    val store = new graft.cdc.StateStore(wh, nBuckets = 8)
+    val target = "cdc.commerce_customer_lkp"
+    val base = Tables.load(spark, sfDir, "customer")
+    commitPhase(spark, store, target, Seq("c_custkey"),
+      Envelope.flatten(ChangeGen.changeLog(base,
+        "c_custkey", "c_acctbal", "commerce", "customer")))
+    val probes = base.filter(col("c_custkey") % 97 === 0)
+      .select("c_custkey")
+    val buckets = probes
+      .select(graft.cdc.StateStore.bucketExpr(Seq("c_custkey"), 8).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    store.readBuckets(spark, target, buckets)
+      .filter(!col(graft.cdc.StateStore.DeletedCol))
+      .join(broadcast(probes), Seq("c_custkey"))
+      .select(col("c_custkey"), round(col("c_acctbal"), 2).as("c_acctbal"))
+      .orderBy("c_custkey")
+  }
+
+  val pointLookupOracle: String =
+    """SELECT c_custkey,
+      |  ROUND(c_acctbal + CASE WHEN c_custkey % 5 = 0 THEN 200.0
+      |                         WHEN c_custkey % 3 = 0 THEN 100.0
+      |                         ELSE 0.0 END, 2) AS c_acctbal
+      |FROM customer
+      |WHERE c_custkey % 97 = 0 AND c_custkey % 7 <> 0
+      |ORDER BY c_custkey""".stripMargin
+
   // ------------------------------------------------- rebucketing
 
   private val rebucketDirCache =
@@ -690,7 +742,8 @@ object MaintenanceQueries {
     "cdc_log_compact" -> logCompact,
     "layout_zorder" -> layoutZorder,
     "maintenance_lifecycle" -> maintenanceLifecycle,
-    "maintenance_rebucket" -> rebucket)
+    "maintenance_rebucket" -> rebucket,
+    "cdc_point_lookup" -> pointLookup)
 
   def oracles: Map[String, String] = Map(
     "cdc_scd2" -> scd2Oracle,
@@ -700,5 +753,6 @@ object MaintenanceQueries {
     "cdc_log_compact" -> logCompactOracle,
     "layout_zorder" -> layoutZorderOracle,
     "maintenance_lifecycle" -> maintenanceLifecycleOracle,
-    "maintenance_rebucket" -> rebucketOracle)
+    "maintenance_rebucket" -> rebucketOracle,
+    "cdc_point_lookup" -> pointLookupOracle)
 }

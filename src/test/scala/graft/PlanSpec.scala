@@ -189,6 +189,24 @@ class PlanSpec extends SparkTestBase {
       "bloom filter must be in the scan-side subtree under the join")
   }
 
+  test("cdc_merge_mor: the delete mask is a broadcast join over the " +
+      "scan — never a shuffle of the base") {
+    val p = plan("cdc_merge_mor")
+    assert(p.contains("BroadcastHashJoin"),
+      "the change-volume-sized delete aggregate must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "masking must not sort-merge the base file set")
+  }
+
+  test("profile_histogram: bucket counts partial-aggregate before the " +
+      "shuffle; bounds ride as literals, not a join") {
+    val p = plan("profile_histogram")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "per-(column,bucket) counts must map-side combine")
+    assert(!p.contains("Join"),
+      "collected bounds must be embedded as literals, not joined")
+  }
+
   test("win_sessionize: ONE user_id shuffle serves window + rollup") {
     val p = plan("win_sessionize")
     // lag, the running session-number sum and the per-session rollup
