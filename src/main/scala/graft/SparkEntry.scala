@@ -45,6 +45,7 @@ object SparkEntry {
       graft.ops.Relational.queries ++
       graft.ops.Functions.queries ++
       graft.ops.LlmOps.queries ++
+      graft.ops.ClusterOps.queries ++
       graft.ops.StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -62,5 +63,6 @@ object SparkEntry {
       graft.ops.Relational.oracles ++
       graft.ops.Functions.oracles ++
       graft.ops.LlmOps.oracles ++
+      graft.ops.ClusterOps.oracles ++
       graft.ops.StreamingOps.oracles
 }

@@ -1,0 +1,297 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding-cluster operators: spherical k-means (the IVF/SemDeDup
+  * training step), cluster-scoped semantic dedup (SemDeDup, Abbas et
+  * al. 2023 — arXiv:2303.09540), and int8 scalar quantization (the
+  * memory/IO lever that makes 100 TB ANN affordable). Complements the
+  * [[LlmOps]] similarity stack: `labelCentroids` there uses the GIVEN
+  * labels as the coarse quantizer; k-means LEARNS the partition when no
+  * labels exist — which is the production case for web-scale corpora.
+  *
+  * Determinism contract (shared with every oracle-checked operator):
+  * centroids are rounded to 6 dp BETWEEN iterations, similarities to
+  * 6 dp BEFORE any argmax/threshold, and ties break on the lower
+  * cluster id — so Spark and DuckDB run bit-identical assignment
+  * decisions and the fixpoint state is engine-independent.
+  */
+object ClusterOps {
+
+  private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    Tables.load(spark, sfDir, name)
+
+  private def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSim.cosineSim(a, b)
+
+  /** Fixture embedding dimensionality (TESTDATA: 64-dim floats). */
+  private val EmbDim = 64
+  private val K = 8
+  private val Iters = 2
+
+  private def embD(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  private def round6Vec(c: Column): Column =
+    transform(c, x => round(x, 6))
+
+  /** Deterministic seeding: the K lowest vec_ids, in id order, become
+    * clusters 0..K-1. A TakeOrdered(K) — never a global sort — then a
+    * K-row window to number them (metadata-sized by construction).
+    */
+  private def seedCentroids(e: DataFrame): DataFrame =
+    e.orderBy("vec_id").limit(K)
+      .select((row_number().over(Window.orderBy("vec_id")) - 1).as("c"),
+        round6Vec(col("v")).as("centroid"))
+
+  /** One Lloyd assignment step: argmax cosine over the BROADCAST
+    * centroid set, ties to the lower cluster id. The crossJoin is
+    * map-side (K tiny rows broadcast); the argmax partial-aggregates as
+    * `max(struct(cos, -c))`, so the shuffle carries ONE row per
+    * (vec_id, map partition) — N rows total, never N·K. At 100 TB this
+    * is the scan-shaped step Lloyd's algorithm repeats; K grows to
+    * thousands and the centroid frame still broadcasts (K × dim
+    * doubles ≪ executor memory).
+    */
+  private def assign(e: DataFrame, cent: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("v"), col("c"),
+        round(cosine(col("v"), col("centroid")), 6).as("cos"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("cos"), (-col("c")).as("nc"))).as("m"),
+        any_value(col("v")).as("v"))
+      .select(col("vec_id"), col("v"), (-col("m.nc")).as("c"),
+        col("m.cos").as("cos"))
+
+  /** Recenter: per-cluster per-dimension mean as EmbDim agg buffers in
+    * ONE hash aggregate (the [[LlmOps]] labelCentroids shape — never a
+    * 64× posexplode shuffle), rounded to 6 dp so the next iteration's
+    * inputs are engine-identical.
+    */
+  private def recenter(assigned: DataFrame): DataFrame = {
+    val dims = (1 to EmbDim).map(i =>
+      avg(element_at(col("v"), i)).as(s"m$i"))
+    assigned.groupBy("c")
+      .agg(dims.head, dims.tail: _*)
+      .select(col("c"),
+        array((1 to EmbDim).map(i => round(col(s"m$i"), 6)): _*)
+          .as("centroid"))
+  }
+
+  /** Final (vec_id, v, c, cos) assignment after [[Iters]] Lloyd rounds.
+    * The embedding frame is persisted — each iteration re-reads it for
+    * assignment (Iters+1 passes total; the SparkEntry caller contract
+    * covers the cache drop).
+    */
+  private[ops] def kmeansAssigned(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val e = embD(spark, sfDir).persist()
+    var cent = seedCentroids(e)
+    for (_ <- 1 to Iters) cent = recenter(assign(e, cent))
+    assign(e, cent)
+  }
+
+  /** Spherical k-means (k=8, 2 Lloyd iterations, deterministic lowest-id
+    * seeding): per-cluster size, exact membership pinned by `id_sum`,
+    * and mean assignment cosine. The UNSUPERVISED twin of
+    * `llm_sim_centroids`: this is how the IVF coarse quantizer is
+    * trained when no label column exists, and the clustering SemDeDup
+    * prunes with. Every step is scan-shaped: broadcast centroids,
+    * map-side argmax, one partial-aggregated rollup per iteration —
+    * no step materializes more than K × dim values outside the scans.
+    */
+  def clusterKmeans(spark: SparkSession, sfDir: String): DataFrame =
+    kmeansAssigned(spark, sfDir)
+      .groupBy(col("c").as("cluster"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum("vec_id").as("id_sum"),
+        round(avg(col("cos")), 6).as("mean_cos"))
+      .withColumnRenamed("c", "cluster")
+      .orderBy("cluster")
+
+  /** DuckDB twin of one assignment step, parameterized by the centroid
+    * CTE name; `rn = 1` under (cos DESC, c ASC) == Spark's
+    * max(struct(cos, -c)).
+    */
+  private def assignSql(cents: String, out: String): String =
+    s"""$out AS (
+      |  SELECT vec_id, v, c, cos FROM (
+      |    SELECT vec_id, v, c, cos,
+      |      row_number() OVER (PARTITION BY vec_id
+      |                         ORDER BY cos DESC, c) AS rn
+      |    FROM (
+      |      SELECT e.vec_id, e.v, s.c,
+      |        ROUND(list_dot_product(e.v, s.cent) /
+      |          (sqrt(list_dot_product(e.v, e.v)) *
+      |           sqrt(list_dot_product(s.cent, s.cent))), 6) AS cos
+      |      FROM e, $cents s))
+      |  WHERE rn = 1
+      |)""".stripMargin
+
+  private def recenterSql(assigned: String, out: String): String =
+    s"""$out AS (
+      |  SELECT c, list(m ORDER BY i) AS cent
+      |  FROM (SELECT a.c, i.i, round(avg(v[i.i]), 6) AS m
+      |        FROM $assigned a,
+      |             (SELECT unnest(generate_series(1, $EmbDim)) AS i) i
+      |        GROUP BY a.c, i.i)
+      |  GROUP BY c
+      |)""".stripMargin
+
+  /** The unrolled-iteration CTE prefix shared by [[clusterKmeansOracle]]
+    * and [[dedupSemanticOracle]]: seeds → (assign → recenter) ×2 →
+    * final assign as `a3`.
+    */
+  private val kmeansCtesSql: String =
+    s"""WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |), s0 AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
+      |         list_transform(v, x -> round(x, 6)) AS cent
+      |  FROM e ORDER BY vec_id LIMIT $K
+      |), ${assignSql("s0", "a1")},
+      |${recenterSql("a1", "c1")},
+      |${assignSql("c1", "a2")},
+      |${recenterSql("a2", "c2")},
+      |${assignSql("c2", "a3")}""".stripMargin
+
+  val clusterKmeansOracle: String =
+    s"""$kmeansCtesSql
+      |SELECT c AS cluster, count(*) AS n_vecs,
+      |  CAST(sum(vec_id) AS BIGINT) AS id_sum,
+      |  round(avg(cos), 6) AS mean_cos
+      |FROM a3 GROUP BY c ORDER BY cluster""".stripMargin
+
+  /** SemDeDup similarity cut — calibrated like `llm_dedup_embed`'s: the
+    * fixture plants no true near-dups (max pairwise cosine ≈ 0.51), so
+    * the cut selects the most-similar tail to keep the decision shape
+    * exercised; production recalibrates per corpus.
+    */
+  private val SemThreshold = 0.4
+
+  /** Census cap on cluster size for the pairwise stage (the LlmOps
+    * bucket-cap discipline): a degenerate corpus collapsing into one
+    * giant cluster must not detonate into all-pairs.
+    */
+  private val SemMaxCluster = 4000
+
+  /** Semantic dedup (SemDeDup): candidate pairs are scoped to k-means
+    * CLUSTERS — the semantic-neighborhood prune — then each pair above
+    * the cosine cut drops its higher vec_id, keeping the lowest-id
+    * partner. Differs from `llm_dedup_embed`'s sign-bucket LSH prune in
+    * recall shape: LSH buckets split near-dups across bucket
+    * boundaries; cluster scoping keeps semantic neighborhoods intact
+    * (and is what the published pipeline runs). Pairwise work is
+    * bounded per cluster by the census cap; at 100 TB, K scales with
+    * corpus size to hold cluster cardinality ≈ corpus/K under the cap,
+    * so the quadratic term never exceeds cap² per cluster.
+    */
+  def dedupSemantic(spark: SparkSession, sfDir: String): DataFrame = {
+    val a = kmeansAssigned(spark, sfDir).select("vec_id", "v", "c")
+    val ok = a.groupBy("c").agg(count(lit(1)).as("n"))
+      .filter(col("n").between(2, SemMaxCluster))
+      .select("c")
+    val inb = a.join(broadcast(ok), Seq("c"))
+    inb.as("x").join(inb.as("y"),
+        col("x.c") === col("y.c") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"),
+        round(cosine(col("x.v"), col("y.v")), 6).as("cos"))
+      .filter(col("cos") >= SemThreshold)
+      .groupBy(col("v2").as("dropped"))
+      .agg(min("v1").as("kept_for"), count(lit(1)).as("n_pairs"),
+        max("cos").as("max_cos"))
+      .orderBy("dropped")
+  }
+
+  val dedupSemanticOracle: String =
+    s"""$kmeansCtesSql, okc AS (
+      |  SELECT c FROM a3 GROUP BY c
+      |  HAVING count(*) BETWEEN 2 AND $SemMaxCluster
+      |), inb AS (
+      |  SELECT a3.vec_id, a3.v, a3.c FROM a3 JOIN okc USING (c)
+      |), pairs AS (
+      |  SELECT x.vec_id AS v1, y.vec_id AS v2,
+      |    ROUND(list_dot_product(x.v, y.v) /
+      |      (sqrt(list_dot_product(x.v, x.v)) *
+      |       sqrt(list_dot_product(y.v, y.v))), 6) AS cos
+      |  FROM inb x JOIN inb y ON x.c = y.c AND x.vec_id < y.vec_id
+      |)
+      |SELECT v2 AS dropped, min(v1) AS kept_for, count(*) AS n_pairs,
+      |  max(cos) AS max_cos
+      |FROM pairs WHERE cos >= $SemThreshold
+      |GROUP BY v2 ORDER BY dropped""".stripMargin
+
+  /** Reconstruction-quality floor for [[embedQuantize]] — int8 symmetric
+    * quantization of N(0, 0.15) vectors reconstructs to cosine ≈ 0.9999;
+    * the gate trips if quantization ever degrades below this.
+    */
+  private val QuantCosFloor = 0.999
+
+  /** Int8 symmetric scalar quantization of the embedding column — the
+    * 4× memory/IO compression that makes a 100 TB vector corpus fit a
+    * serving tier. One metadata aggregate computes the GLOBAL max-abs
+    * scale (1 row, broadcast back via crossJoin — the
+    * profile_histogram bounds pattern); quantize, dequantize and the
+    * reconstruction-cosine check are all in-row transforms on the same
+    * scan. Self-checking (the agg_approx_distinct pattern): exact
+    * integral `sum_q` pins the quantized values, `recon_cos` is
+    * hash-matched at 6 dp, and the boolean gate asserts the
+    * reconstruction floor — DuckDB recomputes all three from the same
+    * IEEE ops, so any engine divergence in the rounding contract shows
+    * as a hash mismatch, not a silent drift.
+    */
+  def embedQuantize(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embD(spark, sfDir)
+    val scale = e.agg(max(array_max(transform(col("v"), x => abs(x))))
+      .as("s"))
+    e.crossJoin(broadcast(scale))
+      .select(col("vec_id"),
+        col("v"),
+        col("s"),
+        transform(col("v"), x => round(x * lit(127.0) / col("s"), 0)
+          .cast("long")).as("q"))
+      .select(col("vec_id"),
+        aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("sum_q"),
+        round(cosine(col("v"),
+          transform(col("q"), x => x * col("s") / lit(127.0))), 6)
+          .as("recon_cos"))
+      .withColumn("ok", col("recon_cos") >= QuantCosFloor)
+      .orderBy("vec_id")
+  }
+
+  val embedQuantizeOracle: String =
+    s"""WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |), sc AS (
+      |  SELECT max(list_max(list_transform(v, x -> abs(x)))) AS s FROM e
+      |), q AS (
+      |  SELECT vec_id, v, s,
+      |    list_transform(v, x -> CAST(round(x * 127.0 / s) AS BIGINT)) AS q
+      |  FROM e, sc
+      |), d AS (
+      |  SELECT vec_id,
+      |    CAST(list_aggregate(q, 'sum') AS BIGINT) AS sum_q,
+      |    ROUND(list_dot_product(v, list_transform(q, x -> x * s / 127.0)) /
+      |      (sqrt(list_dot_product(v, v)) *
+      |       sqrt(list_dot_product(list_transform(q, x -> x * s / 127.0),
+      |                             list_transform(q, x -> x * s / 127.0)))),
+      |      6) AS recon_cos
+      |  FROM q
+      |)
+      |SELECT vec_id, sum_q, recon_cos, recon_cos >= $QuantCosFloor AS ok
+      |FROM d ORDER BY vec_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_cluster_kmeans" -> clusterKmeans,
+    "llm_dedup_semantic" -> dedupSemantic,
+    "llm_embed_quantize" -> embedQuantize)
+
+  def oracles: Map[String, String] = Map(
+    "llm_cluster_kmeans" -> clusterKmeansOracle,
+    "llm_dedup_semantic" -> dedupSemanticOracle,
+    "llm_embed_quantize" -> embedQuantizeOracle)
+}

@@ -1778,6 +1778,114 @@ object LlmOps {
       |SELECT a || ' ' || b AS pair, count(*) AS cnt
       |FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 40""".stripMargin
 
+  /** Bigram-PMI collocation mining — the phrase-detection statistic
+    * (word2vec's phrase pass, quality-signal n-gram lists): for every
+    * adjacent pair seen ≥5 times, `pmi = ln(p(ab) / (p(a)·p(b)))`,
+    * top-25. Pairs are built in-row by the [[textBpe]] shifted-zip (no
+    * positional self-join); the unigram LM is vocabulary-sized and
+    * BROADCAST onto the pair counts twice (left word, right word) — the
+    * [[textLm]] discipline — so the only data-sized shuffles are the
+    * two map-side-combined counts over one corpus scan each. The PMI
+    * expression is spelled with the identical IEEE op order in both
+    * engines ((cab/np) / ((ca/nu)·(cb/nu)), then ln, then 6 dp), so the
+    * doubles hash-match exactly.
+    */
+  def textPmi(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    val n = size(words)
+    val toks = docs.select(explode(words).as("term"))
+    val uni = toks.groupBy("term").agg(count(lit(1)).as("cu"))
+    val nUni = toks.agg(count(lit(1)).as("nu"))
+    val pairs = docs.filter(n >= 2)
+      .select(explode(zip_with(
+        slice(words, lit(1), n - 1), slice(words, lit(2), n - 1),
+        (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val cp = pairs.groupBy("a", "b").agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= 5)
+    val nPair = pairs.agg(count(lit(1)).as("np"))
+    cp.join(broadcast(uni.withColumnRenamed("term", "a")
+        .withColumnRenamed("cu", "ca")), Seq("a"))
+      .join(broadcast(uni.withColumnRenamed("term", "b")
+        .withColumnRenamed("cu", "cb")), Seq("b"))
+      .crossJoin(broadcast(nPair))
+      .crossJoin(broadcast(nUni))
+      .select(col("a"), col("b"), col("cab"),
+        round(log((col("cab").cast("double") / col("np")) /
+          ((col("ca").cast("double") / col("nu")) *
+           (col("cb").cast("double") / col("nu")))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("a"), col("b"))
+      .limit(25)
+  }
+
+  val textPmiOracle: String =
+    """WITH d AS (
+      |  SELECT string_split(text, ' ') AS w FROM documents
+      |), toks AS (
+      |  SELECT unnest(w) AS term FROM d
+      |), uni AS (
+      |  SELECT term, count(*) AS cu FROM toks GROUP BY term
+      |), nu AS (SELECT count(*) AS nu FROM toks),
+      |p AS (
+      |  SELECT unnest(w[1:len(w)-1]) AS a, unnest(w[2:len(w)]) AS b
+      |  FROM d WHERE len(w) >= 2
+      |), cp AS (
+      |  SELECT a, b, count(*) AS cab FROM p GROUP BY a, b
+      |  HAVING count(*) >= 5
+      |), np AS (SELECT count(*) AS np FROM p)
+      |SELECT a, b, cab,
+      |  ROUND(ln((CAST(cab AS DOUBLE) / np) /
+      |    ((CAST(ua.cu AS DOUBLE) / nu) * (CAST(ub.cu AS DOUBLE) / nu))),
+      |    6) AS pmi
+      |FROM cp
+      |JOIN uni ua ON ua.term = cp.a
+      |JOIN uni ub ON ub.term = cp.b, np, nu
+      |ORDER BY pmi DESC, a, b LIMIT 25""".stripMargin
+
+  /** Inverted-index build — the retrieval-side twin of [[textTfidf]]'s
+    * df stage: per term, exact document frequency and the first 10
+    * posting doc_ids, for the 20 highest-df terms. Bounded-memory by
+    * construction: the postings cut happens INSIDE the window
+    * (row_number ≤ 10 nulls out the tail before collect_list ever
+    * buffers it) and df falls out of the same window as max(rn), so no
+    * aggregation buffer ever holds more than 10 ids — a stopword with
+    * a billion postings costs a spillable sort, never an OOM. One
+    * distinct shuffle + one term shuffle; the groupBy reuses the
+    * window's partitioning (no third exchange). At 100 TB the same
+    * plan writes term-bucketed parquet instead of a top-20 cut.
+    */
+  def indexInverted(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("term").orderBy("doc_id")
+    t(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(words).as("term"))
+      .distinct()
+      .withColumn("rn", row_number().over(w))
+      .groupBy("term")
+      .agg(max("rn").as("df"),
+        concat_ws(",",
+          sort_array(collect_list(when(col("rn") <= 10, col("doc_id")))))
+          .as("postings"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(20)
+  }
+
+  val indexInvertedOracle: String =
+    """WITH t0 AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents
+      |), td AS (
+      |  SELECT DISTINCT doc_id, term FROM t0
+      |), r AS (
+      |  SELECT term, doc_id,
+      |    row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+      |  FROM td
+      |)
+      |SELECT term, max(rn) AS df,
+      |  array_to_string(list(doc_id ORDER BY doc_id)
+      |    FILTER (WHERE rn <= 10), ',') AS postings
+      |FROM r GROUP BY term ORDER BY df DESC, term LIMIT 20""".stripMargin
+
   /** Per-document split tiles for [[splitStratified]], computed
     * DISTRIBUTED: documents are range-sharded by the first hex nibble
     * of their key digest (shard order == digest order, so shards are
@@ -2052,6 +2160,8 @@ object LlmOps {
     "llm_dedup_substring" -> dedupSubstring,
     "llm_text_lm" -> textLm,
     "llm_text_bpe" -> textBpe,
+    "llm_text_pmi" -> textPmi,
+    "llm_index_inverted" -> indexInverted,
     "llm_text_quality_full" -> textQualityFull,
     "llm_decontaminate" -> decontaminate,
     "llm_curate_write" -> curateWrite,
@@ -2093,6 +2203,8 @@ object LlmOps {
     "llm_dedup_substring" -> dedupSubstringOracle,
     "llm_text_lm" -> textLmOracle,
     "llm_text_bpe" -> textBpeOracle,
+    "llm_text_pmi" -> textPmiOracle,
+    "llm_index_inverted" -> indexInvertedOracle,
     "llm_text_quality_full" -> textQualityFullOracle,
     "llm_decontaminate" -> decontaminateOracle,
     "llm_curate_write" -> curateWriteOracle,

@@ -383,8 +383,60 @@ object CdcQueries {
       |FROM customer WHERE c_custkey % 7 <> 0
       |ORDER BY c_custkey""".stripMargin
 
+  /** TRANSACTION METADATA — the Debezium `provide.transaction.metadata`
+    * topic analog: each source transaction emits an END marker carrying
+    * its total event_count and per-data-collection counts, which
+    * consumers use to gate "apply only whole transactions" (the
+    * cross-table-consistency contract the raw per-row stream cannot
+    * give). The generated fixture's waves ARE its transactions — every
+    * event in a wave shares one ts_ms across both tables — so tx_id =
+    * ts_ms and the marker aggregates the unioned customer+supplier
+    * stream. Shapes: one partial-aggregated count per (tx,
+    * collection), then a tx-cardinality rollup whose collect_list is
+    * bounded by the number of captured tables — both metadata-sized at
+    * any corpus scale; the event stream is touched exactly once.
+    */
+  def transactions(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = customerLog(spark, sfDir)
+    val supp = supplierLog(spark, sfDir)
+    val meta = cust.select(col("ts_ms"), col("source"))
+      .unionAll(supp.select(col("ts_ms"), col("source")))
+    meta.groupBy(col("ts_ms").as("tx_id"),
+        concat(col("source.schema"), lit("."), col("source.table"))
+          .as("coll"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("tx_id")
+      .agg(sum("n").as("event_count"),
+        concat_ws(",",
+          sort_array(collect_list(
+            concat(col("coll"), lit(":"), col("n")))))
+          .as("data_collections"))
+      .orderBy("tx_id")
+  }
+
+  val transactionsOracle: String =
+    """WITH ev AS (
+      |  SELECT 500 AS tx_id, 'commerce.customer' AS coll FROM customer WHERE c_custkey % 2 = 0
+      |  UNION ALL SELECT 1000, 'commerce.customer' FROM customer
+      |  UNION ALL SELECT 2000, 'commerce.customer' FROM customer WHERE c_custkey % 3 = 0
+      |  UNION ALL SELECT 3000, 'commerce.customer' FROM customer WHERE c_custkey % 5 = 0
+      |  UNION ALL SELECT 4000, 'commerce.customer' FROM customer WHERE c_custkey % 7 = 0
+      |  UNION ALL SELECT 500, 'commerce.supplier' FROM supplier WHERE s_suppkey % 2 = 0
+      |  UNION ALL SELECT 1000, 'commerce.supplier' FROM supplier
+      |  UNION ALL SELECT 2000, 'commerce.supplier' FROM supplier WHERE s_suppkey % 3 = 0
+      |  UNION ALL SELECT 3000, 'commerce.supplier' FROM supplier WHERE s_suppkey % 5 = 0
+      |  UNION ALL SELECT 4000, 'commerce.supplier' FROM supplier WHERE s_suppkey % 7 = 0
+      |), pc AS (
+      |  SELECT tx_id, coll, count(*) AS n FROM ev GROUP BY tx_id, coll
+      |)
+      |SELECT CAST(tx_id AS BIGINT) AS tx_id,
+      |  CAST(sum(n) AS BIGINT) AS event_count,
+      |  string_agg(coll || ':' || n, ',' ORDER BY coll) AS data_collections
+      |FROM pc GROUP BY tx_id ORDER BY tx_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_merge" -> sqlMerge,
+    "cdc_transactions" -> transactions,
     "cdc_snapshot_chunked" -> snapshotChunked,
     "cdc_merge_customer" -> mergeCustomer,
     "cdc_merge_customer_wire" -> mergeCustomerWire,
@@ -396,6 +448,7 @@ object CdcQueries {
 
   def oracles: Map[String, String] = Map(
     "sql_merge" -> mergeCustomerOracle,
+    "cdc_transactions" -> transactionsOracle,
     "cdc_snapshot_chunked" -> snapshotChunkedOracle,
     "cdc_merge_customer" -> mergeCustomerOracle,
     "cdc_merge_customer_wire" -> mergeCustomerOracle,

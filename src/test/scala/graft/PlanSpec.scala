@@ -223,4 +223,61 @@ class PlanSpec extends SparkTestBase {
     assert("\\+- Sort".r.findAllIn(p).size <= 2,
       "windows must share one sort (plus the presentation sort only)")
   }
+
+  test("llm_cluster_kmeans: centroids broadcast, argmax partial-aggregates, " +
+    "never a data-sized cartesian or sort-merge") {
+    val p = plan("llm_cluster_kmeans")
+    // Each Lloyd assignment crossJoins the K-row centroid frame as a
+    // broadcast; a CartesianProduct or SortMergeJoin here means the
+    // N·K expansion got shuffled — the 100 TB failure mode.
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), "centroids must broadcast")
+    assert(!p.contains("CartesianProduct"),
+      "assignment must never plan a shuffled cartesian")
+    assert(!p.contains("SortMergeJoin"),
+      "K-row centroid frames must never force a sort-merge shuffle")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "the per-vector argmax must partial-aggregate map-side")
+  }
+
+  test("llm_dedup_semantic: cluster-scoped equi-join pairs, no cartesian") {
+    val p = plan("llm_dedup_semantic")
+    assert(!p.contains("CartesianProduct"),
+      "pair generation must ride the cluster equi-key, never all-pairs")
+    assert(p.contains("Join") || p.contains("join"),
+      "expected the cluster-scoped pair join in the plan")
+  }
+
+  test("llm_embed_quantize: 1-row scale broadcasts; no data-sized shuffle") {
+    val p = plan("llm_embed_quantize")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), "the scale scalar must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "quantization is in-row; nothing may sort-merge")
+    // The only exchanges allowed: the 1-row max aggregate's partial →
+    // final step and the presentation sort. The quantize/recon path
+    // itself is scan-local.
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"quantization must stay scan-local:\n$p")
+  }
+
+  test("llm_text_pmi: unigram LM broadcasts onto pair counts") {
+    val p = plan("llm_text_pmi")
+    assert(p.contains("BroadcastHashJoin"),
+      "the vocabulary-sized unigram counts must broadcast-join")
+    assert(!p.contains("SortMergeJoin"),
+      "no data-sized shuffle join in the PMI scoring")
+  }
+
+  test("llm_index_inverted: postings cut inside the window; the term " +
+    "rollup reuses the window partitioning") {
+    val p = plan("llm_index_inverted")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the top-df cut must not global-sort")
+    // Two exchanges: the distinct's (doc_id, term) shuffle and the
+    // window's term shuffle. A third means the groupBy(term) after the
+    // window stopped reusing hashpartitioning(term).
+    val ex = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(ex <= 2, s"expected ≤2 hash exchanges, got $ex:\n$p")
+  }
 }
