@@ -191,7 +191,12 @@ object ClusterOps {
     * so the quadratic term never exceeds cap² per cluster.
     */
   def dedupSemantic(spark: SparkSession, sfDir: String): DataFrame = {
+    // Persisted: the census, and BOTH sides of the pair self-join,
+    // consume this frame — without the pin each branch would re-run
+    // the full 3-assignment Lloyd DAG (the SparkEntry caller contract
+    // covers the cache drop).
     val a = kmeansAssigned(spark, sfDir).select("vec_id", "v", "c")
+      .persist()
     val ok = a.groupBy("c").agg(count(lit(1)).as("n"))
       .filter(col("n").between(2, SemMaxCluster))
       .select("c")
