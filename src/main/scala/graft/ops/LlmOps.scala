@@ -104,6 +104,98 @@ object LlmOps {
       |    AS fingerprint
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** C4/RefinedWeb-style NORMALIZED exact dedup: the canonicalization
+    * pass that runs before content hashing in production pipelines —
+    * lowercase, strip punctuation, collapse whitespace runs, trim —
+    * so trivial variants (case, punctuation, spacing) hash together
+    * where [[dedupExact]] would keep both copies. Same scan/shuffle
+    * shape as exact dedup (the 16-byte digest + doc_id is all that
+    * shuffles); the normalization chain is spelled with the same
+    * regex semantics in both engines so digests agree. On this
+    * fixture (already lowercase single-spaced) it degenerates to the
+    * exact-dedup grouping — the operator's value is the pinned
+    * canonicalization contract, exercised by TextOpsSpec on
+    * adversarial variants.
+    */
+  private[ops] def normalizeText(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(c), "[.,;:!?'\"()\\[\\]{}]", ""),
+      " +", " "))
+
+  def dedupNormalized(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .select(md5(normalizeText(col("text"))).as("h"), col("doc_id"))
+      .groupBy("h")
+      .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_copies"))
+      .select("keeper", "n_copies")
+      .orderBy("keeper")
+
+  val dedupNormalizedOracle: String =
+    """SELECT min(doc_id) AS keeper, count(*) AS n_copies
+      |FROM documents
+      |GROUP BY md5(trim(regexp_replace(regexp_replace(lower(text),
+      |  '[.,;:!?''"()\[\]{}]', '', 'g'), ' +', ' ', 'g')))
+      |ORDER BY keeper""".stripMargin
+
+  /** Per-source corpus observability — the ingest dashboard a corpus
+    * operator reads before deciding what to recrawl or drop: document
+    * count, exact-dup rate, language entropy (how concentrated the
+    * source's language mix is), and mean length per `source`. One
+    * data-sized scan into a (source, lang)-cardinality rollup; the
+    * entropy sums over ≤|langs| terms per source, metadata-sized. The
+    * dup rate reuses the [[dedupExact]] digest discipline (distinct
+    * count of md5, never the text, in the shuffle).
+    */
+  def sourceStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+      .select(col("source"), col("lang"), md5(col("text")).as("h"),
+        col("n_chars"))
+    // Two rollups over the scan (a GROUPING SETS Expand would fuse
+    // them into one pass at the cost of 2× the shuffle rows — same
+    // total; the split spelling keeps countDistinct per SOURCE exact
+    // without a distinct-per-lang undercount).
+    val perSrc = docs.groupBy("source")
+      .agg(count(lit(1)).as("n"), countDistinct(col("h")).as("d"),
+        sum("n_chars").as("c"))
+    val perLang = docs.groupBy("source", "lang")
+      .agg(count(lit(1)).as("nl"))
+    val ent = perLang.join(broadcast(perSrc.select("source", "n")),
+        Seq("source"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_langs"),
+        round(-sum((col("nl").cast("double") / col("n"))
+          * log(col("nl").cast("double") / col("n"))), 6)
+          .as("lang_entropy"))
+    perSrc.join(ent, Seq("source"))
+      .select(col("source"), col("n").as("n_docs"), col("n_langs"),
+        round(lit(1.0) - col("d").cast("double") / col("n"), 6)
+          .as("dup_rate"),
+        col("lang_entropy"),
+        round(col("c").cast("double") / col("n"), 6).as("mean_chars"))
+      .orderBy("source")
+  }
+
+  val sourceStatsOracle: String =
+    """WITH d AS (
+      |  SELECT source, lang, md5(text) AS h, n_chars FROM documents
+      |), ps AS (
+      |  SELECT source, count(*) AS n, count(DISTINCT h) AS dd,
+      |    CAST(sum(n_chars) AS BIGINT) AS c
+      |  FROM d GROUP BY source
+      |), pl AS (
+      |  SELECT source, lang, count(*) AS nl FROM d GROUP BY source, lang
+      |), e AS (
+      |  SELECT pl.source, count(*) AS n_langs,
+      |    ROUND(-sum((CAST(nl AS DOUBLE) / n) *
+      |      ln(CAST(nl AS DOUBLE) / n)), 6) AS lang_entropy
+      |  FROM pl JOIN ps USING (source) GROUP BY pl.source
+      |)
+      |SELECT ps.source, ps.n AS n_docs, e.n_langs,
+      |  ROUND(1.0 - CAST(dd AS DOUBLE) / n, 6) AS dup_rate,
+      |  e.lang_entropy,
+      |  ROUND(CAST(c AS DOUBLE) / n, 6) AS mean_chars
+      |FROM ps JOIN e ON ps.source = e.source ORDER BY ps.source""".stripMargin
+
   /** Per-doc DISTINCT word-3-gram shingle sets as a scan-local
     * projection (doc_id, sset) — no explode, no shuffle: the set stays
     * an in-row array. Both the MinHash signature stage and the exact-
@@ -2129,6 +2221,8 @@ object LlmOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_dedup_exact" -> dedupExact,
+    "llm_dedup_normalized" -> dedupNormalized,
+    "llm_source_stats" -> sourceStats,
     "llm_dedup_fingerprint" -> dedupFingerprint,
     "llm_dedup_minhash" -> dedupMinhash,
     "llm_dedup_jaccard" -> dedupJaccard,
@@ -2172,6 +2266,8 @@ object LlmOps {
 
   def oracles: Map[String, String] = Map(
     "llm_dedup_exact" -> dedupExactOracle,
+    "llm_dedup_normalized" -> dedupNormalizedOracle,
+    "llm_source_stats" -> sourceStatsOracle,
     "llm_dedup_fingerprint" -> dedupFingerprintOracle,
     "llm_dedup_minhash" -> dedupMinhashOracle,
     "llm_dedup_jaccard" -> dedupJaccardOracle,

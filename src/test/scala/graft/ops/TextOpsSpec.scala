@@ -61,4 +61,18 @@ class TextOpsSpec extends SparkTestBase {
     // Ties (cnt 2) break on pair text ascending.
     assert(out === Seq(("a b", 2L), ("b a", 2L), ("c c", 1L)))
   }
+
+  test("dedupNormalized: case/punctuation/whitespace variants hash " +
+      "together; distinct content stays apart") {
+    val dir = docsDir(Seq(
+      1L -> "Hello, World! How are you?",
+      2L -> "hello world   how are you",
+      3L -> "HELLO   world, how ARE you!!",
+      4L -> "a genuinely different document"))
+    val out = LlmOps.dedupNormalized(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Docs 1-3 canonicalize to "hello world how are you" → one
+    // group, keeper = lowest id; doc 4 stands alone.
+    assert(out === Map(1L -> 3L, 4L -> 1L))
+  }
 }
