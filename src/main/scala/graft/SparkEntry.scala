@@ -46,6 +46,7 @@ object SparkEntry {
       graft.ops.Functions.queries ++
       graft.ops.LlmOps.queries ++
       graft.ops.ClusterOps.queries ++
+      graft.ops.GraphOps.queries ++
       graft.ops.StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -64,5 +65,6 @@ object SparkEntry {
       graft.ops.Functions.oracles ++
       graft.ops.LlmOps.oracles ++
       graft.ops.ClusterOps.oracles ++
+      graft.ops.GraphOps.oracles ++
       graft.ops.StreamingOps.oracles
 }

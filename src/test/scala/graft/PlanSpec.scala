@@ -269,6 +269,17 @@ class PlanSpec extends SparkTestBase {
       "no data-sized shuffle join in the PMI scoring")
   }
 
+  test("graph_pagerank: iteration joins partial-aggregate; no cartesian") {
+    val p = plan("graph_pagerank")
+    assert(!p.contains("CartesianProduct"),
+      "mass push must ride the src equi-join, never all-pairs")
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      "the 1-row node count must broadcast")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "pushed mass must partial-aggregate map-side")
+  }
+
   test("llm_index_inverted: postings cut inside the window; the term " +
     "rollup reuses the window partitioning") {
     val p = plan("llm_index_inverted")

@@ -1,0 +1,37 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Invariants for the link-analysis family: mass conservation on the
+  * fixture graph, and hand-checkable structure on a constructed one.
+  */
+class GraphOpsSpec extends SparkTestBase {
+
+  test("pagerank conserves mass and ranks every co-supplier node") {
+    val rows = GraphOps.pagerank(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Double]("rank")).sum
+    // Symmetric graph, no dangling mass: ranks sum to 1 up to the 9dp
+    // per-iteration rounding (≤ nodes × 1e-9 per round).
+    assert(math.abs(total - 1.0) < 1e-3, s"rank mass drifted: $total")
+    assert(rows.forall(_.getAs[Double]("rank") > 0.0))
+    spark.catalog.clearCache()
+  }
+
+  test("pagerank on a star graph: hub outranks leaves, leaves tie") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graphops").toString
+    // Orders {1: a,b}, {2: a,c} → edges a↔b, a↔c: 'a' is the hub.
+    Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 30L))
+      .toDF("l_orderkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = GraphOps.pagerank(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out.keySet === Set(10L, 20L, 30L))
+    assert(out(10L)._1 === 2L, "hub has out-degree 2")
+    assert(out(20L) === out(30L), "symmetric leaves must tie exactly")
+    assert(out(10L)._2 > out(20L)._2, "hub must outrank leaves")
+    spark.catalog.clearCache()
+  }
+}
