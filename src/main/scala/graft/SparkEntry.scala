@@ -40,6 +40,7 @@ object SparkEntry {
       graft.queries.AggCdcQueries.queries ++
       graft.queries.JoinCdcQueries.queries ++
       graft.queries.Scd2CdcQueries.queries ++
+      graft.queries.TxApplyQueries.queries ++
       graft.queries.MaintenanceQueries.queries ++
       graft.queries.CatalogQueries.queries ++
       graft.ops.Relational.queries ++
@@ -59,6 +60,7 @@ object SparkEntry {
       graft.queries.AggCdcQueries.oracles ++
       graft.queries.JoinCdcQueries.oracles ++
       graft.queries.Scd2CdcQueries.oracles ++
+      graft.queries.TxApplyQueries.oracles ++
       graft.queries.MaintenanceQueries.oracles ++
       graft.queries.CatalogQueries.oracles ++
       graft.ops.Relational.oracles ++
