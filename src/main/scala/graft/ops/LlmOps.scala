@@ -1934,6 +1934,32 @@ object LlmOps {
       |JOIN uni ub ON ub.term = cp.b, np, nu
       |ORDER BY pmi DESC, a, b LIMIT 25""".stripMargin
 
+  /** Feature hashing (the hashing trick, Weinberger et al. 2009 —
+    * arXiv:0902.2206): project an unbounded vocabulary into a FIXED
+    * 256-bucket feature space with a stateless hash, the way linear
+    * text classifiers (fastText-style quality/toxicity gates) featurize
+    * without materializing a vocabulary. The bucket key is the first
+    * two hex digits of md5 — engine-portable, no numeric conversion —
+    * and the output is the collision audit a pipeline actually runs
+    * before trusting hashed features: per-bucket total term mass and
+    * DISTINCT-term load (n_terms > 1 = collisions). One explode into a
+    * map-side-combined count; the cut is TakeOrderedAndProject.
+    */
+  def featureHash(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .select(explode(words).as("term"))
+      .select(substring(md5(col("term")), 1, 2).as("bucket"), col("term"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("total_tf"), countDistinct("term").as("n_terms"))
+      .orderBy(col("total_tf").desc, col("bucket"))
+      .limit(25)
+
+  val featureHashOracle: String =
+    """SELECT substr(md5(term), 1, 2) AS bucket, count(*) AS total_tf,
+      |  count(DISTINCT term) AS n_terms
+      |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+      |GROUP BY bucket ORDER BY total_tf DESC, bucket LIMIT 25""".stripMargin
+
   /** Inverted-index build — the retrieval-side twin of [[textTfidf]]'s
     * df stage: per term, exact document frequency and the first 10
     * posting doc_ids, for the 20 highest-df terms. Bounded-memory by
@@ -2256,6 +2282,7 @@ object LlmOps {
     "llm_text_bpe" -> textBpe,
     "llm_text_pmi" -> textPmi,
     "llm_index_inverted" -> indexInverted,
+    "llm_feature_hash" -> featureHash,
     "llm_text_quality_full" -> textQualityFull,
     "llm_decontaminate" -> decontaminate,
     "llm_curate_write" -> curateWrite,
@@ -2301,6 +2328,7 @@ object LlmOps {
     "llm_text_bpe" -> textBpeOracle,
     "llm_text_pmi" -> textPmiOracle,
     "llm_index_inverted" -> indexInvertedOracle,
+    "llm_feature_hash" -> featureHashOracle,
     "llm_text_quality_full" -> textQualityFullOracle,
     "llm_decontaminate" -> decontaminateOracle,
     "llm_curate_write" -> curateWriteOracle,
