@@ -48,6 +48,7 @@ object SparkEntry {
       graft.ops.LlmOps.queries ++
       graft.ops.ClusterOps.queries ++
       graft.ops.GraphOps.queries ++
+      graft.ops.AnalyticsOps.queries ++
       graft.ops.StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -68,5 +69,6 @@ object SparkEntry {
       graft.ops.LlmOps.oracles ++
       graft.ops.ClusterOps.oracles ++
       graft.ops.GraphOps.oracles ++
+      graft.ops.AnalyticsOps.oracles ++
       graft.ops.StreamingOps.oracles
 }

@@ -1,0 +1,285 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Time-series and statistical-profiling operators over the fixture
+  * tables — the observability layer a lakehouse team runs on top of the
+  * CDC-maintained tables the reference produces (its Trino surface
+  * advertises full SQL; these are the standing analytic queries that
+  * surface would serve — SURVEY.md §2 Tier C closure).
+  *
+  * Scale posture (100 TB): every operator here pre-aggregates to a
+  * bounded-cardinality frame (time buckets, cohort cells, per-group
+  * moments) BEFORE any join or window — the shuffles carry O(groups)
+  * rows, never O(input). The only full-input pass is the initial
+  * map-side-combined groupBy, which scans once with only the referenced
+  * columns (column pruning reaches the parquet scan).
+  */
+object AnalyticsOps {
+
+  private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    Tables.load(spark, sfDir, name)
+
+  /** Gap-filled time-series resample: per-hour event/user counts for the
+    * `error` stream, with EXPLICIT zero rows for silent hours — the shape
+    * monitoring needs (a missing bucket and a zero bucket are different
+    * facts; an outer join against a generated spine makes silence
+    * visible). The spine derives from min/max of the DATA (one tiny agg),
+    * so the operator needs no external calendar.
+    *
+    * Scale: counts pre-aggregate map-side to O(hours) rows; the spine is
+    * O(hours) rows generated from a single-row agg. The left join runs
+    * over two bucket-count-sized frames — Spark broadcasts the smaller
+    * side; input size only affects the initial scan.
+    */
+  def tsResample(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = t(spark, sfDir, "events")
+      .filter(col("event_type") === "error")
+      .select(date_trunc("HOUR", col("ts")).as("h"), col("user_id"))
+    val counts = e.groupBy("h").agg(
+      count(lit(1)).as("n_events"),
+      countDistinct("user_id").as("n_users"))
+    val spine = e.agg(min("h").as("lo"), max("h").as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("bucket"))
+    spine.join(counts, spine("bucket") === counts("h"), "left")
+      .select(col("bucket"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("n_users"), lit(0L)).as("n_users"))
+      .orderBy("bucket")
+  }
+
+  val tsResampleOracle: String =
+    """WITH e AS (SELECT date_trunc('hour', ts) AS h, user_id FROM events
+      |           WHERE event_type = 'error'),
+      |b AS (SELECT min(h) AS lo, max(h) AS hi FROM e),
+      |s AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket FROM b),
+      |c AS (SELECT h, count(*) AS n, count(DISTINCT user_id) AS nu FROM e GROUP BY h)
+      |SELECT s.bucket, coalesce(c.n, 0) AS n_events, coalesce(c.nu, 0) AS n_users
+      |FROM s LEFT JOIN c ON c.h = s.bucket ORDER BY bucket""".stripMargin
+
+  /** Trailing-window anomaly detection: daily counts per event type
+    * scored against the mean/stddev of the PRECEDING 7 days (frame
+    * excludes the current row — the score must not see the value it
+    * judges). Rows with an undefined baseline (<2 trailing days, or a
+    * zero-variance window) score NULL rather than a fake 0 — absence of
+    * evidence is surfaced, not smoothed over.
+    *
+    * Scale: the full input collapses to O(days × types) in one
+    * map-side-combined agg; the window then partitions by event_type —
+    * at 100 TB the per-partition state is one row per day, so even a
+    * decade of history is thousands of rows per type, never input-sized.
+    */
+  def tsAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = t(spark, sfDir, "events")
+      .groupBy(date_trunc("DAY", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-7, -1)
+    val undefined = col("sd").isNull || col("sd") === 0d
+    d.select(col("day"), col("event_type"), col("cnt"),
+        avg("cnt").over(w).as("mu"), stddev_samp("cnt").over(w).as("sd"))
+      .select(col("day"), col("event_type"), col("cnt"),
+        when(undefined, lit(null))
+          .otherwise(round((col("cnt") - col("mu")) / col("sd"), 6))
+          .as("zscore"),
+        when(undefined, lit(null))
+          .otherwise(abs((col("cnt") - col("mu")) / col("sd")) > 2d)
+          .as("is_anomaly"))
+      .orderBy("event_type", "day")
+  }
+
+  val tsAnomalyOracle: String =
+    """WITH d AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      |    event_type, count(*) AS cnt FROM events GROUP BY 1, 2),
+      |w AS (SELECT day, event_type, cnt,
+      |    avg(cnt) OVER win AS mu, stddev_samp(cnt) OVER win AS sd
+      |  FROM d WINDOW win AS (PARTITION BY event_type ORDER BY day
+      |                        ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+      |SELECT day, event_type, cnt,
+      |  CASE WHEN sd IS NULL OR sd = 0 THEN NULL
+      |       ELSE round((cnt - mu) / sd, 6) END AS zscore,
+      |  CASE WHEN sd IS NULL OR sd = 0 THEN NULL
+      |       ELSE abs((cnt - mu) / sd) > 2 END AS is_anomaly
+      |FROM w ORDER BY event_type, day""".stripMargin
+
+  /** Cohort retention over orders: customers grouped by the month of
+    * their FIRST order; each cell counts how many of a cohort ordered
+    * again `month_offset` months later. The TPC-H date spread (~10
+    * orders per customer over 6+ years) yields a real decay matrix —
+    * the standing product-analytics query every warehouse runs.
+    *
+    * Scale: first-order month is a min-aggregate shuffled by customer
+    * (map-side combined); the activity join is keyed on the same
+    * customer column, so AQE can plan it shuffle-local, and the final
+    * distinct-count shuffle carries (cohort, offset, customer) triples —
+    * bounded by active customer-months, a fraction of input rows.
+    */
+  def winRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = t(spark, sfDir, "orders")
+    val first = o.groupBy("o_custkey")
+      .agg(date_trunc("MONTH", min("o_orderdate")).as("cohort"))
+    val activity = o.select(col("o_custkey"),
+      date_trunc("MONTH", col("o_orderdate")).as("m"))
+    activity.join(first, "o_custkey")
+      .select(col("cohort"),
+        months_between(col("m"), col("cohort")).cast("long")
+          .as("month_offset"),
+        col("o_custkey"))
+      .groupBy("cohort", "month_offset")
+      .agg(countDistinct("o_custkey").as("n_active"))
+      .orderBy("cohort", "month_offset")
+  }
+
+  val winRetentionOracle: String =
+    """WITH f AS (SELECT o_custkey,
+      |    CAST(date_trunc('month', min(o_orderdate)) AS TIMESTAMP) AS cohort
+      |  FROM orders GROUP BY 1),
+      |e AS (SELECT o_custkey,
+      |    CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m FROM orders),
+      |j AS (SELECT f.cohort, date_diff('month', f.cohort, e.m) AS month_offset,
+      |    e.o_custkey
+      |  FROM e JOIN f ON f.o_custkey = e.o_custkey)
+      |SELECT cohort, CAST(month_offset AS BIGINT) AS month_offset,
+      |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_active
+      |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Pairwise Pearson correlation matrix over lineitem's numeric
+    * columns, unpivoted to (col_a, col_b, pearson) rows. All six
+    * pairs compute in ONE aggregate pass (one scan, one reduce); the
+    * matrix shape is produced by `stack` AFTER aggregation, so the
+    * Expand operates on a single row, not the input.
+    *
+    * Scale: `corr` is an algebraic aggregate (co-moment sums) — partial
+    * per partition, merged on one reducer row. Adding columns grows the
+    * aggregate width, never the shuffle row count.
+    */
+  def aggCorr(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .agg(
+        corr("l_quantity", "l_extendedprice").as("c1"),
+        corr("l_quantity", "l_discount").as("c2"),
+        corr("l_quantity", "l_tax").as("c3"),
+        corr("l_extendedprice", "l_discount").as("c4"),
+        corr("l_extendedprice", "l_tax").as("c5"),
+        corr("l_discount", "l_tax").as("c6"))
+      .select(expr(
+        """stack(6,
+          |  'l_quantity', 'l_extendedprice', round(c1, 6),
+          |  'l_quantity', 'l_discount', round(c2, 6),
+          |  'l_quantity', 'l_tax', round(c3, 6),
+          |  'l_extendedprice', 'l_discount', round(c4, 6),
+          |  'l_extendedprice', 'l_tax', round(c5, 6),
+          |  'l_discount', 'l_tax', round(c6, 6)
+          |) AS (col_a, col_b, pearson)""".stripMargin))
+      .orderBy("col_a", "col_b")
+
+  val aggCorrOracle: String =
+    """WITH a AS (SELECT
+      |  corr(l_quantity, l_extendedprice) c1, corr(l_quantity, l_discount) c2,
+      |  corr(l_quantity, l_tax) c3, corr(l_extendedprice, l_discount) c4,
+      |  corr(l_extendedprice, l_tax) c5, corr(l_discount, l_tax) c6
+      |FROM lineitem)
+      |SELECT * FROM (
+      |  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+      |    round(c1, 6) AS pearson FROM a
+      |  UNION ALL SELECT 'l_quantity', 'l_discount', round(c2, 6) FROM a
+      |  UNION ALL SELECT 'l_quantity', 'l_tax', round(c3, 6) FROM a
+      |  UNION ALL SELECT 'l_extendedprice', 'l_discount', round(c4, 6) FROM a
+      |  UNION ALL SELECT 'l_extendedprice', 'l_tax', round(c5, 6) FROM a
+      |  UNION ALL SELECT 'l_discount', 'l_tax', round(c6, 6) FROM a)
+      |ORDER BY col_a, col_b""".stripMargin
+
+  /** Per-group OLS regression (extendedprice ~ quantity by returnflag)
+    * via the SQL-standard regr_* aggregate family — slope, intercept,
+    * r², and the pair count that actually entered the fit. Slope and
+    * intercept round at 4dp (they sit on ~5e4 magnitudes where 6dp
+    * would demand 1e-11 relative agreement across engines' summation
+    * orders); r² is in [0,1] and rounds at 6dp.
+    *
+    * Scale: regr_* are algebraic (sum/sum-of-product moments) — fully
+    * map-side combinable, O(groups) reduce rows.
+    */
+  def aggRegression(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("regr_slope(l_extendedprice, l_quantity)"), 4)
+          .as("slope"),
+        round(expr("regr_intercept(l_extendedprice, l_quantity)"), 4)
+          .as("intercept"),
+        round(expr("regr_r2(l_extendedprice, l_quantity)"), 6).as("r2"),
+        expr("regr_count(l_extendedprice, l_quantity)").as("n"))
+      .orderBy("l_returnflag")
+
+  val aggRegressionOracle: String =
+    """SELECT l_returnflag,
+      |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+      |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+      |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+      |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Shannon entropy per categorical column across tables — the
+    * data-profiling signal that ranks columns by information content
+    * (a 0-entropy column is constant; log2(k)-entropy is uniform).
+    * Three columns profile in one plan: a union of (column, value)
+    * pairs, one count aggregate, one per-column rollup.
+    *
+    * Scale: the union scans each table ONCE with one pruned column; the
+    * count shuffle carries distinct (column, value) pairs — bounded by
+    * vocabulary, not rows. Column totals come from a window over that
+    * vocabulary-sized frame (NOT a join back to a recomputed branch,
+    * which would re-scan the full input a second time — the plan has
+    * exactly one scan per profiled table, PlanSpec-guarded).
+    */
+  def profileEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = t(spark, sfDir, "events")
+      .select(lit("events.event_type").as("col"), col("event_type").as("v"))
+    val docs = t(spark, sfDir, "documents")
+    val g = ev
+      .unionAll(docs.select(lit("documents.lang").as("col"),
+        col("lang").as("v")))
+      .unionAll(docs.select(lit("documents.source").as("col"),
+        col("source").as("v")))
+    val c = g.groupBy("col", "v").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("col")
+    val p = col("n").cast("double") / col("s")
+    c.select(col("col"), col("n"),
+        sum("n").over(w).as("s"), count(lit(1)).over(w).as("k"))
+      .groupBy("col")
+      .agg(round(sum(-p * log2(p)), 6).as("entropy"),
+        max("k").as("n_distinct"))
+      .orderBy("col")
+  }
+
+  val profileEntropyOracle: String =
+    """WITH g AS (
+      |  SELECT 'events.event_type' AS col, event_type AS v FROM events
+      |  UNION ALL SELECT 'documents.lang', lang FROM documents
+      |  UNION ALL SELECT 'documents.source', source FROM documents),
+      |c AS (SELECT col, v, count(*) AS n FROM g GROUP BY 1, 2),
+      |t AS (SELECT col, sum(n) AS s, count(*) AS k FROM c GROUP BY 1)
+      |SELECT c.col, round(sum(-(n / s) * log2(n / s)), 6) AS entropy,
+      |  CAST(max(k) AS BIGINT) AS n_distinct
+      |FROM c JOIN t ON t.col = c.col GROUP BY c.col ORDER BY c.col""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_resample" -> tsResample,
+    "ts_anomaly" -> tsAnomaly,
+    "win_retention" -> winRetention,
+    "agg_corr" -> aggCorr,
+    "agg_regression" -> aggRegression,
+    "profile_entropy" -> profileEntropy)
+
+  def oracles: Map[String, String] = Map(
+    "ts_resample" -> tsResampleOracle,
+    "ts_anomaly" -> tsAnomalyOracle,
+    "win_retention" -> winRetentionOracle,
+    "agg_corr" -> aggCorrOracle,
+    "agg_regression" -> aggRegressionOracle,
+    "profile_entropy" -> profileEntropyOracle)
+}

@@ -1384,6 +1384,28 @@ object Relational {
 
   val sqlCteOracle: String = sqlCteText
 
+  /** TPC-H Q17 shape: a scalar subquery CORRELATED on the outer join
+    * key (`0.2 * avg(l_quantity)` per part) gating a fact-side filter.
+    * The decorrelation test Catalyst must pass at scale: the naive plan
+    * re-aggregates lineitem once per outer row; Catalyst rewrites it to
+    * ONE per-partkey aggregate joined back — verified by PlanSpec
+    * (exactly two lineitem scans, no nested-loop subplan). Same text on
+    * both engines.
+    */
+  def sqlCorrelated(spark: SparkSession, sfDir: String): DataFrame = {
+    registerViews(spark, sfDir, "lineitem", "part")
+    spark.sql(sqlCorrelatedText)
+  }
+
+  private val sqlCorrelatedText: String =
+    """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#12'
+      |  AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+      |                    WHERE l2.l_partkey = p_partkey)""".stripMargin
+
+  val sqlCorrelatedOracle: String = sqlCorrelatedText
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1436,7 +1458,8 @@ object Relational {
     "set_union" -> setUnion,
     "filter_predicates" -> filterPredicates,
     "sql_subquery" -> sqlSubquery,
-    "sql_cte" -> sqlCte)
+    "sql_cte" -> sqlCte,
+    "sql_correlated" -> sqlCorrelated)
 
   def oracles: Map[String, String] = Map(
     "join_inner" -> joinInnerOracle,
@@ -1488,5 +1511,6 @@ object Relational {
     "set_union" -> setUnionOracle,
     "filter_predicates" -> filterPredicatesOracle,
     "sql_subquery" -> sqlSubqueryOracle,
-    "sql_cte" -> sqlCteOracle)
+    "sql_cte" -> sqlCteOracle,
+    "sql_correlated" -> sqlCorrelatedOracle)
 }

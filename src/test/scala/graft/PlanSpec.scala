@@ -13,6 +13,12 @@ class PlanSpec extends SparkTestBase {
     SparkEntry.queries(q)(spark, sf).queryExecution
       .explainString(FormattedMode)
 
+  /** Scan nodes in a formatted plan (counted via the numbered detail
+    * headers — each node prints twice: tree line + detail section).
+    */
+  private def scanCount(p: String): Int =
+    "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+
   test("agg_q1: filter pushed to scan, pruned columns, partial+final agg") {
     val p = plan("agg_q1")
     assert(p.contains("PushedFilters"), "no pushdown block")
@@ -290,5 +296,44 @@ class PlanSpec extends SparkTestBase {
     // window stopped reusing hashpartitioning(term).
     val ex = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(ex <= 2, s"expected ≤2 hash exchanges, got $ex:\n$p")
+  }
+
+  test("sql_correlated: scalar subquery decorrelates to one aggregate") {
+    val p = plan("sql_correlated")
+    // Catalyst must rewrite the per-outer-row avg into ONE per-partkey
+    // aggregate joined back: exactly two lineitem scans (fact + agg
+    // input), no nested-loop re-evaluation.
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "correlated scalar subquery must decorrelate, not nested-loop")
+    assert(scanCount(p) == 3,
+      "expected exactly fact + dim + one aggregate-input scan")
+    assert(p.contains("EqualTo(p_brand,Brand#12)"),
+      "brand filter must push to the part scan")
+  }
+
+  test("ts_resample: event-type filter pushed, counts broadcast to spine") {
+    val p = plan("ts_resample")
+    assert(p.contains("EqualTo(event_type,error)"),
+      "stream filter must reach the scan")
+    assert(p.contains("BroadcastHashJoin LeftOuter"),
+      "bucket-sized counts must broadcast against the generated spine")
+  }
+
+  test("profile_entropy: one scan per profiled table, vocab-sized window") {
+    val p = plan("profile_entropy")
+    assert(scanCount(p) == 3,
+      "totals must come from a window, not a join to a re-scanned branch")
+    assert(p.contains("Window"), "per-column totals must use a window")
+  }
+
+  test("agg_corr/agg_regression: single-scan algebraic partial aggregation") {
+    for (q <- Seq("agg_corr", "agg_regression")) {
+      val p = plan(q)
+      assert(scanCount(p) == 1,
+        s"$q must compute all moments in one pass")
+      assert("HashAggregate".r.findAllIn(p).size >= 2,
+        s"$q moments must partial-aggregate map-side")
+    }
   }
 }

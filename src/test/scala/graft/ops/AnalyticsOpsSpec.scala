@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Functional invariants for the time-series / statistical-profiling
+  * family (AnalyticsOps) — properties that must hold on ANY input, so
+  * they guard semantics independent of the fixture values the DuckDB
+  * oracle pins.
+  */
+class AnalyticsOpsSpec extends SparkTestBase {
+
+  test("ts_resample: spine is contiguous hourly, gaps surface as zeros") {
+    val rows = AnalyticsOps.tsResample(spark, sf)
+      .select(col("bucket").cast("long"), col("n_events"), col("n_users"))
+      .collect()
+    assert(rows.nonEmpty)
+    val hours = rows.map(_.getLong(0))
+    // contiguous: every adjacent pair is exactly 3600s apart
+    hours.sliding(2).foreach { case Array(a, b) =>
+      assert(b - a == 3600L, s"spine gap between $a and $b")
+    }
+    // zero-fill semantics: a silent hour appears with 0 events AND 0 users
+    rows.foreach { r =>
+      assert((r.getLong(1) == 0) == (r.getLong(2) == 0),
+        "n_events and n_users must be zero together on gap rows")
+    }
+  }
+
+  test("ts_anomaly: first day per type scores NULL (no trailing baseline)") {
+    val rows = AnalyticsOps.tsAnomaly(spark, sf).collect()
+    val byType = rows.groupBy(_.getString(1))
+    byType.values.foreach { days =>
+      // ordered by day within type; rows 0 and 1 have <2 trailing days
+      assert(days(0).isNullAt(3), "day 0 must have NULL zscore")
+      assert(days(1).isNullAt(3), "day 1 must have NULL zscore")
+    }
+    // anomaly flag is defined exactly where the score is
+    rows.foreach(r => assert(r.isNullAt(3) == r.isNullAt(4)))
+  }
+
+  test("win_retention: offset-0 cell equals cohort size and bounds every cell") {
+    val rows = AnalyticsOps.winRetention(spark, sf).collect()
+      .map(r => (r.get(0), r.getLong(1), r.getLong(2)))
+    val cohortSize = rows.collect { case (c, 0L, n) => c -> n }.toMap
+    assert(cohortSize.nonEmpty)
+    rows.foreach { case (c, off, n) =>
+      assert(off >= 0, "activity cannot precede the first order")
+      assert(n <= cohortSize(c),
+        s"cohort $c offset $off: $n active exceeds cohort ${cohortSize(c)}")
+    }
+  }
+
+  test("agg_corr: six distinct pairs, all within [-1, 1]") {
+    val rows = AnalyticsOps.aggCorr(spark, sf).collect()
+    assert(rows.length == 6)
+    assert(rows.map(r => (r.getString(0), r.getString(1))).distinct.length == 6)
+    rows.foreach(r => assert(math.abs(r.getDouble(2)) <= 1.0))
+  }
+
+  test("agg_regression: r2 in [0,1], group counts sum to table size") {
+    val rows = AnalyticsOps.aggRegression(spark, sf).collect()
+    rows.foreach { r =>
+      val r2 = r.getDouble(3)
+      assert(r2 >= 0.0 && r2 <= 1.0)
+    }
+    val total = graft.Tables.load(spark, sf, "lineitem").count()
+    assert(rows.map(_.getLong(4)).sum == total)
+  }
+
+  test("profile_entropy: 0 <= H <= log2(n_distinct)") {
+    val rows = AnalyticsOps.profileEntropy(spark, sf).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val (h, k) = (r.getDouble(1), r.getLong(2))
+      assert(h >= 0.0 && h <= math.log(k.toDouble) / math.log(2.0) + 1e-9,
+        s"${r.getString(0)}: H=$h outside [0, log2($k)]")
+    }
+  }
+}
