@@ -297,6 +297,95 @@ object MaintenanceQueries {
        |  min(l_suppkey) AS sk_min, max(l_suppkey) AS sk_max
        |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  // ------------------------------------------------- zone-map skipping
+
+  private val zonemapDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The laid-out table dir for a given sfDir (test hook). */
+  private[queries] def zonemapLaidDir(sfDir: String): String =
+    s"${zonemapDirCache.get(sfDir)}/orders_by_year"
+
+  /** Zone-map file selection: the paths whose [lo, hi] date range
+    * intersects the query window, plus the total file count. The zone
+    * map itself is ONE pruned-column scan of the laid-out table,
+    * aggregated per file — the self-built equivalent of Iceberg's
+    * manifest min/max stats. The collect is metadata-sized (one row
+    * per FILE, never per data row) — the same driver-side planning
+    * step every table format's manifest scan performs.
+    */
+  private[queries] def zonemapKeptFiles(spark: SparkSession, laid: String,
+      from: String, to: String): (Seq[String], Int) = {
+    val zmap = spark.read.parquet(laid)
+      .groupBy(col("_metadata.file_path").as("file"))
+      .agg(min("o_orderdate").as("lo"), max("o_orderdate").as("hi"))
+      .collect()
+    def ts(d: String): Long =
+      java.time.LocalDate.parse(d).atStartOfDay
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    // The column arrives as TIMESTAMP or TIMESTAMP_NTZ depending on the
+    // writer; both map to UTC millis under the engine's UTC session tz.
+    def millis(v: Any): Long = v match {
+      case t: java.sql.Timestamp => t.getTime
+      case d: java.time.LocalDateTime =>
+        d.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      case other => sys.error(s"unexpected zone-map bound: $other")
+    }
+    val kept = zmap.filter(r =>
+        millis(r.getAs[Any]("hi")) >= ts(from) &&
+        millis(r.getAs[Any]("lo")) <= ts(to))
+      .map(_.getAs[String]("file")).toSeq.sorted
+    (kept, zmap.length)
+  }
+
+  /** Min/max zone-map data skipping — the file-statistics pruning a
+    * 100 TB scan lives or dies by, built from first principles:
+    *
+    *   1. LAYOUT: orders clustered one file per order-year
+    *      (repartition on the partition column → each year's rows are
+    *      written by exactly one task, so the file→year mapping is
+    *      deterministic);
+    *   2. STATS: per-file min/max(o_orderdate) via `_metadata
+    *      .file_path` — one scan, metadata-sized output
+    *      ([[zonemapKeptFiles]]);
+    *   3. SKIP: a 12-month revenue query consults the zone map FIRST
+    *      and reads only intersecting files (2 of 7 here) — the
+    *      residual predicate still applies inside survivors, so the
+    *      answer is exact regardless of clustering quality.
+    *
+    * The rollup is eagerly materialized (localCheckpoint) so the
+    * returned frame never lazily reads a directory a later invocation
+    * for the same sfDir overwrites. ZonemapSpec proves files were
+    * actually skipped and the pruned answer equals the full scan.
+    */
+  def layoutZonemap(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = zonemapDirCache.computeIfAbsent(sfDir, _ =>
+      java.nio.file.Files.createTempDirectory("graft-zm-").toString)
+    val laid = s"$dir/orders_by_year"
+    val (from, to) = ("1996-04-01", "1997-03-31")
+    Tables.load(spark, sfDir, "orders")
+      .withColumn("yr", year(col("o_orderdate")))
+      .repartition(col("yr"))
+      .write.mode("overwrite").partitionBy("yr").parquet(laid)
+    val (kept, _) = zonemapKeptFiles(spark, laid, from, to)
+    spark.read.parquet(kept: _*)
+      .filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+        col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+      .groupBy(date_trunc("MONTH", col("o_orderdate")).as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("revenue"))
+      .orderBy("month")
+      .localCheckpoint(eager = true)
+  }
+
+  val layoutZonemapOracle: String =
+    """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+      |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-04-01'
+      |  AND o_orderdate < TIMESTAMP '1997-04-01'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------- lifecycle
 
   private val maintDirCache =
@@ -741,6 +830,7 @@ object MaintenanceQueries {
     "cdc_merge_mor" -> mergeMor,
     "cdc_log_compact" -> logCompact,
     "layout_zorder" -> layoutZorder,
+    "layout_zonemap" -> layoutZonemap,
     "maintenance_lifecycle" -> maintenanceLifecycle,
     "maintenance_rebucket" -> rebucket,
     "cdc_point_lookup" -> pointLookup)
@@ -752,6 +842,7 @@ object MaintenanceQueries {
     "cdc_merge_mor" -> mergeMorOracle,
     "cdc_log_compact" -> logCompactOracle,
     "layout_zorder" -> layoutZorderOracle,
+    "layout_zonemap" -> layoutZonemapOracle,
     "maintenance_lifecycle" -> maintenanceLifecycleOracle,
     "maintenance_rebucket" -> rebucketOracle,
     "cdc_point_lookup" -> pointLookupOracle)
