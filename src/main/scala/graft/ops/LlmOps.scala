@@ -1960,6 +1960,91 @@ object LlmOps {
       |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
       |GROUP BY bucket ORDER BY total_tf DESC, bucket LIMIT 25""".stripMargin
 
+  /** Output-shard planning: the curated corpus assigned to 16 training
+    * shards by a stateless md5 digest of doc_id — reproducible across
+    * engines, reruns and topologies (no partitioner state to persist) —
+    * with the balance audit a run does BEFORE writing 100 TB: per-shard
+    * doc/token counts and each shard's token load relative to the ideal
+    * uniform share. Hash sharding bounds the ratio near 1 by the law of
+    * large numbers; a ratio drifting from 1 at production corpus sizes
+    * means the shard key correlates with document length and the write
+    * needs a different digest column.
+    *
+    * Scale: one map-side-combined count per shard; the window runs over
+    * the 16-row shard frame (never data), so the single-partition
+    * window is metadata-sized by construction.
+    */
+  def shardBalance(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(lit(1))
+    t(spark, sfDir, "documents")
+      .select(substring(md5(col("doc_id").cast("string")), 1, 1).as("shard"),
+        size(words).as("toks"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("toks").cast("long").as("n_tokens"))
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") /
+          (sum("n_tokens").over(w).cast("double") /
+            count(lit(1)).over(w)), 6).as("load_ratio"))
+      .orderBy("shard")
+  }
+
+  val shardBalanceOracle: String =
+    """WITH d AS (SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+      |    len(string_split(text, ' ')) AS n_tokens FROM documents),
+      |s AS (SELECT shard, count(*) AS n_docs,
+      |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM d GROUP BY 1)
+      |SELECT shard, n_docs, n_tokens,
+      |  round(CAST(n_tokens AS DOUBLE) /
+      |    (CAST(sum(n_tokens) OVER () AS DOUBLE) / count(*) OVER ()), 6)
+      |    AS load_ratio
+      |FROM s ORDER BY shard""".stripMargin
+
+  /** Temperature-scaled mixture weights (alpha = 0.5) — the sampling
+    * schedule multilingual/multi-source training uses to up-weight
+    * small sources without letting any source dominate (the
+    * p_i^alpha / sum(p^alpha) rule of the multilingual-BERT /
+    * XLM-R recipes). Output per source: the natural token share, the
+    * temperature share, and the resulting sampling boost (>1 =
+    * up-sampled). sqrt spelled identically in both engines so the
+    * doubles round identically at 6 dp.
+    *
+    * Scale: one map-side-combined count per source; both normalizing
+    * sums run over the source-cardinality frame, never data.
+    */
+  def mixTemperature(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(lit(1))
+    val p = col("n_tokens").cast("double") /
+      sum("n_tokens").over(w).cast("double")
+    val q = sqrt(col("n_tokens").cast("double")) /
+      sum(sqrt(col("n_tokens").cast("double"))).over(w)
+    t(spark, sfDir, "documents")
+      .select(col("source"), size(words).as("toks"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("toks").cast("long").as("n_tokens"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(p, 6).as("p_natural"), round(q, 6).as("p_temp"),
+        round(q / p, 6).as("boost"))
+      .orderBy("source")
+  }
+
+  val mixTemperatureOracle: String =
+    """WITH s AS (SELECT source, count(*) AS n_docs,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY 1),
+      |t AS (SELECT source, n_docs, n_tokens,
+      |    CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE)
+      |      AS p,
+      |    sqrt(CAST(n_tokens AS DOUBLE)) /
+      |      sum(sqrt(CAST(n_tokens AS DOUBLE))) OVER () AS q
+      |  FROM s)
+      |SELECT source, n_docs, n_tokens, round(p, 6) AS p_natural,
+      |  round(q, 6) AS p_temp, round(q / p, 6) AS boost
+      |FROM t ORDER BY source""".stripMargin
+
   /** Inverted-index build — the retrieval-side twin of [[textTfidf]]'s
     * df stage: per term, exact document frequency and the first 10
     * posting doc_ids, for the 20 highest-df terms. Bounded-memory by
@@ -2283,6 +2368,8 @@ object LlmOps {
     "llm_text_pmi" -> textPmi,
     "llm_index_inverted" -> indexInverted,
     "llm_feature_hash" -> featureHash,
+    "llm_shard_balance" -> shardBalance,
+    "llm_mix_temperature" -> mixTemperature,
     "llm_text_quality_full" -> textQualityFull,
     "llm_decontaminate" -> decontaminate,
     "llm_curate_write" -> curateWrite,
@@ -2329,6 +2416,8 @@ object LlmOps {
     "llm_text_pmi" -> textPmiOracle,
     "llm_index_inverted" -> indexInvertedOracle,
     "llm_feature_hash" -> featureHashOracle,
+    "llm_shard_balance" -> shardBalanceOracle,
+    "llm_mix_temperature" -> mixTemperatureOracle,
     "llm_text_quality_full" -> textQualityFullOracle,
     "llm_decontaminate" -> decontaminateOracle,
     "llm_curate_write" -> curateWriteOracle,

@@ -235,4 +235,26 @@ class LlmOpsSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     // Monotonicity: curation only removes rows, never invents them.
     assert(rows.length <= docs.count())
   }
+
+  test("shard_balance partitions every doc exactly once; loads center on 1") {
+    val rows = LlmOps.shardBalance(spark, sf).collect()
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == total,
+      "shards must partition the corpus (no loss, no duplication)")
+    val ratios = rows.map(_.getDouble(3))
+    val mean = ratios.sum / ratios.length
+    assert(math.abs(mean - 1.0) < 0.35,
+      s"mean load ratio $mean drifted far from the uniform ideal")
+  }
+
+  test("mix_temperature: both distributions normalize; boosts favor small sources") {
+    val rows = LlmOps.mixTemperature(spark, sf).collect()
+      .map(r => (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-4, "p_natural must sum to 1")
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4, "p_temp must sum to 1")
+    val smallest = rows.minBy(_._1)
+    val largest = rows.maxBy(_._1)
+    assert(smallest._4 >= largest._4,
+      "temperature sampling must up-weight the smallest source relative to the largest")
+  }
 }
