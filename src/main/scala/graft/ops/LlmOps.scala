@@ -1834,6 +1834,52 @@ object LlmOps {
       |FROM toks JOIN lm USING (term)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Bigram-LM fluency scoring — the order-sensitive step up from
+    * [[textLm]]'s unigram proxy (a scrambled document scores identically
+    * under a unigram LM; the bigram conditional P(b|a) = c(a,b)/c(a·)
+    * catches it). Per doc: bigram count and mean conditional NLL under
+    * the corpus MLE model. Trained and scored on the same corpus, so
+    * every scored bigram is in-model by construction — no smoothing
+    * term whose spelling could diverge between engines.
+    *
+    * Scale: pair counts shuffle (a, b) pairs once (map-side combined);
+    * the context totals derive from the PAIR COUNTS (vocabulary-sized),
+    * never a second corpus scan; the model broadcasts onto the scoring
+    * pass. At real scale the model truncates to top-V contexts + an
+    * OOV floor and still broadcasts — same posture as [[textLm]].
+    */
+  def textBigram(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    val n = size(words)
+    val pairs = docs.filter(n >= 2)
+      .select(col("doc_id"), explode(zip_with(
+        slice(words, lit(1), n - 1), slice(words, lit(2), n - 1),
+        (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+    val cab = pairs.groupBy("a", "b").agg(count(lit(1)).as("cab"))
+    val ca = cab.groupBy("a").agg(sum("cab").as("ca"))
+    val lm = cab.join(ca, Seq("a"))
+      .select(col("a"), col("b"),
+        log(col("cab").cast("double") / col("ca").cast("double")).as("lp"))
+    pairs.join(broadcast(lm), Seq("a", "b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), round(-avg("lp"), 6).as("nll2"))
+      .orderBy("doc_id")
+  }
+
+  val textBigramOracle: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |p AS (SELECT doc_id, unnest(w[1:len(w)-1]) AS a, unnest(w[2:len(w)]) AS b
+      |      FROM d WHERE len(w) >= 2),
+      |cab AS (SELECT a, b, count(*) AS cab FROM p GROUP BY 1, 2),
+      |ca AS (SELECT a, CAST(sum(cab) AS BIGINT) AS ca FROM cab GROUP BY 1),
+      |lm AS (SELECT cab.a, cab.b,
+      |         ln(CAST(cab AS DOUBLE) / CAST(ca AS DOUBLE)) AS lp
+      |       FROM cab JOIN ca ON ca.a = cab.a)
+      |SELECT p.doc_id, count(*) AS n_bigrams, round(-avg(lp), 6) AS nll2
+      |FROM p JOIN lm ON lm.a = p.a AND lm.b = p.b
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** BPE MERGE-STEP pair counting — the tokenizer-training primitive:
     * the frequency of every adjacent token pair, top-40 (the first
     * iteration of BPE picks the argmax; training loops this with the
@@ -2364,6 +2410,7 @@ object LlmOps {
     "llm_mix_weighted" -> mixWeighted,
     "llm_dedup_substring" -> dedupSubstring,
     "llm_text_lm" -> textLm,
+    "llm_text_bigram" -> textBigram,
     "llm_text_bpe" -> textBpe,
     "llm_text_pmi" -> textPmi,
     "llm_index_inverted" -> indexInverted,
@@ -2412,6 +2459,7 @@ object LlmOps {
     "llm_mix_weighted" -> mixWeightedOracle,
     "llm_dedup_substring" -> dedupSubstringOracle,
     "llm_text_lm" -> textLmOracle,
+    "llm_text_bigram" -> textBigramOracle,
     "llm_text_bpe" -> textBpeOracle,
     "llm_text_pmi" -> textPmiOracle,
     "llm_index_inverted" -> indexInvertedOracle,

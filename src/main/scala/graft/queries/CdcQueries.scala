@@ -434,8 +434,59 @@ object CdcQueries {
       |  string_agg(coll || ':' || n, ',' ORDER BY coll) AS data_collections
       |FROM pc GROUP BY tx_id ORDER BY tx_id""".stripMargin
 
+  /** Field-level audit trail — the "who changed what, when" table a
+    * compliance consumer derives from the change stream. The envelope's
+    * before-images are NOT cumulative (each wave's `before` is the
+    * generator's base image, exactly like a Debezium capture whose
+    * snapshot ran mid-stream), so the audit reconstructs the EFFECTIVE
+    * old value by telescoping: old = previous event's after-image in
+    * commit order, falling back to the event's own before-image at the
+    * head of each key's history. `changed` is a null-safe comparison —
+    * a delete (after = NULL) and a first-sighting (old = NULL) both
+    * audit as changes.
+    *
+    * Scale: one shuffle, keyed by primary key, carrying the change
+    * events only (never table state); the window per key holds one
+    * key's history. Output is change-sized.
+    */
+  def auditDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = customerLog(spark, sfDir).select(
+      col("seq").as("c_custkey"), col("ts_ms"), col("op"),
+      col("before.c_acctbal").as("before_bal"),
+      col("after.c_acctbal").as("after_bal"))
+    val w = Window.partitionBy("c_custkey").orderBy("ts_ms")
+    val oldEff = coalesce(lag("after_bal", 1).over(w), col("before_bal"))
+    ev.select(col("c_custkey"), col("ts_ms"), col("op"),
+        round(oldEff, 2).as("old_bal"),
+        round(col("after_bal"), 2).as("new_bal"),
+        not(oldEff <=> col("after_bal")).as("changed"))
+      .orderBy("c_custkey", "ts_ms")
+  }
+
+  val auditDiffOracle: String =
+    """WITH ev AS (
+      |  SELECT c_custkey, CAST(500 AS BIGINT) AS ts_ms, 'u' AS op,
+      |    c_acctbal AS before_bal, -999.0 AS after_bal
+      |  FROM customer WHERE c_custkey % 2 = 0
+      |  UNION ALL SELECT c_custkey, 1000, 'r', NULL, c_acctbal FROM customer
+      |  UNION ALL SELECT c_custkey, 2000, 'u', c_acctbal, c_acctbal + 100.0
+      |    FROM customer WHERE c_custkey % 3 = 0
+      |  UNION ALL SELECT c_custkey, 3000, 'u', c_acctbal, c_acctbal + 200.0
+      |    FROM customer WHERE c_custkey % 5 = 0
+      |  UNION ALL SELECT c_custkey, 4000, 'd', c_acctbal, NULL
+      |    FROM customer WHERE c_custkey % 7 = 0)
+      |SELECT c_custkey, ts_ms, op,
+      |  round(coalesce(lag(after_bal) OVER w, before_bal), 2) AS old_bal,
+      |  round(after_bal, 2) AS new_bal,
+      |  coalesce(lag(after_bal) OVER w, before_bal)
+      |    IS DISTINCT FROM after_bal AS changed
+      |FROM ev WINDOW w AS (PARTITION BY c_custkey ORDER BY ts_ms)
+      |ORDER BY c_custkey, ts_ms""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_merge" -> sqlMerge,
+    "cdc_audit_diff" -> auditDiff,
     "cdc_transactions" -> transactions,
     "cdc_snapshot_chunked" -> snapshotChunked,
     "cdc_merge_customer" -> mergeCustomer,
@@ -448,6 +499,7 @@ object CdcQueries {
 
   def oracles: Map[String, String] = Map(
     "sql_merge" -> mergeCustomerOracle,
+    "cdc_audit_diff" -> auditDiffOracle,
     "cdc_transactions" -> transactionsOracle,
     "cdc_snapshot_chunked" -> snapshotChunkedOracle,
     "cdc_merge_customer" -> mergeCustomerOracle,

@@ -75,4 +75,21 @@ class TextOpsSpec extends SparkTestBase {
     // group, keeper = lowest id; doc 4 stands alone.
     assert(out === Map(1L -> 3L, 4L -> 1L))
   }
+
+  test("textBigram: conditional NLL is order-sensitive and hand-exact") {
+    // Corpus pair counts: ab=4, ba=2, aa=2, bb=2; contexts a·=6, b·=4.
+    val dir = docsDir(Seq(
+      1L -> "a b a b a b",   // 3×P(b|a)=4/6, 2×P(a|b)=2/4
+      2L -> "a a a b b b"))  // 2×P(a|a)=2/6, 1×P(b|a)=4/6, 2×P(b|b)=2/4
+    val out = LlmOps.textBigram(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val nll1 = -(3 * math.log(4.0 / 6) + 2 * math.log(2.0 / 4)) / 5
+    val nll2 = -(2 * math.log(2.0 / 6) + math.log(4.0 / 6) +
+      2 * math.log(2.0 / 4)) / 5
+    assert(out(1L)._1 == 5 && out(2L)._1 == 5)
+    assert(math.abs(out(1L)._2 - nll1) < 1e-6, s"doc1 ${out(1L)._2} != $nll1")
+    assert(math.abs(out(2L)._2 - nll2) < 1e-6, s"doc2 ${out(2L)._2} != $nll2")
+    // Same unigram bag, different order → different bigram scores.
+    assert(out(1L)._2 < out(2L)._2)
+  }
 }
