@@ -61,6 +61,63 @@ object AnalyticsOps {
       |SELECT s.bucket, coalesce(c.n, 0) AS n_events, coalesce(c.nu, 0) AS n_users
       |FROM s LEFT JOIN c ON c.h = s.bucket ORDER BY bucket""".stripMargin
 
+  /** Gap interpolation — the step after [[tsResample]]'s zero-fill when
+    * the series is a LEVEL (mean purchase value), not a count: a silent
+    * hour's value is estimated as the midpoint of the nearest observed
+    * neighbors (`last IGNORE NULLS` looking back, `first IGNORE NULLS`
+    * looking forward), degrading to one-sided fill at the series edges.
+    * `interpolated` marks estimated rows — consumers must be able to
+    * tell measurement from inference.
+    *
+    * Scale: everything after the initial map-side-combined per-hour agg
+    * runs over the bucket-count-sized frame; the unpartitioned window
+    * is metadata-sized by construction (one row per hour). A
+    * multi-series variant partitions the window by series key and
+    * keeps the same shape.
+    */
+  def tsInterpolate(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = t(spark, sfDir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(date_trunc("HOUR", col("ts")).as("h"), col("value"))
+    val counts = e.groupBy("h").agg(round(avg("value"), 6).as("v"))
+    val spine = e.agg(min("h").as("lo"), max("h").as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("bucket"))
+    val g = spine.join(counts, spine("bucket") === counts("h"), "left")
+      .select(col("bucket"), col("v"))
+    val wPrev = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.orderBy("bucket")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    g.select(col("bucket"), col("v"),
+        last("v", ignoreNulls = true).over(wPrev).as("prev_v"),
+        first("v", ignoreNulls = true).over(wNext).as("next_v"))
+      .select(col("bucket"),
+        round(coalesce(col("v"), (col("prev_v") + col("next_v")) / 2.0d,
+          col("prev_v"), col("next_v")), 6).as("filled"),
+        col("v").isNull.as("interpolated"))
+      .orderBy("bucket")
+  }
+
+  val tsInterpolateOracle: String =
+    """WITH e AS (SELECT date_trunc('hour', ts) AS h, value FROM events
+      |           WHERE event_type = 'purchase'),
+      |b AS (SELECT min(h) AS lo, max(h) AS hi FROM e),
+      |s AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+      |        AS bucket FROM b),
+      |c AS (SELECT h, round(avg(value), 6) AS v FROM e GROUP BY h),
+      |g AS (SELECT s.bucket, c.v FROM s LEFT JOIN c ON c.h = s.bucket),
+      |f AS (SELECT bucket, v,
+      |        last_value(v IGNORE NULLS) OVER (ORDER BY bucket
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+      |        first_value(v IGNORE NULLS) OVER (ORDER BY bucket
+      |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v
+      |      FROM g)
+      |SELECT bucket,
+      |  round(coalesce(v, (prev_v + next_v) / 2.0, prev_v, next_v), 6)
+      |    AS filled,
+      |  v IS NULL AS interpolated
+      |FROM f ORDER BY bucket""".stripMargin
+
   /** Trailing-window anomaly detection: daily counts per event type
     * scored against the mean/stddev of the PRECEDING 7 days (frame
     * excludes the current row — the score must not see the value it
@@ -269,6 +326,7 @@ object AnalyticsOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_resample" -> tsResample,
+    "ts_interpolate" -> tsInterpolate,
     "ts_anomaly" -> tsAnomaly,
     "win_retention" -> winRetention,
     "agg_corr" -> aggCorr,
@@ -277,6 +335,7 @@ object AnalyticsOps {
 
   def oracles: Map[String, String] = Map(
     "ts_resample" -> tsResampleOracle,
+    "ts_interpolate" -> tsInterpolateOracle,
     "ts_anomaly" -> tsAnomalyOracle,
     "win_retention" -> winRetentionOracle,
     "agg_corr" -> aggCorrOracle,

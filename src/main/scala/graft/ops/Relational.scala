@@ -427,6 +427,43 @@ object Relational {
       |GROUP BY n_name
       |ORDER BY revenue DESC, n_name""".stripMargin
 
+  /** TPC-H Q18 shape (large-volume customers): a semi join against an
+    * AGGREGATED subquery — the qualifying set is itself a groupBy with
+    * HAVING, so the planner must aggregate lineitem per order FIRST and
+    * semi-join the qualifying keys back, then re-aggregate the joined
+    * fact rows. Two distinct lineitem aggregations with different
+    * granularities in one plan; both partial-aggregate map-side, and at
+    * scale the qualifying set (HAVING > 180 — a tail of orders) is tiny
+    * enough for AQE to broadcast the semi join.
+    */
+  def joinQ18(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = t(spark, sfDir, "lineitem")
+    val qualifying = li.groupBy("l_orderkey")
+      .agg(sum("l_quantity").as("sq"))
+      .filter(col("sq") > 180).select("l_orderkey")
+    t(spark, sfDir, "customer")
+      .join(t(spark, sfDir, "orders"), col("c_custkey") === col("o_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .join(qualifying, Seq("l_orderkey"), "left_semi")
+      .groupBy(col("c_custkey"), col("o_orderkey"), col("o_orderdate"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+      .agg(sum("l_quantity").as("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  val joinQ18Oracle: String =
+    """SELECT c_custkey, o_orderkey, CAST(o_orderdate AS TIMESTAMP)
+      |    AS o_orderdate,
+      |  round(o_totalprice, 2) AS o_totalprice, sum(l_quantity) AS total_qty
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      |  HAVING sum(l_quantity) > 180)
+      |GROUP BY 1, 2, 3, 4 ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 100""".stripMargin
+
   /** Runtime-filter join — the `InjectRuntimeFilter` bloom pattern
     * hand-materialized: the selective build side (orders in a late date
     * window) aggregates a bloom filter over its join key in one
@@ -1130,6 +1167,73 @@ object Relational {
     * and the sample of a changed table stays stable for unchanged rows.
     * Filter is scan-local (no shuffle) and composes with pushdown.
     */
+  /** Deterministic MODE with an explicit tie-break — built from count +
+    * argmax rather than the built-in `mode()`, whose tie resolution is
+    * engine-dependent (Spark and DuckDB may legitimately disagree on a
+    * tied input; an operator whose answer depends on partition order
+    * has no oracle). Two columns melt via stack into one
+    * (group, colname, val) count, one window cut picks (max count,
+    * then smallest value). The shuffle carries distinct value counts —
+    * bounded by the columns' value domains, never rows.
+    */
+  def aggMode(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val melted = t(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"), expr(
+        "stack(2, 'l_linenumber', CAST(l_linenumber AS DOUBLE), " +
+          "'l_quantity', CAST(l_quantity AS DOUBLE)) AS (colname, val)"))
+    val counts = melted.groupBy("l_returnflag", "colname", "val")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("l_returnflag", "colname")
+      .orderBy(col("cnt").desc, col("val").asc)
+    counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("l_returnflag"), col("colname"),
+        col("val").as("mode_val"), col("cnt"))
+      .orderBy("l_returnflag", "colname")
+  }
+
+  val aggModeOracle: String =
+    """WITH m AS (
+      |  SELECT l_returnflag, 'l_linenumber' AS colname,
+      |    CAST(l_linenumber AS DOUBLE) AS val FROM lineitem
+      |  UNION ALL SELECT l_returnflag, 'l_quantity',
+      |    CAST(l_quantity AS DOUBLE) FROM lineitem),
+      |c AS (SELECT l_returnflag, colname, val, count(*) AS cnt
+      |      FROM m GROUP BY 1, 2, 3),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag, colname
+      |        ORDER BY cnt DESC, val ASC) AS rk FROM c)
+      |SELECT l_returnflag, colname, val AS mode_val, cnt FROM r
+      |WHERE rk = 1 ORDER BY l_returnflag, colname""".stripMargin
+
+  /** Deterministic per-group sampling: k=5 events per type, selected by
+    * md5-digest rank — the distributed, reproducible spelling of a
+    * per-group reservoir (same members on any cluster topology, any
+    * partition order, any engine). The window sorts each group by
+    * digest (spillable); at production scale a digest-threshold
+    * pre-filter ([[sampleHash]]'s pattern) caps the sorted volume to a
+    * small multiple of k first, then this rank cut exactifies.
+    */
+  def sampleGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type")
+      .orderBy(md5(col("event_id").cast("string")))
+    t(spark, sfDir, "events")
+      .select(col("event_type"), col("event_id"), col("user_id"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .orderBy("event_type", "rk")
+  }
+
+  val sampleGroupOracle: String =
+    """WITH ranked AS (
+      |  SELECT event_type, event_id, user_id,
+      |    row_number() OVER (PARTITION BY event_type
+      |                       ORDER BY md5(CAST(event_id AS VARCHAR))) AS rk
+      |  FROM events)
+      |SELECT event_type, event_id, user_id, rk FROM ranked
+      |WHERE rk <= 5 ORDER BY event_type, rk""".stripMargin
+
   def sampleHash(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "orders")
       .filter(substring(md5(col("o_orderkey").cast("string")), 1, 1) === "0")
@@ -1422,6 +1526,7 @@ object Relational {
     "join_self" -> joinSelf,
     "join_q3" -> joinQ3,
     "join_q5" -> joinQ5,
+    "join_q18" -> joinQ18,
     "join_bloom" -> joinBloom,
     "join_range" -> joinRange,
     "join_skew_salted" -> joinSkewSalted,
@@ -1450,6 +1555,8 @@ object Relational {
     "sort_nulls" -> sortNulls,
     "sort_sample" -> sortSample,
     "sample_hash" -> sampleHash,
+    "sample_group" -> sampleGroup,
+    "agg_mode" -> aggMode,
     "reshape_unpivot" -> reshapeUnpivot,
     "set_intersect" -> setIntersect,
     "set_except" -> setExcept,
@@ -1475,6 +1582,7 @@ object Relational {
     "join_self" -> joinSelfOracle,
     "join_q3" -> joinQ3Oracle,
     "join_q5" -> joinQ5Oracle,
+    "join_q18" -> joinQ18Oracle,
     "join_bloom" -> joinBloomOracle,
     "join_range" -> joinRangeOracle,
     "join_skew_salted" -> joinSkewSaltedOracle,
@@ -1502,6 +1610,8 @@ object Relational {
     "sort_topk_group" -> sortTopkGroupOracle,
     "sort_nulls" -> sortNullsOracle,
     "sample_hash" -> sampleHashOracle,
+    "sample_group" -> sampleGroupOracle,
+    "agg_mode" -> aggModeOracle,
     "sort_sample" -> sortSampleOracle,
     "reshape_unpivot" -> reshapeUnpivotOracle,
     "set_intersect" -> setIntersectOracle,

@@ -298,6 +298,14 @@ class PlanSpec extends SparkTestBase {
     assert(ex <= 2, s"expected ≤2 hash exchanges, got $ex:\n$p")
   }
 
+  test("join_q18: qualifying set aggregates once and semi-joins back") {
+    val p = plan("join_q18")
+    assert(p.contains("LeftSemi"), "HAVING subquery must become a semi join")
+    assert(p.contains("TakeOrderedAndProject"), "top-100 must not global-sort")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "both lineitem aggregations must have partial+final stages")
+  }
+
   test("sql_correlated: scalar subquery decorrelates to one aggregate") {
     val p = plan("sql_correlated")
     // Catalyst must rewrite the per-outer-row avg into ONE per-partkey

@@ -28,6 +28,19 @@ class AnalyticsOpsSpec extends SparkTestBase {
     }
   }
 
+  test("ts_interpolate: every bucket filled; estimates bounded by neighbors") {
+    val rows = AnalyticsOps.tsInterpolate(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(!r.isNullAt(1), "filled must never be NULL"))
+    val vals = rows.map(r => (r.getDouble(1), r.getBoolean(2)))
+    val observed = vals.collect { case (v, false) => v }
+    assert(observed.nonEmpty)
+    val (lo, hi) = (observed.min, observed.max)
+    // A midpoint of observed neighbors can never leave the observed range.
+    vals.collect { case (v, true) => v }.foreach(v =>
+      assert(v >= lo && v <= hi, s"interpolated $v escapes [$lo, $hi]"))
+  }
+
   test("ts_anomaly: first day per type scores NULL (no trailing baseline)") {
     val rows = AnalyticsOps.tsAnomaly(spark, sf).collect()
     val byType = rows.groupBy(_.getString(1))
