@@ -41,6 +41,7 @@ object SparkEntry {
       graft.queries.JoinCdcQueries.queries ++
       graft.queries.Scd2CdcQueries.queries ++
       graft.queries.TxApplyQueries.queries ++
+      graft.queries.OutboxQueries.queries ++
       graft.queries.MaintenanceQueries.queries ++
       graft.queries.CatalogQueries.queries ++
       graft.ops.Relational.queries ++
@@ -62,6 +63,7 @@ object SparkEntry {
       graft.queries.JoinCdcQueries.oracles ++
       graft.queries.Scd2CdcQueries.oracles ++
       graft.queries.TxApplyQueries.oracles ++
+      graft.queries.OutboxQueries.oracles ++
       graft.queries.MaintenanceQueries.oracles ++
       graft.queries.CatalogQueries.oracles ++
       graft.ops.Relational.oracles ++

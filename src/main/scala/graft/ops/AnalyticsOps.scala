@@ -324,11 +324,117 @@ object AnalyticsOps {
       |  CAST(max(k) AS BIGINT) AS n_distinct
       |FROM c JOIN t ON t.col = c.col GROUP BY c.col ORDER BY c.col""".stripMargin
 
+  /** CUSUM change-point detection over the daily purchase-count series:
+    * the cumulative sum of deviations from the series mean drifts while
+    * the level is stable and turns sharply where the mean shifts; the
+    * day with the largest |CUSUM| is the single best change-point
+    * estimate (Page's classic offline CUSUM). Every day is returned
+    * with its statistic so consumers see the whole drift profile, with
+    * `is_changepoint` marking the argmax (earliest day on exact-rounded
+    * ties — a total order both engines reproduce).
+    *
+    * Scale: the input collapses to O(days) rows in one map-side-combined
+    * agg; the mean, the running sum and the argmax rank are windows over
+    * that metadata-sized frame. A per-series variant adds the series key
+    * to every partitionBy and keeps the shape. The cumulative sum is
+    * evaluated in day order in BOTH engines (sequential left-to-right),
+    * so the 6dp round compares bit-stable doubles.
+    */
+  def tsChangepoint(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = t(spark, sfDir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(date_trunc("DAY", col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val g = d
+      .withColumn("mu", avg("cnt").over(Window.partitionBy()))
+      .withColumn("cusum",
+        round(sum(col("cnt") - col("mu")).over(wCum), 6))
+    val wRank = Window.orderBy(abs(col("cusum")).desc, col("day"))
+    g.select(col("day"), col("cnt"), col("cusum"),
+        (row_number().over(wRank) === 1).as("is_changepoint"))
+      .orderBy("day")
+  }
+
+  val tsChangepointOracle: String =
+    """WITH d AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      |    count(*) AS cnt FROM events WHERE event_type = 'purchase'
+      |  GROUP BY 1),
+      |m AS (SELECT day, cnt, avg(cnt) OVER () AS mu FROM d),
+      |g AS (SELECT day, cnt,
+      |    round(sum(cnt - mu) OVER (ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cusum
+      |  FROM m)
+      |SELECT day, cnt, cusum,
+      |  (row_number() OVER (ORDER BY abs(cusum) DESC, day) = 1)
+      |    AS is_changepoint
+      |FROM g ORDER BY day""".stripMargin
+
+  /** Ordered conversion funnel view → click → purchase: a user converts
+    * at a stage only via events STRICTLY AFTER their entry to the
+    * previous stage (the earliest qualifying event becomes the new
+    * anchor — the standard product-analytics funnel, not a mere
+    * set-intersection of event types). Output is one row per stage with
+    * the surviving-user count and the step conversion rate.
+    *
+    * Scale: each stage is a filtered min-aggregate shuffled by user_id
+    * (map-side combined, O(users) rows out), then a user-keyed join
+    * against the previous stage's O(users) anchor frame — same key, so
+    * AQE plans them shuffle-local; the final counts are single-row
+    * aggregates cross-joined broadcast. Input size touches only the
+    * three pruned scans (one per stage filter; a single-scan variant
+    * would trade that for a wider shuffle of all three event types).
+    */
+  def winFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = t(spark, sfDir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val s1 = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val s2 = e.filter(col("event_type") === "click")
+      .join(s1, "user_id").filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val s3 = e.filter(col("event_type") === "purchase")
+      .join(s2, "user_id").filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    s1.agg(count(lit(1)).as("n1"))
+      .crossJoin(s2.agg(count(lit(1)).as("n2")))
+      .crossJoin(s3.agg(count(lit(1)).as("n3")))
+      .select(expr(
+        """stack(3,
+          |  '1_view', n1, CAST(NULL AS DOUBLE),
+          |  '2_click', n2, round(n2 / n1, 6),
+          |  '3_purchase', n3, round(n3 / n2, 6)
+          |) AS (stage, n_users, step_rate)""".stripMargin))
+      .orderBy("stage")
+  }
+
+  val winFunnelOracle: String =
+    """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+      |    WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      |    JOIN s1 ON s1.user_id = e.user_id
+      |    WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      |    JOIN s2 ON s2.user_id = e.user_id
+      |    WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1),
+      |c AS (SELECT (SELECT count(*) FROM s1) AS n1,
+      |             (SELECT count(*) FROM s2) AS n2,
+      |             (SELECT count(*) FROM s3) AS n3)
+      |SELECT stage, n_users, step_rate FROM (
+      |  SELECT '1_view' AS stage, n1 AS n_users,
+      |    CAST(NULL AS DOUBLE) AS step_rate FROM c
+      |  UNION ALL SELECT '2_click', n2, round(n2 / n1, 6) FROM c
+      |  UNION ALL SELECT '3_purchase', n3, round(n3 / n2, 6) FROM c)
+      |ORDER BY stage""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_resample" -> tsResample,
     "ts_interpolate" -> tsInterpolate,
     "ts_anomaly" -> tsAnomaly,
+    "ts_changepoint" -> tsChangepoint,
     "win_retention" -> winRetention,
+    "win_funnel" -> winFunnel,
     "agg_corr" -> aggCorr,
     "agg_regression" -> aggRegression,
     "profile_entropy" -> profileEntropy)
@@ -337,7 +443,9 @@ object AnalyticsOps {
     "ts_resample" -> tsResampleOracle,
     "ts_interpolate" -> tsInterpolateOracle,
     "ts_anomaly" -> tsAnomalyOracle,
+    "ts_changepoint" -> tsChangepointOracle,
     "win_retention" -> winRetentionOracle,
+    "win_funnel" -> winFunnelOracle,
     "agg_corr" -> aggCorrOracle,
     "agg_regression" -> aggRegressionOracle,
     "profile_entropy" -> profileEntropyOracle)

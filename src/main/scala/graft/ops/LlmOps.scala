@@ -1060,6 +1060,117 @@ object LlmOps {
       |  ROUND(CAST(count(*) AS DOUBLE) / 10, 2) AS recall
       |FROM exact JOIN approx USING (vec_id)""".stripMargin
 
+  /** Signed-hyperplane LSH ANN — the second classic ANN index beside
+    * [[simIvf]]'s coarse quantizer: every vector gets a 3-bit signature
+    * (sign of its dot product with 3 anchor hyperplanes), the probe
+    * searches ONLY its own bucket (~1/8 of the data; b anchors → 2^b
+    * buckets in general). Hyperplanes are data-sampled (the vectors
+    * with vec_id 1..3) rather than Gaussian-random so both engines
+    * derive byte-identical planes with zero RNG; they are collected to
+    * the driver as a metadata-sized literal (3×64 doubles — the
+    * joinBloom precedent), so signature computation is SCAN-LOCAL:
+    * no crossJoin row inflation, no shuffle, codegen'd per-row fold.
+    *
+    * Scale: at 100 TB the bucket map is a deterministic narrow column;
+    * the only wide operation is the top-k over the probe's bucket —
+    * 1/2^b of the corpus, done by the same TakeOrderedAndProject as
+    * the brute-force path. More anchors sharpen the prune
+    * exponentially while the signature stays one fused projection.
+    */
+  private def lshBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = t(spark, sfDir, "embeddings")
+    val anchors = emb.filter(col("vec_id").isin(1, 2, 3))
+      .orderBy("vec_id")
+      .select(vecD(col("embedding")))
+      .collect().map(_.getSeq[Double](0))
+    val bkt = anchors.zipWithIndex.map { case (a, i) =>
+      when(dotHof(col("v"), typedLit(a)) >= 0d, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+    emb.select(col("vec_id"), vecD(col("embedding")).as("v"))
+      .withColumn("bkt", bkt)
+  }
+
+  /** Shared oracle prefix: per-vector LSH signatures from the same
+    * anchor planes, via scalar subqueries against the anchor rows.
+    */
+  private val lshSigSql: String =
+    """WITH a AS (
+      |  SELECT vec_id AS a_id, embedding::DOUBLE[] AS av FROM embeddings
+      |  WHERE vec_id IN (1, 2, 3)
+      |), s AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |    (CASE WHEN list_dot_product(embedding::DOUBLE[],
+      |       (SELECT av FROM a WHERE a_id = 1)) >= 0 THEN 1 ELSE 0 END
+      |   + CASE WHEN list_dot_product(embedding::DOUBLE[],
+      |       (SELECT av FROM a WHERE a_id = 2)) >= 0 THEN 2 ELSE 0 END
+      |   + CASE WHEN list_dot_product(embedding::DOUBLE[],
+      |       (SELECT av FROM a WHERE a_id = 3)) >= 0 THEN 4 ELSE 0 END)
+      |      AS bkt
+      |  FROM embeddings
+      |), lprobe AS (
+      |  SELECT v AS p, bkt AS pbkt FROM s WHERE vec_id = 0
+      |)""".stripMargin
+
+  def simLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val all = lshBuckets(spark, sfDir)
+    val probe = all.filter(col("vec_id") === 0)
+      .select(col("v").as("p"), col("bkt").as("pbkt"))
+    all.filter(col("vec_id") =!= 0)
+      .join(broadcast(probe), col("bkt") === col("pbkt"))
+      .select(col("vec_id"), col("bkt"),
+        round(cosine(col("v"), col("p")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(5)
+  }
+
+  val simLshOracle: String =
+    lshSigSql + """
+      |SELECT vec_id, bkt,
+      |  ROUND(list_dot_product(v, p) /
+      |    (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(p, p))), 6)
+      |    AS cos
+      |FROM s, lprobe WHERE bkt = pbkt AND vec_id <> 0
+      |ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin
+
+  /** Recall@5 audit of [[simLsh]] against the brute-force ranking — the
+    * published quality number every ANN index ships with (same harness
+    * shape as [[simIvfRecall]]). A one-bucket probe over 3 planes keeps
+    * ~1/8 of candidates; the audit states exactly what that prune cost.
+    */
+  def simLshRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val probeFrame = t(spark, sfDir, "embeddings")
+      .filter(col("vec_id") === 0)
+      .select(vecD(col("embedding")).as("p"))
+    val exact = t(spark, sfDir, "embeddings")
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probeFrame))
+      .select(col("vec_id"),
+        round(cosine(vecD(col("embedding")), col("p")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(5).select("vec_id")
+    val approx = simLsh(spark, sfDir).select(col("vec_id"))
+    exact.join(approx, Seq("vec_id"))
+      .agg(count(lit(1)).as("hits"))
+      .select(lit(5).as("k"), col("hits"),
+        round(col("hits").cast("double") / 5, 2).as("recall"))
+  }
+
+  val simLshRecallOracle: String =
+    lshSigSql + """, exact AS (
+      |  SELECT vec_id FROM s, lprobe WHERE vec_id <> 0
+      |  ORDER BY ROUND(list_dot_product(v, p) /
+      |    (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(p, p))), 6)
+      |    DESC, vec_id LIMIT 5
+      |), approx AS (
+      |  SELECT vec_id FROM s, lprobe WHERE bkt = pbkt AND vec_id <> 0
+      |  ORDER BY ROUND(list_dot_product(v, p) /
+      |    (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(p, p))), 6)
+      |    DESC, vec_id LIMIT 5
+      |)
+      |SELECT 5 AS k, count(*) AS hits,
+      |  ROUND(CAST(count(*) AS DOUBLE) / 5, 2) AS recall
+      |FROM exact JOIN approx USING (vec_id)""".stripMargin
+
   /** PQ-flavored COARSE-TO-FINE search — the recall lever that is
     * orthogonal to nprobe: stage 1 scans a HALF-WIDTH sketch (the
     * first 32 of 64 dims — the fixed-projection stand-in for a learned
@@ -2393,6 +2504,8 @@ object LlmOps {
     "llm_sim_ivf" -> simIvf,
     "llm_sim_ivf_multiprobe" -> simIvfMultiprobe,
     "llm_sim_ivf_recall" -> simIvfRecall,
+    "llm_sim_lsh" -> simLsh,
+    "llm_sim_lsh_recall" -> simLshRecall,
     "llm_sim_rerank" -> simRerank,
     "llm_sim_rerank_recall" -> simRerankRecall,
     "llm_sim_centroids" -> simCentroids,
@@ -2442,6 +2555,8 @@ object LlmOps {
     "llm_sim_ivf" -> simIvfOracle,
     "llm_sim_ivf_multiprobe" -> simIvfMultiprobeOracle,
     "llm_sim_ivf_recall" -> simIvfRecallOracle,
+    "llm_sim_lsh" -> simLshOracle,
+    "llm_sim_lsh_recall" -> simLshRecallOracle,
     "llm_sim_rerank" -> simRerankOracle,
     "llm_sim_rerank_recall" -> simRerankRecallOracle,
     "llm_sim_centroids" -> simCentroidsOracle,

@@ -464,6 +464,88 @@ object Relational {
       |GROUP BY 1, 2, 3, 4 ORDER BY o_totalprice DESC, o_orderkey
       |LIMIT 100""".stripMargin
 
+  /** TPC-H Q4 shape — EXISTS decorrelated to a LEFT SEMI join: orders
+    * in one quarter having at least one returned line, counted per
+    * priority. The correlated `EXISTS (SELECT .. WHERE l_orderkey =
+    * o_orderkey AND ..)` is exactly what Catalyst's RewritePredicate-
+    * Subquery turns into this semi join, so the DataFrame states the
+    * post-rewrite plan directly. (Fixture has no commit/receipt dates;
+    * `l_returnflag = 'R'` is the per-line predicate — same shape, same
+    * decorrelation.)
+    *
+    * Scale: the semi join shuffles on the orderkey both sides already
+    * group/filter by; the probe side never duplicates order rows (semi
+    * = at-most-once), so the post-join agg input is bounded by the
+    * order count — the reason Q4 is written EXISTS and not
+    * JOIN+DISTINCT, which would inflate the join output by per-order
+    * line counts before deduplicating it back down.
+    */
+  def joinQ4(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1996-04-01"))
+      .join(t(spark, sfDir, "lineitem")
+          .filter(col("l_returnflag") === "R").select("l_orderkey"),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+
+  val joinQ4Oracle: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1996-04-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** TPC-H Q21 shape — the semi+anti double-correlation: suppliers with
+    * a returned line in a multi-supplier order where NO OTHER supplier's
+    * line in that order was returned (the "sole blame" query; reference
+    * Q21 uses receipt-vs-commit lateness, the fixture's returnflag plays
+    * that role). One EXISTS and one NOT EXISTS over the same fact table
+    * become one LEFT SEMI and one LEFT ANTI join, both keyed on
+    * l_orderkey with a suppkey-inequality residual — the classic plan
+    * Catalyst produces from the correlated SQL.
+    *
+    * Scale: all three lineitem branches shuffle on the same orderkey,
+    * so AQE chains them without re-partitioning; the R-filter prunes
+    * the probe side before any shuffle; supplier joins AFTER both
+    * correlations (broadcast — dim-sized), so the name lookup touches
+    * only surviving blame rows, not every R line.
+    */
+  def joinQ21(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = t(spark, sfDir, "lineitem")
+    val l1 = li.filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_suppkey")
+    val l2 = li.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+    val l3 = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+    l1.join(l2, col("l_orderkey") === col("o2") &&
+        col("l_suppkey") =!= col("s2"), "left_semi")
+      .join(l3, col("l_orderkey") === col("o3") &&
+        col("l_suppkey") =!= col("s3"), "left_anti")
+      .join(broadcast(t(spark, sfDir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
+  val joinQ21Oracle: String =
+    """SELECT s_name, count(*) AS numwait
+      |FROM lineitem l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+      |WHERE l1.l_returnflag = 'R'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey
+      |      AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey
+      |      AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R')
+      |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
+
   /** Runtime-filter join — the `InjectRuntimeFilter` bloom pattern
     * hand-materialized: the selective build side (orders in a late date
     * window) aggregates a bloom filter over its join key in one
@@ -1525,8 +1607,10 @@ object Relational {
     "join_asof" -> joinAsof,
     "join_self" -> joinSelf,
     "join_q3" -> joinQ3,
+    "join_q4" -> joinQ4,
     "join_q5" -> joinQ5,
     "join_q18" -> joinQ18,
+    "join_q21" -> joinQ21,
     "join_bloom" -> joinBloom,
     "join_range" -> joinRange,
     "join_skew_salted" -> joinSkewSalted,
@@ -1581,8 +1665,10 @@ object Relational {
     "join_asof" -> joinAsofOracle,
     "join_self" -> joinSelfOracle,
     "join_q3" -> joinQ3Oracle,
+    "join_q4" -> joinQ4Oracle,
     "join_q5" -> joinQ5Oracle,
     "join_q18" -> joinQ18Oracle,
+    "join_q21" -> joinQ21Oracle,
     "join_bloom" -> joinBloomOracle,
     "join_range" -> joinRangeOracle,
     "join_skew_salted" -> joinSkewSaltedOracle,

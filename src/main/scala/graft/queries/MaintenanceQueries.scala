@@ -823,6 +823,69 @@ object MaintenanceQueries {
     "customer", "c_custkey", "c_acctbal",
     Seq("c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
 
+  private val partEvolveDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** PARTITION-SPEC EVOLUTION — the Iceberg capability the reference's
+    * sink relies on for long-lived tables (Iceberg 1.9.2, pom.xml:15:
+    * specs are versioned metadata; old files are NEVER rewritten when
+    * the spec changes): the orders table starts partitioned by year,
+    * later years arrive under an evolved (year, priority) spec, and the
+    * read path unions both layouts transparently. The rollup over the
+    * union must equal the rollup over the raw table — data is invariant
+    * under layout; only pruning granularity changed.
+    *
+    * Spark mechanics: each spec epoch lives under its own root with its
+    * own Hive-style directory scheme; partition columns are recovered
+    * from directory names at read time (`basePath`-free per-epoch
+    * reads), so the v1 epoch derives `o_orderpriority` from the DATA
+    * column while the v2 epoch derives it from the PATH — unionByName
+    * reconciles the two shapes, exactly how an Iceberg reader plans one
+    * scan per spec-id.
+    *
+    * Scale: spec evolution is O(1) metadata — no rewrite of the old
+    * epoch (the rebucket operator measures the rewrite alternative);
+    * year-range predicates prune BOTH epochs at the directory level,
+    * and priority predicates additionally prune v2 files — the exact
+    * reason specs evolve toward finer partitioning as tables grow.
+    */
+  def partitionEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.Files
+    val root = partEvolveDirCache.computeIfAbsent(sfDir,
+      _ => Files.createTempDirectory("graft-pe-").toString)
+    val (v1Dir, v2Dir) = (s"$root/v1", s"$root/v2")
+    val o = Tables.load(spark, sfDir, "orders")
+      .withColumn("p_year", year(col("o_orderdate")))
+    // Epoch 1: years ≤ 1997 under spec (p_year).
+    o.filter(col("p_year") <= 1997)
+      .write.mode("overwrite").partitionBy("p_year").parquet(v1Dir)
+    // Spec evolves; epoch 2: later years under (p_year, o_orderpriority).
+    o.filter(col("p_year") > 1997)
+      .write.mode("overwrite").partitionBy("p_year", "o_orderpriority")
+      .parquet(v2Dir)
+    val unioned = spark.read.parquet(v1Dir)
+      .unionByName(spark.read.parquet(v2Dir))
+    unioned
+      .groupBy(col("p_year").cast("int").as("p_year"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("p_year", "o_orderpriority")
+      // Eager (ADVICE r5 curateWrite precedent): sever the returned
+      // frame from the shared epoch dirs a later invocation overwrites.
+      .localCheckpoint(eager = true)
+  }
+
+  /** Epoch root of the LAST [[partitionEvolution]] run for this sfDir —
+    * spec access for the pruning assertions.
+    */
+  private[queries] def partEvolveRoot(sfDir: String): String =
+    partEvolveDirCache.get(sfDir)
+
+  val partitionEvolutionOracle: String =
+    """SELECT CAST(year(o_orderdate) AS INT) AS p_year, o_orderpriority,
+      |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+      |FROM orders GROUP BY 1, 2 ORDER BY p_year, o_orderpriority""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_scd2" -> scd2,
     "cdc_scd2_asof" -> scd2Asof,
@@ -833,6 +896,7 @@ object MaintenanceQueries {
     "layout_zonemap" -> layoutZonemap,
     "maintenance_lifecycle" -> maintenanceLifecycle,
     "maintenance_rebucket" -> rebucket,
+    "maintenance_partition_evolution" -> partitionEvolution,
     "cdc_point_lookup" -> pointLookup)
 
   def oracles: Map[String, String] = Map(
@@ -845,5 +909,6 @@ object MaintenanceQueries {
     "layout_zonemap" -> layoutZonemapOracle,
     "maintenance_lifecycle" -> maintenanceLifecycleOracle,
     "maintenance_rebucket" -> rebucketOracle,
+    "maintenance_partition_evolution" -> partitionEvolutionOracle,
     "cdc_point_lookup" -> pointLookupOracle)
 }

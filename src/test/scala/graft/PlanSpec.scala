@@ -344,4 +344,45 @@ class PlanSpec extends SparkTestBase {
         s"$q moments must partial-aggregate map-side")
     }
   }
+
+  test("join_q4: EXISTS runs as semi join; both filters reach their scans") {
+    val p = plan("join_q4")
+    assert(p.contains("LeftSemi"),
+      "EXISTS must execute as a semi join, never join+distinct")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      "date window must push to the orders scan")
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      "returnflag predicate must push to the lineitem scan")
+  }
+
+  test("join_q21: one semi + one anti correlation, supplier broadcast") {
+    val p = plan("join_q21")
+    assert(p.contains("LeftSemi"), "EXISTS must become a semi join")
+    assert(p.contains("LeftAnti"), "NOT EXISTS must become an anti join")
+    assert(p.contains("BroadcastHashJoin"),
+      "the supplier dim must broadcast onto surviving blame rows")
+    assert(p.contains("TakeOrderedAndProject"), "top-100 must not global-sort")
+  }
+
+  test("llm_sim_lsh: signatures scan-local, probe broadcast, bucketed top-k") {
+    val p = plan("llm_sim_lsh")
+    assert(!p.contains("CartesianProduct"),
+      "anchor projection must be a literal fold, not an anchor crossJoin")
+    assert(p.contains("BroadcastExchange"), "1-row probe must broadcast")
+    assert(p.contains("TakeOrderedAndProject"),
+      "bucket top-k must not global-sort")
+    // No exchange may feed the signature computation: the only shuffle
+    // inputs allowed are the broadcast probe and the final top-k.
+    assert(!p.contains("SortMergeJoin"),
+      "bucket equality must not shuffle the corpus against the probe")
+  }
+
+  test("cdc_outbox: router is a pure projection — no join before the rollup") {
+    val p = plan("cdc_outbox")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("CartesianProduct"),
+      "route/re-key/forward must stay per-row, joins have no place here")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "the consumer rollup must partial-aggregate map-side")
+  }
 }

@@ -91,4 +91,36 @@ class AnalyticsOpsSpec extends SparkTestBase {
         s"${r.getString(0)}: H=$h outside [0, log2($k)]")
     }
   }
+
+  test("ts_changepoint: final CUSUM telescopes to zero; exactly one argmax") {
+    val rows = AnalyticsOps.tsChangepoint(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // sum of deviations from the series mean over the WHOLE series is 0
+    // by construction — the last cumulative value must round back to it.
+    assert(math.abs(rows.last.getDouble(2)) < 1e-3,
+      s"final CUSUM ${rows.last.getDouble(2)} must telescope to ~0")
+    val flagged = rows.filter(_.getBoolean(3))
+    assert(flagged.length == 1, "exactly one change-point must be flagged")
+    val maxAbs = rows.map(r => math.abs(r.getDouble(2))).max
+    assert(math.abs(flagged.head.getDouble(2)) == maxAbs,
+      "the flagged day must carry the maximal |CUSUM|")
+  }
+
+  test("win_funnel: stage survivors are monotone; rates consistent") {
+    val rows = AnalyticsOps.winFunnel(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq ==
+      Seq("1_view", "2_click", "3_purchase"))
+    val ns = rows.map(_._2)
+    assert(ns(0) >= ns(1) && ns(1) >= ns(2),
+      "a later stage can never have more survivors than an earlier one")
+    assert(rows(0)._3.isEmpty, "the entry stage has no step rate")
+    rows.drop(1).zip(ns.sliding(2).toSeq).foreach {
+      case ((_, n, Some(rate)), Array(prev, _)) =>
+        assert(math.abs(rate - n.toDouble / prev) < 1e-6 || prev == 0)
+      case ((stage, _, None), _) => fail(s"$stage must have a step rate")
+    }
+  }
 }
