@@ -204,6 +204,42 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
     commit(spark, target, all, manifest(target).keys.toSeq.sorted)
   }
 
+  /** Maintenance: delete ORPHANED files (the `remove_orphan_files`
+    * analog) — debris a crashed commit attempt leaves behind: version
+    * dirs, manifests, or schemas AT OR ABOVE a version the `_VERSION`
+    * pointer never reached (under the single-writer invariant A17
+    * nothing else can have written them; [[commit]]'s crash-recovery
+    * note documents exactly this debris class). Referenced state is
+    * never touched — the committed pointer is the single source of
+    * truth for what is live, so the operation is safe to run anytime,
+    * including concurrently with readers. Returns the number of
+    * filesystem entries removed.
+    */
+  def removeOrphans(target: String): Int = {
+    val d = dir(target)
+    if (!Files.exists(d)) return 0
+    val cur = currentVersion(target)
+    var removed = 0
+    val ver = "^(?:v|manifest-|schema-)(\\d+)(?:\\.tsv|\\.json)?$".r
+    // Materialize the listing before deleting — mutating a directory
+    // under a live Files.list stream is filesystem-dependent behavior.
+    val entries = {
+      val s = Files.list(d)
+      try s.iterator().asScala.toList finally s.close()
+    }
+    entries.foreach { p =>
+      p.getFileName.toString match {
+        case ver(n) if n.toInt > cur =>
+          if (Files.isDirectory(p)) {
+            Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+              .forEach { q => Files.deleteIfExists(q); removed += 1 }
+          } else { Files.deleteIfExists(p); removed += 1 }
+        case _ => ()
+      }
+    }
+    removed
+  }
+
   /** Maintenance: expire old snapshots (the `expire_snapshots` analog).
     * Deletes version manifests/schemas older than `keepVersions` back
     * from current, plus any data directory no retained manifest

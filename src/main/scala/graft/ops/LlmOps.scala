@@ -2485,6 +2485,55 @@ object LlmOps {
       |FROM documents JOIN embeddings ON doc_id = vec_id
       |GROUP BY lang, label ORDER BY lang, label""".stripMargin
 
+  /** Media-library dedup over the OPAQUE binary payload — the step a
+    * multimodal ingest runs before any decode: duplicate payloads
+    * (re-uploads, mirror crawls) collapse on (byte length, content
+    * digest), keeping the lowest id. The length is a free pre-key —
+    * two payloads differing in size can't collide, so the digest only
+    * arbitrates within same-length groups. Re-uploads are staged
+    * deterministically (every 5th payload re-appears under a new id)
+    * so the drop decision is real, not vacuously empty.
+    *
+    * Scale: the shuffle carries (n_bytes, digest, id) triples — at
+    * 100 TB of media the payload bytes never leave their scan; the
+    * digest group is the only wide key. Dropped rows name their keeper
+    * (the pair-level decision list an ingest anti-joins against).
+    */
+  def mmDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val reuploads = base.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 10000L).as("doc_id"), col("payload"))
+    val keyed = base.unionAll(reuploads)
+      .select(col("doc_id"), octet_length(col("payload")).as("n_bytes"),
+        md5(col("payload")).as("payload_md5"))
+    val groups = keyed.groupBy("n_bytes", "payload_md5")
+      .agg(min("doc_id").as("kept_for"), count(lit(1)).as("n_copies"))
+    keyed.join(groups, Seq("n_bytes", "payload_md5"))
+      .filter(col("doc_id") =!= col("kept_for"))
+      .select(col("doc_id").as("dropped"), col("kept_for"),
+        col("n_bytes"), col("payload_md5"), col("n_copies"))
+      .orderBy("dropped")
+  }
+
+  val mmDedupOracle: String =
+    """WITH lib AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 5 = 0
+      |), k AS (
+      |  SELECT doc_id, octet_length(text::BLOB) AS n_bytes,
+      |    md5(text) AS payload_md5 FROM lib
+      |), g AS (
+      |  SELECT n_bytes, payload_md5, min(doc_id) AS kept_for,
+      |    count(*) AS n_copies
+      |  FROM k GROUP BY 1, 2
+      |)
+      |SELECT k.doc_id AS dropped, g.kept_for, k.n_bytes, k.payload_md5,
+      |  g.n_copies
+      |FROM k JOIN g USING (n_bytes, payload_md5)
+      |WHERE k.doc_id <> g.kept_for ORDER BY dropped""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2536,7 +2585,8 @@ object LlmOps {
     "llm_mm_binary" -> mmBinary,
     "llm_mm_features" -> mmFeatures,
     "llm_mm_frames" -> mmFrames,
-    "llm_mm_join" -> mmJoin)
+    "llm_mm_join" -> mmJoin,
+    "llm_mm_dedup" -> mmDedup)
 
   def oracles: Map[String, String] = Map(
     "llm_dedup_exact" -> dedupExactOracle,
@@ -2587,5 +2637,6 @@ object LlmOps {
     "llm_mm_binary" -> mmBinaryOracle,
     "llm_mm_features" -> mmFeaturesOracle,
     "llm_mm_frames" -> mmFramesOracle,
-    "llm_mm_join" -> mmJoinOracle)
+    "llm_mm_join" -> mmJoinOracle,
+    "llm_mm_dedup" -> mmDedupOracle)
 }

@@ -546,6 +546,51 @@ object Relational {
       |      AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R')
       |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
 
+  /** TPC-H Q16 shape — supplier-diversity per part attribute with a
+    * NOT IN exclusion: distinct suppliers per (brand, type, size) over
+    * the part-supplier relation, minus an excluded supplier set (the
+    * fixture plays "complaints" as negative-balance suppliers; the
+    * part filters keep Q16's mixed <>/NOT LIKE/IN predicate shape).
+    * NOT IN over a non-nullable key is the LEFT ANTI join Catalyst
+    * rewrites to — stated directly.
+    *
+    * Scale: the exclusion set is dim-sized and broadcast; the
+    * count(DISTINCT) runs as the standard two-stage Expand aggregation
+    * over (brand, type, size, suppkey) — shuffle rows bounded by
+    * distinct combinations, not lineitem rows; part filters prune
+    * before the fact join.
+    */
+  def joinQ16(spark: SparkSession, sfDir: String): DataFrame = {
+    val excluded = t(spark, sfDir, "supplier")
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    t(spark, sfDir, "lineitem")
+      .join(broadcast(t(spark, sfDir, "part")
+          .filter(col("p_brand") =!= "Brand#45" &&
+            !col("p_type").startsWith("MEDIUM") &&
+            col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))),
+        col("p_partkey") === col("l_partkey"))
+      .join(broadcast(excluded),
+        col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+      .limit(100)
+  }
+
+  val joinQ16Oracle: String =
+    """SELECT p_brand, p_type, p_size,
+      |  count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#45'
+      |  AND p_type NOT LIKE 'MEDIUM%'
+      |  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      |  AND l_suppkey NOT IN (
+      |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY 1, 2, 3
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+      |LIMIT 100""".stripMargin
+
   /** Runtime-filter join — the `InjectRuntimeFilter` bloom pattern
     * hand-materialized: the selective build side (orders in a late date
     * window) aggregates a bloom filter over its join key in one
@@ -1609,6 +1654,7 @@ object Relational {
     "join_q3" -> joinQ3,
     "join_q4" -> joinQ4,
     "join_q5" -> joinQ5,
+    "join_q16" -> joinQ16,
     "join_q18" -> joinQ18,
     "join_q21" -> joinQ21,
     "join_bloom" -> joinBloom,
@@ -1667,6 +1713,7 @@ object Relational {
     "join_q3" -> joinQ3Oracle,
     "join_q4" -> joinQ4Oracle,
     "join_q5" -> joinQ5Oracle,
+    "join_q16" -> joinQ16Oracle,
     "join_q18" -> joinQ18Oracle,
     "join_q21" -> joinQ21Oracle,
     "join_bloom" -> joinBloomOracle,

@@ -484,6 +484,64 @@ object CdcQueries {
       |FROM ev WINDOW w AS (PARTITION BY c_custkey ORDER BY ts_ms)
       |ORDER BY c_custkey, ts_ms""".stripMargin
 
+  /** PER-TOPIC FRESHNESS AUDIT — the MilliSecondsBehindSource /
+    * max-commit-lag dashboard a CDC operator watches (the reference's
+    * heartbeat config, connect-sqlserver-source.json:13, exists to
+    * keep exactly this number honest on quiet tables): per routed
+    * topic, event count, first/last event time, and the lag of that
+    * topic's newest event behind the newest event ANYWHERE in the
+    * capture — the per-topic staleness skew. The customer stream
+    * additionally carries the ts=5000 schema-evolution wave, so the
+    * supplier topic legitimately trails by 1000 ms and the lag column
+    * is exercised, not constantly zero.
+    *
+    * Scale: metadata-only projection (op, ts, source) per event; the
+    * rollup is map-side-combined to O(topics) rows and the global max
+    * is a window over that topic-count frame — input size touches only
+    * the scan.
+    */
+  def freshness(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.load(spark, sfDir, "customer")
+    val meta = customerLog(spark, sfDir).select("op", "ts_ms", "source")
+      .unionAll(ChangeGen.evolvedChangeLog(base, "c_custkey", "c_acctbal",
+        "commerce", "customer").select("op", "ts_ms", "source"))
+      .unionAll(supplierLog(spark, sfDir).select("op", "ts_ms", "source"))
+    val perTopic = meta
+      .select(Routing.targetExpr("cdc.{schema}_{table}").as("topic"),
+        col("ts_ms"))
+      .groupBy("topic")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts_ms").as("first_ts"), max("ts_ms").as("last_ts"))
+    import org.apache.spark.sql.expressions.Window
+    perTopic
+      .withColumn("lag_ms",
+        max("last_ts").over(Window.partitionBy()) - col("last_ts"))
+      .orderBy("topic")
+  }
+
+  val freshnessOracle: String =
+    """WITH ev AS (
+      |  SELECT 'cdc.commerce_customer' AS topic, 500 AS ts FROM customer WHERE c_custkey % 2 = 0
+      |  UNION ALL SELECT 'cdc.commerce_customer', 1000 FROM customer
+      |  UNION ALL SELECT 'cdc.commerce_customer', 2000 FROM customer WHERE c_custkey % 3 = 0
+      |  UNION ALL SELECT 'cdc.commerce_customer', 3000 FROM customer WHERE c_custkey % 5 = 0
+      |  UNION ALL SELECT 'cdc.commerce_customer', 4000 FROM customer WHERE c_custkey % 7 = 0
+      |  UNION ALL SELECT 'cdc.commerce_customer', 5000 FROM customer WHERE c_custkey % 11 = 0
+      |  UNION ALL SELECT 'cdc.commerce_supplier', 500 FROM supplier WHERE s_suppkey % 2 = 0
+      |  UNION ALL SELECT 'cdc.commerce_supplier', 1000 FROM supplier
+      |  UNION ALL SELECT 'cdc.commerce_supplier', 2000 FROM supplier WHERE s_suppkey % 3 = 0
+      |  UNION ALL SELECT 'cdc.commerce_supplier', 3000 FROM supplier WHERE s_suppkey % 5 = 0
+      |  UNION ALL SELECT 'cdc.commerce_supplier', 4000 FROM supplier WHERE s_suppkey % 7 = 0
+      |), t AS (
+      |  SELECT topic, count(*) AS n_events, min(ts) AS first_ts,
+      |    max(ts) AS last_ts
+      |  FROM ev GROUP BY 1
+      |)
+      |SELECT topic, n_events, CAST(first_ts AS BIGINT) AS first_ts,
+      |  CAST(last_ts AS BIGINT) AS last_ts,
+      |  CAST((SELECT max(last_ts) FROM t) - last_ts AS BIGINT) AS lag_ms
+      |FROM t ORDER BY topic""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_merge" -> sqlMerge,
     "cdc_audit_diff" -> auditDiff,
@@ -495,6 +553,7 @@ object CdcQueries {
     "cdc_merge_supplier" -> mergeSupplier,
     "cdc_envelope_route" -> envelopeRoute,
     "cdc_route_fanout" -> routeFanout,
+    "cdc_freshness" -> freshness,
     "cdc_dead_letter" -> deadLetter)
 
   def oracles: Map[String, String] = Map(
@@ -508,5 +567,6 @@ object CdcQueries {
     "cdc_merge_supplier" -> mergeSupplierOracle,
     "cdc_envelope_route" -> envelopeRouteOracle,
     "cdc_route_fanout" -> routeFanoutOracle,
+    "cdc_freshness" -> freshnessOracle,
     "cdc_dead_letter" -> deadLetterOracle)
 }

@@ -133,8 +133,11 @@ object JoinCdcQueries {
       Seq("o_orderkey", "o_custkey", "o_totalprice"), "o_orderkey").persist()
     val live = !col(StateStore.DeletedCol)
     try {
-      MergeCommit.mergeBatchMeta(store, CustTable, custB, Seq("c_custkey"),
-        persistSlices = true).foreach(_.unpersist())
+      // No slice reader downstream for the customer merge — persisting
+      // its pre/post frames would cache both full-table states during
+      // the commit write for nothing (the ords merge persists because
+      // the index repair consumes its slices).
+      MergeCommit.mergeBatchMeta(store, CustTable, custB, Seq("c_custkey"))
       val ordSlices = MergeCommit.mergeBatchMeta(store, OrdTable, ordB,
         Seq("o_orderkey"), persistSlices = true)
 
@@ -159,9 +162,9 @@ object JoinCdcQueries {
           .unionByName(gone.withColumn(StateStore.DeletedCol, lit(true)))
           .withColumn(StateStore.BucketCol,
             StateStore.bucketExpr(Seq("c_custkey"), NBuckets))
+        // Same: nothing reads the index merge's slices.
         MergeCommit.mergeBatchMeta(store, IdxTable, idxBatch,
-          Seq("c_custkey", "o_orderkey"), persistSlices = true)
-          .foreach(_.unpersist())
+          Seq("c_custkey", "o_orderkey"))
         slices.unpersist()
       }
 

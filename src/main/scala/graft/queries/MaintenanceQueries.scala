@@ -823,6 +823,85 @@ object MaintenanceQueries {
     "customer", "c_custkey", "c_acctbal",
     Seq("c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
 
+  private val orphanDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** ORPHAN-FILE GC as an oracle-checked query — the
+    * `remove_orphan_files` maintenance action run end-to-end: a store
+    * is built from two committed waves, crash debris is injected
+    * exactly as a failed commit leaves it (a data dir, a manifest and
+    * a schema one version ABOVE the committed pointer — the debris
+    * class [[graft.cdc.StateStore.commit]]'s recovery note documents),
+    * and the GC must remove exactly that debris (5 filesystem entries:
+    * the version dir, its bucket dir, the junk file, the manifest, the
+    * schema) while the committed state stays byte-identical. The
+    * second row proves idempotence: a clean store GCs nothing.
+    *
+    * Scale: the GC is a metadata-only directory walk — it never reads
+    * data files and never touches anything at or below the committed
+    * pointer, so it is safe concurrent with readers at any table size.
+    */
+  def orphanVacuum(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val wh = orphanDirCache.computeIfAbsent(sfDir,
+      _ => Files.createTempDirectory("graft-gc-").toString)
+    val whPath = Paths.get(wh)
+    Files.walk(whPath).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => if (p != whPath) Files.deleteIfExists(p))
+    val store = new graft.cdc.StateStore(wh, nBuckets = 8)
+    val target = "cdc.commerce_customer_gc"
+    val pk = Seq("c_custkey")
+    val ev = Envelope.flatten(ChangeGen.changeLog(
+      Tables.load(spark, sfDir, "customer"),
+      "c_custkey", "c_acctbal", "commerce", "customer"))
+    val ts = col("_cdc.ts_ms")
+    commitPhase(spark, store, target, pk, ev.filter(ts <= 3000))
+    commitPhase(spark, store, target, pk, ev.filter(ts > 3000))
+    def summarize(df: DataFrame): (Long, Double) = {
+      val r = df.agg(count(lit(1)), round(sum(round(col("c_acctbal"), 2)), 2))
+        .head()
+      (r.getLong(0), r.getDouble(1))
+    }
+    val (n0, bal0) = summarize(store.currentState(spark, target))
+    // Crash debris: version cur+1 was written but the pointer swap
+    // never happened.
+    val cur = store.currentVersion(target)
+    val d = Paths.get(wh, target)
+    val bucketDir = d.resolve(s"v${cur + 1}")
+      .resolve(s"${graft.cdc.StateStore.BucketCol}=0")
+    Files.createDirectories(bucketDir)
+    Files.writeString(bucketDir.resolve("part-orphan.parquet"), "debris")
+    Files.writeString(d.resolve(s"manifest-${cur + 1}.tsv"),
+      s"0\tv${cur + 1}/${graft.cdc.StateStore.BucketCol}=0")
+    Files.writeString(d.resolve(s"schema-${cur + 1}.json"), "{}")
+    val removed = store.removeOrphans(target)
+    val (n1, bal1) = summarize(store.currentState(spark, target))
+    val removedAgain = store.removeOrphans(target)
+    import spark.implicits._
+    Seq(
+      ("gc", removed.toLong, n1, bal1,
+        removed == 5 && n1 == n0 && bal1 == bal0),
+      ("idempotent", removedAgain.toLong, n1, bal1, removedAgain == 0))
+      .toDF("step", "n_removed", "n_rows", "bal_sum", "ok")
+      .orderBy("step")
+  }
+
+  /** Final-state checksums from the wave formulas; the removed-entry
+    * counts are layout literals (see the query's debris recipe).
+    */
+  val orphanVacuumOracle: String =
+    """WITH fin AS (
+      |  SELECT count(*) AS n, ROUND(sum(ROUND(c_acctbal +
+      |    CASE WHEN c_custkey % 5 = 0 THEN 200.0
+      |         WHEN c_custkey % 3 = 0 THEN 100.0
+      |         ELSE 0.0 END, 2)), 2) AS bal
+      |  FROM customer WHERE c_custkey % 7 <> 0
+      |)
+      |SELECT 'gc' AS step, CAST(5 AS BIGINT) AS n_removed, n AS n_rows,
+      |  bal AS bal_sum, TRUE AS ok FROM fin
+      |UNION ALL SELECT 'idempotent', 0, n, bal, TRUE FROM fin
+      |ORDER BY step""".stripMargin
+
   private val partEvolveDirCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -897,6 +976,7 @@ object MaintenanceQueries {
     "maintenance_lifecycle" -> maintenanceLifecycle,
     "maintenance_rebucket" -> rebucket,
     "maintenance_partition_evolution" -> partitionEvolution,
+    "maintenance_orphan_vacuum" -> orphanVacuum,
     "cdc_point_lookup" -> pointLookup)
 
   def oracles: Map[String, String] = Map(
@@ -910,5 +990,6 @@ object MaintenanceQueries {
     "maintenance_lifecycle" -> maintenanceLifecycleOracle,
     "maintenance_rebucket" -> rebucketOracle,
     "maintenance_partition_evolution" -> partitionEvolutionOracle,
+    "maintenance_orphan_vacuum" -> orphanVacuumOracle,
     "cdc_point_lookup" -> pointLookupOracle)
 }

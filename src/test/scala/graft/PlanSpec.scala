@@ -377,6 +377,17 @@ class PlanSpec extends SparkTestBase {
       "bucket equality must not shuffle the corpus against the probe")
   }
 
+  test("join_q16: NOT IN runs as anti join; part filters prune pre-join") {
+    val p = plan("join_q16")
+    assert(p.contains("LeftAnti"), "NOT IN must execute as an anti join")
+    assert(p.contains("BroadcastHashJoin"),
+      "part and exclusion dims must broadcast")
+    assert(p.contains("In(p_size"), "size IN-list must push to the part scan")
+    // count(DISTINCT) two-stage: partial + final HashAggregates present.
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "distinct suppliers must aggregate in stages")
+  }
+
   test("cdc_outbox: router is a pure projection — no join before the rollup") {
     val p = plan("cdc_outbox")
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
