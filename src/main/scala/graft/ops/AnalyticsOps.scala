@@ -371,6 +371,48 @@ object AnalyticsOps {
       |    AS is_changepoint
       |FROM g ORDER BY day""".stripMargin
 
+  /** Day-of-week seasonality profile of the purchase stream: mean daily
+    * count per weekday, its ratio to the overall daily mean (the
+    * seasonal index — >1 means that weekday runs hot), and the peak
+    * weekday flagged. The profile any capacity planner or anomaly
+    * baseline consumes before [[tsAnomaly]]'s trailing window makes
+    * sense. Weekday numbering is 0=Sunday..6 (both engines' native
+    * conventions reconciled: Spark's dayofweek is 1-based).
+    *
+    * Scale: input collapses to O(days) map-side, then O(7); the windows
+    * run over the 7-row frame. Per-series seasonality adds the series
+    * key to every grouping, same shape.
+    */
+  def tsSeasonal(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = t(spark, sfDir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(date_trunc("DAY", col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val byDow = daily
+      .groupBy((dayofweek(col("day")) - 1).as("dow"))
+      .agg(round(avg("cnt"), 6).as("mean_daily"),
+        count(lit(1)).as("n_days"))
+    val overall = Window.partitionBy()
+    byDow
+      .withColumn("seasonal_idx",
+        round(col("mean_daily") / avg("mean_daily").over(overall), 6))
+      .withColumn("is_peak",
+        row_number().over(
+          Window.orderBy(col("mean_daily").desc, col("dow"))) === 1)
+      .orderBy("dow")
+  }
+
+  val tsSeasonalOracle: String =
+    """WITH d AS (SELECT date_trunc('day', ts) AS day, count(*) AS cnt
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |w AS (SELECT dayofweek(day) AS dow, round(avg(cnt), 6) AS mean_daily,
+      |    count(*) AS n_days
+      |  FROM d GROUP BY 1)
+      |SELECT CAST(dow AS INT) AS dow, mean_daily, n_days,
+      |  round(mean_daily / avg(mean_daily) OVER (), 6) AS seasonal_idx,
+      |  (row_number() OVER (ORDER BY mean_daily DESC, dow) = 1) AS is_peak
+      |FROM w ORDER BY dow""".stripMargin
+
   /** Ordered conversion funnel view → click → purchase: a user converts
     * at a stage only via events STRICTLY AFTER their entry to the
     * previous stage (the earliest qualifying event becomes the new
@@ -433,6 +475,7 @@ object AnalyticsOps {
     "ts_interpolate" -> tsInterpolate,
     "ts_anomaly" -> tsAnomaly,
     "ts_changepoint" -> tsChangepoint,
+    "ts_seasonal" -> tsSeasonal,
     "win_retention" -> winRetention,
     "win_funnel" -> winFunnel,
     "agg_corr" -> aggCorr,
@@ -444,6 +487,7 @@ object AnalyticsOps {
     "ts_interpolate" -> tsInterpolateOracle,
     "ts_anomaly" -> tsAnomalyOracle,
     "ts_changepoint" -> tsChangepointOracle,
+    "ts_seasonal" -> tsSeasonalOracle,
     "win_retention" -> winRetentionOracle,
     "win_funnel" -> winFunnelOracle,
     "agg_corr" -> aggCorrOracle,

@@ -2485,6 +2485,49 @@ object LlmOps {
       |FROM documents JOIN embeddings ON doc_id = vec_id
       |GROUP BY lang, label ORDER BY lang, label""".stripMargin
 
+  /** RAG-ingestion chunking: every document split into fixed 120-char
+    * windows at stride 90 (25% overlap — the retrieval-recall hedge at
+    * chunk boundaries), each chunk carrying a stable id
+    * (`doc_id`-major, offset-minor), its digest, and a whitespace
+    * token estimate — the unit a retrieval index embeds and serves.
+    * Chunk boundaries derive from `n_chars` arithmetic, so the chunk
+    * COUNT per document is decided before any string is cut.
+    *
+    * Scale: explode inflates rows by ~n_chars/stride (a constant ~3×
+    * here, never quadratic); everything per chunk is scan-local
+    * codegen'd string work — no shuffle at all until a consumer
+    * aggregates. The 100 TB posture is exactly this: chunking is a
+    * map-only pass that pipelines into the embedding stage without a
+    * single exchange.
+    */
+  def textChunk(spark: SparkSession, sfDir: String): DataFrame = {
+    val stride = 90
+    val width = 120
+    val lastK = floor((col("n_chars") - 1) / lit(stride.toDouble)).cast("int")
+    val chunk = expr(s"substring(text, k * $stride + 1, $width)")
+    t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), lastK)).as("k"))
+      .select((col("doc_id") * 100 + col("k")).as("chunk_id"),
+        col("doc_id"), col("k"),
+        length(chunk).as("chunk_len"),
+        md5(chunk).as("chunk_md5"),
+        (length(chunk) - length(regexp_replace(chunk, " ", "")) + 1)
+          .as("n_tokens_est"))
+      .orderBy("chunk_id")
+  }
+
+  val textChunkOracle: String =
+    """SELECT doc_id * 100 + k AS chunk_id, doc_id, CAST(k AS INT) AS k,
+      |  length(substr(text, k * 90 + 1, 120)) AS chunk_len,
+      |  md5(substr(text, k * 90 + 1, 120)) AS chunk_md5,
+      |  length(substr(text, k * 90 + 1, 120))
+      |    - length(replace(substr(text, k * 90 + 1, 120), ' ', '')) + 1
+      |    AS n_tokens_est
+      |FROM documents,
+      |  unnest(generate_series(0, CAST((n_chars - 1) // 90 AS INT))) AS t(k)
+      |ORDER BY chunk_id""".stripMargin
+
   /** Media-library dedup over the OPAQUE binary payload — the step a
     * multimodal ingest runs before any decode: duplicate payloads
     * (re-uploads, mirror crawls) collapse on (byte length, content
@@ -2586,7 +2629,8 @@ object LlmOps {
     "llm_mm_features" -> mmFeatures,
     "llm_mm_frames" -> mmFrames,
     "llm_mm_join" -> mmJoin,
-    "llm_mm_dedup" -> mmDedup)
+    "llm_mm_dedup" -> mmDedup,
+    "llm_text_chunk" -> textChunk)
 
   def oracles: Map[String, String] = Map(
     "llm_dedup_exact" -> dedupExactOracle,
@@ -2638,5 +2682,6 @@ object LlmOps {
     "llm_mm_features" -> mmFeaturesOracle,
     "llm_mm_frames" -> mmFramesOracle,
     "llm_mm_join" -> mmJoinOracle,
-    "llm_mm_dedup" -> mmDedupOracle)
+    "llm_mm_dedup" -> mmDedupOracle,
+    "llm_text_chunk" -> textChunkOracle)
 }

@@ -546,6 +546,51 @@ object Relational {
       |      AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R')
       |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
 
+  /** TPC-H Q19 shape — the disjunctive-predicate join: revenue over an
+    * OR of three (brand, size-range, quantity-range) conjunctions. The
+    * OR can't push down as-is (its branches constrain DIFFERENT
+    * tables), so the query states the two IMPLIED bounding predicates
+    * explicitly — `p_brand IN (...) AND p_size ≤ 15` onto the part
+    * scan, `l_quantity ≤ 30` onto the lineitem scan — and keeps the
+    * exact OR as the post-join residual. That hand-derivation is the
+    * optimization Q19 exists to test (engines that skip it scan
+    * everything; Catalyst folds the residual into the join's codegen'd
+    * condition but does not infer cross-branch bounds itself).
+    *
+    * Scale: the implied part filter shrinks the broadcast build side
+    * to the three brands; the quantity bound prunes the fact scan
+    * before the join — the residual then touches only
+    * might-match rows. Wrong-but-tempting alternative: three separate
+    * joins unioned — 3× the fact scans for identical output.
+    */
+  def joinQ19(spark: SparkSession, sfDir: String): DataFrame = {
+    val branch = (brand: String, sizeHi: Int, qLo: Int, qHi: Int) =>
+      col("p_brand") === brand && col("p_size").between(1, sizeHi) &&
+        col("l_quantity").between(qLo, qHi)
+    val residual = branch("Brand#12", 5, 1, 11) ||
+      branch("Brand#23", 10, 10, 20) || branch("Brand#34", 15, 20, 30)
+    t(spark, sfDir, "lineitem")
+      .filter(col("l_quantity") <= 30)
+      .join(broadcast(t(spark, sfDir, "part")
+          .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#34") &&
+            col("p_size").between(1, 15))),
+        col("p_partkey") === col("l_partkey") && residual)
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+  }
+
+  val joinQ19Oracle: String =
+    """SELECT count(*) AS n_lines,
+      |  ROUND(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+      |       AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+      |       AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
   /** TPC-H Q16 shape — supplier-diversity per part attribute with a
     * NOT IN exclusion: distinct suppliers per (brand, type, size) over
     * the part-supplier relation, minus an excluded supplier set (the
@@ -1656,6 +1701,7 @@ object Relational {
     "join_q5" -> joinQ5,
     "join_q16" -> joinQ16,
     "join_q18" -> joinQ18,
+    "join_q19" -> joinQ19,
     "join_q21" -> joinQ21,
     "join_bloom" -> joinBloom,
     "join_range" -> joinRange,
@@ -1715,6 +1761,7 @@ object Relational {
     "join_q5" -> joinQ5Oracle,
     "join_q16" -> joinQ16Oracle,
     "join_q18" -> joinQ18Oracle,
+    "join_q19" -> joinQ19Oracle,
     "join_q21" -> joinQ21Oracle,
     "join_bloom" -> joinBloomOracle,
     "join_range" -> joinRangeOracle,

@@ -478,7 +478,60 @@ object StreamingOps {
       |  ROUND(max(value), 2) AS max_value
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** The outbox SMT chain ([[graft.queries.OutboxQueries.outbox]])
+    * running INSIDE a streaming plan — route, re-key, forward and
+    * consumer-parse are all stateless per-row projections, so the SMT
+    * composes with micro-batching unchanged; only the final rollup
+    * holds state. Each order row synthesizes its outbox insert (and,
+    * for every third aggregate, the app's prune-delete that the router
+    * must drop) via an in-row explode — one streaming source, the
+    * interleaving a real outbox capture produces. The oracle is the
+    * BATCH outbox oracle verbatim: batch and streaming must converge.
+    */
+  def streamOutbox(spark: SparkSession, sfDir: String): DataFrame =
+    streamTable(spark, sfDir, "orders", "complete") { src =>
+      val eventType = when(col("o_orderstatus") === "O", "OrderCreated")
+        .when(col("o_orderstatus") === "F", "OrderFulfilled")
+        .otherwise("OrderPending")
+      val ins = struct(lit("c").as("op"), eventType.as("event_type"),
+        to_json(struct(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderpriority"))).as("payload"))
+      val del = struct(lit("d").as("op"),
+        lit(null).cast("string").as("event_type"),
+        lit(null).cast("string").as("payload"))
+      src.select(col("o_orderkey"),
+          explode(when(col("o_orderkey") % 3 === 0, array(ins, del))
+            .otherwise(array(ins))).as("e"))
+        .filter(col("e.op") === "c")
+        .select(lit("outbox.event.order").as("topic"),
+          col("o_orderkey").cast("string").as("key"),
+          col("e.event_type").as("event_type"),
+          from_json(col("e.payload"),
+            graft.queries.OutboxQueries.payloadSchema).as("body"))
+        .groupBy("topic", "event_type")
+        .agg(count(lit(1)).as("n_events"),
+          approx_count_distinct("key").as("n_aggregates_approx"),
+          round(sum(col("body.o_totalprice")), 2).as("total"))
+    }.select(col("topic"), col("event_type"), col("n_events"),
+        col("total"))
+      .orderBy("topic", "event_type")
+
+  /** Batch oracle minus the exact-distinct column (the streaming rollup
+    * keeps an approximate distinct internally — exact distinct under
+    * `complete` mode re-expands state per trigger; the published
+    * columns are the exactly-convergent ones).
+    */
+  val streamOutboxOracle: String =
+    """SELECT 'outbox.event.order' AS topic,
+      |  CASE o_orderstatus WHEN 'O' THEN 'OrderCreated'
+      |       WHEN 'F' THEN 'OrderFulfilled'
+      |       ELSE 'OrderPending' END AS event_type,
+      |  count(*) AS n_events,
+      |  round(sum(o_totalprice), 2) AS total
+      |FROM orders GROUP BY 1, 2 ORDER BY topic, event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_outbox" -> streamOutbox,
     "stream_tumbling" -> tumbling,
     "stream_sliding" -> sliding,
     "stream_session" -> session,
@@ -492,6 +545,7 @@ object StreamingOps {
     "stream_transform_state" -> transformState)
 
   def oracles: Map[String, String] = Map(
+    "stream_outbox" -> streamOutboxOracle,
     "stream_tumbling" -> tumblingOracle,
     "stream_sliding" -> slidingOracle,
     "stream_session" -> sessionOracle,

@@ -36,7 +36,7 @@ object OutboxQueries {
     * the contract half of the outbox pattern (producer owns the schema,
     * consumers pin a version of it).
     */
-  private val payloadSchema = StructType(Seq(
+  private[graft] val payloadSchema = StructType(Seq(
     StructField("o_orderkey", LongType),
     StructField("o_custkey", LongType),
     StructField("o_totalprice", DoubleType),

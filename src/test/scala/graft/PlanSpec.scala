@@ -388,6 +388,26 @@ class PlanSpec extends SparkTestBase {
       "distinct suppliers must aggregate in stages")
   }
 
+  test("join_q19: implied bounds pushed to both scans, residual on the join") {
+    val p = plan("join_q19")
+    assert(p.contains("In(p_brand"),
+      "implied brand IN-list must push to the part scan")
+    assert(p.contains("LessThanOrEqual(l_quantity,30.0)"),
+      "implied quantity bound must push to the lineitem scan")
+    assert(p.contains("BroadcastHashJoin"),
+      "three-brand part side must broadcast")
+    assert(scanCount(p) == 2,
+      "the OR must NOT be evaluated as unioned per-branch joins")
+  }
+
+  test("llm_text_chunk: map-only chunking — no join, no aggregate") {
+    val p = plan("llm_text_chunk")
+    assert(p.contains("Generate"), "chunk fan-out must be an explode")
+    assert(scanCount(p) == 1)
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      "chunking must pipeline scan-local into the sink")
+  }
+
   test("cdc_outbox: router is a pure projection — no join before the rollup") {
     val p = plan("cdc_outbox")
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&

@@ -106,6 +106,19 @@ class AnalyticsOpsSpec extends SparkTestBase {
       "the flagged day must carry the maximal |CUSUM|")
   }
 
+  test("ts_seasonal: day coverage partitions the series; indices average 1") {
+    val rows = AnalyticsOps.tsSeasonal(spark, sf).collect()
+    assert(rows.length <= 7 && rows.nonEmpty)
+    rows.foreach(r => assert(r.getInt(0) >= 0 && r.getInt(0) <= 6))
+    val nDays = AnalyticsOps.tsChangepoint(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum == nDays,
+      "weekday buckets must partition the observed days exactly")
+    assert(rows.count(_.getBoolean(4)) == 1, "exactly one peak weekday")
+    val meanIdx = rows.map(_.getDouble(3)).sum / rows.length
+    assert(math.abs(meanIdx - 1.0) < 1e-3,
+      s"seasonal indices must average ~1, got $meanIdx")
+  }
+
   test("win_funnel: stage survivors are monotone; rates consistent") {
     val rows = AnalyticsOps.winFunnel(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1),

@@ -92,4 +92,27 @@ class TextOpsSpec extends SparkTestBase {
     // Same unigram bag, different order → different bigram scores.
     assert(out(1L)._2 < out(2L)._2)
   }
+
+  test("textChunk: stride-complete coverage, bounded width, stable ids") {
+    val rows = LlmOps.textChunk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (chunkId, docId, k, len) =>
+      assert(chunkId == docId * 100 + k, "chunk ids must be doc-major")
+      assert(len >= 1 && len <= 120, s"chunk length $len outside (0, 120]")
+    }
+    val byDoc = rows.groupBy(_._2)
+    val nChars = graft.Tables.load(spark, sf, "documents")
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byDoc.foreach { case (docId, chunks) =>
+      val ks = chunks.map(_._3).sorted
+      assert(ks.toSeq == (0 until chunks.length), s"doc $docId gaps in k")
+      // strides cover the text: last chunk starts before the end,
+      // next-would-be chunk would start at or past it
+      val n = nChars(docId)
+      assert((ks.last * 90) < n && ((ks.last + 1) * 90) >= n,
+        s"doc $docId: ${ks.length} chunks do not tile $n chars at stride 90")
+    }
+  }
 }

@@ -53,6 +53,22 @@ class OutboxSpec extends SparkTestBase {
     }
   }
 
+  test("stream_outbox converges to the batch router's published columns") {
+    val streamed = graft.ops.StreamingOps.streamOutbox(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val batch = OutboxQueries.outbox(spark, sf)
+      .select("topic", "event_type", "n_events", "total").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(streamed.keySet == batch.keySet)
+    streamed.foreach { case (k, (n, total)) =>
+      assert(n == batch(k)._1, s"$k: streamed count $n != batch ${batch(k)._1}")
+      assert(math.abs(total - batch(k)._2) < 0.05,
+        s"$k: streamed total $total drifted from batch ${batch(k)._2}")
+    }
+  }
+
   test("column_mask: row set equals the merged state's keys") {
     val maskKeys = OutboxQueries.columnMask(spark, sf)
       .select("c_custkey").collect().map(_.getLong(0)).toSet
