@@ -47,6 +47,37 @@ object Functions {
       |  string_split(p_type, ' ')[1] AS type_head
       |FROM part ORDER BY p_partkey""".stripMargin
 
+  /** Regular-expression family: extract (first match + all matches),
+    * global replace, boolean match — over the free-text corpus where
+    * regex work actually happens. Patterns stay in the
+    * character-class/anchor-free subset both engines' dialects (Java
+    * regex here, RE2 in DuckDB) interpret identically; the oracle pins
+    * DuckDB's replace to the 'g' flag because Spark's regexp_replace is
+    * global by default and DuckDB's is first-match-only.
+    *
+    * Scale: all codegen'd scalar work fused into the scan's
+    * whole-stage pipeline — regex cost is per-row CPU, never a shuffle.
+    */
+  def fnRegexp(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        regexp_extract(col("text"), "[a-z]{6,}", 0).as("first_long_word"),
+        size(expr("regexp_extract_all(text, '[aeiou]+', 0)"))
+          .as("n_vowel_runs"),
+        regexp_replace(substring(col("text"), 1, 40), "[aeiou]", "")
+          .as("devoweled_head"),
+        col("text").rlike("slow .*fast|fast .*slow").as("mixed_speed"))
+      .orderBy("doc_id")
+
+  val fnRegexpOracle: String =
+    """SELECT doc_id,
+      |  regexp_extract(text, '[a-z]{6,}', 0) AS first_long_word,
+      |  len(regexp_extract_all(text, '[aeiou]+', 0)) AS n_vowel_runs,
+      |  regexp_replace(substr(text, 1, 40), '[aeiou]', '', 'g')
+      |    AS devoweled_head,
+      |  regexp_matches(text, 'slow .*fast|fast .*slow') AS mixed_speed
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Date/time family: extraction, truncation, day arithmetic, epoch.
     * Timestamps leave as formatted strings so parquet tz metadata never
     * matters.
@@ -247,7 +278,8 @@ object Functions {
     "fn_map" -> fnMap,
     "fn_json" -> fnJson,
     "fn_hash" -> fnHash,
-    "fn_bitwise" -> fnBitwise)
+    "fn_bitwise" -> fnBitwise,
+    "fn_regexp" -> fnRegexp)
 
   def oracles: Map[String, String] = Map(
     "fn_string" -> fnStringOracle,
@@ -257,5 +289,6 @@ object Functions {
     "fn_map" -> fnMapOracle,
     "fn_json" -> fnJsonOracle,
     "fn_hash" -> fnHashOracle,
-    "fn_bitwise" -> fnBitwiseOracle)
+    "fn_bitwise" -> fnBitwiseOracle,
+    "fn_regexp" -> fnRegexpOracle)
 }

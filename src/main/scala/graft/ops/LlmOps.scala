@@ -2485,6 +2485,46 @@ object LlmOps {
       |FROM documents JOIN embeddings ON doc_id = vec_id
       |GROUP BY lang, label ORDER BY lang, label""".stripMargin
 
+  /** Blocklist curation filter — the C4-style badwords pass: per
+    * document, exact whole-token hit counts against a blocklist, and a
+    * threshold verdict (≤ 2 total hits keeps the doc; the C4 rule is
+    * any-hit-drops, the threshold variant is what multilingual corpora
+    * actually ship with — a single false-positive token must not nuke a
+    * long document). Token-exact counting via a higher-order filter
+    * over the split token array — no regex, no substring false
+    * positives ("slowly" never counts as "slow").
+    *
+    * Scale: scan-local codegen'd array work per row; the only shuffle
+    * is whatever the consumer does with the verdict. A 10k-term real
+    * blocklist becomes a broadcast set membership instead of N filter
+    * lambdas — same plan shape.
+    */
+  def filterBlocklist(spark: SparkSession, sfDir: String): DataFrame = {
+    def hits(term: String): Column =
+      size(filter(split(col("text"), " "), w => w === term))
+    t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"),
+        hits("slow").as("hits_slow"),
+        hits("big").as("hits_big"))
+      .withColumn("n_hits", col("hits_slow") + col("hits_big"))
+      .withColumn("kept", col("n_hits") <= 2)
+      .orderBy("doc_id")
+  }
+
+  val filterBlocklistOracle: String =
+    """SELECT doc_id, lang,
+      |  len(list_filter(string_split(text, ' '), w -> w = 'slow'))
+      |    AS hits_slow,
+      |  len(list_filter(string_split(text, ' '), w -> w = 'big'))
+      |    AS hits_big,
+      |  len(list_filter(string_split(text, ' '), w -> w = 'slow'))
+      |    + len(list_filter(string_split(text, ' '), w -> w = 'big'))
+      |    AS n_hits,
+      |  (len(list_filter(string_split(text, ' '), w -> w = 'slow'))
+      |    + len(list_filter(string_split(text, ' '), w -> w = 'big'))) <= 2
+      |    AS kept
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** RAG-ingestion chunking: every document split into fixed 120-char
     * windows at stride 90 (25% overlap — the retrieval-recall hedge at
     * chunk boundaries), each chunk carrying a stable id
@@ -2630,7 +2670,8 @@ object LlmOps {
     "llm_mm_frames" -> mmFrames,
     "llm_mm_join" -> mmJoin,
     "llm_mm_dedup" -> mmDedup,
-    "llm_text_chunk" -> textChunk)
+    "llm_text_chunk" -> textChunk,
+    "llm_filter_blocklist" -> filterBlocklist)
 
   def oracles: Map[String, String] = Map(
     "llm_dedup_exact" -> dedupExactOracle,
@@ -2683,5 +2724,6 @@ object LlmOps {
     "llm_mm_frames" -> mmFramesOracle,
     "llm_mm_join" -> mmJoinOracle,
     "llm_mm_dedup" -> mmDedupOracle,
-    "llm_text_chunk" -> textChunkOracle)
+    "llm_text_chunk" -> textChunkOracle,
+    "llm_filter_blocklist" -> filterBlocklistOracle)
 }

@@ -484,6 +484,69 @@ object CdcQueries {
       |FROM ev WINDOW w AS (PARTITION BY c_custkey ORDER BY ts_ms)
       |ORDER BY c_custkey, ts_ms""".stripMargin
 
+  /** COMPOSITE-KEY MERGE — the multi-column `id-columns` case the
+    * reference's sink config syntax explicitly allows (comma-separated
+    * id columns): the lineitem fact keyed by (l_orderkey,
+    * l_linenumber), driven through the same envelope → flatten →
+    * latest-wins compaction as the single-key tables. The change
+    * script mutates quantity in two overlapping waves and deletes a
+    * slice; `seq` is unique per key by construction (orderkey·10 +
+    * linenumber — linenumber < 10 in TPC-H).
+    *
+    * Scale: identical posture to the single-key merge — `max_by` over
+    * the composite groupBy partial-aggregates map-side; the composite
+    * key adds bytes to the shuffle key, never rows.
+    */
+  def mergeComposite(spark: SparkSession, sfDir: String): DataFrame = {
+    // The synthetic fixture does NOT key lineitem by (orderkey,
+    // linenumber) — collapse to one row per composite key first (min
+    // aggregates, deterministic) so the captured table actually HAS
+    // the primary key the sink declares, as any real capture would.
+    val base = Tables.load(spark, sfDir, "lineitem")
+      .groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(min("l_quantity").as("l_quantity"),
+        min("l_extendedprice").as("l_extendedprice"))
+    val src = struct(lit("commerce").as("schema"), lit("lineitem").as("table"))
+    val k = col("l_orderkey") + col("l_linenumber")
+    val seq = col("l_orderkey") * 10 + col("l_linenumber")
+    def image(qty: Column): Column =
+      struct(col("l_orderkey"), col("l_linenumber"),
+        qty.cast("double").as("l_quantity"), col("l_extendedprice"))
+    val baseImage = image(col("l_quantity"))
+    val nullImage = when(lit(false), baseImage)
+    def ev(filter: Column, before: Column, after: Column, op: String,
+           ts: Long): DataFrame =
+      base.filter(filter).select(before.as("before"), after.as("after"),
+        lit(op).as("op"), lit(ts).as("ts_ms"), seq.cast("long").as("seq"),
+        src.as("source"))
+    val snap = ev(lit(true), nullImage, baseImage, Envelope.OpRead, 1000L)
+    val u1 = ev(k % 3 === 0, baseImage, image(col("l_quantity") + 5.0),
+      Envelope.OpUpdate, 2000L)
+    val u2 = ev(k % 5 === 0, baseImage, image(col("l_quantity") + 10.0),
+      Envelope.OpUpdate, 3000L)
+    val del = ev(k % 11 === 0, baseImage, nullImage, Envelope.OpDelete, 4000L)
+    val log = u2.unionAll(del).unionAll(snap).unionAll(u1)
+    Merge.compact(Envelope.flatten(log), Seq("l_orderkey", "l_linenumber"))
+      .withColumn("l_quantity", round(col("l_quantity"), 2))
+      .withColumn("l_extendedprice", round(col("l_extendedprice"), 2))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val mergeCompositeOracle: String =
+    """WITH keyed AS (
+      |  SELECT l_orderkey, l_linenumber, min(l_quantity) AS l_quantity,
+      |    min(l_extendedprice) AS l_extendedprice
+      |  FROM lineitem GROUP BY 1, 2
+      |)
+      |SELECT l_orderkey, l_linenumber,
+      |  ROUND(l_quantity + CASE
+      |    WHEN (l_orderkey + l_linenumber) % 5 = 0 THEN 10.0
+      |    WHEN (l_orderkey + l_linenumber) % 3 = 0 THEN 5.0
+      |    ELSE 0.0 END, 2) AS l_quantity,
+      |  ROUND(l_extendedprice, 2) AS l_extendedprice
+      |FROM keyed WHERE (l_orderkey + l_linenumber) % 11 <> 0
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   /** PER-TOPIC FRESHNESS AUDIT — the MilliSecondsBehindSource /
     * max-commit-lag dashboard a CDC operator watches (the reference's
     * heartbeat config, connect-sqlserver-source.json:13, exists to
@@ -554,6 +617,7 @@ object CdcQueries {
     "cdc_envelope_route" -> envelopeRoute,
     "cdc_route_fanout" -> routeFanout,
     "cdc_freshness" -> freshness,
+    "cdc_merge_composite" -> mergeComposite,
     "cdc_dead_letter" -> deadLetter)
 
   def oracles: Map[String, String] = Map(
@@ -568,5 +632,6 @@ object CdcQueries {
     "cdc_envelope_route" -> envelopeRouteOracle,
     "cdc_route_fanout" -> routeFanoutOracle,
     "cdc_freshness" -> freshnessOracle,
+    "cdc_merge_composite" -> mergeCompositeOracle,
     "cdc_dead_letter" -> deadLetterOracle)
 }

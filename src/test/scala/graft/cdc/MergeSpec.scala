@@ -57,6 +57,30 @@ class MergeSpec extends SparkTestBase {
     assert(res.passed, res.status.toString)
   }
 
+  test("compact honors composite keys: cells merge independently") {
+    val df = Seq(
+      (1L, 1L, "a", "r", 1000L, 1L),
+      (1L, 2L, "b", "r", 1000L, 2L),
+      (2L, 1L, "c", "r", 1000L, 3L),
+      (1L, 2L, "B", "u", 2000L, 4L),
+      (2L, 1L, "x", "d", 3000L, 5L)
+    ).toDF("k1", "k2", "v", "op", "ts", "seq")
+    val env = df.select(
+      when($"op" === "d", struct($"k1", $"k2", $"v")).otherwise(lit(null))
+        .as("before"),
+      when($"op" =!= "d", struct($"k1", $"k2", $"v")).otherwise(lit(null))
+        .as("after"),
+      $"op", $"ts".as("ts_ms"), $"seq",
+      struct(lit("commerce").as("schema"), lit("t").as("table")).as("source"))
+    val got = Merge.compact(Envelope.flatten(env), Seq("k1", "k2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2))
+      .toMap
+    // (1,2) takes its update, (1,1) keeps the snapshot image even though
+    // it shares k1 with an updated cell and k2 with a deleted one, and
+    // the deleted (2,1) is gone.
+    assert(got == Map((1L, 1L) -> "a", (1L, 2L) -> "B"))
+  }
+
   test("stale events lose regardless of arrival order") {
     val evs = Seq(
       Ev(1, "new", "u", 10, 0), Ev(1, "stale", "u", 5, 1),

@@ -93,6 +93,19 @@ class TextOpsSpec extends SparkTestBase {
     assert(out(1L)._2 < out(2L)._2)
   }
 
+  test("filterBlocklist: whole-token hits only; threshold keeps <= 2") {
+    val dir = docsDir(Seq(
+      1L -> "slow slowly slow big bigger",  // slow=2, big=1 → 3 hits, drop
+      2L -> "slowness and bigness abound",  // substrings never count
+      3L -> "slow big"))                    // 2 hits, keep
+    val out = LlmOps.filterBlocklist(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(2), r.getInt(3), r.getBoolean(5))).toMap
+    assert(out(1L) == ((2, 1, false)), s"doc1: ${out(1L)}")
+    assert(out(2L) == ((0, 0, true)), s"doc2: ${out(2L)}")
+    assert(out(3L) == ((1, 1, true)), s"doc3: ${out(3L)}")
+  }
+
   test("textChunk: stride-complete coverage, bounded width, stable ids") {
     val rows = LlmOps.textChunk(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
