@@ -636,6 +636,113 @@ object Relational {
       |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
       |LIMIT 100""".stripMargin
 
+  /** TPC-H Q13 shape — customer order-count DISTRIBUTION through an
+    * outer join whose predicate filters the RIGHT side (customers with
+    * zero qualifying orders must survive with count 0, which an inner
+    * join would drop).
+    *
+    * Scale: orders pre-aggregates to one (custkey, n) row per customer
+    * BEFORE the join — map-side partial agg means the join's right side
+    * is customer-cardinality, not orders-cardinality, and the second
+    * groupBy (on the count value) is tens of rows. The naive spelling —
+    * outer-join raw orders then count — shuffles the full fact table.
+    */
+  def joinQ13(spark: SparkSession, sfDir: String): DataFrame = {
+    val perCust = t(spark, sfDir, "orders")
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+    t(spark, sfDir, "customer").select("c_custkey")
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("n"), lit(0L)).as("c_count"))
+      .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val joinQ13Oracle: String =
+    """SELECT c_count, count(*) AS custdist FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |    AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** TPC-H Q17 shape — small-quantity outliers against a per-part
+    * CORRELATED average (`l_quantity < 0.2 * avg(l_quantity) per
+    * part`), summed into one "avg yearly revenue" figure.
+    *
+    * Scale: the correlated subquery is decorrelated by hand into ONE
+    * window over `l_partkey` instead of a self-join back onto
+    * lineitem — one shuffle on the part key computes the threshold and
+    * filters in the same stage. The brand/size part filter broadcasts
+    * and prunes FIRST, so the window's input is already the qualifying
+    * slice (the subquery-then-join spelling computes per-part averages
+    * for every part, 25× this work here).
+    */
+  def joinQ17(spark: SparkSession, sfDir: String): DataFrame = {
+    val qualified = t(spark, sfDir, "lineitem")
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(broadcast(t(spark, sfDir, "part")
+          .filter(col("p_brand") === "Brand#23" && col("p_size") <= 25)
+          .select("p_partkey")),
+        col("p_partkey") === col("l_partkey"))
+    qualified
+      .withColumn("thr",
+        avg("l_quantity").over(Window.partitionBy("l_partkey")) * 0.2)
+      .filter(col("l_quantity") < col("thr"))
+      .agg(round(sum("l_extendedprice") / 7.0, 2).as("avg_yearly"))
+  }
+
+  val joinQ17Oracle: String =
+    """SELECT ROUND(sum(l_extendedprice) / 7.0, 2) AS avg_yearly FROM (
+      |  SELECT l_extendedprice, l_quantity,
+      |    0.2 * avg(l_quantity) OVER (PARTITION BY l_partkey) AS thr
+      |  FROM lineitem JOIN part ON p_partkey = l_partkey
+      |  WHERE p_brand = 'Brand#23' AND p_size <= 25)
+      |WHERE l_quantity < thr""".stripMargin
+
+  /** TPC-H Q22 shape — above-average-balance customers with no urgent
+    * orders, rolled up per nation: a scalar aggregate subquery feeding
+    * a filter, then an anti join against the fact table.
+    *
+    * Scale: the scalar average stays declarative — a 1-row aggregate
+    * cross-joined by broadcast, so no driver-side collect and Catalyst
+    * still sees one plan. The threshold is ROUNDed to cents on BOTH
+    * engines before comparing: a raw double avg differs between
+    * engines in the last ulp (different summation order), and a
+    * boundary customer flipping on that ulp is exactly the r3 class of
+    * oracle flake. The anti join ships only (custkey) pairs.
+    */
+  def joinQ22(spark: SparkSession, sfDir: String): DataFrame = {
+    val avgBal = t(spark, sfDir, "customer")
+      .filter(col("c_acctbal") > 0.0)
+      .agg(round(avg("c_acctbal"), 2).as("avg_bal"))
+    val urgent = t(spark, sfDir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey")
+    t(spark, sfDir, "customer")
+      .select("c_custkey", "c_nationkey", "c_acctbal")
+      .crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").as("cntry"))
+      .agg(count(lit(1)).as("numcust"),
+        round(sum("c_acctbal"), 2).as("totacctbal"))
+      .orderBy("cntry")
+  }
+
+  val joinQ22Oracle: String =
+    """SELECT c_nationkey AS cntry, count(*) AS numcust,
+      |  ROUND(sum(c_acctbal), 2) AS totacctbal
+      |FROM customer
+      |WHERE c_acctbal > (
+      |    SELECT ROUND(avg(c_acctbal), 2) FROM customer
+      |    WHERE c_acctbal > 0)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM orders
+      |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Runtime-filter join — the `InjectRuntimeFilter` bloom pattern
     * hand-materialized: the selective build side (orders in a late date
     * window) aggregates a bloom filter over its join key in one
@@ -1703,6 +1810,9 @@ object Relational {
     "join_q18" -> joinQ18,
     "join_q19" -> joinQ19,
     "join_q21" -> joinQ21,
+    "join_q13" -> joinQ13,
+    "join_q17" -> joinQ17,
+    "join_q22" -> joinQ22,
     "join_bloom" -> joinBloom,
     "join_range" -> joinRange,
     "join_skew_salted" -> joinSkewSalted,
@@ -1763,6 +1873,9 @@ object Relational {
     "join_q18" -> joinQ18Oracle,
     "join_q19" -> joinQ19Oracle,
     "join_q21" -> joinQ21Oracle,
+    "join_q13" -> joinQ13Oracle,
+    "join_q17" -> joinQ17Oracle,
+    "join_q22" -> joinQ22Oracle,
     "join_bloom" -> joinBloomOracle,
     "join_range" -> joinRangeOracle,
     "join_skew_salted" -> joinSkewSaltedOracle,
