@@ -35,6 +35,8 @@ object SparkEntry {
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CdcQueries.queries ++
+      graft.queries.MorQueries.queries ++
+      graft.queries.SnapshotQueries.queries ++
       graft.queries.PipelineQueries.queries ++
       graft.queries.IvfCdcQueries.queries ++
       graft.queries.AggCdcQueries.queries ++
@@ -57,6 +59,8 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     graft.queries.CdcQueries.oracles ++
+      graft.queries.MorQueries.oracles ++
+      graft.queries.SnapshotQueries.oracles ++
       graft.queries.PipelineQueries.oracles ++
       graft.queries.IvfCdcQueries.oracles ++
       graft.queries.AggCdcQueries.oracles ++
