@@ -470,8 +470,69 @@ object AnalyticsOps {
       |  UNION ALL SELECT '3_purchase', n3, round(n3 / n2, 6) FROM c)
       |ORDER BY stage""".stripMargin
 
+  /** EXPONENTIALLY WEIGHTED MOVING AVERAGE per series — the smoothing
+    * pass monitoring and trend detection layer over noisy daily
+    * metrics (and the classic "order-sensitive recursion that doesn't
+    * fit SQL" strawman). The recursion y_i = αx_i + (1-α)y_{i-1} is
+    * replaced by its TRUNCATED KERNEL: a normalized weighted sum of
+    * the last K observations with weights (1-α)^j. Truncation at K=16
+    * bounds the dropped tail mass at (1-α)^16 ≈ 0.3% of total weight
+    * (α=0.3) — and it is exactly what makes the operator scale-safe:
+    * a bounded ROWS window per series key instead of an unbounded
+    * sequential scan, so a 100 TB history smooths with one shuffle by
+    * series key and no cross-partition state. Normalizing by the
+    * realized weight sum (pandas `adjust=True`) makes the series head
+    * well-defined without an initial-condition convention.
+    *
+    * Per-day means are rounded to 6dp on BOTH engines before entering
+    * the kernel, so the smoothed values derive from identical inputs;
+    * the oracle spells the same kernel as a bounded range self-join.
+    */
+  def tsEwma(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = t(spark, sfDir, "events")
+      .groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("d"))
+      .agg(round(avg("value"), 6).as("x"))
+      .select(col("event_type"), date_format(col("d"), "yyyy-MM-dd")
+        .as("day"), col("x"))
+    val lastK = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-15, 0)
+    daily
+      .withColumn("xs", collect_list("x").over(lastK))
+      .withColumn("ewma", expr(
+        """round(
+          |  aggregate(xs,
+          |    struct(CAST(0.0 AS DOUBLE) AS s, CAST(0.0 AS DOUBLE) AS ws,
+          |           0 AS i),
+          |    (acc, x) -> struct(
+          |      acc.s + x * pow(0.7, size(xs) - 1 - acc.i),
+          |      acc.ws + pow(0.7, size(xs) - 1 - acc.i),
+          |      acc.i + 1),
+          |    acc -> acc.s / acc.ws), 6)""".stripMargin))
+      .select(col("event_type"), col("day"), col("x"), col("ewma"))
+      .orderBy("event_type", "day")
+  }
+
+  val tsEwmaOracle: String =
+    """WITH d AS (
+      |  SELECT event_type, date_trunc('day', ts) AS d,
+      |    ROUND(avg(value), 6) AS x
+      |  FROM events GROUP BY 1, 2
+      |), r AS (
+      |  SELECT event_type, strftime(d, '%Y-%m-%d') AS day, x,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn
+      |  FROM d
+      |)
+      |SELECT a.event_type, a.day, a.x,
+      |  ROUND(sum(b.x * pow(0.7, a.rn - b.rn)) /
+      |        sum(pow(0.7, a.rn - b.rn)), 6) AS ewma
+      |FROM r a JOIN r b ON a.event_type = b.event_type
+      |  AND b.rn BETWEEN a.rn - 15 AND a.rn
+      |GROUP BY a.event_type, a.day, a.x
+      |ORDER BY a.event_type, a.day""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_resample" -> tsResample,
+    "ts_ewma" -> tsEwma,
     "ts_interpolate" -> tsInterpolate,
     "ts_anomaly" -> tsAnomaly,
     "ts_changepoint" -> tsChangepoint,
@@ -484,6 +545,7 @@ object AnalyticsOps {
 
   def oracles: Map[String, String] = Map(
     "ts_resample" -> tsResampleOracle,
+    "ts_ewma" -> tsEwmaOracle,
     "ts_interpolate" -> tsInterpolateOracle,
     "ts_anomaly" -> tsAnomalyOracle,
     "ts_changepoint" -> tsChangepointOracle,

@@ -550,6 +550,71 @@ object LlmOps {
       |     sqrt(list_dot_product(b.v, b.v))), 6) >= 0.30
       |ORDER BY v1, v2""".stripMargin
 
+  /** Approximate k-NEAREST-NEIGHBOR GRAPH — each vector's top-3
+    * neighbors by cosine among its LSH sign-bucket candidates, the
+    * index structure semantic clustering, label propagation and
+    * graph-based dedup all start from (and the batch twin of what an
+    * HNSW builder maintains incrementally). Built from the SAME
+    * census-capped candidate set as [[simJoin]]: symmetrize the
+    * (v1 < v2) pair list, then rank per source with a window.
+    *
+    * Ranking uses the ROUNDED cosine with the neighbor id as the tie
+    * break, so the top-3 cut is identical on both engines even when
+    * raw doubles differ in the last ulp.
+    *
+    * Scale: the quadratic term is bounded by the bucket census cap
+    * BEFORE any pair forms; the per-node ranking window shuffles
+    * (src, dst, cos) triples keyed by src, and its partition size is
+    * the node's candidate degree — itself ≤ the bucket cap, so no
+    * window partition can blow up. Output is ≤ k rows per vector.
+    */
+  def simKnnGraph(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = signBucketPairs(spark, sfDir)
+    val sym = pairs
+      .select(col("v1").as("vec_id"), col("v2").as("neighbor"), col("cos"))
+      .unionAll(pairs
+        .select(col("v2").as("vec_id"), col("v1").as("neighbor"),
+          col("cos")))
+    val byCos = Window.partitionBy("vec_id")
+      .orderBy(col("cos").desc, col("neighbor"))
+    sym.withColumn("rank", row_number().over(byCos))
+      .filter(col("rank") <= 3)
+      .select(col("vec_id"), col("rank"), col("neighbor"), col("cos"))
+      .orderBy("vec_id", "rank")
+  }
+
+  val simKnnGraphOracle: String =
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |    concat(
+      |      CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+      |      CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+      |      CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+      |      CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END,
+      |      CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END,
+      |      CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END) AS bkt
+      |  FROM embeddings
+      |), ok AS (
+      |  SELECT bkt FROM e GROUP BY bkt HAVING count(*) BETWEEN 2 AND 200
+      |), pairs AS (
+      |  SELECT a.vec_id AS v1, b.vec_id AS v2,
+      |    ROUND(list_dot_product(a.v, b.v) /
+      |      (sqrt(list_dot_product(a.v, a.v)) *
+      |       sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+      |  FROM e a JOIN e b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+      |  JOIN ok ON ok.bkt = a.bkt
+      |), sym AS (
+      |  SELECT v1 AS vec_id, v2 AS neighbor, cos FROM pairs
+      |  UNION ALL SELECT v2, v1, cos FROM pairs
+      |)
+      |SELECT vec_id,
+      |  CAST(row_number() OVER w AS INT) AS rank, neighbor, cos
+      |FROM sym
+      |WINDOW w AS (PARTITION BY vec_id ORDER BY cos DESC, neighbor)
+      |QUALIFY row_number() OVER w <= 3
+      |ORDER BY vec_id, rank""".stripMargin
+
   /** Transitive near-dup resolution: connected components over the
     * sign-bucket candidate graph (cos >= 0.30, the [[simJoin]] cut so
     * chains actually occur in the fixture), emitting each member's
@@ -2671,7 +2736,8 @@ object LlmOps {
     "llm_mm_join" -> mmJoin,
     "llm_mm_dedup" -> mmDedup,
     "llm_text_chunk" -> textChunk,
-    "llm_filter_blocklist" -> filterBlocklist)
+    "llm_filter_blocklist" -> filterBlocklist,
+    "llm_sim_knn_graph" -> simKnnGraph)
 
   def oracles: Map[String, String] = Map(
     "llm_dedup_exact" -> dedupExactOracle,
@@ -2725,5 +2791,6 @@ object LlmOps {
     "llm_mm_join" -> mmJoinOracle,
     "llm_mm_dedup" -> mmDedupOracle,
     "llm_text_chunk" -> textChunkOracle,
-    "llm_filter_blocklist" -> filterBlocklistOracle)
+    "llm_filter_blocklist" -> filterBlocklistOracle,
+    "llm_sim_knn_graph" -> simKnnGraphOracle)
 }
