@@ -743,6 +743,176 @@ object Relational {
       |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** TPC-H Q7 shape — bilateral trade volume: revenue flowing between
+    * two named nations, split by which side supplied and which side
+    * bought, per ship year. Five joins, but only ONE is fact-sized:
+    * lineitem→orders shuffles on orderkey; supplier, customer (via
+    * orders) and both nation legs broadcast. The disjunctive
+    * nation-pair predicate is applied AFTER both nation names are in
+    * row scope — on the broadcast-joined row, not as a join condition,
+    * so the planner keeps simple equi-joins.
+    */
+  def joinQ7(spark: SparkSession, sfDir: String): DataFrame = {
+    val n1 = broadcast(t(spark, sfDir, "nation")
+      .select(col("n_nationkey").as("n1k"), col("n_name").as("supp_nation")))
+    val n2 = broadcast(t(spark, sfDir, "nation")
+      .select(col("n_nationkey").as("n2k"), col("n_name").as("cust_nation")))
+    val sup = broadcast(t(spark, sfDir, "supplier")
+      .select("s_suppkey", "s_nationkey"))
+    val cust = broadcast(t(spark, sfDir, "customer")
+      .select("c_custkey", "c_nationkey"))
+    t(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate").between("1996-01-01", "1997-12-31"))
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+        "l_shipdate")
+      .join(t(spark, sfDir, "orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(n1, col("s_nationkey") === col("n1k"))
+      .join(n2, col("c_nationkey") === col("n2k"))
+      .filter((col("supp_nation") === "NATION_3" &&
+          col("cust_nation") === "NATION_7") ||
+        (col("supp_nation") === "NATION_7" &&
+          col("cust_nation") === "NATION_3"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))),
+        2).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  val joinQ7Oracle: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  year(l_shipdate) AS l_year,
+      |  ROUND(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+      |                     AND TIMESTAMP '1997-12-31'
+      |  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      |    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+      |GROUP BY 1, 2, 3
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** TPC-H Q10 shape — returned-item revenue ranking: which customers
+    * sent the most revenue back in a quarter. Fact-fact join on
+    * orderkey (both sides pre-filtered: the order-date window prunes
+    * orders, the returnflag prunes lineitem — both predicates reach
+    * their scans), then broadcast dim joins. Ranking happens on the
+    * ROUNDED revenue with custkey tie-break, so the top-20 cut is
+    * engine-stable; `orderBy.limit` plans as TakeOrderedAndProject.
+    */
+  def joinQ10(spark: SparkSession, sfDir: String): DataFrame = {
+    t(spark, sfDir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+      .join(t(spark, sfDir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01") &&
+            col("o_orderdate") < lit("1996-07-01"))
+          .select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(spark, sfDir, "customer")
+          .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, sfDir, "nation")
+          .select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))),
+        2).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val joinQ10Oracle: String =
+    """SELECT c_custkey, c_name, c_acctbal, n_name,
+      |  ROUND(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate <  TIMESTAMP '1996-07-01'
+      |GROUP BY 1, 2, 3, 4
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  /** TPC-H Q14 shape — promotion share of revenue in a ship month: a
+    * conditional aggregate ratio (two sums in ONE pass over the
+    * filtered join, not two scans). The part side broadcasts; the
+    * month filter reaches the lineitem scan. The ratio of two
+    * engine-identical rounded sums is rounded again, so cross-engine
+    * float drift cannot reach the compared digits.
+    */
+  def joinQ14(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    t(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-03-01") &&
+        col("l_shipdate") < lit("1996-04-01"))
+      .select("l_partkey", "l_extendedprice", "l_discount")
+      .join(broadcast(t(spark, sfDir, "part").select("p_partkey", "p_type")),
+        col("p_partkey") === col("l_partkey"))
+      .agg((round(sum(when(col("p_type").startsWith("PROMO"), rev)
+          .otherwise(lit(0.0))), 2) * 100.0 /
+        round(sum(rev), 2)).as("raw"))
+      .select(round(col("raw"), 4).as("promo_revenue_pct"))
+  }
+
+  val joinQ14Oracle: String =
+    """SELECT ROUND(
+      |    ROUND(sum(CASE WHEN p_type LIKE 'PROMO%'
+      |                   THEN l_extendedprice * (1.0 - l_discount)
+      |                   ELSE 0.0 END), 2) * 100.0 /
+      |    ROUND(sum(l_extendedprice * (1.0 - l_discount)), 2),
+      |  4) AS promo_revenue_pct
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      |  AND l_shipdate <  TIMESTAMP '1996-04-01'""".stripMargin
+
+  /** TPC-H Q15 shape — top supplier(s) by quarterly revenue: an
+    * aggregate "view" joined against its own maximum (the classic
+    * view + scalar-subquery pattern). The per-supplier revenue frame
+    * is supplier-cardinality, its 1-row max broadcasts back over it,
+    * and the equality fires on the CENTS-ROUNDED revenue both engines
+    * computed from identical inputs — never on a raw double.
+    */
+  def joinQ15(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = t(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate").between("1996-01-01", "1996-03-31"))
+      .groupBy(col("l_suppkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))),
+        2).as("total_revenue"))
+    val maxRev = rev.agg(max("total_revenue").as("max_revenue"))
+    rev.crossJoin(broadcast(maxRev))
+      .filter(col("total_revenue") === col("max_revenue"))
+      .join(broadcast(t(spark, sfDir, "supplier")
+          .select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  val joinQ15Oracle: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    ROUND(sum(l_extendedprice * (1.0 - l_discount)), 2)
+      |      AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+      |                       AND TIMESTAMP '1996-03-31'
+      |  GROUP BY l_suppkey
+      |)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
   /** Runtime-filter join — the `InjectRuntimeFilter` bloom pattern
     * hand-materialized: the selective build side (orders in a late date
     * window) aggregates a bloom filter over its join key in one
@@ -1813,6 +1983,10 @@ object Relational {
     "join_q13" -> joinQ13,
     "join_q17" -> joinQ17,
     "join_q22" -> joinQ22,
+    "join_q7" -> joinQ7,
+    "join_q10" -> joinQ10,
+    "join_q14" -> joinQ14,
+    "join_q15" -> joinQ15,
     "join_bloom" -> joinBloom,
     "join_range" -> joinRange,
     "join_skew_salted" -> joinSkewSalted,
@@ -1876,6 +2050,10 @@ object Relational {
     "join_q13" -> joinQ13Oracle,
     "join_q17" -> joinQ17Oracle,
     "join_q22" -> joinQ22Oracle,
+    "join_q7" -> joinQ7Oracle,
+    "join_q10" -> joinQ10Oracle,
+    "join_q14" -> joinQ14Oracle,
+    "join_q15" -> joinQ15Oracle,
     "join_bloom" -> joinBloomOracle,
     "join_range" -> joinRangeOracle,
     "join_skew_salted" -> joinSkewSaltedOracle,
