@@ -875,6 +875,101 @@ object Relational {
       |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
       |  AND l_shipdate <  TIMESTAMP '1996-04-01'""".stripMargin
 
+  /** TPC-H Q6 shape — the forecast-revenue-change scan: ONE table, a
+    * three-predicate filter, one conditional sum, no join at all. Its
+    * whole point at scale is that every predicate is scan-eligible:
+    * the date window, the discount band and the quantity cap all push
+    * into the parquet reader (PushedFilters), so the aggregate sees
+    * only qualifying rows and the query is bounded by I/O after
+    * row-group pruning — the floor any engine's scan path is measured
+    * against.
+    */
+  def joinQ6(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+        .as("revenue"))
+
+  val joinQ6Oracle: String =
+    """SELECT ROUND(sum(l_extendedprice * l_discount), 2) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  /** TPC-H Q8 shape — national market share: of the revenue a region's
+    * customers spent on a part class over two years, what fraction was
+    * supplied by one nation, per order year. The share is a
+    * conditional-aggregate ratio over ONE joined pass (no second scan
+    * for the denominator). Join discipline as Q7: the only fact-sized
+    * shuffle is lineitem→orders on orderkey; part (filtered), both
+    * nation legs, region and supplier broadcast; customer joins via
+    * orders' custkey shuffle. Numerator and denominator are rounded to
+    * cents before the division, the quotient once more — cross-engine
+    * double drift never reaches the compared digits.
+    */
+  def joinQ8(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val custNation = broadcast(t(spark, sfDir, "nation")
+      .join(broadcast(t(spark, sfDir, "region"))
+          .filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("cnk")))
+    val supNation = broadcast(t(spark, sfDir, "nation")
+      .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation")))
+    t(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+        "l_discount")
+      .join(broadcast(t(spark, sfDir, "part")
+          .filter(col("p_type").startsWith("STANDARD"))
+          .select("p_partkey")),
+        col("p_partkey") === col("l_partkey"))
+      .join(t(spark, sfDir, "orders")
+          .filter(col("o_orderdate").between("1996-01-01", "1997-12-31"))
+          .select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(spark, sfDir, "customer")
+          .select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(custNation, col("c_nationkey") === col("cnk"))
+      .join(broadcast(t(spark, sfDir, "supplier")
+          .select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(supNation, col("s_nationkey") === col("snk"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg((round(sum(when(col("supp_nation") === "NATION_3", rev)
+          .otherwise(lit(0.0))), 2) /
+        round(sum(rev), 2)).as("raw"))
+      .select(col("o_year"), round(col("raw"), 6).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  val joinQ8Oracle: String =
+    """SELECT year(o_orderdate) AS o_year,
+      |  ROUND(
+      |    ROUND(sum(CASE WHEN n2.n_name = 'NATION_3'
+      |                   THEN l_extendedprice * (1.0 - l_discount)
+      |                   ELSE 0.0 END), 2) /
+      |    ROUND(sum(l_extendedprice * (1.0 - l_discount)), 2),
+      |  6) AS mkt_share
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |JOIN region ON n1.n_regionkey = r_regionkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |WHERE p_type LIKE 'STANDARD%'
+      |  AND o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+      |                      AND TIMESTAMP '1997-12-31'
+      |  AND r_name = 'EUROPE'
+      |GROUP BY 1 ORDER BY o_year""".stripMargin
+
   /** TPC-H Q15 shape — top supplier(s) by quarterly revenue: an
     * aggregate "view" joined against its own maximum (the classic
     * view + scalar-subquery pattern). The per-supplier revenue frame
@@ -1983,7 +2078,9 @@ object Relational {
     "join_q13" -> joinQ13,
     "join_q17" -> joinQ17,
     "join_q22" -> joinQ22,
+    "join_q6" -> joinQ6,
     "join_q7" -> joinQ7,
+    "join_q8" -> joinQ8,
     "join_q10" -> joinQ10,
     "join_q14" -> joinQ14,
     "join_q15" -> joinQ15,
@@ -2050,7 +2147,9 @@ object Relational {
     "join_q13" -> joinQ13Oracle,
     "join_q17" -> joinQ17Oracle,
     "join_q22" -> joinQ22Oracle,
+    "join_q6" -> joinQ6Oracle,
     "join_q7" -> joinQ7Oracle,
+    "join_q8" -> joinQ8Oracle,
     "join_q10" -> joinQ10Oracle,
     "join_q14" -> joinQ14Oracle,
     "join_q15" -> joinQ15Oracle,
