@@ -965,7 +965,108 @@ object MaintenanceQueries {
       |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
       |FROM orders GROUP BY 1, 2 ORDER BY p_year, o_orderpriority""".stripMargin
 
+  // ------------------------------------------------- write-audit-publish
+
+  private val wapDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** WRITE-AUDIT-PUBLISH — the Iceberg staging-branch workflow
+    * (`spark.wap.branch` / cherry-pick publish) that keeps bad batches
+    * out of reader-visible state: an incoming wave is STAGED invisible
+    * to readers, AUDIT rules run against the staged data, and only
+    * audit-clean rows PUBLISH into the base; violating rows land in a
+    * QUARANTINE sidecar tagged with the first rule they broke (the
+    * dead-letter discipline applied at the table boundary — same
+    * motivation as the envelope-level `cdc_dead_letter`, one layer up).
+    * A batch whose violation fraction exceeds 50% aborts the publish
+    * outright — past that point the wave itself is suspect, not its
+    * rows (WapSpec proves the abort leaves base untouched).
+    *
+    * The staged wave here upserts +100 onto keys k%4=0 but poisons two
+    * slices: k%40=0 loses its name (NOT NULL audit) and k%25=0 carries
+    * an out-of-band balance (range audit). The published result —
+    * valid updates applied, poisoned keys held at their base image —
+    * is the oracle; quarantine contents and the abort path are spec
+    * contracts (WapSpec), since they are not reader-visible state.
+    *
+    * Scale: staging is an append of the wave (change-volume-sized);
+    * audits are scan-local predicates over the staged file set only —
+    * never a rescan of base; publish is one anti-join upsert keyed on
+    * the wave's keys, i.e. exactly the cost of the merge the wave
+    * would have cost WITHOUT auditing. Nothing here rewrites
+    * unaffected data.
+    */
+  def wapPublish(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val dir = wapDirCache.computeIfAbsent(sfDir,
+      _ => Files.createTempDirectory("graft-wap-").toString)
+    val dirPath = Paths.get(dir)
+    if (Files.exists(dirPath)) {
+      Files.walk(dirPath).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => if (p != dirPath) Files.deleteIfExists(p))
+    }
+    val base = Tables.load(spark, sfDir, "customer")
+    val pk = col("c_custkey")
+    val wave = base.filter(pk % 4 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+      .withColumn("c_name",
+        when(pk % 40 === 0, lit(null)).otherwise(col("c_name")))
+      .withColumn("c_acctbal",
+        when(pk % 25 === 0, lit(-99999.0)).otherwise(col("c_acctbal")))
+    wapRun(spark, dir, base, wave)
+  }
+
+  /** Stage → audit → quarantine/abort → publish, against `dir`. Split
+    * out so WapSpec can drive poisoned waves through the abort path.
+    */
+  private[queries] def wapRun(spark: SparkSession, dir: String,
+      base: DataFrame, wave: DataFrame): DataFrame = {
+    val pk = col("c_custkey")
+    base.write.mode("overwrite").parquet(s"$dir/base")
+
+    // WRITE: the wave stages out-of-line; readers still see base only.
+    wave.write.mode("overwrite").parquet(s"$dir/staging")
+
+    // AUDIT: first-matching-rule tag per staged row.
+    val audited = spark.read.parquet(s"$dir/staging")
+      .withColumn("violation",
+        when(col("c_name").isNull, "null_name")
+          .when(col("c_acctbal") < -1000.0, "balance_bound"))
+    audited.filter(col("violation").isNotNull)
+      .write.mode("overwrite").parquet(s"$dir/quarantine")
+    val counts = audited
+      .agg(count(lit(1)).as("n"), count(col("violation")).as("bad")).head
+    val (nStaged, nBad) = (counts.getLong(0), counts.getLong(1))
+    require(nBad * 2 <= nStaged,
+      s"WAP abort: $nBad of $nStaged staged rows fail audits — " +
+        "publish withheld, wave quarantined for operator review")
+
+    // PUBLISH: upsert only the audit-clean rows; swap like a commit.
+    val valid = audited.filter(col("violation").isNull).drop("violation")
+    spark.read.parquet(s"$dir/base")
+      .join(valid.select(pk.as("vk")), pk === col("vk"), "left_anti")
+      .unionByName(valid)
+      .write.mode("overwrite").parquet(s"$dir/published")
+    spark.read.parquet(s"$dir/published")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        round(col("c_acctbal"), 2).as("c_acctbal"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+
+  private[queries] def wapRoot(sfDir: String): String =
+    wapDirCache.get(sfDir)
+
+  val wapPublishOracle: String =
+    """SELECT c_custkey, c_name, c_nationkey,
+      |  ROUND(CASE WHEN c_custkey % 4 = 0 AND c_custkey % 40 <> 0
+      |                  AND c_custkey % 25 <> 0
+      |             THEN c_acctbal + 100.0 ELSE c_acctbal END, 2)
+      |    AS c_acctbal,
+      |  c_mktsegment
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "maintenance_wap" -> wapPublish,
     "cdc_scd2" -> scd2,
     "cdc_scd2_asof" -> scd2Asof,
     "cdc_table_changes" -> tableChanges,
@@ -980,6 +1081,7 @@ object MaintenanceQueries {
     "cdc_point_lookup" -> pointLookup)
 
   def oracles: Map[String, String] = Map(
+    "maintenance_wap" -> wapPublishOracle,
     "cdc_scd2" -> scd2Oracle,
     "cdc_scd2_asof" -> scd2AsofOracle,
     "cdc_table_changes" -> tableChangesOracle,
