@@ -2032,6 +2032,44 @@ object Relational {
 
   val sqlCteOracle: String = sqlCteText
 
+  /** RECURSIVE CTE (Spark 4's WITH RECURSIVE, SPARK-24497) — the
+    * hierarchy-walk shape the SQL surface could not express before:
+    * every customer key walks its ancestor chain in the implicit heap
+    * tree (parent(n) = (n-1) div 2) to the root, then aggregates chain
+    * length and ancestor balance mass. Depth is log2(keys) — the
+    * recursion executes O(log n) joined iterations, each one a
+    * key-partitioned self-step, well inside Spark's recursion cap.
+    * The only text difference between the engines is the integer
+    * division spelling (`div` vs `//`) — both truncate identically on
+    * the non-negative operands the `node > 0` guard admits (negative
+    * operands would split them: Spark truncates toward zero, DuckDB
+    * floors).
+    */
+  def sqlRecursive(spark: SparkSession, sfDir: String): DataFrame = {
+    registerViews(spark, sfDir, "customer")
+    spark.sql(
+      """WITH RECURSIVE walk(k, node) AS (
+        |  SELECT c_custkey, c_custkey FROM customer
+        |  UNION ALL
+        |  SELECT w.k, (w.node - 1) div 2 FROM walk w WHERE w.node > 0
+        |)
+        |SELECT w.k AS c_custkey, count(*) AS chain_len,
+        |  ROUND(sum(c.c_acctbal), 2) AS ancestor_bal
+        |FROM walk w JOIN customer c ON c.c_custkey = w.node
+        |GROUP BY w.k ORDER BY c_custkey""".stripMargin)
+  }
+
+  val sqlRecursiveOracle: String =
+    """WITH RECURSIVE walk(k, node) AS (
+      |  SELECT c_custkey, c_custkey FROM customer
+      |  UNION ALL
+      |  SELECT w.k, (w.node - 1) // 2 FROM walk w WHERE w.node > 0
+      |)
+      |SELECT w.k AS c_custkey, count(*) AS chain_len,
+      |  ROUND(sum(c.c_acctbal), 2) AS ancestor_bal
+      |FROM walk w JOIN customer c ON c.c_custkey = w.node
+      |GROUP BY w.k ORDER BY c_custkey""".stripMargin
+
   /** TPC-H Q17 shape: a scalar subquery CORRELATED on the outer join
     * key (`0.2 * avg(l_quantity)` per part) gating a fact-side filter.
     * The decorrelation test Catalyst must pass at scale: the naive plan
@@ -2123,6 +2161,7 @@ object Relational {
     "filter_predicates" -> filterPredicates,
     "sql_subquery" -> sqlSubquery,
     "sql_cte" -> sqlCte,
+    "sql_recursive" -> sqlRecursive,
     "sql_correlated" -> sqlCorrelated)
 
   def oracles: Map[String, String] = Map(
@@ -2192,5 +2231,6 @@ object Relational {
     "filter_predicates" -> filterPredicatesOracle,
     "sql_subquery" -> sqlSubqueryOracle,
     "sql_cte" -> sqlCteOracle,
+    "sql_recursive" -> sqlRecursiveOracle,
     "sql_correlated" -> sqlCorrelatedOracle)
 }
