@@ -416,4 +416,39 @@ class PlanSpec extends SparkTestBase {
     assert("HashAggregate".r.findAllIn(p).size >= 2,
       "the consumer rollup must partial-aggregate map-side")
   }
+
+  test("join_q6: all three predicates pushed, no join node") {
+    val p = plan("join_q6")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), "date window not pushed")
+    assert(p.contains("GreaterThanOrEqual(l_discount"), "discount band not pushed")
+    assert(p.contains("LessThan(l_quantity"), "quantity cap not pushed")
+    assert(!p.contains("Join"), "Q6 is a pure scan-aggregate")
+  }
+
+  test("join_q7/q8: every dim leg broadcasts; one shuffled fact join") {
+    for (q <- Seq("join_q7", "join_q8")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q dims must broadcast")
+      val smj = "SortMergeJoin".r.findAllIn(p).size
+      val shj = "ShuffledHashJoin".r.findAllIn(p).size
+      assert(smj + shj <= 1,
+        s"$q: only lineitem-orders may shuffle, found ${smj + shj} shuffled joins")
+    }
+  }
+
+  test("join_q10: top-20 plans as TakeOrderedAndProject") {
+    val p = plan("join_q10")
+    assert(p.contains("TakeOrderedAndProject"), "ranking must not global-sort")
+  }
+
+  test("join_q13: orders pre-aggregate before the outer join") {
+    val p = plan("join_q13")
+    // The aggregate must sit BELOW the join in execution order — i.e.
+    // print-order index of the join is smaller (formatted plans print
+    // leaf-last), proving the join's right side is customer-cardinality.
+    val joinIdx = p.indexOf("Join")
+    val aggIdx = p.lastIndexOf("HashAggregate")
+    assert(joinIdx >= 0 && aggIdx >= 0 && joinIdx < aggIdx,
+      "orders must collapse to per-customer counts before joining")
+  }
 }
