@@ -16,7 +16,7 @@ object PlanAudit {
       println(SparkEntry.queries(q)(spark, sf).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode).linesIterator
         .filter(l => l.contains("Scan") || l.contains("PushedFilters") || l.contains("ReadSchema") ||
-          l.contains("Broadcast") || l.contains("TakeOrdered") || l.contains("WholeStageCodegen") ||
+          l.contains("Join") || l.contains("Broadcast") || l.contains("TakeOrdered") || l.contains("WholeStageCodegen") ||
           l.contains("Exchange") || l.contains("Aggregate") || l.contains("Expand") ||
           l.contains("Window") || l.contains("Generate") || l.contains("Sort"))
         .take(20).mkString("\n"))

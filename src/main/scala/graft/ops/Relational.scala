@@ -1078,6 +1078,134 @@ object Relational {
       |  ROUND(avg(value), 6) AS type_avg
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** TPC-H Q12 shape (adapted: this fixture's lineitem carries no
+    * l_shipmode/commitdate/receiptdate, so line status stands in for
+    * ship mode and the late-delivery predicate is the ship-date
+    * window) — priority-class counts per shipping class. The join is
+    * the one Q12 exists to exercise: fact-to-fact lineitem⨝orders on
+    * orderkey, NOT broadcastable at scale, so the plan's only
+    * data-sized exchange is that orderkey shuffle; the date window
+    * pushes into the lineitem scan first, priority classification is
+    * a per-row projection, and the conditional counts partial-combine
+    * to ≤|linestatus| rows per task before the final 2-row exchange.
+    * `count(when(...))` / `count(CASE...)` on both sides keeps the
+    * outputs BIGINT — never DuckDB's sum-of-INT HUGEINT.
+    */
+  def joinQ12(spark: SparkSession, sfDir: String): DataFrame = {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    t(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+      .select("l_orderkey", "l_linestatus")
+      .join(t(spark, sfDir, "orders").select("o_orderkey", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_linestatus")
+      .agg(count(when(high, lit(1))).as("high_line_count"),
+        count(when(!high, lit(1))).as("low_line_count"))
+      .orderBy("l_linestatus")
+  }
+
+  val joinQ12Oracle: String =
+    """SELECT l_linestatus,
+      |  count(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |             THEN 1 END) AS high_line_count,
+      |  count(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+      |             THEN 1 END) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate <  TIMESTAMP '1998-01-01'
+      |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
+  /** TPC-H Q11 shape (adapted: no partsupp table, so per-part revenue
+    * stands in for inventory value) — the HAVING-against-a-global-
+    * scalar pattern: keep the parts whose value exceeds a fraction of
+    * the corpus total. Catalyst's decorrelation target is stated
+    * directly: ONE per-part aggregate, its 1-row (total, count) rollup
+    * broadcast back over the part-cardinality frame — the value frame
+    * is never re-scanned for the denominator, the difference between
+    * O(parts) and O(2× corpus) at 100 TB. The threshold is
+    * scale-invariant (value > 1.2× the mean part value — TPC-H itself
+    * scales Q11's fraction by 1/SF) and the comparison runs entirely
+    * in exact BIGINT cents (`part_cents·n·5 > total·6`), so no
+    * boundary part can flip on cross-engine double drift. The value
+    * frame persists so the stats rollup reads the part-cardinality
+    * cache, not a second pass over the fact table (SparkEntry's
+    * cache-lifecycle contract applies).
+    */
+  def joinQ11(spark: SparkSession, sfDir: String): DataFrame = {
+    val value = t(spark, sfDir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+        .as("part_cents"))
+      .persist()
+    val stats = value.agg(sum("part_cents").as("total_cents"),
+      count(lit(1)).as("n_parts"))
+    value.crossJoin(broadcast(stats))
+      .filter(col("part_cents") * col("n_parts") * 5 > col("total_cents") * 6)
+      .select("l_partkey", "part_cents")
+      .orderBy("l_partkey")
+  }
+
+  val joinQ11Oracle: String =
+    """WITH v AS (
+      |  SELECT l_partkey,
+      |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS part_cents
+      |  FROM lineitem GROUP BY l_partkey
+      |), s AS (
+      |  SELECT CAST(sum(part_cents) AS BIGINT) AS total_cents,
+      |    count(*) AS n_parts
+      |  FROM v
+      |)
+      |SELECT l_partkey, part_cents FROM v, s
+      |WHERE part_cents * n_parts * 5 > total_cents * 6
+      |ORDER BY l_partkey""".stripMargin
+
+  /** TPC-H Q20 shape (adapted: no partsupp, so the availability
+    * correlation becomes a shipped-volume threshold) — the nested-IN
+    * chain: suppliers IN (an AGGREGATED subquery with HAVING, itself
+    * filtered by parts IN (a name-prefix dim subquery)). Stated as the
+    * semi-join ladder Catalyst's RewritePredicateSubquery produces:
+    * the part filter broadcast-LEFT-SEMI-prunes lineitem BEFORE the
+    * (suppkey, partkey) aggregate — at-most-once probe, so the agg
+    * input never duplicates — the HAVING runs over the group frame,
+    * and the surviving supplier keys semi-join the supplier dim.
+    * Every exchange after the pruned scan is group-cardinality-sized;
+    * quantities are small integers, exactly representable, so the
+    * HAVING threshold is engine-stable.
+    */
+  def joinQ20(spark: SparkSession, sfDir: String): DataFrame = {
+    val redParts = t(spark, sfDir, "part")
+      .filter(col("p_name").startsWith("red"))
+      .select("p_partkey")
+    val qualifying = t(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1999-01-01"))
+      .select("l_partkey", "l_suppkey", "l_quantity")
+      .join(broadcast(redParts), col("l_partkey") === col("p_partkey"),
+        "left_semi")
+      .groupBy("l_suppkey", "l_partkey")
+      .agg(sum("l_quantity").as("qty"))
+      .filter(col("qty") > 60)
+      .select("l_suppkey")
+    t(spark, sfDir, "supplier")
+      .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name")
+      .orderBy("s_suppkey")
+  }
+
+  val joinQ20Oracle: String =
+    """SELECT s_suppkey, s_name FROM supplier
+      |WHERE s_suppkey IN (
+      |  SELECT l_suppkey FROM lineitem
+      |  WHERE l_partkey IN
+      |      (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate <  TIMESTAMP '1999-01-01'
+      |  GROUP BY l_suppkey, l_partkey
+      |  HAVING sum(l_quantity) > 60)
+      |ORDER BY s_suppkey""".stripMargin
+
   // --------------------------------------------------------- aggregations
 
   /** TPC-H Q1 shape: the canonical multi-aggregate hash agg over the
@@ -2122,6 +2250,9 @@ object Relational {
     "join_q10" -> joinQ10,
     "join_q14" -> joinQ14,
     "join_q15" -> joinQ15,
+    "join_q12" -> joinQ12,
+    "join_q11" -> joinQ11,
+    "join_q20" -> joinQ20,
     "join_bloom" -> joinBloom,
     "join_range" -> joinRange,
     "join_skew_salted" -> joinSkewSalted,
@@ -2192,6 +2323,9 @@ object Relational {
     "join_q10" -> joinQ10Oracle,
     "join_q14" -> joinQ14Oracle,
     "join_q15" -> joinQ15Oracle,
+    "join_q12" -> joinQ12Oracle,
+    "join_q11" -> joinQ11Oracle,
+    "join_q20" -> joinQ20Oracle,
     "join_bloom" -> joinBloomOracle,
     "join_range" -> joinRangeOracle,
     "join_skew_salted" -> joinSkewSaltedOracle,

@@ -451,4 +451,35 @@ class PlanSpec extends SparkTestBase {
     assert(joinIdx >= 0 && aggIdx >= 0 && joinIdx < aggIdx,
       "orders must collapse to per-customer counts before joining")
   }
+
+  test("join_q12: date window pushed; exactly one join; partial agg") {
+    val p = plan("join_q12")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      "ship-date window must push to the lineitem scan")
+    // One lineitem-orders join only (broadcast at this SF; the same
+    // plan shuffle-joins once statistics say orders won't fit).
+    assert("Join type: Inner".r.findAllIn(p).size == 1,
+      "lineitem-orders must join exactly once")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "conditional counts must partial-aggregate map-side")
+  }
+
+  test("join_q11: stats branch reads the cached value frame, not a rescan") {
+    val p = plan("join_q11")
+    assert(p.contains("InMemoryTableScan") || scanCount(p) == 1,
+      "the denominator rollup must not re-aggregate lineitem")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")
+        || p.contains("BroadcastHashJoin"),
+      "the (total, count) rollup must broadcast over the value frame")
+  }
+
+  test("join_q20: both IN subqueries run as semi joins; part prunes first") {
+    val p = plan("join_q20")
+    assert("Join type: LeftSemi".r.findAllIn(p).size == 2,
+      "part IN-prune and supplier IN must both be semi joins")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      "ship window must push to the lineitem scan")
+    // The part semi join broadcasts (tiny name-filtered dim).
+    assert(p.contains("BroadcastHashJoin"), "part prune must broadcast")
+  }
 }
