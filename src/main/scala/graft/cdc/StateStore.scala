@@ -91,7 +91,13 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
                                   m: Map[Int, String],
                                   schema: StructType): DataFrame = {
     if (m.isEmpty) return emptyState(spark, target)
-    val byBase = m.keys.toSeq.groupBy(b => m(b).split("/")(0))
+    // Group by the bucket dir's PARENT path (not just the leading
+    // component): a shallow clone's manifest entries reach into the
+    // source table's version dirs ("../<src>/v3/_bucket=5"), and each
+    // distinct parent is its own basePath so the `_bucket` partition
+    // column materializes for local and cross-table entries alike.
+    val byBase = m.keys.toSeq.groupBy(b =>
+      m(b).substring(0, m(b).lastIndexOf('/')))
     byBase.map { case (verDir, bs) =>
       val base = dir(target).resolve(verDir).toString
       val paths = bs.map(b => dir(target).resolve(m(b)).toString)
@@ -185,6 +191,85 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
         s"single-writer invariant violated on $target: version moved " +
           s"from $prev to ${currentVersion(target)} during commit")
     // Atomic pointer swap: readers see version prev or next, never a mix.
+    val tmp = d.resolve("_VERSION.tmp")
+    Files.writeString(tmp, next.toString)
+    Files.move(tmp, d.resolve(VersionFile),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    next
+  }
+
+  /** SHALLOW CLONE (the Delta `CREATE TABLE ... SHALLOW CLONE` /
+    * Iceberg snapshot-ref analog) — a new table whose version-0
+    * manifest points at the SOURCE's current data directories via
+    * relative paths. No data file is read, copied, or written: the
+    * operation is O(manifest) at any table size — cloning a 100 TB
+    * table costs the same as cloning a 100 MB one. Because shared
+    * version dirs are immutable (commits only add files under the
+    * committing table's own dir and re-point), source and clone evolve
+    * independently from the moment of the clone: a commit to either is
+    * invisible to the other.
+    *
+    * Caveat — the same one Delta and Iceberg document: `vacuum` on the
+    * SOURCE does not know about clone references, so expiring source
+    * history can strand a clone that still points into it. Compacting
+    * the clone (one rewrite commit) folds every referenced row under
+    * the clone's own dir and detaches it.
+    */
+  def cloneTable(src: String, dst: String): Unit = {
+    require(exists(src), s"clone source $src does not exist")
+    require(!exists(dst), s"clone destination $dst already exists")
+    val d = dir(dst)
+    Files.createDirectories(d)
+    val rel = d.relativize(dir(src)).toString
+    val entries = manifest(src).toSeq.sortBy(_._1)
+      .map { case (b, p) => s"$b\t$rel/$p" }.mkString("\n")
+    Files.writeString(d.resolve("manifest-0.tsv"), entries)
+    val schemaJson =
+      Files.readString(dir(src).resolve(s"schema-${currentVersion(src)}.json"))
+    Files.writeString(d.resolve("schema-0.json"), schemaJson)
+    Files.writeString(d.resolve("schema-history.jsonl"),
+      s"""{"version":0,"schema":$schemaJson}""" + "\n")
+    val tmp = d.resolve("_VERSION.tmp")
+    Files.writeString(tmp, "0")
+    Files.move(tmp, d.resolve(VersionFile),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** RESTORE (the Delta `RESTORE TABLE ... TO VERSION AS OF` analog):
+    * roll the table back to an earlier committed version by committing
+    * a NEW version whose manifest is a copy of the old one — exactly
+    * the rollback path [[stateAt]]'s scaladoc names. Metadata-only
+    * (data dirs are immutable and already in place), so rolling back a
+    * 100 TB table is an O(manifest) pointer operation, and the
+    * rolled-past versions remain time-travelable until vacuumed.
+    * Fails loudly if the requested version's manifest has already been
+    * vacuumed away.
+    */
+  def restore(target: String, toVersion: Int): Int = {
+    val d = dir(target)
+    val prev = currentVersion(target)
+    require(toVersion >= 0 && toVersion <= prev,
+      s"cannot restore $target to $toVersion (current: $prev)")
+    require(Files.exists(d.resolve(s"manifest-$toVersion.tsv")),
+      s"version $toVersion of $target has been vacuumed — unrestorable")
+    val next = prev + 1
+    // Same crash-debris discipline as commit(): clear any files a
+    // crashed attempt left at `next` before writing.
+    Seq(d.resolve(s"manifest-$next.tsv"), d.resolve(s"schema-$next.json"))
+      .foreach(Files.deleteIfExists)
+    Files.copy(d.resolve(s"manifest-$toVersion.tsv"),
+      d.resolve(s"manifest-$next.tsv"))
+    val schemaJson = Files.readString(d.resolve(s"schema-$toVersion.json"))
+    Files.writeString(d.resolve(s"schema-$next.json"), schemaJson)
+    if (Files.readString(d.resolve(s"schema-$prev.json")) != schemaJson)
+      Files.writeString(d.resolve("schema-history.jsonl"),
+        s"""{"version":$next,"schema":$schemaJson}""" + "\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    if (currentVersion(target) != prev)
+      throw new IllegalStateException(
+        s"single-writer invariant violated on $target: version moved " +
+          s"from $prev to ${currentVersion(target)} during restore")
     val tmp = d.resolve("_VERSION.tmp")
     Files.writeString(tmp, next.toString)
     Files.move(tmp, d.resolve(VersionFile),

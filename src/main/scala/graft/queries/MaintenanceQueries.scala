@@ -902,6 +902,131 @@ object MaintenanceQueries {
       |UNION ALL SELECT 'idempotent', 0, n, bal, TRUE FROM fin
       |ORDER BY step""".stripMargin
 
+  private val cloneDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** SHALLOW CLONE + RESTORE as one oracle-checked lifecycle — the
+    * Delta `SHALLOW CLONE` / `RESTORE VERSION AS OF` pair run
+    * end-to-end on the store:
+    *
+    *  1. `clone_pre` — the source is built from the pre-delete waves
+    *     and cloned; `ok` asserts the clone wrote ZERO data files
+    *     (metadata-only — the property that makes cloning a 100 TB
+    *     table an O(manifest) operation) yet reads identically.
+    *  2. `clone_diverged` — the clone merges its own wave (the delete
+    *     wave restricted to even keys → %14 keys drop); `ok` asserts
+    *     the SOURCE still reads its pre-clone numbers — writes to the
+    *     clone land under the clone's dir only.
+    *  3. `source_wave` — the source merges the full delete wave (%7
+    *     drops); `ok` asserts the CLONE kept its own divergent state —
+    *     isolation in both directions, by immutability of shared dirs.
+    *  4. `restored` — the source RESTOREs to its pre-delete version;
+    *     `ok` asserts the state equals step 1 exactly and that the
+    *     restore wrote no data directory (a pointer commit, nothing
+    *     else — rollback at 100 TB must not be a rewrite).
+    *
+    * Store dir cached per (JVM, sfDir) + wiped at entry (the
+    * maintenanceLifecycle discipline) so reruns are deterministic.
+    */
+  def cloneRestore(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val wh = cloneDirCache.computeIfAbsent(sfDir,
+      _ => Files.createTempDirectory("graft-clone-").toString)
+    val whPath = Paths.get(wh)
+    Files.walk(whPath).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => if (p != whPath) Files.deleteIfExists(p))
+    val store = new graft.cdc.StateStore(wh, nBuckets = 8)
+    val src = "cdc.commerce_customer_cl"
+    val dst = "cdc.commerce_customer_cl_clone"
+    val pk = Seq("c_custkey")
+    val ev = Envelope.flatten(ChangeGen.changeLog(
+      Tables.load(spark, sfDir, "customer"),
+      "c_custkey", "c_acctbal", "commerce", "customer"))
+    val ts = col("_cdc.ts_ms")
+    val vPre = commitPhase(spark, store, src, pk, ev.filter(ts <= 3000))
+
+    store.cloneTable(src, dst)
+    def parquetFilesUnder(t: String): Long = {
+      val d = whPath.resolve(t)
+      val s = Files.walk(d)
+      try s.filter(p => p.toString.endsWith(".parquet")).count()
+      finally s.close()
+    }
+    val cloneDataFiles = parquetFilesUnder(dst)
+    def summarize(df: DataFrame): (Long, Double) = {
+      val r = df.agg(count(lit(1)), round(sum(round(col("c_acctbal"), 2)), 2))
+        .head()
+      (r.getLong(0), r.getDouble(1))
+    }
+    val (nPre, balPre) = summarize(store.currentState(spark, src))
+    val cloneAtBirth = summarize(store.currentState(spark, dst))
+
+    // The clone diverges: the delete wave restricted to even keys.
+    graft.cdc.MergeCommit.mergeFlattened(store, dst,
+      ev.filter(ts > 3000 && col("row.c_custkey") % 2 === 0), pk)
+    val (nCd, balCd) = summarize(store.currentState(spark, dst))
+    val srcAfterCloneWave = summarize(store.currentState(spark, src))
+
+    // The source moves on: the full delete wave.
+    graft.cdc.MergeCommit.mergeFlattened(store, src, ev.filter(ts > 3000), pk)
+    val (nSw, balSw) = summarize(store.currentState(spark, src))
+    val cloneAfterSrcWave = summarize(store.currentState(spark, dst))
+
+    // Roll the source back to the pre-delete snapshot — pointer-only.
+    val vRestored = store.restore(src, vPre)
+    val (nR, balR) = summarize(store.currentState(spark, src))
+    val restoredDataDir =
+      Files.exists(whPath.resolve(src).resolve(s"v$vRestored"))
+
+    import spark.implicits._
+    Seq(
+      ("clone_diverged", nCd, balCd, srcAfterCloneWave == ((nPre, balPre))),
+      ("clone_pre", cloneAtBirth._1, cloneAtBirth._2,
+        cloneDataFiles == 0L && cloneAtBirth == ((nPre, balPre))),
+      ("restored", nR, balR,
+        nR == nPre && balR == balPre && !restoredDataDir),
+      ("source_wave", nSw, balSw, cloneAfterSrcWave == ((nCd, balCd))))
+      .toDF("step", "n_rows", "bal_sum", "ok")
+      .orderBy("step")
+  }
+
+  /** The store of the LAST [[cloneRestore]] run for this sfDir — spec
+    * access for detach-by-compaction and unrestorable-version checks.
+    */
+  private[queries] def cloneStore(sfDir: String): graft.cdc.StateStore =
+    new graft.cdc.StateStore(cloneDirCache.get(sfDir), nBuckets = 8)
+
+  /** Checksums from the wave formulas: pre = every key with the +100%3
+    * / +200%5 arithmetic; the clone's wave drops %14 keys; the
+    * source's wave drops %7; restore returns to pre.
+    */
+  val cloneRestoreOracle: String =
+    """WITH pre AS (
+      |  SELECT count(*) AS n, ROUND(sum(ROUND(c_acctbal +
+      |    CASE WHEN c_custkey % 5 = 0 THEN 200.0
+      |         WHEN c_custkey % 3 = 0 THEN 100.0
+      |         ELSE 0.0 END, 2)), 2) AS bal
+      |  FROM customer
+      |), cd AS (
+      |  SELECT count(*) AS n, ROUND(sum(ROUND(c_acctbal +
+      |    CASE WHEN c_custkey % 5 = 0 THEN 200.0
+      |         WHEN c_custkey % 3 = 0 THEN 100.0
+      |         ELSE 0.0 END, 2)), 2) AS bal
+      |  FROM customer WHERE c_custkey % 14 <> 0
+      |), sw AS (
+      |  SELECT count(*) AS n, ROUND(sum(ROUND(c_acctbal +
+      |    CASE WHEN c_custkey % 5 = 0 THEN 200.0
+      |         WHEN c_custkey % 3 = 0 THEN 100.0
+      |         ELSE 0.0 END, 2)), 2) AS bal
+      |  FROM customer WHERE c_custkey % 7 <> 0
+      |)
+      |SELECT 'clone_diverged' AS step, n AS n_rows, bal AS bal_sum,
+      |  TRUE AS ok FROM cd
+      |UNION ALL SELECT 'clone_pre', n, bal, TRUE FROM pre
+      |UNION ALL SELECT 'restored', n, bal, TRUE FROM pre
+      |UNION ALL SELECT 'source_wave', n, bal, TRUE FROM sw
+      |ORDER BY step""".stripMargin
+
   private val partEvolveDirCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -1078,6 +1203,7 @@ object MaintenanceQueries {
     "maintenance_rebucket" -> rebucket,
     "maintenance_partition_evolution" -> partitionEvolution,
     "maintenance_orphan_vacuum" -> orphanVacuum,
+    "maintenance_clone_restore" -> cloneRestore,
     "cdc_point_lookup" -> pointLookup)
 
   def oracles: Map[String, String] = Map(
@@ -1093,5 +1219,6 @@ object MaintenanceQueries {
     "maintenance_rebucket" -> rebucketOracle,
     "maintenance_partition_evolution" -> partitionEvolutionOracle,
     "maintenance_orphan_vacuum" -> orphanVacuumOracle,
+    "maintenance_clone_restore" -> cloneRestoreOracle,
     "cdc_point_lookup" -> pointLookupOracle)
 }

@@ -146,4 +146,41 @@ class MaintenanceQueriesSpec extends SparkTestBase {
     assert(a.forall(_.getBoolean(3)),
       s"every lifecycle invariant must hold: ${a.mkString(", ")}")
   }
+
+  test("compacting a shallow clone detaches it from the source; " +
+      "restore past vacuum fails loudly; rolled-past versions stay " +
+      "time-travelable until then") {
+    val rows = MaintenanceQueries.cloneRestore(spark, sf).collect()
+    assert(rows.forall(_.getBoolean(3)),
+      s"every clone/restore invariant must hold: ${rows.mkString(", ")}")
+    val store = MaintenanceQueries.cloneStore(sf)
+    val (src, dst) = ("cdc.commerce_customer_cl", "cdc.commerce_customer_cl_clone")
+
+    // At birth the clone's manifest reaches into the source dir;
+    // compaction folds every row under the clone's own dir.
+    assert(store.manifest(dst).values.exists(_.startsWith("..")),
+      "fresh shallow clone must reference source data dirs")
+    val before = store.currentState(spark, dst)
+    store.compactTable(spark, dst)
+    assert(store.manifest(dst).values.forall(!_.startsWith("..")),
+      "compacted clone must own every referenced dir")
+    val after = store.currentState(spark, dst)
+    assert(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty,
+      "detach-by-compaction changed the clone's state")
+
+    // The source sits at the restored version (v2: wave, wave, delete,
+    // restore → 3? — derive, don't hardcode); its delete-wave version
+    // is still one travel hop back, and after vacuum the pre-restore
+    // manifests are gone so a second restore to them must refuse.
+    val cur = store.currentVersion(src)
+    val deletedState = store.stateAt(spark, src, cur - 1)
+    assert(deletedState.filter(col("c_custkey") % 7 === 0).count() === 0,
+      "the rolled-past delete-wave version must stay readable")
+    store.vacuum(src, keepVersions = 1)
+    val ex = intercept[IllegalArgumentException] {
+      store.restore(src, cur - 1)
+    }
+    assert(ex.getMessage.contains("vacuumed"),
+      s"restore past vacuum must name the cause: ${ex.getMessage}")
+  }
 }
