@@ -290,13 +290,221 @@ object ClusterOps {
       |SELECT vec_id, sum_q, recon_cos, recon_cos >= $QuantCosFloor AS ok
       |FROM d ORDER BY vec_id""".stripMargin
 
+  // ------------------------------------------------- product quantization
+
+  /** PQ geometry: 64 dims split into [[PqM]] subspaces of [[PqDim]],
+    * each quantized against its own [[PqK]]-codeword codebook — 4
+    * code bytes per vector vs 256 raw-float bytes, the 64× compression
+    * that lets a 100 TB vector corpus keep its index in memory
+    * (Jégou et al. 2011, "Product Quantization for Nearest Neighbor
+    * Search"). One Lloyd refinement per subspace trains the codebooks.
+    */
+  private val PqM = 4
+  private val PqDim = 16
+  private val PqK = 8
+  private val PqC = 50
+
+  private def pqSub(v: Column, m: Int): Column =
+    slice(v, m * PqDim + 1, PqDim)
+
+  /** Train subspace `m`'s codebook: lowest-id seeding + one Lloyd
+    * round, the [[kmeansAssigned]] recipe on the subvector slice; the
+    * result is COLLECTED — K × PqDim doubles, metadata-sized at any
+    * corpus scale (production trains on a sample for the same reason).
+    */
+  private def pqCodebook(e: DataFrame, m: Int): Seq[Seq[Double]] = {
+    val sub = e.select(col("vec_id"), pqSub(col("v"), m).as("sv"))
+    val seed = sub.orderBy("vec_id").limit(PqK)
+      .select((row_number().over(Window.orderBy("vec_id")) - 1).as("k"),
+        round6Vec(col("sv")).as("cw"))
+    val assigned = sub.crossJoin(broadcast(seed))
+      .select(col("vec_id"), col("sv"), col("k"),
+        round(cosine(col("sv"), col("cw")), 6).as("cos"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("cos"), (-col("k")).as("nk"))).as("mx"),
+        any_value(col("sv")).as("sv"))
+      .select((-col("mx.nk")).as("k"), col("sv"))
+    val dims = (1 to PqDim).map(i => avg(element_at(col("sv"), i)).as(s"m$i"))
+    assigned.groupBy("k").agg(dims.head, dims.tail: _*)
+      .select(col("k"),
+        array((1 to PqDim).map(i => round(col(s"m$i"), 6)): _*).as("cw"))
+      .collect().sortBy(_.getInt(0))
+      .map(_.getSeq[Double](1).toSeq).toSeq
+  }
+
+  /** In-row encoder for subspace `m`: argmax cosine against the K
+    * LITERAL codewords, ties to the lower code — pure codegen'd
+    * expressions over the scan, no join, no shuffle. This is the
+    * production encode shape: codebooks are tiny and ship to every
+    * executor; encoding 100 TB is one map-only pass.
+    */
+  private def pqEncode(sv: Column, cb: Seq[Seq[Double]]): Column = {
+    val scored = array(cb.zipWithIndex.map { case (cw, k) =>
+      struct(
+        round(cosine(sv, array(cw.map(lit): _*)), 6).as("cos"),
+        lit(-k).as("nk"))
+    }: _*)
+    (-array_max(scored).getField("nk")).cast("int")
+  }
+
+  /** PRODUCT-QUANTIZED ANN with asymmetric distance computation — the
+    * classic IVFADC scoring half, run end-to-end: train M per-subspace
+    * codebooks, encode every vector to M small codes scan-locally,
+    * score candidates by ADC — the query's dot product against each
+    * subspace codeword is PRECOMPUTED into an M×K table (inner product
+    * is additive across subspaces, so the approximate score is M table
+    * lookups + adds per row, never a 64-dim float op) — keep the
+    * top-[[PqC]] by ADC and re-rank them against the exact cosine.
+    *
+    * 100 TB shape: training collects K×M×PqDim doubles (metadata);
+    * encode and ADC are in-row literal expressions on one scan; the
+    * only ordering work is TakeOrdered top-C then top-10. Determinism:
+    * codebooks and every score round to 6 dp before any argmax/rank,
+    * ties break on vec_id — the DuckDB oracle re-derives codebooks,
+    * codes, ADC table and both rankings from the same rounded
+    * arithmetic.
+    */
+  def simPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embD(spark, sfDir).persist()
+    val books = (0 until PqM).map(m => pqCodebook(e, m))
+    val q = e.filter(col("vec_id") === 0).select("v")
+      .head.getSeq[Double](0).toSeq
+    // ADC table: round6(dot(q_m, cw_mk)) — M×K driver-side doubles,
+    // the same left-to-right product sum DuckDB's list_dot_product
+    // runs (the joinBloom / profile_histogram embed-as-literal shape).
+    val adcTable: Seq[Seq[Double]] = (0 until PqM).map { m =>
+      val qm = q.slice(m * PqDim, (m + 1) * PqDim)
+      books(m).map { cw =>
+        BigDecimal(qm.lazyZip(cw).map(_ * _).sum)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }
+    val probe = e.filter(col("vec_id") === 0).select(col("v").as("p"))
+    val coded = e.filter(col("vec_id") =!= 0)
+      .select(Seq(col("vec_id"), col("v")) ++ (0 until PqM).map(m =>
+        pqEncode(pqSub(col("v"), m), books(m)).as(s"k$m")): _*)
+    val adc = round((0 until PqM).map(m =>
+        element_at(array(adcTable(m).map(lit): _*), col(s"k$m") + 1))
+      .reduce(_ + _), 6)
+    coded.withColumn("adc", adc)
+      .orderBy(col("adc").desc, col("vec_id"))
+      .limit(PqC)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), col("adc"),
+        round(cosine(col("v"), col("p")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** The PQ pipeline unrolled in SQL, shared by [[simPqOracle]] and
+    * [[simPqRecallOracle]]: per subspace — seed, one Lloyd assign +
+    * recenter, the ADC entry table — then per-vector codes and the
+    * ADC ranking. `cand` is the top-C pool, `pq10` the re-ranked 10.
+    */
+  private val pqCtesSql: String = {
+    def lo(m: Int) = m * PqDim + 1
+    def hi(m: Int) = (m + 1) * PqDim
+    val perM = (0 until PqM).map { m =>
+      s"""s${m}0 AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k,
+        |    list_transform(v[${lo(m)}:${hi(m)}], x -> round(x, 6)) AS cw
+        |  FROM e ORDER BY vec_id LIMIT $PqK
+        |), a$m AS (
+        |  SELECT k, sv FROM (
+        |    SELECT s.k, x.sv,
+        |      row_number() OVER (PARTITION BY x.vec_id
+        |                         ORDER BY ROUND(list_dot_product(x.sv, s.cw) /
+        |        (sqrt(list_dot_product(x.sv, x.sv)) *
+        |         sqrt(list_dot_product(s.cw, s.cw))), 6) DESC, s.k) AS rn
+        |    FROM (SELECT vec_id, v[${lo(m)}:${hi(m)}] AS sv FROM e) x, s${m}0 s)
+        |  WHERE rn = 1
+        |), c$m AS (
+        |  SELECT k, list(mv ORDER BY i) AS cw
+        |  FROM (SELECT a.k, i.i, round(avg(sv[i.i]), 6) AS mv
+        |        FROM a$m a,
+        |             (SELECT unnest(generate_series(1, $PqDim)) AS i) i
+        |        GROUP BY a.k, i.i)
+        |  GROUP BY k
+        |), d$m AS (
+        |  SELECT c.k, round(list_dot_product(p[${lo(m)}:${hi(m)}], c.cw), 6) AS d
+        |  FROM c$m c, probe
+        |), e$m AS (
+        |  SELECT vec_id, k FROM (
+        |    SELECT x.vec_id, c.k,
+        |      row_number() OVER (PARTITION BY x.vec_id
+        |                         ORDER BY ROUND(list_dot_product(x.sv, c.cw) /
+        |        (sqrt(list_dot_product(x.sv, x.sv)) *
+        |         sqrt(list_dot_product(c.cw, c.cw))), 6) DESC, c.k) AS rn
+        |    FROM (SELECT vec_id, v[${lo(m)}:${hi(m)}] AS sv
+        |          FROM e WHERE vec_id <> 0) x, c$m c)
+        |  WHERE rn = 1
+        |)""".stripMargin
+    }.mkString(",\n")
+    val adcSum = (0 until PqM).map(m => s"d$m.d").mkString(" + ")
+    val joins = (0 until PqM).map(m =>
+      s"JOIN e$m ON e$m.vec_id = e.vec_id " +
+        s"JOIN d$m ON d$m.k = e$m.k").mkString(" ")
+    s"""WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |), probe AS (
+      |  SELECT v AS p FROM e WHERE vec_id = 0
+      |),
+      |$perM,
+      |scored AS (
+      |  SELECT e.vec_id, e.v, round($adcSum, 6) AS adc
+      |  FROM e $joins
+      |), cand AS (
+      |  SELECT vec_id, v, adc FROM scored
+      |  ORDER BY adc DESC, vec_id LIMIT $PqC
+      |), pq10 AS (
+      |  SELECT vec_id, adc,
+      |    ROUND(list_dot_product(v, p) /
+      |      (sqrt(list_dot_product(v, v)) *
+      |       sqrt(list_dot_product(p, p))), 6) AS cos
+      |  FROM cand, probe
+      |  ORDER BY cos DESC, vec_id LIMIT 10
+      |)""".stripMargin
+  }
+
+  val simPqOracle: String =
+    s"""$pqCtesSql
+      |SELECT vec_id, adc, cos FROM pq10 ORDER BY cos DESC, vec_id""".stripMargin
+
+  /** recall@10 of the PQ/ADC search against the exact brute-force
+    * baseline ([[graft.ops.LlmOps.simTopk]]) — published beside the
+    * IVF and sketch-re-rank recalls so all three approximate paths
+    * carry a measured quality number.
+    */
+  def simPqRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val exact = LlmOps.simTopk(spark, sfDir).select("vec_id")
+    exact.join(simPq(spark, sfDir).select("vec_id"), Seq("vec_id"))
+      .agg(count(lit(1)).as("hits"))
+      .select(lit("pq_adc").as("method"), lit(10).as("k"), col("hits"),
+        round(col("hits").cast("double") / 10, 2).as("recall"))
+  }
+
+  val simPqRecallOracle: String =
+    s"""$pqCtesSql, exact AS (
+      |  SELECT vec_id FROM e, probe WHERE vec_id <> 0
+      |  ORDER BY ROUND(list_dot_product(v, p) /
+      |    (sqrt(list_dot_product(v, v)) *
+      |     sqrt(list_dot_product(p, p))), 6) DESC, vec_id LIMIT 10
+      |)
+      |SELECT 'pq_adc' AS method, 10 AS k, count(*) AS hits,
+      |  ROUND(CAST(count(*) AS DOUBLE) / 10, 2) AS recall
+      |FROM exact JOIN pq10 USING (vec_id)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_cluster_kmeans" -> clusterKmeans,
     "llm_dedup_semantic" -> dedupSemantic,
-    "llm_embed_quantize" -> embedQuantize)
+    "llm_embed_quantize" -> embedQuantize,
+    "llm_sim_pq" -> simPq,
+    "llm_sim_pq_recall" -> simPqRecall)
 
   def oracles: Map[String, String] = Map(
     "llm_cluster_kmeans" -> clusterKmeansOracle,
     "llm_dedup_semantic" -> dedupSemanticOracle,
-    "llm_embed_quantize" -> embedQuantizeOracle)
+    "llm_embed_quantize" -> embedQuantizeOracle,
+    "llm_sim_pq" -> simPqOracle,
+    "llm_sim_pq_recall" -> simPqRecallOracle)
 }

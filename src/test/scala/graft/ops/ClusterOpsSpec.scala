@@ -52,6 +52,30 @@ class ClusterOpsSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("PQ/ADC search returns 10 ranked neighbors, excludes the probe") {
+    val rows = ClusterOps.simPq(spark, sf).collect()
+    assert(rows.length === 10, "top-10 after re-rank")
+    assert(rows.forall(_.getAs[Long]("vec_id") != 0L),
+      "the probe vector never matches itself")
+    val cosines = rows.map(_.getAs[Double]("cos"))
+    assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b },
+      "re-ranked output sorted by exact cosine descending")
+    assert(cosines.forall(c => c >= -1.0 && c <= 1.0),
+      "exact cosines stay in [-1, 1]")
+    spark.catalog.clearCache()
+  }
+
+  test("PQ recall is measured against brute force and lands in [0, 1]") {
+    val r = ClusterOps.simPqRecall(spark, sf).head
+    assert(r.getAs[String]("method") === "pq_adc")
+    val recall = r.getAs[Double]("recall")
+    assert(recall >= 0.0 && recall <= 1.0)
+    assert(r.getAs[Long]("hits") >= 3,
+      s"ADC over 4x16-dim codebooks should recover at least 3 of the " +
+        s"true top-10 at this sf; got ${r.getAs[Long]("hits")}")
+    spark.catalog.clearCache()
+  }
+
   test("int8 quantization reconstructs above the cosine floor") {
     val rows = ClusterOps.embedQuantize(spark, sf).collect()
     assert(rows.nonEmpty)
