@@ -1206,6 +1206,137 @@ object Relational {
       |  HAVING sum(l_quantity) > 60)
       |ORDER BY s_suppkey""".stripMargin
 
+  /** TPC-H Q2 shape (adapted: no partsupp table, so a (part, supplier)
+    * pair's supply cost is its cheapest observed line price) — the
+    * minimum-cost-supplier query, the classic correlated scalar-min
+    * subquery: for each qualifying part, keep exactly the
+    * region-restricted suppliers whose cost EQUALS the per-part
+    * minimum over that region. Stated as the decorrelated two-agg
+    * plan Catalyst's RewriteCorrelatedScalarSubquery would produce:
+    * one (partkey, suppkey) cost aggregate over the fact table, the
+    * region restriction applied BEFORE the per-part min so both aggs
+    * share the pruned frame, then an equality join of the cost frame
+    * against its own min — every exchange after the first aggregate
+    * is group-cardinality-sized. Nation/region broadcast (≤25 rows);
+    * supplier stays a shuffle join because at TPC-H scale factors the
+    * supplier table grows with SF (SURVEY §6's dim-size discipline).
+    * Costs compare in exact BIGINT cents, so no min-boundary supplier
+    * can flip on cross-engine double drift; the top-100 cut runs on a
+    * total order (acctbal DESC, then unique (p_partkey, s_suppkey))
+    * and plans as TakeOrderedAndProject, never a global sort.
+    */
+  def joinQ2(spark: SparkSession, sfDir: String): DataFrame = {
+    val euro = t(spark, sfDir, "supplier")
+      .join(broadcast(t(spark, sfDir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, sfDir, "region")
+          .filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    val euroCost = t(spark, sfDir, "lineitem")
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min(round(col("l_extendedprice") * 100).cast("long"))
+        .as("cost_cents"))
+      .join(euro, col("l_suppkey") === col("s_suppkey"))
+      .persist()
+    val minCost = euroCost.groupBy(col("l_partkey").as("mk"))
+      .agg(min("cost_cents").as("min_cents"))
+    euroCost
+      .join(minCost, col("l_partkey") === col("mk") &&
+        col("cost_cents") === col("min_cents"))
+      .join(broadcast(t(spark, sfDir, "part")
+          .filter(col("p_size") <= 15 && col("p_type") === "LARGE")
+          .select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+        "s_suppkey", "cost_cents")
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"), col("s_suppkey"))
+      .limit(100)
+  }
+
+  val joinQ2Oracle: String =
+    """WITH euro AS (
+      |  SELECT s_suppkey, s_name, s_acctbal, n_name
+      |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'EUROPE'
+      |), ec AS (
+      |  SELECT l_partkey, s_suppkey, s_name, s_acctbal, n_name,
+      |    min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cost_cents
+      |  FROM lineitem JOIN euro ON l_suppkey = s_suppkey
+      |  GROUP BY 1, 2, 3, 4, 5
+      |), mn AS (
+      |  SELECT l_partkey AS mk, min(cost_cents) AS min_cents
+      |  FROM ec GROUP BY 1
+      |)
+      |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, s_suppkey,
+      |  cost_cents
+      |FROM ec
+      |JOIN mn ON l_partkey = mk AND cost_cents = min_cents
+      |JOIN part ON p_partkey = l_partkey
+      |WHERE p_size <= 15 AND p_type = 'LARGE'
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey
+      |LIMIT 100""".stripMargin
+
+  /** TPC-H Q9 shape (adapted: no partsupp, so the unit supply cost is
+    * a fixed 10% of the part's retail price) — product-line profit by
+    * nation and year, the widest join tree in the suite: fact ⨝ part
+    * ⨝ orders ⨝ supplier ⨝ nation. The part filter broadcasts and
+    * prunes the fact scan FIRST (~1/8 of lineitem survives), so the
+    * one unavoidable fact-to-fact exchange (orderkey, for the year)
+    * runs on the reduced frame; supplier and nation are broadcast
+    * dims. Profit accumulates in exact BIGINT cents — revenue rounds
+    * to cents once per row, cost is qty × a per-part integer — so the
+    * per-(nation, year) sums are drift-free, and the group count
+    * (nations × years) keeps the partial-agg output tiny regardless
+    * of corpus size.
+    */
+  def joinQ9(spark: SparkSession, sfDir: String): DataFrame = {
+    val redParts = broadcast(t(spark, sfDir, "part")
+      .filter(col("p_name").contains("red"))
+      .select(col("p_partkey"),
+        round(col("p_retailprice") * 10).cast("long").as("unit_cost_cents")))
+    t(spark, sfDir, "lineitem")
+      .join(redParts, col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("long") -
+          col("l_quantity").cast("long") * col("unit_cost_cents"))
+          .as("amount_cents"))
+      .join(t(spark, sfDir, "orders")
+          .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(spark, sfDir, "supplier")
+          .select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(spark, sfDir, "nation")
+          .select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name", "o_year")
+      .agg(sum("amount_cents").as("profit_cents"))
+      .orderBy(col("n_name"), col("o_year").desc)
+  }
+
+  val joinQ9Oracle: String =
+    """WITH gp AS (
+      |  SELECT p_partkey,
+      |    CAST(round(p_retailprice * 10) AS BIGINT) AS unit_cost_cents
+      |  FROM part WHERE p_name LIKE '%red%'
+      |)
+      |SELECT n_name, year(o_orderdate) AS o_year,
+      |  CAST(sum(
+      |    CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)
+      |    - CAST(l_quantity AS BIGINT) * unit_cost_cents) AS BIGINT)
+      |    AS profit_cents
+      |FROM lineitem
+      |JOIN gp ON l_partkey = p_partkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY 1, 2
+      |ORDER BY n_name, o_year DESC""".stripMargin
+
   // --------------------------------------------------------- aggregations
 
   /** TPC-H Q1 shape: the canonical multi-aggregate hash agg over the
@@ -2244,6 +2375,8 @@ object Relational {
     "join_q13" -> joinQ13,
     "join_q17" -> joinQ17,
     "join_q22" -> joinQ22,
+    "join_q2" -> joinQ2,
+    "join_q9" -> joinQ9,
     "join_q6" -> joinQ6,
     "join_q7" -> joinQ7,
     "join_q8" -> joinQ8,
@@ -2317,6 +2450,8 @@ object Relational {
     "join_q13" -> joinQ13Oracle,
     "join_q17" -> joinQ17Oracle,
     "join_q22" -> joinQ22Oracle,
+    "join_q2" -> joinQ2Oracle,
+    "join_q9" -> joinQ9Oracle,
     "join_q6" -> joinQ6Oracle,
     "join_q7" -> joinQ7Oracle,
     "join_q8" -> joinQ8Oracle,

@@ -473,6 +473,27 @@ class PlanSpec extends SparkTestBase {
       "the (total, count) rollup must broadcast over the value frame")
   }
 
+  test("join_q2: min-cost equality join reuses the cached cost frame; " +
+    "top-100 never global-sorts") {
+    val p = plan("join_q2")
+    assert(p.contains("InMemoryTableScan"),
+      "the per-part min must read the cached region-cost frame, not " +
+        "re-aggregate lineitem")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the top-100 cut must plan as TakeOrderedAndProject")
+    assert(p.contains("BroadcastHashJoin"),
+      "the size/type-filtered part dim must broadcast")
+  }
+
+  test("join_q9: part filter prunes the fact scan; profit partial-aggregates") {
+    val p = plan("join_q9")
+    assert(p.contains("BroadcastHashJoin"),
+      "the red-part dim must broadcast-prune lineitem")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "per-(nation, year) profit must partial-aggregate map-side")
+    assert(!p.contains("CartesianProduct"), "no cartesian in the join tree")
+  }
+
   test("join_q20: both IN subqueries run as semi joins; part prunes first") {
     val p = plan("join_q20")
     assert("Join type: LeftSemi".r.findAllIn(p).size == 2,
