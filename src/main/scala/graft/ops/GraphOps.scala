@@ -93,9 +93,98 @@ object GraphOps {
       |FROM r3 JOIN deg ON r3.node = deg.src
       |ORDER BY s_suppkey""".stripMargin
 
+  /** Per-supplier triangle counts over the co-supplier graph — the
+    * clustering-structure primitive (community density, spam-farm
+    * detection in crawl-graph curation). The algorithm is the
+    * DEGREE-ORIENTED node-iterator (Schank & Wagner 2005, the shape
+    * MapReduce triangle counting standardized): orient every
+    * undirected edge from its lower-(degree, id) endpoint to the
+    * higher, making the graph acyclic with out-degrees bounded by
+    * O(√m) — so the wedge join (out-neighbor pairs per pivot) can
+    * never explode on a hub vertex, THE failure mode of naive
+    * triangle counting at 100 TB. Each triangle then has exactly one
+    * pivot with both out-edges, and its closing edge sits in the same
+    * orientation — wedges canonicalize their endpoints by the same
+    * (degree, id) order, so closure is ONE hash semi-join against the
+    * oriented edge list (no OR-condition nested loop). Corners union
+    * afterwards; every frame past the edge list is wedge- or
+    * triangle-cardinality-sized.
+    */
+  def triangles(spark: SparkSession, sfDir: String): DataFrame = {
+    val os = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_suppkey").as("s"))
+      .distinct()
+    val und = os.as("a").join(os.as("b"),
+        col("a.o") === col("b.o") && col("a.s") < col("b.s"))
+      .select(col("a.s").as("u"), col("b.s").as("v"))
+      .distinct()
+    val deg = und.select(col("u").as("x"))
+      .union(und.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("d"))
+    val uLower = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    // Oriented edges carry the destination's (degree, id) so wedges
+    // can order their endpoints without re-joining the degree frame.
+    val w = und
+      .join(deg.select(col("x").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), Seq("v"))
+      .select(
+        when(uLower, col("u")).otherwise(col("v")).as("src"),
+        when(uLower, col("v")).otherwise(col("u")).as("dst"),
+        when(uLower, col("dv")).otherwise(col("du")).as("dd"))
+      .persist()
+    val wedges = w.as("e1").join(w.as("e2"),
+        col("e1.src") === col("e2.src") &&
+          (col("e1.dd") < col("e2.dd") ||
+            (col("e1.dd") === col("e2.dd") && col("e1.dst") < col("e2.dst"))))
+      .select(col("e1.src").as("ta"), col("e1.dst").as("tb"),
+        col("e2.dst").as("tc"))
+    val tri = wedges.join(w.select(col("src").as("tb"), col("dst").as("tc")),
+        Seq("tb", "tc"), "left_semi")
+      .persist()
+    tri.select(col("ta").as("x"))
+      .union(tri.select(col("tb").as("x")))
+      .union(tri.select(col("tc").as("x")))
+      .groupBy("x")
+      .agg(count(lit(1)).as("n_tri"))
+      .select(col("x").as("s_suppkey"), col("n_tri"))
+      .orderBy("s_suppkey")
+  }
+
+  val trianglesOracle: String =
+    """WITH os AS (
+      |  SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem
+      |), und AS (
+      |  SELECT DISTINCT a.s AS u, b.s AS v
+      |  FROM os a JOIN os b ON a.o = b.o AND a.s < b.s
+      |), deg AS (
+      |  SELECT x, count(*) AS d FROM (
+      |    SELECT u AS x FROM und UNION ALL SELECT v AS x FROM und)
+      |  GROUP BY x
+      |), w AS (
+      |  SELECT
+      |    CASE WHEN (p.d, u) < (q.d, v) THEN u ELSE v END AS src,
+      |    CASE WHEN (p.d, u) < (q.d, v) THEN v ELSE u END AS dst,
+      |    CASE WHEN (p.d, u) < (q.d, v) THEN q.d ELSE p.d END AS dd
+      |  FROM und JOIN deg p ON p.x = u JOIN deg q ON q.x = v
+      |), tri AS (
+      |  SELECT e1.src AS ta, e1.dst AS tb, e2.dst AS tc
+      |  FROM w e1 JOIN w e2 ON e1.src = e2.src
+      |    AND (e1.dd, e1.dst) < (e2.dd, e2.dst)
+      |  WHERE EXISTS (SELECT 1 FROM w e3
+      |                WHERE e3.src = e1.dst AND e3.dst = e2.dst)
+      |)
+      |SELECT x AS s_suppkey, count(*) AS n_tri FROM (
+      |  SELECT ta AS x FROM tri
+      |  UNION ALL SELECT tb AS x FROM tri
+      |  UNION ALL SELECT tc AS x FROM tri)
+      |GROUP BY x ORDER BY s_suppkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "graph_pagerank" -> pagerank)
+    "graph_pagerank" -> pagerank,
+    "graph_triangles" -> triangles)
 
   def oracles: Map[String, String] = Map(
-    "graph_pagerank" -> pagerankOracle)
+    "graph_pagerank" -> pagerankOracle,
+    "graph_triangles" -> trianglesOracle)
 }

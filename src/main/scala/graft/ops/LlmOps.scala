@@ -367,6 +367,76 @@ object LlmOps {
       |JOIN ssets sb ON sb.doc_id = d2
       |ORDER BY d1, d2""".stripMargin
 
+  /** LSH candidates → bounded EDIT-DISTANCE verification: the fuzzy
+    * dedup family's character-level verifier (catches in-word
+    * typo/OCR variants whose word 3-gram Jaccard collapses, since one
+    * changed character kills three word-shingles). Candidates come
+    * from the same banded-MinHash join as [[dedupJaccard]] — never
+    * all-pairs — and each pair is verified on a 256-char prefix with
+    * Spark's THRESHOLDED `levenshtein(l, r, k)`: the banded DP stops
+    * at k+1, so per-pair cost is O(len·k), not O(len²) — the
+    * difference between feasible and not at 100 TB pair volumes. The
+    * threshold (51 = ⌈20% of the max prefix⌉) provably covers the
+    * relative cut `edist·5 ≤ max(len_a, len_b) ≤ 256`, so the -1
+    * early-exit can only hit pairs the cut rejects anyway — emitted
+    * distances are exact, and the DuckDB oracle's unbounded
+    * `levenshtein` agrees row for row.
+    */
+  def dedupEditdist(spark: SparkSession, sfDir: String): DataFrame = {
+    val pre = t(spark, sfDir, "documents")
+      .select(col("doc_id"), substring(col("text"), 1, 256).as("pfx"))
+      .select(col("doc_id"), col("pfx"), length(col("pfx")).as("plen"))
+    val cands = minhashPairs(shingleSets(t(spark, sfDir, "documents")))
+      .select("d1", "d2").distinct()
+    cands
+      .join(pre.select(col("doc_id").as("d1"), col("pfx").as("pa"),
+        col("plen").as("la")), Seq("d1"))
+      .join(pre.select(col("doc_id").as("d2"), col("pfx").as("pb"),
+        col("plen").as("lb")), Seq("d2"))
+      .select(col("d1"), col("d2"),
+        levenshtein(col("pa"), col("pb"), 51).cast("long").as("edist"),
+        greatest(col("la"), col("lb")).as("maxlen"))
+      .filter(col("edist") >= 0 && col("edist") * 5 <= col("maxlen"))
+      .select("d1", "d2", "edist")
+      .orderBy("d1", "d2")
+  }
+
+  val dedupEditdistOracle: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    string_split(text, ' ')[idx.i] || ' ' ||
+      |    string_split(text, ' ')[idx.i + 1] || ' ' ||
+      |    string_split(text, ' ')[idx.i + 2] AS s
+      |  FROM documents,
+      |    LATERAL (SELECT unnest(range(1, len(string_split(text, ' ')) - 1)) AS i) idx
+      |  WHERE len(string_split(text, ' ')) >= 3
+      |), sigs AS (
+      |  SELECT doc_id, b.band, min(substr(md5(s), b.band * 8 + 1, 8)) AS mh
+      |  FROM sh, LATERAL (SELECT unnest(range(4)) AS band) b
+      |  GROUP BY doc_id, b.band
+      |), ok AS (
+      |  SELECT band, mh FROM sigs GROUP BY band, mh
+      |  HAVING count(*) BETWEEN 2 AND 100
+      |), inb AS (
+      |  SELECT s.doc_id, s.band, s.mh FROM sigs s JOIN ok USING (band, mh)
+      |), cands AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2
+      |  FROM inb a JOIN inb b ON a.band = b.band AND a.mh = b.mh
+      |  WHERE a.doc_id < b.doc_id
+      |  GROUP BY d1, d2
+      |), pre AS (
+      |  SELECT doc_id, substr(text, 1, 256) AS pfx,
+      |    length(substr(text, 1, 256)) AS plen
+      |  FROM documents
+      |)
+      |SELECT d1, d2,
+      |  CAST(levenshtein(pa.pfx, pb.pfx) AS BIGINT) AS edist
+      |FROM cands
+      |JOIN pre pa ON pa.doc_id = d1
+      |JOIN pre pb ON pb.doc_id = d2
+      |WHERE levenshtein(pa.pfx, pb.pfx) * 5 <= greatest(pa.plen, pb.plen)
+      |ORDER BY d1, d2""".stripMargin
+
   /** 16-bit text SimHash fingerprint: per-token md5, each digest's
     * first 4 hex nibbles contribute 16 bits, fingerprint bit i is the
     * sign of the ±1 vote sum across tokens — near-identical documents
@@ -2691,6 +2761,7 @@ object LlmOps {
     "llm_dedup_fingerprint" -> dedupFingerprint,
     "llm_dedup_minhash" -> dedupMinhash,
     "llm_dedup_jaccard" -> dedupJaccard,
+    "llm_dedup_editdist" -> dedupEditdist,
     "llm_dedup_simhash" -> dedupSimhash,
     "llm_dedup_simhash_pairs" -> dedupSimhashPairs,
     "llm_dedup_embed" -> dedupEmbed,
@@ -2746,6 +2817,7 @@ object LlmOps {
     "llm_dedup_fingerprint" -> dedupFingerprintOracle,
     "llm_dedup_minhash" -> dedupMinhashOracle,
     "llm_dedup_jaccard" -> dedupJaccardOracle,
+    "llm_dedup_editdist" -> dedupEditdistOracle,
     "llm_dedup_simhash" -> dedupSimhashOracle,
     "llm_dedup_simhash_pairs" -> dedupSimhashPairsOracle,
     "llm_dedup_embed" -> dedupEmbedOracle,

@@ -19,6 +19,30 @@ class GraphOpsSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("triangles on a constructed graph: K3 + pendant counts exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graphops").toString
+    // Order 1 links {a,b,c} (a triangle); order 2 links {c,d} (a
+    // pendant edge): a,b,c sit in exactly one triangle, d in none.
+    Seq((1L, 10L), (1L, 20L), (1L, 30L), (2L, 30L), (2L, 40L))
+      .toDF("l_orderkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = GraphOps.triangles(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(10L -> 1L, 20L -> 1L, 30L -> 1L),
+      "each K3 corner counts once; the pendant vertex never appears")
+    spark.catalog.clearCache()
+  }
+
+  test("triangles: every count positive and 3 divides the corner total") {
+    val rows = GraphOps.triangles(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("n_tri") > 0L))
+    // Summing per-corner counts gives exactly 3 per triangle.
+    assert(rows.map(_.getAs[Long]("n_tri")).sum % 3 === 0L)
+    spark.catalog.clearCache()
+  }
+
   test("pagerank on a star graph: hub outranks leaves, leaves tie") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graphops").toString

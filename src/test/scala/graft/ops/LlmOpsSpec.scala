@@ -67,6 +67,28 @@ class LlmOpsSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       s"degenerate bucket leaked pairs: ${out.take(3).mkString(",")}")
   }
 
+  test("dedupEditdist: exact copy scores 0, one-char typo scores 1, " +
+    "unrelated text never pairs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("editdist").toString
+    val base = ("alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa ") * 4
+    val typo = base.replaceFirst("gamma", "gamba")
+    Seq(
+      (0L, base.trim), (1L, base.trim), (2L, typo.trim),
+      (3L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = LlmOps.dedupEditdist(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out.get((0L, 1L)) === Some(0L), "exact copies: distance 0")
+    assert(out.get((0L, 2L)) === Some(1L), "one substitution: distance 1")
+    assert(out.get((1L, 2L)) === Some(1L))
+    assert(out.keys.forall { case (a, b) => a != 3L && b != 3L },
+      "the unrelated doc shares no LSH bucket, so it never pairs")
+    spark.catalog.clearCache()
+  }
+
   test("fingerprint is permutation-invariant; rollhash is order-sensitive") {
     // The two fingerprints answer different dedup questions and the
     // pair must disagree on a word-reordered document: bag-of-words
