@@ -1794,6 +1794,58 @@ object LlmOps {
       |  (ROUND(CAST(n_hits AS DOUBLE) / n_shingles, 6) >= 0.2) AS flagged
       |FROM scored ORDER BY doc_id""".stripMargin
 
+  /** [[decontaminate]] through a BLOOM PRE-FILTER — the shape that
+    * makes decontamination affordable at 100 TB: the eval set's
+    * distinct shingles (benchmark suites — small by construction)
+    * aggregate into ONE bloom filter (~256 KB binary, built with the
+    * same codegen'd machinery behind AQE's InjectRuntimeFilter),
+    * embedded as a literal so every corpus shingle is screened
+    * SCAN-LOCALLY — map-only, no shuffle — and only probable hits
+    * reach the exact verification semi-join. Bloom filters have no
+    * false negatives, so the post-verify counts are IDENTICAL to the
+    * direct exact join's: this query hash-matches the same
+    * exact-arithmetic oracle as `llm_decontaminate`, proving the
+    * pre-filter's soundness in the correctness gate itself (false
+    * positives cost only wasted probes; ~1% at 10.5 bits/item).
+    * Docs whose every shingle screens out never reach the join and
+    * re-enter with zero hits via the left join on the doc frame.
+    */
+  def decontaminateBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = shingleSets(t(spark, sfDir, "documents")).persist()
+    val evalShingles = ss.filter(col("doc_id") % 10 === 0)
+      .select(explode(col("sset")).as("es"))
+      .distinct()
+      .persist()
+    val bloom = evalShingles
+      .agg(graft.functions.BloomFilters
+        .bloomAgg(xxhash64(col("es")), 200000L, 1L << 21).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    val corpus = ss.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), size(col("sset")).as("n_shingles"))
+    val hits = ss.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), explode(col("sset")).as("s"))
+      .filter(graft.functions.BloomFilters.mightContain(bloom,
+        xxhash64(col("s"))))
+      .join(evalShingles, col("s") === col("es"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("bloom_hits"))
+    corpus.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("bloom_hits"), lit(0L)).as("n_hits"))
+      .select(col("doc_id"), col("n_shingles"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_shingles"), 6)
+          .as("contamination"))
+      .withColumn("flagged", col("contamination") >= 0.2)
+      .orderBy("doc_id")
+  }
+
+  /** Same exact-arithmetic oracle as [[decontaminateOracle]]: the
+    * bloom path must reproduce the direct join bit for bit (no false
+    * negatives), so any divergence — a dropped true hit — turns this
+    * query red in the gate.
+    */
+  val decontaminateBloomOracle: String = decontaminateOracle
+
   /** Full quality scoring: the punctuation-ratio and stopword-ratio
     * signals (alongside [[textQualityRoute]]'s TTR + length window)
     * that a heuristic corpus filter stacks — all scan-local per-row
@@ -2800,6 +2852,7 @@ object LlmOps {
     "llm_mix_temperature" -> mixTemperature,
     "llm_text_quality_full" -> textQualityFull,
     "llm_decontaminate" -> decontaminate,
+    "llm_decontaminate_bloom" -> decontaminateBloom,
     "llm_curate_write" -> curateWrite,
     "llm_mm_binary" -> mmBinary,
     "llm_mm_features" -> mmFeatures,
@@ -2856,6 +2909,7 @@ object LlmOps {
     "llm_mix_temperature" -> mixTemperatureOracle,
     "llm_text_quality_full" -> textQualityFullOracle,
     "llm_decontaminate" -> decontaminateOracle,
+    "llm_decontaminate_bloom" -> decontaminateBloomOracle,
     "llm_curate_write" -> curateWriteOracle,
     "llm_mm_binary" -> mmBinaryOracle,
     "llm_mm_features" -> mmFeaturesOracle,

@@ -195,6 +195,21 @@ class PlanSpec extends SparkTestBase {
       "bloom filter must be in the scan-side subtree under the join")
   }
 
+  test("llm_decontaminate_bloom: scan-local bloom screen feeds a semi " +
+      "join — the probe sits below the verify join") {
+    val p = plan("llm_decontaminate_bloom")
+    assert(p.contains("might_contain"),
+      "bloom screen must appear as a filter over the shingle stream")
+    assert(p.contains("LeftSemi"),
+      "exact verification must stay a semi join (hits counted, " +
+        "eval rows never widened in)")
+    val probeAt = p.indexOf("might_contain")
+    val semiAt = p.indexOf("LeftSemi")
+    assert(probeAt > semiAt,
+      "the bloom screen must sit in the subtree BELOW the verify " +
+        "join — its point is cutting the join input")
+  }
+
   test("cdc_merge_mor: the delete mask is a broadcast join over the " +
       "scan — never a shuffle of the base") {
     val p = plan("cdc_merge_mor")

@@ -89,6 +89,17 @@ class LlmOpsSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     spark.catalog.clearCache()
   }
 
+  test("bloom-prefiltered decontamination equals the direct exact join " +
+    "row for row") {
+    val exact = LlmOps.decontaminate(spark, sf).collect()
+    spark.catalog.clearCache()
+    val bloomed = LlmOps.decontaminateBloom(spark, sf).collect()
+    // No false negatives: the pre-filter may only add wasted probes,
+    // never change a count.
+    assert(bloomed.toSeq === exact.toSeq)
+    spark.catalog.clearCache()
+  }
+
   test("fingerprint is permutation-invariant; rollhash is order-sensitive") {
     // The two fingerprints answer different dedup questions and the
     // pair must disagree on a word-reordered document: bag-of-words
