@@ -32,7 +32,7 @@ object ClusterOps {
   private val K = 8
   private val Iters = 2
 
-  private def embD(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def embD(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
@@ -299,12 +299,12 @@ object ClusterOps {
     * (Jégou et al. 2011, "Product Quantization for Nearest Neighbor
     * Search"). One Lloyd refinement per subspace trains the codebooks.
     */
-  private val PqM = 4
+  private[graft] val PqM = 4
   private val PqDim = 16
   private val PqK = 8
   private val PqC = 50
 
-  private def pqSub(v: Column, m: Int): Column =
+  private[graft] def pqSub(v: Column, m: Int): Column =
     slice(v, m * PqDim + 1, PqDim)
 
   /** Train subspace `m`'s codebook: lowest-id seeding + one Lloyd
@@ -312,7 +312,7 @@ object ClusterOps {
     * result is COLLECTED — K × PqDim doubles, metadata-sized at any
     * corpus scale (production trains on a sample for the same reason).
     */
-  private def pqCodebook(e: DataFrame, m: Int): Seq[Seq[Double]] = {
+  private[graft] def pqCodebook(e: DataFrame, m: Int): Seq[Seq[Double]] = {
     val sub = e.select(col("vec_id"), pqSub(col("v"), m).as("sv"))
     val seed = sub.orderBy("vec_id").limit(PqK)
       .select((row_number().over(Window.orderBy("vec_id")) - 1).as("k"),
@@ -338,7 +338,7 @@ object ClusterOps {
     * production encode shape: codebooks are tiny and ship to every
     * executor; encoding 100 TB is one map-only pass.
     */
-  private def pqEncode(sv: Column, cb: Seq[Seq[Double]]): Column = {
+  private[graft] def pqEncode(sv: Column, cb: Seq[Seq[Double]]): Column = {
     val scored = array(cb.zipWithIndex.map { case (cw, k) =>
       struct(
         round(cosine(sv, array(cw.map(lit): _*)), 6).as("cos"),
