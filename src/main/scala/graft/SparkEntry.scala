@@ -39,6 +39,7 @@ object SparkEntry {
       graft.queries.SnapshotQueries.queries ++
       graft.queries.PipelineQueries.queries ++
       graft.queries.IvfCdcQueries.queries ++
+      graft.queries.PqCdcQueries.queries ++
       graft.queries.AggCdcQueries.queries ++
       graft.queries.JoinCdcQueries.queries ++
       graft.queries.Scd2CdcQueries.queries ++
@@ -63,6 +64,7 @@ object SparkEntry {
       graft.queries.SnapshotQueries.oracles ++
       graft.queries.PipelineQueries.oracles ++
       graft.queries.IvfCdcQueries.oracles ++
+      graft.queries.PqCdcQueries.oracles ++
       graft.queries.AggCdcQueries.oracles ++
       graft.queries.JoinCdcQueries.oracles ++
       graft.queries.Scd2CdcQueries.oracles ++

@@ -401,31 +401,43 @@ object ClusterOps {
     * recenter, the ADC entry table — then per-vector codes and the
     * ADC ranking. `cand` is the top-C pool, `pq10` the re-ranked 10.
     */
+  private[graft] def pqLo(m: Int): Int = m * PqDim + 1
+  private[graft] def pqHi(m: Int): Int = (m + 1) * PqDim
+
+  /** Subspace-`m` codebook-training CTEs (`s${m}0` seed → `a$m` Lloyd
+    * assign → `c$m` recenter) over a CTE named `e` (vec_id,
+    * v DOUBLE[]) — the SQL twin of [[pqCodebook]], shared by the
+    * search oracle here and the CDC code-maintenance oracle
+    * ([[graft.queries.PqCdcQueries]]), so the two can't drift.
+    */
+  private[graft] def pqBookCtes(m: Int): String =
+    s"""s${m}0 AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k,
+      |    list_transform(v[${pqLo(m)}:${pqHi(m)}], x -> round(x, 6)) AS cw
+      |  FROM e ORDER BY vec_id LIMIT $PqK
+      |), a$m AS (
+      |  SELECT k, sv FROM (
+      |    SELECT s.k, x.sv,
+      |      row_number() OVER (PARTITION BY x.vec_id
+      |                         ORDER BY ROUND(list_dot_product(x.sv, s.cw) /
+      |        (sqrt(list_dot_product(x.sv, x.sv)) *
+      |         sqrt(list_dot_product(s.cw, s.cw))), 6) DESC, s.k) AS rn
+      |    FROM (SELECT vec_id, v[${pqLo(m)}:${pqHi(m)}] AS sv FROM e) x, s${m}0 s)
+      |  WHERE rn = 1
+      |), c$m AS (
+      |  SELECT k, list(mv ORDER BY i) AS cw
+      |  FROM (SELECT a.k, i.i, round(avg(sv[i.i]), 6) AS mv
+      |        FROM a$m a,
+      |             (SELECT unnest(generate_series(1, $PqDim)) AS i) i
+      |        GROUP BY a.k, i.i)
+      |  GROUP BY k
+      |)""".stripMargin
+
   private val pqCtesSql: String = {
-    def lo(m: Int) = m * PqDim + 1
-    def hi(m: Int) = (m + 1) * PqDim
+    def lo(m: Int) = pqLo(m)
+    def hi(m: Int) = pqHi(m)
     val perM = (0 until PqM).map { m =>
-      s"""s${m}0 AS (
-        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k,
-        |    list_transform(v[${lo(m)}:${hi(m)}], x -> round(x, 6)) AS cw
-        |  FROM e ORDER BY vec_id LIMIT $PqK
-        |), a$m AS (
-        |  SELECT k, sv FROM (
-        |    SELECT s.k, x.sv,
-        |      row_number() OVER (PARTITION BY x.vec_id
-        |                         ORDER BY ROUND(list_dot_product(x.sv, s.cw) /
-        |        (sqrt(list_dot_product(x.sv, x.sv)) *
-        |         sqrt(list_dot_product(s.cw, s.cw))), 6) DESC, s.k) AS rn
-        |    FROM (SELECT vec_id, v[${lo(m)}:${hi(m)}] AS sv FROM e) x, s${m}0 s)
-        |  WHERE rn = 1
-        |), c$m AS (
-        |  SELECT k, list(mv ORDER BY i) AS cw
-        |  FROM (SELECT a.k, i.i, round(avg(sv[i.i]), 6) AS mv
-        |        FROM a$m a,
-        |             (SELECT unnest(generate_series(1, $PqDim)) AS i) i
-        |        GROUP BY a.k, i.i)
-        |  GROUP BY k
-        |), d$m AS (
+      s"""${pqBookCtes(m)}, d$m AS (
         |  SELECT c.k, round(list_dot_product(p[${lo(m)}:${hi(m)}], c.cw), 6) AS d
         |  FROM c$m c, probe
         |), e$m AS (
