@@ -44,6 +44,7 @@ object SparkEntry {
       graft.queries.JoinCdcQueries.queries ++
       graft.queries.Scd2CdcQueries.queries ++
       graft.queries.TxApplyQueries.queries ++
+      graft.queries.TxApplyMultiQueries.queries ++
       graft.queries.OutboxQueries.queries ++
       graft.queries.MaintenanceQueries.queries ++
       graft.queries.CatalogQueries.queries ++
@@ -69,6 +70,7 @@ object SparkEntry {
       graft.queries.JoinCdcQueries.oracles ++
       graft.queries.Scd2CdcQueries.oracles ++
       graft.queries.TxApplyQueries.oracles ++
+      graft.queries.TxApplyMultiQueries.oracles ++
       graft.queries.OutboxQueries.oracles ++
       graft.queries.MaintenanceQueries.oracles ++
       graft.queries.CatalogQueries.oracles ++

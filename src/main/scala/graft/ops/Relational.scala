@@ -1853,6 +1853,44 @@ object Relational {
       |FROM s GROUP BY user_id, session_no
       |ORDER BY user_id, session_no""".stripMargin
 
+  /** Gaps-and-islands: per-user streaks of consecutive ACTIVE DAYS via
+    * the row_number-difference trick — `day − row_number()` is
+    * constant exactly within a run of consecutive days, so one window
+    * + one groupBy materializes every island with its bounds and
+    * length (no self-join, no recursive walk). Scale shape: the
+    * distinct (user, day) frame partial-aggregates map-side before its
+    * shuffle; the window partitions per user over day counts (bounded
+    * by the calendar, not the event volume); everything after is
+    * island-cardinality-sized. The engagement-streak / outage-window /
+    * coverage-gap analysis shape.
+    */
+  def winGaps(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("d")
+    t(spark, sfDir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+      .withColumn("grp", date_sub(col("d"), row_number().over(w)))
+      .groupBy("user_id", "grp")
+      .agg(min("d").as("streak_start"), max("d").as("streak_end"),
+        count(lit(1)).as("len"))
+      .select("user_id", "streak_start", "streak_end", "len")
+      .orderBy("user_id", "streak_start")
+  }
+
+  val winGapsOracle: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+      |), g AS (
+      |  SELECT user_id, d,
+      |    d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+      |             AS INT) AS grp
+      |  FROM days
+      |)
+      |SELECT user_id, min(d) AS streak_start, max(d) AS streak_end,
+      |  count(*) AS len
+      |FROM g GROUP BY user_id, grp
+      |ORDER BY user_id, streak_start""".stripMargin
+
   // --------------------------------------------------- sort/limit/sample
 
   /** B1 standalone: full-projection scan + multi-column global sort —
@@ -2408,6 +2446,7 @@ object Relational {
     "win_ntile" -> winNtile,
     "win_dist" -> winDist,
     "win_sessionize" -> winSessionize,
+    "win_gaps" -> winGaps,
     "sort_scan" -> sortScan,
     "sort_topk" -> sortTopk,
     "sort_topk_group" -> sortTopkGroup,
@@ -2483,6 +2522,7 @@ object Relational {
     "win_ntile" -> winNtileOracle,
     "win_dist" -> winDistOracle,
     "win_sessionize" -> winSessionizeOracle,
+    "win_gaps" -> winGapsOracle,
     "sort_scan" -> sortScanOracle,
     "sort_topk" -> sortTopkOracle,
     "sort_topk_group" -> sortTopkGroupOracle,
