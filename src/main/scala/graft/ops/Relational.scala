@@ -343,6 +343,74 @@ object Relational {
       | AND b.ts BETWEEN a.ts - INTERVAL 5 MINUTE AND a.ts + INTERVAL 5 MINUTE
       |ORDER BY a.user_id, e1, e2""".stripMargin
 
+  /** INTERVAL-OVERLAP join via temporal BLOCK BUCKETING — the general
+    * form [[joinRange]]'s proximity join is a special case of: both
+    * sides carry [start, end] intervals and the match predicate is
+    * pure overlap, with NO equi key. Naive spelling
+    * (`a.join(b, overlapCond)`) plans a nested-loop — O(|A|·|B|)
+    * comparisons, the plan that never finishes at 100 TB. Instead
+    * each interval explodes into the fixed-width time blocks it
+    * touches (one week here; pick ≥ the median interval length so
+    * the explode factor stays ~2), the join runs as an EQUI join on
+    * the block id, the exact overlap predicate filters the collided
+    * pairs, and `distinct` collapses pairs that share several blocks.
+    * Cost: Σ blocks-per-interval (linear) shuffled on a key both
+    * sides prune on — the standard temporal/genomic-interval recipe.
+    * PlanSpec asserts the nested-loop never appears. Overlap length
+    * is exact integer day arithmetic, so the result is engine-stable.
+    *
+    * Fixture intervals: each order is open for (orderkey mod 5)+1
+    * days; 25 deterministic 30-day review windows derive from the
+    * nation dim. Output: every (order, window) overlap with its
+    * length in days.
+    */
+  def joinInterval(spark: SparkSession, sfDir: String): DataFrame = {
+    val a = t(spark, sfDir, "orders")
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("a_start"),
+        date_add(to_date(col("o_orderdate")),
+          (col("o_orderkey") % 5 + 1).cast("int")).as("a_end"))
+    val b = t(spark, sfDir, "nation")
+      .select(col("n_nationkey").as("w_id"),
+        date_add(to_date(lit("1996-01-01")),
+          (col("n_nationkey") * 37).cast("int")).as("b_start"),
+        date_add(to_date(lit("1996-01-01")),
+          (col("n_nationkey") * 37 + 30).cast("int")).as("b_end"))
+    def blocks(s: Column, e: Column): Column =
+      sequence(floor(unix_date(s) / 7).cast("long"),
+        floor(unix_date(e) / 7).cast("long"))
+    val ab = a.withColumn("blk", explode(blocks(col("a_start"),
+      col("a_end"))))
+    val bb = b.withColumn("blk", explode(blocks(col("b_start"),
+      col("b_end"))))
+    ab.join(bb, Seq("blk"))
+      .filter(col("a_start") <= col("b_end") &&
+        col("b_start") <= col("a_end"))
+      .select(col("o_orderkey"), col("w_id"),
+        (datediff(least(col("a_end"), col("b_end")),
+          greatest(col("a_start"), col("b_start"))) + 1).cast("long")
+          .as("overlap_days"))
+      .distinct()
+      .orderBy("o_orderkey", "w_id")
+  }
+
+  val joinIntervalOracle: String =
+    """WITH a AS (
+      |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS a_start,
+      |    CAST(o_orderdate AS DATE) + CAST(o_orderkey % 5 + 1 AS INT)
+      |      AS a_end
+      |  FROM orders
+      |), b AS (
+      |  SELECT n_nationkey AS w_id,
+      |    DATE '1996-01-01' + CAST(n_nationkey * 37 AS INT) AS b_start,
+      |    DATE '1996-01-01' + CAST(n_nationkey * 37 + 30 AS INT) AS b_end
+      |  FROM nation
+      |)
+      |SELECT o_orderkey, w_id,
+      |  CAST(date_diff('day', greatest(a_start, b_start),
+      |                 least(a_end, b_end)) + 1 AS BIGINT) AS overlap_days
+      |FROM a JOIN b ON a_start <= b_end AND b_start <= a_end
+      |ORDER BY o_orderkey, w_id""".stripMargin
+
   /** TPC-H Q3 shape: the canonical 3-way fact join (customer ⋈ orders ⋈
     * lineitem) with selective filters on all three inputs, grouped
     * revenue, and a top-10. The filters push into all three scans; the
@@ -2426,6 +2494,7 @@ object Relational {
     "join_q20" -> joinQ20,
     "join_bloom" -> joinBloom,
     "join_range" -> joinRange,
+    "join_interval" -> joinInterval,
     "join_skew_salted" -> joinSkewSalted,
     "agg_q1" -> aggQ1,
     "agg_percentile" -> aggPercentile,
@@ -2502,6 +2571,7 @@ object Relational {
     "join_q20" -> joinQ20Oracle,
     "join_bloom" -> joinBloomOracle,
     "join_range" -> joinRangeOracle,
+    "join_interval" -> joinIntervalOracle,
     "join_skew_salted" -> joinSkewSaltedOracle,
     "agg_q1" -> aggQ1Oracle,
     "agg_percentile" -> aggPercentileOracle,

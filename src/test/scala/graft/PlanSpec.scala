@@ -488,6 +488,17 @@ class PlanSpec extends SparkTestBase {
       "the (total, count) rollup must broadcast over the value frame")
   }
 
+  test("join_interval: block bucketing keeps the overlap join out of " +
+      "the nested loop") {
+    val p = plan("join_interval")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "interval overlap must equi-join on the time block, never " +
+        "nested-loop the theta predicate")
+    assert("\\(\\d+\\) Generate".r.findAllIn(p).size >= 2,
+      "both sides must explode into their time blocks")
+  }
+
   test("join_q2: min-cost equality join reuses the cached cost frame; " +
     "top-100 never global-sorts") {
     val p = plan("join_q2")
