@@ -367,6 +367,38 @@ object LlmOps {
       |JOIN ssets sb ON sb.doc_id = d2
       |ORDER BY d1, d2""".stripMargin
 
+  /** Train/test split LEAKAGE audit — the check an eval pipeline runs
+    * after splitting: near-duplicate pairs that STRADDLE the split
+    * boundary leak training signal into the test set (the
+    * memorization-inflated-eval failure), so every verified near-dup
+    * pair classifies by which sides of the split its ends landed on.
+    * Pairs come from the full LSH → exact-Jaccard pipeline
+    * ([[dedupJaccard]] — bucketed candidates, never all-pairs); the
+    * split is the deterministic doc_id mod rule a reproducible
+    * pipeline uses. `train-test` rows are the leaks; a clean split
+    * shows zero. Output is class-cardinality (≤3 rows).
+    */
+  def splitLeakage(spark: SparkSession, sfDir: String): DataFrame = {
+    val test1 = col("d1") % 5 === 0
+    val test2 = col("d2") % 5 === 0
+    dedupJaccard(spark, sfDir)
+      .filter(col("is_dup"))
+      .select(when(test1 && test2, "test-test")
+        .when(!test1 && !test2, "train-train")
+        .otherwise("train-test").as("cls"))
+      .groupBy("cls")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("cls")
+  }
+
+  val splitLeakageOracle: String =
+    s"""SELECT CASE WHEN d1 % 5 = 0 AND d2 % 5 = 0 THEN 'test-test'
+      |            WHEN d1 % 5 <> 0 AND d2 % 5 <> 0 THEN 'train-train'
+      |            ELSE 'train-test' END AS cls,
+      |  count(*) AS n_pairs
+      |FROM ($dedupJaccardOracle)
+      |WHERE is_dup GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** LSH candidates → bounded EDIT-DISTANCE verification: the fuzzy
     * dedup family's character-level verifier (catches in-word
     * typo/OCR variants whose word 3-gram Jaccard collapses, since one
@@ -2814,6 +2846,7 @@ object LlmOps {
     "llm_dedup_minhash" -> dedupMinhash,
     "llm_dedup_jaccard" -> dedupJaccard,
     "llm_dedup_editdist" -> dedupEditdist,
+    "llm_split_leakage" -> splitLeakage,
     "llm_dedup_simhash" -> dedupSimhash,
     "llm_dedup_simhash_pairs" -> dedupSimhashPairs,
     "llm_dedup_embed" -> dedupEmbed,
@@ -2871,6 +2904,7 @@ object LlmOps {
     "llm_dedup_minhash" -> dedupMinhashOracle,
     "llm_dedup_jaccard" -> dedupJaccardOracle,
     "llm_dedup_editdist" -> dedupEditdistOracle,
+    "llm_split_leakage" -> splitLeakageOracle,
     "llm_dedup_simhash" -> dedupSimhashOracle,
     "llm_dedup_simhash_pairs" -> dedupSimhashPairsOracle,
     "llm_dedup_embed" -> dedupEmbedOracle,

@@ -1454,6 +1454,40 @@ object Relational {
       |       count(*) AS n_orders
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** EXACT distinct counting via fixed-width BITMAP words — the
+    * bitmap-index pattern (roaring-style, fixed containers): each key
+    * sets bit (key mod 63) of word (key div 63), words OR together
+    * under partial aggregation, and the distinct count is the popcount
+    * sum. Two-level agg like Catalyst's count(DISTINCT) expand, but
+    * the shuffle carries (group, word_id, 8-byte word) — bounded by
+    * keyspace/63 per group REGARDLESS of row count, and words OR
+    * map-side, so a 100 TB fact table with a dense integer keyspace
+    * shuffles a fixed-size bitmap instead of its distinct keys. The
+    * exact, mergeable, re-aggregable counterpart to the HLL sketch
+    * union (`agg_sketch_union`); 63-bit words keep the shift inside
+    * signed-long range on every engine.
+    */
+  def aggBitmapDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .select(col("o_orderpriority"),
+        expr("o_custkey div 63").as("word_id"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(o_custkey % 63 AS INT))")
+          .as("bit"))
+      .groupBy("o_orderpriority", "word_id")
+      .agg(expr("bit_or(bit)").as("word"))
+      .groupBy("o_orderpriority")
+      .agg(sum(bit_count(col("word"))).as("n_cust"))
+      .orderBy("o_orderpriority")
+
+  val aggBitmapDistinctOracle: String =
+    """WITH words AS (
+      |  SELECT o_orderpriority, o_custkey // 63 AS word_id,
+      |    bit_or(CAST(1 AS BIGINT) << CAST(o_custkey % 63 AS INT)) AS word
+      |  FROM orders GROUP BY 1, 2
+      |)
+      |SELECT o_orderpriority, CAST(sum(bit_count(word)) AS BIGINT) AS n_cust
+      |FROM words GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Approximate distinct (HLL++). No DuckDB oracle — sketch estimates
     * are engine-specific; the driver records a rows-only check. The
     * exact variant above is the hash-matched twin.
@@ -2501,6 +2535,7 @@ object Relational {
     "agg_stats" -> aggStats,
     "agg_pivot" -> aggPivot,
     "agg_count_distinct" -> aggCountDistinct,
+    "agg_bitmap_distinct" -> aggBitmapDistinct,
     "agg_approx_distinct" -> aggApproxDistinct,
     "agg_approx_quantile" -> aggApproxQuantile,
     "agg_sketch_union" -> aggSketchUnion,
@@ -2578,6 +2613,7 @@ object Relational {
     "agg_stats" -> aggStatsOracle,
     "agg_pivot" -> aggPivotOracle,
     "agg_count_distinct" -> aggCountDistinctOracle,
+    "agg_bitmap_distinct" -> aggBitmapDistinctOracle,
     "agg_approx_distinct" -> aggApproxDistinctOracle,
     "agg_approx_quantile" -> aggApproxQuantileOracle,
     "agg_sketch_union" -> aggSketchUnionOracle,
