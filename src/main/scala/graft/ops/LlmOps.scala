@@ -2801,6 +2801,84 @@ object LlmOps {
     * digest group is the only wide key. Dropped rows name their keeper
     * (the pair-level decision list an ingest anti-joins against).
     */
+  /** PERCEPTUAL-HASH near-dup search over the opaque media payload —
+    * the dHash recipe (gradient fingerprint + Hamming-ball lookup)
+    * that catches re-encoded/locally-perturbed media where
+    * [[mmDedup]]'s exact digest collapses only byte-identical copies.
+    * The payload's first 256 bytes — the HEADER BLOCK, normalized by
+    * right-padding so every fingerprint samples the same grid (the
+    * role the fixed 8×8 luminance grid plays for images; a real
+    * decoder would feed that grid through the same plumbing) — yield
+    * a 63-bit fingerprint: bit i compares adjacent sampled bytes at
+    * stride 4, all in codegen'd built-ins, one scan, no shuffle.
+    * Lookup is banded like every pairwise stage in this engine:
+    * 3 × 21-bit bands, census-capped buckets (2..100) BEFORE the
+    * self-join — never all-pairs — then the exact Hamming distance
+    * (`bit_count(fp₁ xor fp₂)`, one codegen'd popcount on longs)
+    * keeps pairs within the 6-bit ball. 63 bits (not 64) keeps the
+    * shift inside signed-long range on every engine.
+    */
+  def mmPhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val header = rpad(substring(col("text"), 1, 256), 256, " ")
+    val fp = (0 until 63).map { i =>
+      when(ascii(substring(col("h"), 1 + 4 * i, 1)) >
+        ascii(substring(col("h"), 2 + 4 * i, 1)), lit(1L << i))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    val fps = t(spark, sfDir, "documents")
+      .select(col("doc_id"), header.as("h"))
+      .select(col("doc_id"), fp.as("fp"))
+    val bands = fps.select(col("doc_id"), col("fp"),
+        posexplode(array((0 until 3).map(b =>
+          shiftright(col("fp"), 21 * b).bitwiseAND(lit(2097151L))): _*))
+          .as(Seq("band", "bv")))
+      .persist()
+    val ok = bands.groupBy("band", "bv")
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") >= 2 && col("bn") <= 100)
+      .select("band", "bv")
+    val inb = bands.join(ok, Seq("band", "bv"))
+    val a = inb.select(col("band"), col("bv"), col("doc_id").as("d1"),
+      col("fp").as("f1"))
+    val b = inb.select(col("band"), col("bv"), col("doc_id").as("d2"),
+      col("fp").as("f2"))
+    a.join(b, Seq("band", "bv"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        bit_count(col("f1").bitwiseXOR(col("f2"))).cast("long").as("ham"))
+      .distinct()
+      .filter(col("ham") <= 6)
+      .orderBy("d1", "d2")
+  }
+
+  val mmPhashOracle: String = {
+    val bits = (0 until 63).map { i =>
+      s"(CASE WHEN ascii(substr(h, ${1 + 4 * i}, 1)) > " +
+        s"ascii(substr(h, ${2 + 4 * i}, 1)) " +
+        s"THEN (CAST(1 AS BIGINT) << $i) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
+    s"""WITH fps AS (
+      |  SELECT doc_id, $bits AS fp
+      |  FROM (SELECT doc_id, rpad(substr(text, 1, 256), 256, ' ') AS h
+      |        FROM documents)
+      |), bands AS (
+      |  SELECT doc_id, fp, b.b AS band, (fp >> (21 * b.b)) & 2097151 AS bv
+      |  FROM fps, (SELECT unnest(range(3)) AS b) b
+      |), ok AS (
+      |  SELECT band, bv FROM bands GROUP BY band, bv
+      |  HAVING count(*) BETWEEN 2 AND 100
+      |), inb AS (
+      |  SELECT s.doc_id, s.fp, s.band, s.bv FROM bands s JOIN ok
+      |  USING (band, bv)
+      |)
+      |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+      |  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS ham
+      |FROM inb a JOIN inb b ON a.band = b.band AND a.bv = b.bv
+      |WHERE a.doc_id < b.doc_id
+      |  AND bit_count(xor(a.fp, b.fp)) <= 6
+      |ORDER BY d1, d2""".stripMargin
+  }
+
   def mmDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val base = t(spark, sfDir, "documents")
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
@@ -2892,6 +2970,7 @@ object LlmOps {
     "llm_mm_frames" -> mmFrames,
     "llm_mm_join" -> mmJoin,
     "llm_mm_dedup" -> mmDedup,
+    "llm_mm_phash" -> mmPhash,
     "llm_text_chunk" -> textChunk,
     "llm_filter_blocklist" -> filterBlocklist,
     "llm_sim_knn_graph" -> simKnnGraph)
@@ -2950,6 +3029,7 @@ object LlmOps {
     "llm_mm_frames" -> mmFramesOracle,
     "llm_mm_join" -> mmJoinOracle,
     "llm_mm_dedup" -> mmDedupOracle,
+    "llm_mm_phash" -> mmPhashOracle,
     "llm_text_chunk" -> textChunkOracle,
     "llm_filter_blocklist" -> filterBlocklistOracle,
     "llm_sim_knn_graph" -> simKnnGraphOracle)
