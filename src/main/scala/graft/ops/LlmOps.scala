@@ -2222,6 +2222,95 @@ object LlmOps {
     * vocabulary, and the cut is TakeOrderedAndProject, never a global
     * sort.
     */
+  /** BPE tokenizer TRAINING — the iterative merge loop proper, the
+    * step beyond [[textBpe]]'s one-shot pair count: each round counts
+    * adjacent-symbol bigrams over the whole corpus, picks the most
+    * frequent pair (ties break lexicographically, so training is
+    * deterministic), and rewrites the corpus with the pair fused.
+    * Exactly the Sennrich et al. 2016 recipe at 3 rounds.
+    *
+    * Representation is the DOUBLE-SPACE boundary encoding that makes
+    * the merge a plain string `replace` (no regex, no escaping):
+    * interior symbol boundaries carry two spaces, word edges one; the
+    * pattern `␣s1␣␣s2␣` consumes one space per side, so the invariant
+    * survives every rewrite and adjacent matches never contend for a
+    * shared boundary. `replace` is leftmost-non-overlapping in both
+    * engines — BPE's canonical merge order.
+    *
+    * Scale shapes: per round, the bigram count is one explode into a
+    * map-side-combined aggregate (symbol-pair cardinality out);
+    * argmax is TakeOrdered(1) — the ONLY driver-side value, one
+    * (pair, count) row of metadata, the same legitimacy as a
+    * broadcast model artifact; the rewrite is a map-only scan. Round
+    * count is the vocab budget, fixed a priori — lineage stays
+    * 3 deep, no checkpoint needed.
+    */
+  def bpeTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    val rounds = 3
+    var corpus = t(spark, sfDir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(concat(lit(" "), array_join(split(col("w"), ""), "  "),
+        lit(" ")).as("sym"))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    for (it <- 1 to rounds) {
+      val syms = corpus.select(split(trim(col("sym")), "  ").as("syms"))
+      val n = size(col("syms"))
+      val best = syms
+        .filter(n >= 2)
+        .select(explode(zip_with(
+          slice(col("syms"), lit(1), n - 1),
+          slice(col("syms"), lit(2), n - 1),
+          (a, b) => struct(a.as("s1"), b.as("s2")))).as("p"))
+        .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("s1"), col("s2"))
+        .limit(1)
+        .head()
+      val (s1, s2, cnt) = (best.getString(0), best.getString(1),
+        best.getLong(2))
+      merges += ((it, s1 + s2, cnt))
+      corpus = corpus.select(
+        replace(col("sym"), lit(s" $s1  $s2 "), lit(s" $s1$s2 "))
+          .as("sym"))
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "merged", "cnt").orderBy("rank")
+  }
+
+  val bpeTrainOracle: String = {
+    def stage(n: Int, prev: String): String =
+      s"""bg$n AS (
+        |  SELECT p[1] AS s1, p[2] AS s2, count(*) AS cnt FROM (
+        |    SELECT unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)]))
+        |      AS p
+        |    FROM (SELECT string_split(trim(sym), '  ') AS syms FROM $prev)
+        |  )
+        |  WHERE p[1] IS NOT NULL AND p[2] IS NOT NULL
+        |  GROUP BY 1, 2
+        |), best$n AS (
+        |  SELECT s1, s2, cnt FROM bg$n ORDER BY cnt DESC, s1, s2 LIMIT 1
+        |), c$n AS (
+        |  SELECT replace(sym, ' ' || b.s1 || '  ' || b.s2 || ' ',
+        |                 ' ' || b.s1 || b.s2 || ' ') AS sym
+        |  FROM $prev, best$n b
+        |)""".stripMargin
+    s"""WITH words AS (
+      |  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+      |), c0 AS (
+      |  SELECT ' ' || array_to_string(string_split(w, ''), '  ') || ' '
+      |    AS sym
+      |  FROM words WHERE length(w) > 0
+      |),
+      |${stage(1, "c0")},
+      |${stage(2, "c1")},
+      |${stage(3, "c2")}
+      |SELECT 1 AS rank, s1 || s2 AS merged, cnt FROM best1
+      |UNION ALL SELECT 2, s1 || s2, cnt FROM best2
+      |UNION ALL SELECT 3, s1 || s2, cnt FROM best3
+      |ORDER BY rank""".stripMargin
+  }
+
   def textBpe(spark: SparkSession, sfDir: String): DataFrame = {
     val n = size(words)
     val pairs = zip_with(
@@ -2956,6 +3045,7 @@ object LlmOps {
     "llm_text_lm" -> textLm,
     "llm_text_bigram" -> textBigram,
     "llm_text_bpe" -> textBpe,
+    "llm_bpe_train" -> bpeTrain,
     "llm_text_pmi" -> textPmi,
     "llm_index_inverted" -> indexInverted,
     "llm_feature_hash" -> featureHash,
@@ -3015,6 +3105,7 @@ object LlmOps {
     "llm_text_lm" -> textLmOracle,
     "llm_text_bigram" -> textBigramOracle,
     "llm_text_bpe" -> textBpeOracle,
+    "llm_bpe_train" -> bpeTrainOracle,
     "llm_text_pmi" -> textPmiOracle,
     "llm_index_inverted" -> indexInvertedOracle,
     "llm_feature_hash" -> featureHashOracle,

@@ -89,6 +89,21 @@ class LlmOpsSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     spark.catalog.clearCache()
   }
 
+  test("bpeTrain learns hand-computable merges; ties break " +
+    "lexicographically") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bpe").toString
+    // (z,x) and (z,y) tie at 3 → lexicographic order must pick zx
+    // first; (a,b) trails at 2.
+    Seq((0L, "zy zy zy zx zx zx ab ab"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = LlmOps.bpeTrain(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1, "zx", 3L), (2, "zy", 3L), (3, "ab", 2L)))
+    spark.catalog.clearCache()
+  }
+
   test("bloom-prefiltered decontamination equals the direct exact join " +
     "row for row") {
     val exact = LlmOps.decontaminate(spark, sf).collect()
