@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Fixture-table loader. One place that knows the on-disk layout
   * (`<sfDir>/<table>.parquet`, TESTDATA.md) so queries only name tables.
@@ -40,8 +40,17 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, table: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$table.parquet")
-    if (table == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    if (table == "events") df.schema("ts").dataType match {
+      // Legacy NANOS fixture: arrives as Long nanoseconds (see scaladoc).
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // TIMESTAMP(MICROS, isAdjustedToUTC=false) fixture: Spark 4 reads it
+      // as TIMESTAMP_NTZ, which event-time streaming (withWatermark) and
+      // unix_micros reject. The session timezone is pinned to UTC
+      // (sessionConfigs), so casting to the instant type is a pure
+      // re-interpretation of the same wall-clock values — DuckDB oracles,
+      // which treat the column as a plain TIMESTAMP, agree bit-for-bit.
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    } else df
   }
 }

@@ -19,6 +19,18 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // Leave an explicit failure marker: an output dir with an
+        // _ERROR file and no parquet makes the driver's read fail
+        // loudly and record `err` for this key, instead of the key
+        // silently vanishing from the round's correctness report
+        // (which is indistinguishable from "never registered").
+        val dir = Paths.get(s"$outDir/$name")
+        Files.createDirectories(dir)
+        dir.toFile.listFiles().foreach { f =>
+          if (f.getName.endsWith(".parquet")) f.delete()
+        }
+        Files.writeString(dir.resolve("_ERROR"),
+          s"${e.getClass.getName}: ${e.getMessage}\n")
       }
       // Drop any per-query persist()ed intermediates between queries.
       spark.catalog.clearCache()

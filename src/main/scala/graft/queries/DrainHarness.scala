@@ -29,6 +29,18 @@ private[queries] object DrainHarness {
         .forEach(q => if (q != p) Files.deleteIfExists(q))
   }
 
+  /** Stage `log` once per (JVM, cacheKey); [[drain]] goes through
+    * here, and each family's `prestage` calls it from Bench's untimed
+    * warmup so the one-time staging write never lands inside a timed
+    * repeat (VERDICT r7: run-1 staging I/O dragged run-2 timings).
+    */
+  def stage(log: DataFrame, cacheKey: String): String =
+    stagedCache.computeIfAbsent(cacheKey, { _ =>
+      val dir = Files.createTempDirectory("graft-log-").toString
+      log.repartition(4).write.mode("overwrite").parquet(dir)
+      dir
+    })
+
   /** Drain `log` (envelope rows, deterministic per cacheKey) through
     * `processBatch`; returns the fresh store the batches committed
     * into. Callers must consume frames read from the store before the
@@ -37,11 +49,7 @@ private[queries] object DrainHarness {
   def drain(spark: SparkSession, log: DataFrame, cacheKey: String,
             nBuckets: Int, filesPerTrigger: Int)
            (processBatch: (StateStore, DataFrame) => Unit): StateStore = {
-    val logDir = stagedCache.computeIfAbsent(cacheKey, { _ =>
-      val dir = Files.createTempDirectory("graft-log-").toString
-      log.repartition(4).write.mode("overwrite").parquet(dir)
-      dir
-    })
+    val logDir = stage(log, cacheKey)
     val (whDir, ckptDir) = workDirCache.computeIfAbsent(cacheKey, { _ =>
       (Files.createTempDirectory("graft-wh-").toString,
         Files.createTempDirectory("graft-ckpt-").toString)

@@ -102,6 +102,15 @@ object TxApplyMultiQueries {
     *   b3: rest of 3000 both tables + markers; tx4000 complete both
     *       → 3000 + 4000 apply; nothing pending.
     */
+  /** Stage the engineered wire micro-batch files without running the
+    * apply loop — Bench's untimed warmup, so staging I/O never lands
+    * in a timed repeat.
+    */
+  def prestage(spark: SparkSession, sfDir: String): Unit = {
+    stageBatches(spark, sfDir)
+    ()
+  }
+
   private def stageBatches(spark: SparkSession, sfDir: String): String =
     stagedCache.computeIfAbsent(sfDir, { _ =>
       val dir = Files.createTempDirectory("graft-txmlog-").toString

@@ -105,6 +105,15 @@ object TxApplyQueries {
       dir
     })
 
+  /** Stage the engineered micro-batch files without running the apply
+    * loop — Bench's untimed warmup, so staging I/O never lands in a
+    * timed repeat.
+    */
+  def prestage(spark: SparkSession, sfDir: String): Unit = {
+    stageBatches(spark, sfDir)
+    ()
+  }
+
   /** One micro-batch: union held-back rows with the batch, decide
     * completeness per transaction, apply complete ones through the
     * shared ordered merge, persist the rest back to the held store.
