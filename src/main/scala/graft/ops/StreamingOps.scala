@@ -45,10 +45,11 @@ class UserRunningStats
   * emitted once the drain finishes), key-dedup and stream-static join
   * use `append`, arbitrary state uses `update` with a final per-key
   * aggregate on top — each chosen so the RESULT is independent of
-  * micro-batch slicing. Watermark LATE-DROP semantics are exercised in
-  * StreamingOpsSpec with MemoryStream-controlled batches instead,
-  * because append-mode emission timing depends on slicing and would
-  * make an oracle nondeterministic by design.
+  * micro-batch slicing. Watermark LATE-DROP semantics get BOTH a
+  * MemoryStream spec (StreamingOpsSpec) and an oracle-checked entry
+  * ([[lateDrop]]) — the latter made deterministic by replaying a
+  * TIME-ORDERED staged log one file per trigger, so the watermark
+  * provably passes the late rows' windows before they arrive.
   *
   * The memory sink is the test harness stand-in: a production pipeline
   * writes parquet/state-store sinks (see cdc.Pipeline); plans are
@@ -109,8 +110,11 @@ object StreamingOps {
     * staging write never lands inside a timed repeat (VERDICT r7:
     * run-1 staging I/O dragged run 2 and moved 3-run medians).
     */
-  def prestage(spark: SparkSession, sfDir: String): Unit =
+  def prestage(spark: SparkSession, sfDir: String): Unit = {
     Seq("events", "documents", "orders").foreach(stage(spark, sfDir, _))
+    stageLateDrop(spark, sfDir)
+    ()
+  }
 
   private def streamEvents(spark: SparkSession, sfDir: String,
                            mode: String)(f: DataFrame => DataFrame): DataFrame =
@@ -230,6 +234,117 @@ object StreamingOps {
   val dedupWatermarkOracle: String =
     """SELECT DISTINCT user_id, event_type FROM events
       |ORDER BY user_id, event_type""".stripMargin
+
+  /** Cutoffs for [[lateDrop]], fixed across scale factors (the events
+    * fixture spans 2024-01-01..2024-01-30 at every sf): rows in the
+    * FIRST day with `event_id % 10 == 0` replay after everything else
+    * and must be dropped; two far-future sentinel rows then push the
+    * watermark past the last real window so append mode finalizes it.
+    */
+  private val LateDay = "2024-01-02"
+
+  /** Stage the late-drop replay log: one parquet file per slice, in
+    * REPLAY order with strictly increasing modification times (the
+    * file source processes oldest-first):
+    *   b00 — every on-time event (all events minus the late set);
+    *   b01 — sentinel @ Feb 5: a BUFFER batch, because the watermark a
+    *       batch actually filters with lags the progress line — batch
+    *       N's filter sees the watermark committed after batch N-1's
+    *       PLANNING, i.e. from batches ≤ N-2's data (measured here:
+    *       late rows directly behind b00 were merged, not dropped);
+    *   b02 — the late set: first-day rows, event_id % 10 == 0 — by
+    *       this trigger the filter watermark is ≥ Jan 30 (from b00)
+    *       whether the lag is one batch or two, weeks past the late
+    *       rows' window end of Jan 2: dropped deterministically;
+    *   b03/b04 — sentinels @ Feb 10 / Feb 15: advance the watermark
+    *       across two more batches so the last real window finalizes
+    *       by watermark progression alone, without relying on a
+    *       trailing flush batch.
+    */
+  private def stageLateDrop(spark: SparkSession, sfDir: String): String =
+    stagedCache.computeIfAbsent(s"$sfDir/events-latedrop", { _ =>
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-latedrop-").toString
+      val ev = Tables.load(spark, sfDir, "events")
+      val isLate = col("ts") < lit(LateDay).cast("timestamp") &&
+        col("event_id") % 10 === 0
+      def sentinel(ts: String, id: Long): DataFrame =
+        spark.range(1).select(
+          lit(id).as("event_id"), lit(ts).cast("timestamp").as("ts"),
+          lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+          lit(0.0).as("value"), lit("{}").as("props"))
+      val slices = Seq(ev.filter(!isLate),
+        sentinel("2024-02-05 00:00:00", -1L),
+        ev.filter(isLate),
+        sentinel("2024-02-10 00:00:00", -2L),
+        sentinel("2024-02-15 00:00:00", -3L))
+      slices.zipWithIndex.foreach { case (df, i) =>
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-lateslice-").toString
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+          .toArray.map(_.toString).filter(_.endsWith(".parquet"))
+        require(part.length == 1, s"expected 1 part file, got ${part.length}")
+        val dst = java.nio.file.Paths.get(dir, f"b$i%02d.parquet")
+        java.nio.file.Files.move(java.nio.file.Paths.get(part.head), dst,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        // Strictly increasing mtimes pin the replay order however fast
+        // the writes ran.
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 10000L))
+      }
+      dir
+    })
+
+  /** Watermark late-data DROP, end to end in append mode — the half of
+    * the SURVEY §2 "watermark + late-data drop" row that
+    * [[dedupWatermark]] doesn't exercise (its spanning watermark never
+    * drops anything). Tumbling 1-day windows per event type with a
+    * 1-hour watermark over the ordered replay log of
+    * [[stageLateDrop]]: the late set arrives after the watermark has
+    * passed its windows and is excluded from the emitted aggregates;
+    * the oracle computes the same aggregate over `events` minus the
+    * late set. Sentinel windows (the only ones at/after Feb 1) are
+    * filtered from the result.
+    *
+    * Scale shape: identical to [[tumbling]] — map-side partial
+    * aggregation per micro-batch, only (window, type) partials cross
+    * the shuffle, state bounded by windows-in-flight × types; the
+    * watermark is precisely WHY state stays bounded at 100 TB, and
+    * this query is the proof it actually evicts-and-finalizes.
+    */
+  def lateDrop(spark: SparkSession, sfDir: String): DataFrame = {
+    val staged = stageLateDrop(spark, sfDir)
+    val schema = Tables.load(spark, sfDir, "events").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+    val name = s"stream_sink_${nameCounter.incrementAndGet()}"
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = src.withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+        .writeStream
+        .format("memory").queryName(name).outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    spark.table(name)
+      .filter(col("window.start") < lit("2024-02-01").cast("timestamp"))
+      .select(usCol("window.start").as("w_start_us"),
+        usCol("window.end").as("w_end_us"),
+        col("event_type"), col("n"), col("total"))
+      .orderBy("w_start_us", "event_type")
+  }
+
+  val lateDropOracle: String =
+    """SELECT epoch_us(time_bucket(INTERVAL 1 DAY, ts::TIMESTAMP)) AS w_start_us,
+      |  epoch_us(time_bucket(INTERVAL 1 DAY, ts::TIMESTAMP) + INTERVAL 1 DAY) AS w_end_us,
+      |  event_type, count(*) AS n, ROUND(sum(value), 2) AS total
+      |FROM events
+      |WHERE NOT (ts < TIMESTAMP '2024-01-02' AND event_id % 10 = 0)
+      |GROUP BY 1, 2, 3 ORDER BY w_start_us, event_type""".stripMargin
 
   /** Stream-static join: the event stream enriched against the static
     * customer dim (broadcast — the static side is planned once and
@@ -551,6 +666,7 @@ object StreamingOps {
     "stream_session" -> session,
     "stream_dedup" -> dedup,
     "stream_dedup_watermark" -> dedupWatermark,
+    "stream_late_drop" -> lateDrop,
     "stream_static_join" -> staticJoin,
     "stream_curate" -> streamCurate,
     "stream_curate_near" -> streamCurateNear,
@@ -565,6 +681,7 @@ object StreamingOps {
     "stream_session" -> sessionOracle,
     "stream_dedup" -> dedupOracle,
     "stream_dedup_watermark" -> dedupWatermarkOracle,
+    "stream_late_drop" -> lateDropOracle,
     "stream_static_join" -> staticJoinOracle,
     "stream_curate" -> streamCurateOracle,
     "stream_curate_near" -> streamCurateNearOracle,
