@@ -162,15 +162,38 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
     // from a crashed commit attempt (under the single-writer invariant
     // A17 nothing else can have written them) — a checkpoint-replayed
     // micro-batch must be able to clean them up and retry, not wedge.
-    Seq(d.resolve(s"manifest-$next.tsv"), d.resolve(s"schema-$next.json"))
+    // The claim marker is debris of the same class: deleting it is
+    // only safe because this path ASSUMES single-writer; do not mix
+    // [[commit]] and [[commitOptimistic]] writers on one target.
+    Seq(d.resolve(s"manifest-$next.tsv"), d.resolve(s"schema-$next.json"),
+        d.resolve(s"commit-$next.lock"))
       .foreach(Files.deleteIfExists)
     val verDir = s"v$next"
     merged.write.mode("overwrite")
       .partitionBy(BucketCol)
       .parquet(d.resolve(verDir).toString)
+    writeMetadata(target, merged, affected, prev, next)
+    // A17 single-writer detection: if the committed pointer moved while
+    // this merge ran, another writer raced us — abort before publishing.
+    if (currentVersion(target) != prev)
+      throw new IllegalStateException(
+        s"single-writer invariant violated on $target: version moved " +
+          s"from $prev to ${currentVersion(target)} during commit")
+    swapPointer(target, next)
+    next
+  }
+
+  /** Manifest + schema + evolution-journal files for version `next`
+    * (everything between the data write and the pointer swap) — shared
+    * by [[commit]] and [[commitOptimistic]].
+    */
+  private def writeMetadata(target: String, merged: DataFrame,
+                            affected: Seq[Int], prev: Int,
+                            next: Int): Unit = {
+    val d = dir(target)
     val prevManifest = manifest(target)
     val nextManifest = prevManifest ++
-      affected.map(b => b -> s"$verDir/$BucketCol=$b").toMap
+      affected.map(b => b -> s"v$next/$BucketCol=$b").toMap
     val lines = nextManifest.toSeq.sortBy(_._1)
       .map { case (b, p) => s"$b\t$p" }.mkString("\n")
     Files.writeString(d.resolve(s"manifest-$next.tsv"), lines)
@@ -184,18 +207,107 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
         s"""{"version":$next,"schema":$schemaJson}""" + "\n",
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
-    // A17 single-writer detection: if the committed pointer moved while
-    // this merge ran, another writer raced us — abort before publishing.
-    if (currentVersion(target) != prev)
-      throw new IllegalStateException(
-        s"single-writer invariant violated on $target: version moved " +
-          s"from $prev to ${currentVersion(target)} during commit")
-    // Atomic pointer swap: readers see version prev or next, never a mix.
-    val tmp = d.resolve("_VERSION.tmp")
+  }
+
+  /** Atomic `_VERSION` swap: readers see the old or the new version,
+    * never a mix.
+    */
+  private def swapPointer(target: String, next: Int): Unit = {
+    val tmp = dir(target).resolve("_VERSION.tmp")
     Files.writeString(tmp, next.toString)
-    Files.move(tmp, d.resolve(VersionFile),
+    Files.move(tmp, dir(target).resolve(VersionFile),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    next
+  }
+
+  /** OPTIMISTIC concurrent commit — the Iceberg optimistic-concurrency
+    * analog, lifting the single-writer invariant (A17) for targets
+    * whose writers all come through here: conflicts are RETRIED with
+    * the merge recomputed against the new state, never
+    * detected-and-thrown.
+    *
+    * Protocol (per attempt):
+    *   1. read `prev` = the committed version, call `merge(prev)` —
+    *      the caller reads current state (pinned to `prev`: manifest
+    *      resolution in [[rawState]] is eager) and returns the merged
+    *      frame + affected buckets;
+    *   2. CLAIM version `prev+1` by atomically creating
+    *      `commit-<prev+1>.lock` — `Files.createFile` succeeds for
+    *      exactly one writer per version number ever, making version
+    *      allocation the linearization point (markers are never
+    *      removed on success, so a version number can never be won
+    *      twice);
+    *   3. re-verify the pointer still says `prev` (a stale-marker
+    *      steal could otherwise double-allocate) — then write the
+    *      data dir, metadata, and swap the pointer. The claim makes
+    *      `v<next>` this writer's exclusive directory, so concurrent
+    *      attempts never interleave files.
+    *   Losers wait for the pointer to move (or the winner's marker to
+    *   go stale — a crashed claimant is broken after `staleLockMs`)
+    *   and retry from step 1 with fresh state: updates are recomputed,
+    *   not replayed, so nothing is lost.
+    *
+    * At 100 TB the cost argument is Iceberg's: a conflict costs one
+    * re-read of the (bucket-pruned) state and one re-merge of the
+    * micro-batch — change-volume work, never a table rewrite; the
+    * claim/verify/swap critical section is three metadata operations
+    * regardless of data size. `staleLockMs` must exceed the slowest
+    * expected data write, exactly like Iceberg's commit-retry
+    * timeouts. Do not mix [[commit]] (which assumes A17 and treats
+    * foreign markers as crash debris) with this path on one target.
+    *
+    * Returns the committed version. Throws only if `maxAttempts`
+    * CONFLICTS (not waits) are exhausted.
+    */
+  def commitOptimistic(spark: SparkSession, target: String,
+                       maxAttempts: Int = 8, staleLockMs: Long = 60000L)
+                      (merge: Int => (DataFrame, Seq[Int])): Int = {
+    val d = dir(target)
+    Files.createDirectories(d)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val prev = currentVersion(target)
+      val (merged, affected) = merge(prev)
+      val next = prev + 1
+      val marker = d.resolve(s"commit-$next.lock")
+      val claimed =
+        try { Files.createFile(marker); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      if (claimed && currentVersion(target) == prev) {
+        merged.write.mode("overwrite")
+          .partitionBy(BucketCol)
+          .parquet(d.resolve(s"v$next").toString)
+        writeMetadata(target, merged, affected, prev, next)
+        swapPointer(target, next)
+        return next
+      }
+      if (claimed) {
+        // Claim succeeded but the pointer had already moved past
+        // `prev` — only possible after a stale-marker steal let the
+        // original claimant publish first. The claim is worthless
+        // (that version is committed); drop it and retry fresh.
+        Files.deleteIfExists(marker)
+      } else {
+        // Another writer holds `next`. Wait for its publish (pointer
+        // moves) or its death (marker goes stale), then retry with
+        // recomputed state.
+        val start = System.currentTimeMillis
+        var waiting = true
+        while (waiting) {
+          if (currentVersion(target) != prev) waiting = false
+          else if (!Files.exists(marker)) waiting = false
+          else if (Files.getLastModifiedTime(marker).toMillis +
+                     staleLockMs < System.currentTimeMillis) {
+            Files.deleteIfExists(marker)
+            waiting = false
+          } else if (System.currentTimeMillis - start > staleLockMs * 2)
+            waiting = false
+          else Thread.sleep(10)
+        }
+      }
+    }
+    throw new IllegalStateException(
+      s"optimistic commit on $target gave up after $maxAttempts conflicts")
   }
 
   /** SHALLOW CLONE (the Delta `CREATE TABLE ... SHALLOW CLONE` /
