@@ -46,6 +46,7 @@ object SparkEntry {
       graft.queries.TxApplyQueries.queries ++
       graft.queries.TxApplyMultiQueries.queries ++
       graft.queries.OutboxQueries.queries ++
+      graft.queries.OccQueries.queries ++
       graft.queries.MaintenanceQueries.queries ++
       graft.queries.CatalogQueries.queries ++
       graft.ops.Relational.queries ++
@@ -72,6 +73,7 @@ object SparkEntry {
       graft.queries.TxApplyQueries.oracles ++
       graft.queries.TxApplyMultiQueries.oracles ++
       graft.queries.OutboxQueries.oracles ++
+      graft.queries.OccQueries.oracles ++
       graft.queries.MaintenanceQueries.oracles ++
       graft.queries.CatalogQueries.oracles ++
       graft.ops.Relational.oracles ++
