@@ -321,11 +321,15 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
     * independently from the moment of the clone: a commit to either is
     * invisible to the other.
     *
-    * Caveat — the same one Delta and Iceberg document: `vacuum` on the
-    * SOURCE does not know about clone references, so expiring source
-    * history can strand a clone that still points into it. Compacting
-    * the clone (one rewrite commit) folds every referenced row under
-    * the clone's own dir and detaches it.
+    * The strand-the-clone hazard Delta and Iceberg document (source
+    * `vacuum` expiring dirs a clone still points into) is closed here
+    * by a back-reference: the clone registers itself in the source's
+    * `refs.jsonl`, and [[vacuum]] keeps any version dir a LIVE clone's
+    * retained manifests still reach into, however old. A clone
+    * detaches by compacting (one rewrite commit folds every referenced
+    * row under its own dir) and vacuuming its own pre-compaction
+    * history; the next source vacuum then sees no live reference and
+    * reclaims normally.
     */
   def cloneTable(src: String, dst: String): Unit = {
     require(exists(src), s"clone source $src does not exist")
@@ -345,6 +349,82 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
     Files.writeString(tmp, "0")
     Files.move(tmp, d.resolve(VersionFile),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // Back-reference for clone-aware vacuum: the source records who
+    // points into it. One line per clone; [[vacuum]] prunes lines for
+    // clones that no longer exist or no longer reference the source.
+    Files.writeString(dir(src).resolve(RefsFile),
+      s"""{"clone":"$dst"}""" + "\n",
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+  }
+
+  /** Table names registered in `target`'s `refs.jsonl` whose tables
+    * still exist — candidates for holding live references into
+    * `target`'s version dirs.
+    */
+  private def cloneRefs(target: String): Seq[String] = {
+    val f = dir(target).resolve(RefsFile)
+    if (!Files.exists(f)) Seq.empty
+    else {
+      val pat = """\{"clone":"([^"]+)"\}""".r
+      Files.readAllLines(f).asScala.toSeq.collect {
+        case pat(name) if exists(name) => name
+      }.distinct
+    }
+  }
+
+  /** The version dirs of `target` that a live clone's RETAINED
+    * manifests still reach into (entries of the form
+    * `../<target>/v<K>/_bucket=<B>` — resolved, not string-matched, so
+    * nested warehouse layouts work).
+    */
+  private def cloneReferencedDirs(target: String): Set[String] = {
+    val targetDir = dir(target).toAbsolutePath.normalize
+    cloneRefs(target).flatMap { clone =>
+      val cd = dir(clone)
+      val manifests = {
+        val s = Files.list(cd)
+        try s.iterator().asScala.toList.filter(
+          _.getFileName.toString.matches("manifest-\\d+\\.tsv"))
+        finally s.close()
+      }
+      manifests.flatMap { mf =>
+        Files.readAllLines(mf).asScala.filter(_.nonEmpty).flatMap { line =>
+          val p = line.split("\t", 2)(1)
+          val resolved = cd.resolve(p).toAbsolutePath.normalize
+          if (resolved.startsWith(targetDir) && resolved != targetDir)
+            Some(targetDir.relativize(resolved).getName(0).toString)
+          else None
+        }
+      }
+    }.toSet
+  }
+
+  /** Rewrite `refs.jsonl` keeping only clones that still exist AND
+    * still reference this table — dead entries never pin history
+    * again.
+    */
+  private def pruneRefs(target: String): Unit = {
+    val f = dir(target).resolve(RefsFile)
+    if (!Files.exists(f)) return
+    val targetDir = dir(target).toAbsolutePath.normalize
+    val live = cloneRefs(target).filter { clone =>
+      val cd = dir(clone)
+      val s = Files.list(cd)
+      val manifests =
+        try s.iterator().asScala.toList.filter(
+          _.getFileName.toString.matches("manifest-\\d+\\.tsv"))
+        finally s.close()
+      manifests.exists { mf =>
+        Files.readAllLines(mf).asScala.filter(_.nonEmpty).exists { line =>
+          cd.resolve(line.split("\t", 2)(1)).toAbsolutePath.normalize
+            .startsWith(targetDir)
+        }
+      }
+    }
+    if (live.isEmpty) Files.deleteIfExists(f)
+    else Files.writeString(f,
+      live.map(c => s"""{"clone":"$c"}""").mkString("", "\n", "\n"))
   }
 
   /** RESTORE (the Delta `RESTORE TABLE ... TO VERSION AS OF` analog):
@@ -441,17 +521,23 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
     * Deletes version manifests/schemas older than `keepVersions` back
     * from current, plus any data directory no retained manifest
     * references. Time travel stays available for retained versions.
+    * CLONE-AWARE: version dirs a live clone's retained manifests still
+    * reach into (see [[cloneTable]]'s back-reference) are kept however
+    * old, so expiring source history can never strand a clone; dead
+    * references are pruned first so they never pin history.
     */
   def vacuum(target: String, keepVersions: Int = 1): Unit = {
     val d = dir(target)
     val cur = currentVersion(target)
     val keepFrom = math.max(0, cur - keepVersions + 1)
+    pruneRefs(target)
     // A retained version's manifest may already be gone if an earlier
     // vacuum ran with a tighter window — skip missing manifests so
     // repeated maintenance is a no-op, never a crash.
     val referenced = (keepFrom to cur)
       .filter(v => Files.exists(d.resolve(s"manifest-$v.tsv")))
-      .flatMap(v => manifestAt(target, v).values.map(_.split("/")(0))).toSet
+      .flatMap(v => manifestAt(target, v).values.map(_.split("/")(0))).toSet ++
+      cloneReferencedDirs(target)
     val deletable = (0 until keepFrom).filterNot(v => referenced(s"v$v"))
     deletable.foreach { v =>
       Files.deleteIfExists(d.resolve(s"manifest-$v.tsv"))
@@ -471,6 +557,7 @@ object StateStore {
   val DeletedCol = "_deleted"
   val BucketCol = "_bucket"
   val VersionFile = "_VERSION"
+  val RefsFile = "refs.jsonl"
 
   /** Deterministic PK → bucket assignment (xxhash64, the engine-wide
     * content hash). The same expression computes batch-side and

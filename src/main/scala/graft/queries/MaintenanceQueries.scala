@@ -1027,6 +1027,117 @@ object MaintenanceQueries {
       |UNION ALL SELECT 'source_wave', n, bal, TRUE FROM sw
       |ORDER BY step""".stripMargin
 
+  private val cloneVacDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** CLONE-AWARE VACUUM as an oracle-checked lifecycle — the hazard
+    * Delta/Iceberg document (source `expire_snapshots` stranding a
+    * shallow clone) closed by the store's back-reference protocol
+    * (StateStore.cloneTable registers the clone; vacuum keeps any
+    * version dir a live clone's manifests reach into):
+    *
+    *  1. `clone_after_vacuum` — the source takes the full delete wave
+    *     and vacuums down to one retained version; `ok` asserts every
+    *     data dir the clone's manifest references still exists and the
+    *     clone reads its complete birth state (`pre` formulas).
+    *  2. `source_current` — the source's own post-wave state is
+    *     untouched by reference-pinning (`sw` formulas).
+    *  3. `detached` — the clone compacts (folds referenced rows under
+    *     its own dir), vacuums its pre-compaction history, and the
+    *     next source vacuum reclaims: `ok` asserts the dead
+    *     back-reference is pruned, no source version dir outlives its
+    *     own retained manifest, and the clone still reads its state.
+    *
+    * Scale: the protection set is O(clone manifests), read once per
+    * vacuum — metadata work; reclaim is never blocked by dead
+    * references because pruning runs first.
+    */
+  def cloneVacuum(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val wh = cloneVacDirCache.computeIfAbsent(sfDir,
+      _ => Files.createTempDirectory("graft-clvacq-").toString)
+    val whPath = Paths.get(wh)
+    Files.walk(whPath).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => if (p != whPath) Files.deleteIfExists(p))
+    val store = new graft.cdc.StateStore(wh, nBuckets = 8)
+    val src = "cdc.commerce_customer_cv"
+    val dst = "cdc.commerce_customer_cv_clone"
+    val pk = Seq("c_custkey")
+    val ev = Envelope.flatten(ChangeGen.changeLog(
+      Tables.load(spark, sfDir, "customer"),
+      "c_custkey", "c_acctbal", "commerce", "customer"))
+    val ts = col("_cdc.ts_ms")
+    commitPhase(spark, store, src, pk, ev.filter(ts <= 3000))
+    store.cloneTable(src, dst)
+
+    def summarize(df: DataFrame): (Long, Double) = {
+      val r = df.agg(count(lit(1)), round(sum(round(col("c_acctbal"), 2)), 2))
+        .head()
+      (r.getLong(0), r.getDouble(1))
+    }
+    val pre = summarize(store.currentState(spark, dst))
+
+    commitPhase(spark, store, src, pk, ev.filter(ts > 3000))
+    store.vacuum(src, keepVersions = 1)
+    // Every dir the clone's manifest reaches into must have survived.
+    val cloneDirsIntact = store.manifest(dst).values.forall(p =>
+      Files.exists(whPath.resolve(dst).resolve(p).normalize))
+    val cloneAfterVacuum = summarize(store.currentState(spark, dst))
+    val sourceCurrent = summarize(store.currentState(spark, src))
+
+    store.compactTable(spark, dst)
+    store.vacuum(dst, keepVersions = 1)
+    store.vacuum(src, keepVersions = 1)
+    val refsPruned = !Files.exists(
+      whPath.resolve(src).resolve(graft.cdc.StateStore.RefsFile))
+    // Reclaim check: no source version dir outlives its own retained
+    // manifest once the clone detached.
+    val srcManifestDirs = store.manifest(src).values
+      .map(_.split("/")(0)).toSet
+    val srcVersionDirs = {
+      val s = Files.list(whPath.resolve(src))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.matches("v\\d+")).toSet
+      finally s.close()
+    }
+    val detachedState = summarize(store.currentState(spark, dst))
+
+    import spark.implicits._
+    Seq(
+      ("clone_after_vacuum", cloneAfterVacuum._1, cloneAfterVacuum._2,
+        cloneDirsIntact && cloneAfterVacuum == pre),
+      ("detached", detachedState._1, detachedState._2,
+        refsPruned && srcVersionDirs == srcManifestDirs &&
+          detachedState == pre),
+      ("source_current", sourceCurrent._1, sourceCurrent._2, true))
+      .toDF("step", "n_rows", "bal_sum", "ok")
+      .orderBy("step")
+  }
+
+  /** `pre` / `sw` are the same wave formulas as [[cloneRestoreOracle]]:
+    * pre-delete arithmetic, and the source wave dropping %7 keys.
+    */
+  val cloneVacuumOracle: String =
+    """WITH pre AS (
+      |  SELECT count(*) AS n, ROUND(sum(ROUND(c_acctbal +
+      |    CASE WHEN c_custkey % 5 = 0 THEN 200.0
+      |         WHEN c_custkey % 3 = 0 THEN 100.0
+      |         ELSE 0.0 END, 2)), 2) AS bal
+      |  FROM customer
+      |), sw AS (
+      |  SELECT count(*) AS n, ROUND(sum(ROUND(c_acctbal +
+      |    CASE WHEN c_custkey % 5 = 0 THEN 200.0
+      |         WHEN c_custkey % 3 = 0 THEN 100.0
+      |         ELSE 0.0 END, 2)), 2) AS bal
+      |  FROM customer WHERE c_custkey % 7 <> 0
+      |)
+      |SELECT 'clone_after_vacuum' AS step, n AS n_rows, bal AS bal_sum,
+      |  TRUE AS ok FROM pre
+      |UNION ALL SELECT 'detached', n, bal, TRUE FROM pre
+      |UNION ALL SELECT 'source_current', n, bal, TRUE FROM sw
+      |ORDER BY step""".stripMargin
+
   private val partEvolveDirCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -1204,6 +1315,7 @@ object MaintenanceQueries {
     "maintenance_partition_evolution" -> partitionEvolution,
     "maintenance_orphan_vacuum" -> orphanVacuum,
     "maintenance_clone_restore" -> cloneRestore,
+    "maintenance_clone_vacuum" -> cloneVacuum,
     "cdc_point_lookup" -> pointLookup)
 
   def oracles: Map[String, String] = Map(
@@ -1220,5 +1332,6 @@ object MaintenanceQueries {
     "maintenance_partition_evolution" -> partitionEvolutionOracle,
     "maintenance_orphan_vacuum" -> orphanVacuumOracle,
     "maintenance_clone_restore" -> cloneRestoreOracle,
+    "maintenance_clone_vacuum" -> cloneVacuumOracle,
     "cdc_point_lookup" -> pointLookupOracle)
 }
