@@ -2342,6 +2342,46 @@ object LlmOps {
       |ORDER BY rank""".stripMargin
   }
 
+  /** RAG / pretraining CHUNKING: fixed word-window chunks with
+    * overlap — the step that explodes a document corpus into the
+    * training/retrieval units every context-bounded consumer actually
+    * ingests (window 32 words, stride 24 ⇒ 8-word overlap so no
+    * boundary-spanning phrase is lost). Chunk ids are per-document
+    * ordinals, so ids are stable under any re-partitioning.
+    *
+    * Scale shape: strictly MAP-ONLY — `sequence` builds the start
+    * offsets in-row, `posexplode` + `slice` + `array_join` are all
+    * codegen'd builtins, and no shuffle exists anywhere (the output
+    * inherits the scan's partitioning; the ORDER BY is oracle
+    * discipline, not part of the operator). At 100 TB this is the
+    * shape you want: chunking parallelizes embarrassingly, output
+    * size ~ input × (1 + overlap/stride), and downstream embedding /
+    * dedup stages consume the chunks without a repartition.
+    */
+  def chunkOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val (win, stride) = (32, 24)
+    t(spark, sfDir, "documents")
+      .select(col("doc_id"), words.as("w"))
+      .select(col("doc_id"), col("w"),
+        posexplode(sequence(lit(1), size(col("w")), lit(stride))))
+      .select(col("doc_id"), col("pos").as("chunk_id"),
+        array_join(slice(col("w"), col("col"), lit(win)), " ").as("chunk"),
+        least(lit(win), size(col("w")) - col("col") + 1).as("n_words"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  val chunkOverlapOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |), s AS (
+      |  SELECT doc_id, w, unnest(generate_series(1, len(w), 24)) AS start
+      |  FROM d
+      |)
+      |SELECT doc_id, CAST((start - 1) / 24 AS INT) AS chunk_id,
+      |  array_to_string(w[start:least(start + 31, len(w))], ' ') AS chunk,
+      |  least(32, len(w) - start + 1) AS n_words
+      |FROM s ORDER BY doc_id, chunk_id""".stripMargin
+
   def textBpe(spark: SparkSession, sfDir: String): DataFrame = {
     val n = size(words)
     val pairs = zip_with(
@@ -3076,6 +3116,7 @@ object LlmOps {
     "llm_text_lm" -> textLm,
     "llm_text_bigram" -> textBigram,
     "llm_text_bpe" -> textBpe,
+    "llm_chunk_overlap" -> chunkOverlap,
     "llm_bpe_train" -> bpeTrain,
     "llm_text_pmi" -> textPmi,
     "llm_index_inverted" -> indexInverted,
@@ -3136,6 +3177,7 @@ object LlmOps {
     "llm_text_lm" -> textLmOracle,
     "llm_text_bigram" -> textBigramOracle,
     "llm_text_bpe" -> textBpeOracle,
+    "llm_chunk_overlap" -> chunkOverlapOracle,
     "llm_bpe_train" -> bpeTrainOracle,
     "llm_text_pmi" -> textPmiOracle,
     "llm_index_inverted" -> indexInvertedOracle,

@@ -38,6 +38,18 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
   }
 
+  test("llm_chunk_overlap: map-only chunking — pruned scan, one " +
+      "exchange (the result sort), no aggregation or join") {
+    val p = plan("llm_chunk_overlap")
+    assert(scanCount(p) === 1)
+    assert(!p.contains("lang") && !p.contains("n_chars"),
+      "chunking must prune to (doc_id, text)")
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size == 1,
+      "the only exchange allowed is the deterministic result sort")
+    assert(!p.contains("HashAggregate") && !p.contains("Join"),
+      "chunking must stay generate+project only")
+  }
+
   test("filter_predicates: BETWEEN/LIKE/IN all pushed") {
     val p = plan("filter_predicates")
     assert(p.contains("GreaterThanOrEqual(o_totalprice"), "BETWEEN lower not pushed")
