@@ -262,6 +262,20 @@ class LlmOpsSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       s"lang filter did not reach partition pruning:\n$plan")
   }
 
+  test("curate_write's frame survives re-invocation for the same sfDir") {
+    // The rollup must be MATERIALIZED before return: a later
+    // invocation overwrites the shared per-sfDir corpus dir, and a
+    // lazily-read frame held from the first call would then read
+    // mixed or deleted files (the ADVICE r5 hazard).
+    val firstDf = LlmOps.curateWrite(spark, sf)
+    val firstRows = firstDf.collect().toSeq
+    val secondRows = LlmOps.curateWrite(spark, sf).collect().toSeq
+    val replayed = firstDf.collect().toSeq
+    assert(replayed === firstRows,
+      "first frame must replay identically after the dir was rewritten")
+    assert(secondRows === firstRows, "rollup must be deterministic")
+  }
+
   test("curate output honors every stage's invariant") {
     import org.apache.spark.sql.functions._
     val kept = LlmOps.curate(spark, sf)
