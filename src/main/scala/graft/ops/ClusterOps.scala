@@ -506,17 +506,199 @@ object ClusterOps {
       |  ROUND(CAST(count(*) AS DOUBLE) / 10, 2) AS recall
       |FROM exact JOIN pq10 USING (vec_id)""".stripMargin
 
+  // --------------------------------------------- IVF-PQ (residual ADC)
+
+  /** IVF-PQ with RESIDUAL encoding — the canonical composed index
+    * (FAISS IndexIVFPQ; Jégou et al. 2011 §IV): the coarse quantizer
+    * (per-label centroids, the [[graft.ops.LlmOps.simIvf]] lists)
+    * removes each vector's cluster mean, and PQ codebooks are trained
+    * on the RESIDUALS — which carry far less variance than raw
+    * vectors, so the same 4 code bytes quantize much finer. Search
+    * probes the nprobe=2 nearest lists and scores each probed list
+    * with its OWN ADC table (the probe's residual differs per
+    * centroid — the asymmetric-distance subtlety that distinguishes
+    * IVFADC from flat PQ), then exact-re-ranks the top-[[PqC]].
+    *
+    * 100 TB shape: centroids and codebooks are metadata (broadcast /
+    * literals); residual computation is one `zip_with` over the scan;
+    * encode is in-row literal argmax; the probed fraction is
+    * nprobe/nlist of the corpus and each probed row costs M lookups +
+    * adds. Every float that feeds an argmax or rank is rounded to
+    * 6 dp first, so the DuckDB oracle re-derives centroids,
+    * residuals, codebooks, codes, per-list ADC tables and both
+    * rankings bit-for-bit.
+    */
+  def simIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val e0 = t(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v0"))
+      .persist()
+    val dims = (1 to EmbDim).map(i =>
+      round(avg(element_at(col("v0"), i)), 6).as(s"m$i"))
+    val cent = e0.groupBy("label").agg(dims.head, dims.tail: _*)
+      .select(col("label"),
+        array((1 to EmbDim).map(i => col(s"m$i")): _*).as("cw"))
+    val res = e0.join(broadcast(cent), Seq("label"))
+      .select(col("vec_id"), col("label"),
+        zip_with(col("v0"), col("cw"), (a, b) => round(a - b, 6)).as("v"))
+      .persist()
+    val books = (0 until PqM).map(m => pqCodebook(res, m))
+
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cosSeq(a: Seq[Double], b: Seq[Double]): Double =
+      round6(a.lazyZip(b).map(_ * _).sum /
+        (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)))
+    // Probe + coarse top-2: K centroid rows — metadata, same
+    // legitimacy as the broadcast codebooks.
+    val p = e0.filter(col("vec_id") === 0).select("v0")
+      .head.getSeq[Double](0).toSeq
+    val best2 = cent.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq))
+      .map { case (l, c) => (l, c, cosSeq(p, c)) }
+      .sortBy { case (l, _, s) => (-s, l) }.take(2)
+
+    val scored = best2.map { case (lab, cvec, _) =>
+      val qres = p.lazyZip(cvec).map((a, b) => round6(a - b)).toSeq
+      val adcTable = (0 until PqM).map { m =>
+        val qm = qres.slice(m * PqDim, (m + 1) * PqDim)
+        books(m).map(cw => round6(qm.lazyZip(cw).map(_ * _).sum))
+      }
+      res.filter(col("label") === lab && col("vec_id") =!= 0)
+        .select(Seq(col("vec_id")) ++ (0 until PqM).map(m =>
+          pqEncode(pqSub(col("v"), m), books(m)).as(s"k$m")): _*)
+        .select(col("vec_id"),
+          round((0 until PqM).map(m =>
+              element_at(array(adcTable(m).map(lit): _*), col(s"k$m") + 1))
+            .reduce(_ + _), 6).as("adc"))
+    }.reduce(_.unionAll(_))
+
+    val probeDf = e0.filter(col("vec_id") === 0).select(col("v0").as("pv"))
+    scored.orderBy(col("adc").desc, col("vec_id")).limit(PqC)
+      .join(e0.select(col("vec_id"), col("v0")), Seq("vec_id"))
+      .crossJoin(broadcast(probeDf))
+      .select(col("vec_id"), col("adc"),
+        round(cosine(col("v0"), col("pv")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** The IVF-PQ pipeline unrolled in SQL: rounded per-label centroids,
+    * residuals, the shared [[pqBookCtes]] codebook training over the
+    * residual CTE `e`, per-vector codes, per-probed-list ADC tables,
+    * and the ADC → exact-re-rank funnel restricted to the two probed
+    * lists.
+    */
+  private val ivfPqCtesSql: String = {
+    def lo(m: Int) = pqLo(m)
+    def hi(m: Int) = pqHi(m)
+    val perM = (0 until PqM).map { m =>
+      s"""${pqBookCtes(m)}, enc$m AS (
+        |  SELECT vec_id, k FROM (
+        |    SELECT x.vec_id, c.k,
+        |      row_number() OVER (PARTITION BY x.vec_id
+        |                         ORDER BY ROUND(list_dot_product(x.sv, c.cw) /
+        |        (sqrt(list_dot_product(x.sv, x.sv)) *
+        |         sqrt(list_dot_product(c.cw, c.cw))), 6) DESC, c.k) AS rn
+        |    FROM (SELECT vec_id, v[${lo(m)}:${hi(m)}] AS sv
+        |          FROM e WHERE vec_id <> 0) x, c$m c)
+        |  WHERE rn = 1
+        |), dt$m AS (
+        |  SELECT qr.label, c.k,
+        |    round(list_dot_product(qr.q[${lo(m)}:${hi(m)}], c.cw), 6) AS d
+        |  FROM c$m c, qr
+        |)""".stripMargin
+    }.mkString(",\n")
+    val adcSum = (0 until PqM).map(m => s"dt$m.d").mkString(" + ")
+    val joins = (0 until PqM).map(m =>
+      s"JOIN enc$m ON enc$m.vec_id = e.vec_id " +
+        s"JOIN dt$m ON dt$m.k = enc$m.k AND dt$m.label = e.label")
+      .mkString(" ")
+    s"""WITH raw AS (
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS v0 FROM embeddings
+      |), cent AS (
+      |  SELECT label, list(m ORDER BY i) AS cw FROM (
+      |    SELECT label, i.i, round(avg(v0[i.i]), 6) AS m
+      |    FROM raw, (SELECT unnest(generate_series(1, $EmbDim)) AS i) i
+      |    GROUP BY label, i.i)
+      |  GROUP BY label
+      |), e AS (
+      |  SELECT r.vec_id, r.label,
+      |    list_transform(list_zip(r.v0, c.cw),
+      |                   x -> round(x[1] - x[2], 6)) AS v
+      |  FROM raw r JOIN cent c ON c.label = r.label
+      |), probe AS (
+      |  SELECT v0 AS p FROM raw WHERE vec_id = 0
+      |), best2 AS (
+      |  SELECT c.label, c.cw FROM cent c, probe
+      |  ORDER BY ROUND(list_dot_product(c.cw, p) /
+      |    (sqrt(list_dot_product(c.cw, c.cw)) *
+      |     sqrt(list_dot_product(p, p))), 6) DESC, c.label
+      |  LIMIT 2
+      |), qr AS (
+      |  SELECT b.label,
+      |    list_transform(list_zip(p, b.cw), x -> round(x[1] - x[2], 6)) AS q
+      |  FROM best2 b, probe
+      |),
+      |$perM,
+      |scored AS (
+      |  SELECT e.vec_id, round($adcSum, 6) AS adc
+      |  FROM e JOIN best2 ON best2.label = e.label $joins
+      |  WHERE e.vec_id <> 0
+      |), cand AS (
+      |  SELECT vec_id, adc FROM scored ORDER BY adc DESC, vec_id LIMIT $PqC
+      |), ivfpq10 AS (
+      |  SELECT r.vec_id, cand.adc,
+      |    ROUND(list_dot_product(r.v0, p) /
+      |      (sqrt(list_dot_product(r.v0, r.v0)) *
+      |       sqrt(list_dot_product(p, p))), 6) AS cos
+      |  FROM cand JOIN raw r ON r.vec_id = cand.vec_id, probe
+      |  ORDER BY cos DESC, r.vec_id LIMIT 10
+      |)""".stripMargin
+  }
+
+  val simIvfPqOracle: String =
+    s"""$ivfPqCtesSql
+      |SELECT vec_id, adc, cos FROM ivfpq10 ORDER BY cos DESC, vec_id""".stripMargin
+
+  /** recall@10 of IVF-PQ against the exact brute-force baseline —
+    * published beside the IVF, PQ and sketch recalls so the composed
+    * index carries its own measured quality number.
+    */
+  def simIvfPqRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val exact = LlmOps.simTopk(spark, sfDir).select("vec_id")
+    exact.join(simIvfPq(spark, sfDir).select("vec_id"), Seq("vec_id"))
+      .agg(count(lit(1)).as("hits"))
+      .select(lit("ivf_pq").as("method"), lit(10).as("k"), col("hits"),
+        round(col("hits").cast("double") / 10, 2).as("recall"))
+  }
+
+  val simIvfPqRecallOracle: String =
+    s"""$ivfPqCtesSql, exact AS (
+      |  SELECT vec_id FROM raw, probe WHERE vec_id <> 0
+      |  ORDER BY ROUND(list_dot_product(v0, p) /
+      |    (sqrt(list_dot_product(v0, v0)) *
+      |     sqrt(list_dot_product(p, p))), 6) DESC, vec_id LIMIT 10
+      |)
+      |SELECT 'ivf_pq' AS method, 10 AS k, count(*) AS hits,
+      |  ROUND(CAST(count(*) AS DOUBLE) / 10, 2) AS recall
+      |FROM exact JOIN ivfpq10 USING (vec_id)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_cluster_kmeans" -> clusterKmeans,
     "llm_dedup_semantic" -> dedupSemantic,
     "llm_embed_quantize" -> embedQuantize,
     "llm_sim_pq" -> simPq,
-    "llm_sim_pq_recall" -> simPqRecall)
+    "llm_sim_pq_recall" -> simPqRecall,
+    "llm_sim_ivfpq" -> simIvfPq,
+    "llm_sim_ivfpq_recall" -> simIvfPqRecall)
 
   def oracles: Map[String, String] = Map(
     "llm_cluster_kmeans" -> clusterKmeansOracle,
     "llm_dedup_semantic" -> dedupSemanticOracle,
     "llm_embed_quantize" -> embedQuantizeOracle,
     "llm_sim_pq" -> simPqOracle,
-    "llm_sim_pq_recall" -> simPqRecallOracle)
+    "llm_sim_pq_recall" -> simPqRecallOracle,
+    "llm_sim_ivfpq" -> simIvfPqOracle,
+    "llm_sim_ivfpq_recall" -> simIvfPqRecallOracle)
 }
