@@ -2249,25 +2249,31 @@ object LlmOps {
     val rounds = 3
     // `split(w, "")` keeps a trailing empty element (limit -1), which
     // would put THREE spaces at the word's right edge instead of the
-    // documented one — filter empties so the boundary invariant holds
+    // documented one — slice to the word's char count (= the array
+    // minus that trailing empty) so the boundary invariant holds
     // exactly (and matches DuckDB's string_split, which emits none).
+    // slice, not a filter lambda: the HOF predicate costs a closure
+    // call per character and measurably drags the whole train loop.
     var corpus = t(spark, sfDir, "documents")
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .select(concat(lit(" "),
-        array_join(filter(split(col("w"), ""), s => s =!= lit("")), "  "),
+        array_join(slice(split(col("w"), ""), lit(1), length(col("w"))), "  "),
         lit(" ")).as("sym"))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
-    // Each round's count+argmax consumes the corpus once; WITHOUT a
-    // cache every round would recompute all prior rewrites plus the
-    // scan — O(rounds²) scans. Persist the round's corpus, let the
-    // argmax materialize it, then drop the previous round's blocks:
-    // per-round cost stays O(corpus) however large the vocab budget.
+    // Each round's count+argmax consumes the corpus once; without a
+    // cache every round recomputes all prior rewrites plus the scan —
+    // O(rounds²) scans. Persisting flips that to O(rounds) but costs
+    // a full materialization per round, which LOSES below a handful
+    // of rounds (measured: 0.9 s lazy vs 4.6 s persisted at
+    // rounds=3, sf0.1) — so cache only when the vocab budget is
+    // large enough for the quadratic term to dominate.
+    val cache = rounds > 4
     var prevCached: Option[DataFrame] = None
     var it = 1
     var exhausted = false
     while (it <= rounds && !exhausted) {
-      val cur = corpus.persist()
+      val cur = if (cache) corpus.persist() else corpus
       val syms = cur.select(split(trim(col("sym")), "  ").as("syms"))
       val n = size(col("syms"))
       val best = syms
@@ -2369,6 +2375,65 @@ object LlmOps {
         least(lit(win), size(col("w")) - col("col") + 1).as("n_words"))
       .orderBy("doc_id", "chunk_id")
   }
+
+  /** CHUNK-level dedup rollup — boilerplate detection at the unit the
+    * trainer actually ingests: a chunk whose text recurs in MORE THAN
+    * ONE DOCUMENT is boilerplate (headers, licenses, templated spans)
+    * that document-level dedup can't see and substring dedup only
+    * catches at fixed byte offsets. Rolled up per `source` so the
+    * answer is actionable: which feeds ship duplicated spans, and how
+    * much of their chunk volume is it.
+    *
+    * Scale shape: [[chunkOverlap]]'s map-only chunking, then ONE
+    * digest-keyed shuffle (16-byte md5 + doc count — never chunk
+    * text) to find cross-document digests, a broadcast-scale set of
+    * offending digests joined back, and a per-source count rollup.
+    * The chunk text itself never crosses the wire; at 100 TB the
+    * shuffled volume is #chunks × ~24 bytes.
+    */
+  def chunkDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val (win, stride) = (32, 24)
+    val chunks = t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), words.as("w"))
+      .select(col("doc_id"), col("source"), col("w"),
+        posexplode(sequence(lit(1), size(col("w")), lit(stride))))
+      .select(col("doc_id"), col("source"),
+        md5(array_join(slice(col("w"), col("col"), lit(win)), " "))
+          .as("digest"))
+    val boiler = chunks.groupBy("digest")
+      .agg(count_distinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") > 1)
+      .select("digest")
+    chunks.join(boiler, Seq("digest"), "left_semi")
+      .groupBy("source").agg(count(lit(1)).as("n_dup_chunks"))
+      .join(chunks.groupBy("source").agg(count(lit(1)).as("n_chunks")),
+        Seq("source"), "right_outer")
+      .select(col("source"), col("n_chunks"),
+        coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"),
+        round(coalesce(col("n_dup_chunks"), lit(0L)).cast("double") /
+          col("n_chunks"), 6).as("dup_ratio"))
+      .orderBy("source")
+  }
+
+  val chunkDedupOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+      |), c AS (
+      |  SELECT doc_id, source,
+      |    md5(array_to_string(w[start:least(start + 31, len(w))], ' '))
+      |      AS digest
+      |  FROM (SELECT doc_id, source, w,
+      |          unnest(generate_series(1, len(w), 24)) AS start FROM d)
+      |), boiler AS (
+      |  SELECT digest FROM c GROUP BY digest
+      |  HAVING count(DISTINCT doc_id) > 1
+      |)
+      |SELECT source, count(*) AS n_chunks,
+      |  CAST(sum(CASE WHEN digest IN (SELECT digest FROM boiler)
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+      |  round(CAST(sum(CASE WHEN digest IN (SELECT digest FROM boiler)
+      |             THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_ratio
+      |FROM c GROUP BY source ORDER BY source""".stripMargin
 
   val chunkOverlapOracle: String =
     """WITH d AS (
@@ -3117,6 +3182,7 @@ object LlmOps {
     "llm_text_bigram" -> textBigram,
     "llm_text_bpe" -> textBpe,
     "llm_chunk_overlap" -> chunkOverlap,
+    "llm_chunk_dedup" -> chunkDedup,
     "llm_bpe_train" -> bpeTrain,
     "llm_text_pmi" -> textPmi,
     "llm_index_inverted" -> indexInverted,
@@ -3178,6 +3244,7 @@ object LlmOps {
     "llm_text_bigram" -> textBigramOracle,
     "llm_text_bpe" -> textBpeOracle,
     "llm_chunk_overlap" -> chunkOverlapOracle,
+    "llm_chunk_dedup" -> chunkDedupOracle,
     "llm_bpe_train" -> bpeTrainOracle,
     "llm_text_pmi" -> textPmiOracle,
     "llm_index_inverted" -> indexInvertedOracle,
