@@ -220,9 +220,10 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
   }
 
   /** OPTIMISTIC concurrent commit — the Iceberg optimistic-concurrency
-    * analog, lifting the single-writer invariant (A17) for targets
-    * whose writers all come through here: conflicts are RETRIED with
-    * the merge recomputed against the new state, never
+    * analog, lifting the single-writer invariant (A17; the reference
+    * pins it with `tasks.max=1`, connect-iceberg-sink.json:5) for
+    * targets whose writers all come through here: conflicts are
+    * RETRIED with the merge recomputed against the new state, never
     * detected-and-thrown.
     *
     * Protocol (per attempt):
