@@ -470,6 +470,107 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
     next
   }
 
+  /** RIGHT-TO-BE-FORGOTTEN purge (the GDPR/CCPA erasure workload
+    * Delta and Iceberg both document as "DELETE + expire history +
+    * rewrite" runbooks): remove the given primary keys from EVERY
+    * retained snapshot, not just the head — a plain CDC delete only
+    * tombstones the key going forward, and time travel would keep
+    * serving the erased rows from old versions.
+    *
+    * Mechanics: the keys hash to a bounded set of affected buckets
+    * (metadata); every DISTINCT data dir those buckets occupy across
+    * the retained manifests (dirs are shared between versions by
+    * manifest re-pointing, so each is rewritten ONCE) is filtered to
+    * a fresh `purge-<v>/_bucket=<b>` dir, every retained manifest is
+    * atomically re-pointed, and only then are the old dirs deleted —
+    * a reader mid-purge sees each manifest either fully old or fully
+    * new, never a mix. The version pointer does not move: history
+    * SHAPE (commit lineage, schemas, journal) is preserved; only the
+    * erased rows vanish from all of it.
+    *
+    * At 100 TB the cost is O(affected buckets × retained versions)
+    * rewrites — the erased keys' co-resident rows, never the table —
+    * and the work parallelizes per dir. Refuses if a LIVE clone still
+    * references this table ([[cloneTable]]'s back-references): purging
+    * shared dirs under a clone would silently erase ITS rows too;
+    * purge (or detach) the clones first — the same escalation the
+    * vacuum caveat documents. Returns the number of rows erased from
+    * the head version.
+    */
+  def purgeKeys(spark: SparkSession, target: String, pkCol: String,
+                keys: Seq[Long]): Long = {
+    // A clone that detached (compacted + vacuumed its history) must
+    // not block erasure — prune dead references before judging.
+    pruneRefs(target)
+    require(cloneRefs(target).isEmpty,
+      s"purge refused: live clones ${cloneRefs(target)} reference " +
+        s"$target — purge or detach them first")
+    val d = dir(target)
+    val cur = currentVersion(target)
+    require(cur >= 0, s"$target does not exist")
+    val keyList = keys.distinct
+    // Affected buckets by the same hash both merge sides use.
+    val buckets = {
+      import spark.implicits._
+      keyList.toDF(pkCol)
+        .select(StateStore.bucketExpr(Seq(pkCol), nBuckets).as("b"))
+        .distinct().as[Int].collect().toSet
+    }
+    val retained = (0 to cur)
+      .filter(v => Files.exists(d.resolve(s"manifest-$v.tsv")))
+    // Distinct affected dirs across all retained manifests.
+    val perVersion = retained.map(v => v -> manifestAt(target, v))
+    val affectedDirs = perVersion.flatMap { case (_, m) =>
+      m.collect { case (b, p) if buckets(b) => p }
+    }.distinct
+    // Rewrite each dir once: same rows minus the keys, new location.
+    val keyCol = col(pkCol).isin(keyList: _*)
+    val rewritten: Map[String, String] = affectedDirs.map { p =>
+      val bucket = p.substring(p.lastIndexOf('=') + 1).toInt
+      val srcVer = p.split("/")(0)
+      val newDir = s"purge-$srcVer/$BucketCol=$bucket"
+      val abs = d.resolve(p).toString
+      val out = d.resolve(newDir)
+      Files.createDirectories(out.getParent)
+      spark.read.parquet(abs).filter(!keyCol)
+        .write.mode("overwrite").parquet(out.toString)
+      p -> newDir
+    }.toMap
+    var erasedHead = 0L
+    if (rewritten.nonEmpty) {
+      // Head-version erased-row count, for the caller's audit record.
+      val headM = manifestAt(target, cur)
+      erasedHead = headM.collect { case (b, p) if buckets(b) => p }
+        .toSeq.distinct
+        .map(p => spark.read.parquet(d.resolve(p).toString)
+          .filter(keyCol).count())
+        .sum
+      // Atomically re-point every retained manifest.
+      perVersion.foreach { case (v, m) =>
+        if (m.exists { case (b, p) => buckets(b) && rewritten.contains(p) }) {
+          val updated = m.map { case (b, p) =>
+            b -> rewritten.getOrElse(p, p)
+          }
+          val lines = updated.toSeq.sortBy(_._1)
+            .map { case (b, p) => s"$b\t$p" }.mkString("\n")
+          val tmp = d.resolve(s"manifest-$v.tsv.tmp")
+          Files.writeString(tmp, lines)
+          Files.move(tmp, d.resolve(s"manifest-$v.tsv"),
+            StandardCopyOption.ATOMIC_MOVE,
+            StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
+      // All manifests now point at purged dirs — the old files can go.
+      rewritten.keys.foreach { p =>
+        val old = d.resolve(p)
+        if (Files.exists(old))
+          Files.walk(old).sorted(java.util.Comparator.reverseOrder())
+            .forEach(q => Files.deleteIfExists(q))
+      }
+    }
+    erasedHead
+  }
+
   /** Maintenance: rewrite the WHOLE table into one fresh version (the
     * `rewrite_data_files` analog). After many incremental commits each
     * bucket accumulates one small file per touching micro-batch
@@ -549,6 +650,25 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
           .forEach(p => Files.deleteIfExists(p))
       }
     }
+    // Purge-rewrite dirs ([[purgeKeys]]) live outside the v<N>
+    // numbering; reclaim any that no retained manifest (nor live
+    // clone) references anymore.
+    val stillReferenced = (keepFrom to cur)
+      .filter(v => Files.exists(d.resolve(s"manifest-$v.tsv")))
+      .flatMap(v => manifestAt(target, v).values.map(_.split("/")(0)))
+      .toSet ++ cloneReferencedDirs(target)
+    val purgeDirs = {
+      val s = Files.list(d)
+      try s.iterator().asScala.toList.filter(p =>
+        Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("purge-"))
+      finally s.close()
+    }
+    purgeDirs.filterNot(p => stillReferenced(p.getFileName.toString))
+      .foreach { p =>
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => Files.deleteIfExists(q))
+      }
   }
 }
 

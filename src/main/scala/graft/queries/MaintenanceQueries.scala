@@ -1138,6 +1138,93 @@ object MaintenanceQueries {
       |UNION ALL SELECT 'source_current', n, bal, TRUE FROM sw
       |ORDER BY step""".stripMargin
 
+  private val purgeDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** RIGHT-TO-BE-FORGOTTEN purge as an oracle-checked lifecycle
+    * (StateStore.purgeKeys): the store is built from the usual two
+    * commit phases, then every customer with `c_custkey % 10 = 3` is
+    * erased from ALL retained history — not tombstoned forward, but
+    * rewritten out of every snapshot's data files with the commit
+    * lineage preserved:
+    *
+    *  1. `head` — the current state equals the post-delete-wave
+    *     formulas minus the erased keys; `ok` asserts no erased key
+    *     survives and the version pointer did not move (purge is not
+    *     a commit).
+    *  2. `time_travel` — the PRE-delete snapshot, read after the
+    *     purge, equals the pre formulas minus the erased keys; `ok`
+    *     asserts time travel can no longer resurrect an erased row —
+    *     the exact gap a plain DELETE + time travel leaves open.
+    *
+    * Scale: cost is O(affected buckets × retained versions) dir
+    * rewrites (erased keys' co-resident rows), never a table rewrite;
+    * the key list itself is driver-side metadata.
+    */
+  def purgeLifecycle(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val wh = purgeDirCache.computeIfAbsent(sfDir,
+      _ => Files.createTempDirectory("graft-purgeq-").toString)
+    val whPath = Paths.get(wh)
+    Files.walk(whPath).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => if (p != whPath) Files.deleteIfExists(p))
+    val store = new graft.cdc.StateStore(wh, nBuckets = 8)
+    val target = "cdc.commerce_customer_pg"
+    val pk = Seq("c_custkey")
+    val ev = Envelope.flatten(ChangeGen.changeLog(
+      Tables.load(spark, sfDir, "customer"),
+      "c_custkey", "c_acctbal", "commerce", "customer"))
+    val ts = col("_cdc.ts_ms")
+    val vPre = commitPhase(spark, store, target, pk, ev.filter(ts <= 3000))
+    commitPhase(spark, store, target, pk, ev.filter(ts > 3000))
+    val vHead = store.currentVersion(target)
+
+    import spark.implicits._
+    val erase = Tables.load(spark, sfDir, "customer")
+      .filter(col("c_custkey") % 10 === 3)
+      .select(col("c_custkey").cast("long")).as[Long].collect().toSeq
+    store.purgeKeys(spark, target, "c_custkey", erase)
+
+    def summarize(df: DataFrame): (Long, Double, Boolean) = {
+      val r = df.agg(count(lit(1)),
+        round(sum(round(col("c_acctbal"), 2)), 2),
+        count(when(col("c_custkey") % 10 === 3, 1))).head()
+      (r.getLong(0), r.getDouble(1), r.getLong(2) == 0L)
+    }
+    val (nH, balH, cleanH) = summarize(store.currentState(spark, target))
+    val (nT, balT, cleanT) = summarize(store.stateAt(spark, target, vPre))
+
+    Seq(
+      ("head", nH, balH,
+        cleanH && store.currentVersion(target) == vHead),
+      ("time_travel", nT, balT, cleanT))
+      .toDF("step", "n_rows", "bal_sum", "ok")
+      .orderBy("step")
+  }
+
+  /** The clone-restore wave formulas with the erased keys removed:
+    * head = the %7 delete wave minus %10=3; time_travel = the
+    * pre-delete state minus %10=3.
+    */
+  val purgeLifecycleOracle: String =
+    """WITH pre AS (
+      |  SELECT count(*) AS n, ROUND(sum(ROUND(c_acctbal +
+      |    CASE WHEN c_custkey % 5 = 0 THEN 200.0
+      |         WHEN c_custkey % 3 = 0 THEN 100.0
+      |         ELSE 0.0 END, 2)), 2) AS bal
+      |  FROM customer WHERE c_custkey % 10 <> 3
+      |), sw AS (
+      |  SELECT count(*) AS n, ROUND(sum(ROUND(c_acctbal +
+      |    CASE WHEN c_custkey % 5 = 0 THEN 200.0
+      |         WHEN c_custkey % 3 = 0 THEN 100.0
+      |         ELSE 0.0 END, 2)), 2) AS bal
+      |  FROM customer WHERE c_custkey % 7 <> 0 AND c_custkey % 10 <> 3
+      |)
+      |SELECT 'head' AS step, n AS n_rows, bal AS bal_sum, TRUE AS ok
+      |FROM sw
+      |UNION ALL SELECT 'time_travel', n, bal, TRUE FROM pre
+      |ORDER BY step""".stripMargin
+
   private val partEvolveDirCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -1316,6 +1403,7 @@ object MaintenanceQueries {
     "maintenance_orphan_vacuum" -> orphanVacuum,
     "maintenance_clone_restore" -> cloneRestore,
     "maintenance_clone_vacuum" -> cloneVacuum,
+    "maintenance_purge" -> purgeLifecycle,
     "cdc_point_lookup" -> pointLookup)
 
   def oracles: Map[String, String] = Map(
@@ -1333,5 +1421,6 @@ object MaintenanceQueries {
     "maintenance_orphan_vacuum" -> orphanVacuumOracle,
     "maintenance_clone_restore" -> cloneRestoreOracle,
     "maintenance_clone_vacuum" -> cloneVacuumOracle,
+    "maintenance_purge" -> purgeLifecycleOracle,
     "cdc_point_lookup" -> pointLookupOracle)
 }
