@@ -38,6 +38,27 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
   }
 
+  test("llm_chunk_dedup: digests-only shuffle — boilerplate set " +
+      "broadcast into a semi join, rollups partial-aggregated") {
+    val p = plan("llm_chunk_dedup")
+    assert(p.contains("LeftSemi"), "boilerplate filter must be a semi join")
+    assert(p.contains("BroadcastExchange"),
+      "the offending-digest set must broadcast at fixture scale")
+    assert(!p.contains("SortMergeJoin"),
+      "no join in this plan should need a sort-merge at fixture scale")
+    assert(!p.contains("text#") || !p.contains("Exchange hashpartitioning(text"),
+      "chunk text must never be a shuffle key — digests only")
+  }
+
+  test("llm_sim_ivfpq: probed lists only — broadcast joins, " +
+      "take-ordered funnel, no global sort before the cut") {
+    val p = plan("llm_sim_ivfpq")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the ADC top-C cut must be TakeOrdered, not a global sort")
+    assert(!p.contains("SortMergeJoin"),
+      "candidate re-rank joins must broadcast")
+  }
+
   test("llm_chunk_overlap: map-only chunking — pruned scan, one " +
       "exchange (the result sort), no aggregation or join") {
     val p = plan("llm_chunk_overlap")
