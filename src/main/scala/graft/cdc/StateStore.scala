@@ -236,12 +236,24 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
     *      exactly one writer per version number ever, making version
     *      allocation the linearization point (markers are never
     *      removed on success, so a version number can never be won
-    *      twice);
+    *      twice) — and stamp it with this writer's unique token;
     *   3. re-verify the pointer still says `prev` (a stale-marker
     *      steal could otherwise double-allocate) — then write the
     *      data dir, metadata, and swap the pointer. The claim makes
     *      `v<next>` this writer's exclusive directory, so concurrent
-    *      attempts never interleave files.
+    *      attempts never interleave files. A daemon heartbeat
+    *      re-touches the marker every `staleLockMs/4` for as long as
+    *      the data write runs, so a LIVE claimant's marker can never
+    *      go stale however long the write takes (ADVICE r8, medium:
+    *      without the refresh, any data write longer than
+    *      `staleLockMs` let a waiter steal the claim and both writers
+    *      raced on the same `v<next>` dir). Immediately before the
+    *      pointer swap the writer re-verifies BOTH that the pointer
+    *      still says `prev` AND that the marker still carries its own
+    *      token — a stolen claim (only possible once this writer's
+    *      heartbeat has stopped, i.e. it crashed or stalled past
+    *      staleLockMs) is detected here and the attempt is abandoned
+    *      and retried instead of publishing over the thief's commit.
     *   Losers wait for the pointer to move (or the winner's marker to
     *   go stale — a crashed claimant is broken after `staleLockMs`)
     *   and retry from step 1 with fresh state: updates are recomputed,
@@ -271,18 +283,54 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
       val (merged, affected) = merge(prev)
       val next = prev + 1
       val marker = d.resolve(s"commit-$next.lock")
+      val token = java.util.UUID.randomUUID().toString
       val claimed =
-        try { Files.createFile(marker); true }
+        try {
+          Files.createFile(marker)
+          Files.writeString(marker, token)
+          true
+        }
         catch { case _: java.nio.file.FileAlreadyExistsException => false }
       if (claimed && currentVersion(target) == prev) {
-        merged.write.mode("overwrite")
-          .partitionBy(BucketCol)
-          .parquet(d.resolve(s"v$next").toString)
+        // Heartbeat: keep the marker's mtime fresh for the whole data
+        // write so a live claim can never be judged stale by a waiter.
+        // Re-writing the token (not just touching) also repairs the
+        // mtime on filesystems with coarse timestamp granularity.
+        @volatile var writing = true
+        val beat = new Thread(() => {
+          try {
+            while (writing) {
+              try Files.writeString(marker, token)
+              catch { case _: Throwable => () }
+              Thread.sleep(math.max(10L, staleLockMs / 4))
+            }
+          } catch { case _: InterruptedException => () }
+        }, s"occ-heartbeat-$target-$next")
+        beat.setDaemon(true)
+        beat.start()
+        try {
+          merged.write.mode("overwrite")
+            .partitionBy(BucketCol)
+            .parquet(d.resolve(s"v$next").toString)
+        } finally {
+          writing = false
+          beat.interrupt()
+        }
         writeMetadata(target, merged, affected, prev, next)
-        swapPointer(target, next)
-        return next
-      }
-      if (claimed) {
+        // Final guard (ADVICE r8, medium): the claim is only still ours
+        // if the pointer hasn't moved AND the marker still carries our
+        // token. A thief that stole a (genuinely stale — heartbeat
+        // dead) claim overwrote the token; publishing over it would be
+        // a silent lost update, so abandon and retry with fresh state.
+        val stillOurs = currentVersion(target) == prev &&
+          Files.exists(marker) &&
+          (try Files.readString(marker) == token
+           catch { case _: Throwable => false })
+        if (stillOurs) {
+          swapPointer(target, next)
+          return next
+        }
+      } else if (claimed) {
         // Claim succeeded but the pointer had already moved past
         // `prev` — only possible after a stale-marker steal let the
         // original claimant publish first. The claim is worthless
@@ -494,8 +542,21 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
     * references this table ([[cloneTable]]'s back-references): purging
     * shared dirs under a clone would silently erase ITS rows too;
     * purge (or detach) the clones first — the same escalation the
-    * vacuum caveat documents. Returns the number of rows erased from
-    * the head version.
+    * vacuum caveat documents. Symmetrically, refuses to purge a table
+    * that IS an undetached shallow clone (any retained manifest entry
+    * resolving outside the table's own directory): those entries point
+    * into the SOURCE's version dirs, and rewriting/deleting them here
+    * would destroy data the source's own manifests still reference —
+    * compact the clone (folding every referenced row under its own
+    * dir) before purging it.
+    *
+    * Concurrency: purge is an OFFLINE maintenance op — quiesce the
+    * table first, like compaction and vacuum. Old dirs are deleted as
+    * soon as every retained manifest is re-pointed (erasure means the
+    * bytes actually go away, so deletion cannot be deferred to a later
+    * vacuum), and a reader that resolved a manifest just before the
+    * re-point would fail mid-scan on the deleted files. Returns the
+    * number of live (non-tombstone) rows erased from the head version.
     */
   def purgeKeys(spark: SparkSession, target: String, pkCol: String,
                 keys: Seq[Long]): Long = {
@@ -520,6 +581,24 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
       .filter(v => Files.exists(d.resolve(s"manifest-$v.tsv")))
     // Distinct affected dirs across all retained manifests.
     val perVersion = retained.map(v => v -> manifestAt(target, v))
+    // Clone-escape guard (ADVICE r8, high): a shallow clone's manifest
+    // entries are relative paths into its SOURCE ("../<src>/vK/_bucket=B").
+    // Resolving and deleting those here would escape this table's
+    // directory and destroy source data its own manifests still
+    // reference. Require every retained entry to normalize INSIDE
+    // dir(target); an escaping entry means `target` is an undetached
+    // clone — refuse and point at the compact-first runbook.
+    val tableRoot = d.toAbsolutePath.normalize
+    perVersion.foreach { case (v, m) =>
+      m.values.foreach { p =>
+        val resolved = d.resolve(p).toAbsolutePath.normalize
+        require(resolved.startsWith(tableRoot),
+          s"purge refused: manifest-$v entry '$p' of $target resolves " +
+            s"outside the table directory — $target is an undetached " +
+            "shallow clone; detach it first (compact, then vacuum the " +
+            "pre-compaction history) before purging")
+      }
+    }
     val affectedDirs = perVersion.flatMap { case (_, m) =>
       m.collect { case (b, p) if buckets(b) => p }
     }.distinct
@@ -539,11 +618,14 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
     var erasedHead = 0L
     if (rewritten.nonEmpty) {
       // Head-version erased-row count, for the caller's audit record.
+      // Live rows only (ADVICE r8, low): retained tombstones of the
+      // erased keys are also removed, but counting them would let the
+      // audit number exceed the rows actually visible at head.
       val headM = manifestAt(target, cur)
       erasedHead = headM.collect { case (b, p) if buckets(b) => p }
         .toSeq.distinct
         .map(p => spark.read.parquet(d.resolve(p).toString)
-          .filter(keyCol).count())
+          .filter(keyCol && !col(DeletedCol)).count())
         .sum
       // Atomically re-point every retained manifest.
       perVersion.foreach { case (v, m) =>

@@ -686,6 +686,145 @@ object LlmOps {
       .orderBy("vec_id", "rank")
   }
 
+  /** GRAPH-TRAVERSAL ANN SEARCH over the [[simKnnGraph]] edge list —
+    * the navigating-small-world search pattern (NSW/HNSW's base layer):
+    * start a BEAM at fixed seed vertices, and for a fixed number of
+    * hops expand the beam along graph edges, keeping the top-`beam`
+    * candidates by exact cosine to the probe. Fixed fanout (top-3
+    * edges per node) × fixed hops (3) × fixed beam (10) makes the
+    * search deterministic and its work bounded a priori — every hop
+    * is ONE equi-join of the current beam against the edge list plus
+    * ONE equi-join of the new candidate ids against the (bucketed)
+    * embeddings table; never a nested loop, never a distance scan of
+    * the corpus. Ties break on (rounded cos desc, vec_id), so the
+    * beam cut is engine-identical.
+    *
+    * Scale: the beam is metadata-sized (10 ids) and broadcast into
+    * both per-hop joins, so each hop touches O(beam × fanout) edge
+    * rows and candidate embeddings; at 100 TB the edge list and
+    * embeddings bucket by vec_id and each hop is a point-lookup join
+    * — the total work is hops × beam × fanout rows, independent of
+    * corpus size (the property that makes graph ANN the
+    * lowest-latency search family). Recall@10 vs the brute-force
+    * baseline is published by [[simGraphRecall]] beside the
+    * IVF/PQ/IVFPQ/LSH/sketch audits.
+    */
+  def simGraphSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (hops, beamWidth) = (3, 10)
+    val emb = t(spark, sfDir, "embeddings")
+    val probe = emb.filter(col("vec_id") === 0)
+      .select(vecD(col("embedding")).as("probe"))
+    val scored = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"),
+        round(cosine(vecD(col("embedding")), col("probe")), 6).as("cos"))
+    val edges = simKnnGraph(spark, sfDir).select("vec_id", "neighbor")
+    // Seeds: five fixed entry vertices (vec_id 1..5), scored and cut
+    // to the beam like any later frontier.
+    var beam = scored.filter(col("vec_id").between(1, 5))
+      .orderBy(col("cos").desc, col("vec_id")).limit(beamWidth)
+    for (_ <- 1 to hops) {
+      val cand = beam.select("vec_id")
+        .join(edges, Seq("vec_id"))
+        .select(col("neighbor").as("vec_id")).distinct()
+      val candScored = cand.join(scored, Seq("vec_id"))
+      beam = beam.unionByName(candScored).distinct()
+        .orderBy(col("cos").desc, col("vec_id")).limit(beamWidth)
+    }
+    beam.withColumn("rank", row_number().over(
+        Window.orderBy(col("cos").desc, col("vec_id"))))
+      .select("rank", "vec_id", "cos")
+      .orderBy("rank")
+  }
+
+  /** Shared unrolled CTE prefix for the graph-search oracles: the kNN
+    * edge list, the probe-scored corpus, and the 3-hop beam expansion.
+    */
+  private val graphBeamSql: String = {
+    def hop(n: Int): String =
+      s"""cand$n AS (
+        |  SELECT DISTINCT e.neighbor AS vec_id
+        |  FROM beam${n - 1} b JOIN knn e ON e.vec_id = b.vec_id
+        |), beam$n AS (
+        |  SELECT vec_id, cos FROM (
+        |    SELECT vec_id, cos FROM beam${n - 1}
+        |    UNION
+        |    SELECT s.vec_id, s.cos FROM cand$n JOIN scored s USING (vec_id)
+        |  ) ORDER BY cos DESC, vec_id LIMIT 10
+        |)""".stripMargin
+    s"""WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |    concat(
+      |      CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+      |      CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+      |      CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+      |      CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END,
+      |      CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END,
+      |      CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END) AS bkt
+      |  FROM embeddings
+      |), ok AS (
+      |  SELECT bkt FROM e GROUP BY bkt HAVING count(*) BETWEEN 2 AND 200
+      |), pairs AS (
+      |  SELECT a.vec_id AS v1, b.vec_id AS v2,
+      |    ROUND(list_dot_product(a.v, b.v) /
+      |      (sqrt(list_dot_product(a.v, a.v)) *
+      |       sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+      |  FROM e a JOIN e b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+      |  JOIN ok ON ok.bkt = a.bkt
+      |), sym AS (
+      |  SELECT v1 AS vec_id, v2 AS neighbor, cos FROM pairs
+      |  UNION ALL SELECT v2, v1, cos FROM pairs
+      |), knn AS (
+      |  SELECT vec_id, neighbor FROM sym
+      |  WINDOW w AS (PARTITION BY vec_id ORDER BY cos DESC, neighbor)
+      |  QUALIFY row_number() OVER w <= 3
+      |), probe AS (
+      |  SELECT embedding::DOUBLE[] AS p FROM embeddings WHERE vec_id = 0
+      |), scored AS (
+      |  SELECT vec_id,
+      |    ROUND(list_dot_product(embedding::DOUBLE[], p) /
+      |      (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+      |       sqrt(list_dot_product(p, p))), 6) AS cos
+      |  FROM embeddings, probe WHERE vec_id <> 0
+      |), beam0 AS (
+      |  SELECT vec_id, cos FROM scored WHERE vec_id BETWEEN 1 AND 5
+      |  ORDER BY cos DESC, vec_id LIMIT 10
+      |),
+      |${hop(1)},
+      |${hop(2)},
+      |${hop(3)}""".stripMargin
+  }
+
+  val simGraphSearchOracle: String =
+    graphBeamSql + "\n" +
+      """SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS INT)
+        |    AS rank, vec_id, cos
+        |FROM beam3 ORDER BY rank""".stripMargin
+
+  /** recall@10 of the 3-hop beam walk against the brute-force baseline
+    * [[simTopk]] — the graph-family entry in the published ANN recall
+    * audit row set (IVF / IVF-multiprobe / PQ / IVF-PQ / LSH / sketch
+    * re-rank all report the same shape). The dial here is hops × beam:
+    * more hops or a wider beam raise recall at linearly more join work.
+    */
+  def simGraphRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val exact = simTopk(spark, sfDir).select(col("vec_id"))
+    val approx = simGraphSearch(spark, sfDir).select(col("vec_id"))
+    exact.join(approx, Seq("vec_id"))
+      .agg(count(lit(1)).as("hits"))
+      .select(lit(10).as("k"), col("hits"),
+        round(col("hits").cast("double") / 10, 2).as("recall"))
+  }
+
+  val simGraphRecallOracle: String =
+    graphBeamSql + """, exact AS (
+      |  SELECT vec_id FROM scored ORDER BY cos DESC, vec_id LIMIT 10
+      |)
+      |SELECT 10 AS k, count(*) AS hits,
+      |  ROUND(CAST(count(*) AS DOUBLE) / 10, 2) AS recall
+      |FROM exact JOIN beam3 USING (vec_id)""".stripMargin
+
   val simKnnGraphOracle: String =
     """WITH e AS (
       |  SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -2246,7 +2385,20 @@ object LlmOps {
     * 3 deep, no checkpoint needed.
     */
   def bpeTrain(spark: SparkSession, sfDir: String): DataFrame = {
-    val rounds = 3
+    import spark.implicits._
+    bpeMerges(spark, sfDir, rounds = 3)
+      .map { case (it, s1, s2, cnt) => (it, s1 + s2, cnt) }
+      .toDF("rank", "merged", "cnt").orderBy("rank")
+  }
+
+  /** The BPE training loop proper, shared by [[bpeTrain]] (which
+    * publishes rank/merged/cnt) and [[bpeApply]] (which needs the s1/s2
+    * SPLIT POINT of each merge to rebuild the replace patterns — the
+    * concatenated `merged` string is ambiguous once symbols exceed one
+    * character). Returns (round, s1, s2, count) per learned merge.
+    */
+  private def bpeMerges(spark: SparkSession, sfDir: String,
+                        rounds: Int): Seq[(Int, String, String, Long)] = {
     // `split(w, "")` keeps a trailing empty element (limit -1), which
     // would put THREE spaces at the word's right edge instead of the
     // documented one — slice to the word's char count (= the array
@@ -2260,7 +2412,7 @@ object LlmOps {
       .select(concat(lit(" "),
         array_join(slice(split(col("w"), ""), lit(1), length(col("w"))), "  "),
         lit(" ")).as("sym"))
-    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     // Each round's count+argmax consumes the corpus once; without a
     // cache every round recomputes all prior rewrites plus the scan —
     // O(rounds²) scans. Persisting flips that to O(rounds) but costs
@@ -2299,7 +2451,7 @@ object LlmOps {
         case Some(row) =>
           val (s1, s2, cnt) = (row.getString(0), row.getString(1),
             row.getLong(2))
-          merges += ((it, s1 + s2, cnt))
+          merges += ((it, s1, s2, cnt))
           corpus = cur.select(
             replace(col("sym"), lit(s" $s1  $s2 "), lit(s" $s1$s2 "))
               .as("sym"))
@@ -2307,31 +2459,122 @@ object LlmOps {
       it += 1
     }
     prevCached.foreach(_.unpersist(blocking = false))
-    import spark.implicits._
-    merges.toSeq.toDF("rank", "merged", "cnt").orderBy("rank")
+    merges.toSeq
   }
 
-  val bpeTrainOracle: String = {
-    def stage(n: Int, prev: String): String =
-      s"""bg$n AS (
-        |  SELECT p[1] AS s1, p[2] AS s2, count(*) AS cnt FROM (
-        |    SELECT unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)]))
-        |      AS p
-        |    FROM (SELECT string_split(trim(sym), '  ') AS syms FROM $prev)
-        |  )
-        |  WHERE p[1] IS NOT NULL AND p[2] IS NOT NULL
-        |  GROUP BY 1, 2
-        |), best$n AS (
-        |  SELECT s1, s2, cnt FROM bg$n ORDER BY cnt DESC, s1, s2 LIMIT 1
-        |), c$n AS (
-        |  -- LEFT JOIN guard (mirrors the engine's headOption+stop): an
-        |  -- EMPTY best$n must pass the corpus through unchanged, not
-        |  -- silently empty it the way a cross join would.
-        |  SELECT CASE WHEN b.s1 IS NULL THEN sym
-        |         ELSE replace(sym, ' ' || b.s1 || '  ' || b.s2 || ' ',
-        |                      ' ' || b.s1 || b.s2 || ' ') END AS sym
+  /** BPE APPLY/ENCODE — the closing of the tokenizer loop ([[bpeTrain]]
+    * learns merges precisely so a corpus can be ENCODED with them):
+    * re-derive the 3 learned merges, then apply them IN TRAINING ORDER
+    * to every word of every document and report, per doc, the symbol
+    * count before (characters) and after (BPE tokens), the number of
+    * merge applications (= chars − tokens: every fuse removes exactly
+    * one symbol), and the compression ratio. Sequentially applying the
+    * ranked merges to the raw encoding reproduces the trainer's
+    * between-round rewrites exactly — the canonical BPE encode.
+    *
+    * Scale shapes: training cost is [[bpeMerges]]'s (per round one
+    * map-side-combined pair count + a TakeOrdered(1) metadata argmax);
+    * the learned merges are 3 rows of driver metadata baked into the
+    * encode expressions as literals — the broadcast-model-artifact
+    * posture every scoring operator here uses. The encode itself is a
+    * map-only replace chain over the scan (whole-stage codegen'd, no
+    * shuffle) followed by ONE per-doc partial-aggregated rollup — at
+    * 100 TB the corpus crosses the wire once, as (doc_id, two longs).
+    */
+  def bpeApply(spark: SparkSession, sfDir: String): DataFrame = {
+    val ms = bpeMerges(spark, sfDir, rounds = 3)
+    var enc = t(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col("doc_id"), length(col("w")).as("n_chars"),
+        concat(lit(" "),
+          array_join(slice(split(col("w"), ""), lit(1), length(col("w"))),
+            "  "),
+          lit(" ")).as("sym"))
+    ms.foreach { case (_, s1, s2, _) =>
+      enc = enc.withColumn("sym",
+        replace(col("sym"), lit(s" $s1  $s2 "), lit(s" $s1$s2 ")))
+    }
+    enc
+      .select(col("doc_id"), col("n_chars"),
+        size(split(trim(col("sym")), "  ")).as("n_toks"))
+      .groupBy("doc_id")
+      .agg(sum("n_chars").as("n_chars"), sum("n_toks").as("n_tokens"))
+      .withColumn("n_merges", col("n_chars") - col("n_tokens"))
+      .withColumn("ratio",
+        round(col("n_chars").cast("double") / col("n_tokens"), 6))
+      .orderBy("doc_id")
+  }
+
+  /** Same shape as [[bpeTrainOracle]] (the unrolled training CTEs are
+    * reused verbatim to re-derive best1..best3), plus a doc-id-carrying
+    * encode chain that applies the three replaces in rank order and
+    * rolls up per document.
+    */
+  val bpeApplyOracle: String = {
+    def encStage(n: Int, prev: String): String =
+      s"""e$n AS (
+        |  SELECT doc_id, n_chars,
+        |    CASE WHEN b.s1 IS NULL THEN sym
+        |    ELSE replace(sym, ' ' || b.s1 || '  ' || b.s2 || ' ',
+        |                 ' ' || b.s1 || b.s2 || ' ') END AS sym
         |  FROM $prev LEFT JOIN best$n b ON TRUE
         |)""".stripMargin
+    s"""WITH words AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+      |), c0 AS (
+      |  SELECT ' ' || array_to_string(string_split(w, ''), '  ') || ' '
+      |    AS sym
+      |  FROM words WHERE length(w) > 0
+      |),
+      |${bpeStage(1, "c0")},
+      |${bpeStage(2, "c1")},
+      |${bpeStage(3, "c2")},
+      |e0 AS (
+      |  SELECT doc_id, length(w) AS n_chars,
+      |    ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS sym
+      |  FROM words WHERE length(w) > 0
+      |),
+      |${encStage(1, "e0")},
+      |${encStage(2, "e1")},
+      |${encStage(3, "e2")}
+      |SELECT doc_id,
+      |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+      |  CAST(sum(len(string_split(trim(sym), '  '))) AS BIGINT)
+      |    AS n_tokens,
+      |  CAST(sum(n_chars) - sum(len(string_split(trim(sym), '  ')))
+      |    AS BIGINT) AS n_merges,
+      |  round(CAST(sum(n_chars) AS DOUBLE) /
+      |        sum(len(string_split(trim(sym), '  '))), 6) AS ratio
+      |FROM e3 GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** One unrolled BPE training round as DuckDB CTEs (pair count →
+    * deterministic argmax → guarded rewrite) — shared by
+    * [[bpeTrainOracle]] and [[bpeApplyOracle]].
+    */
+  private def bpeStage(n: Int, prev: String): String =
+    s"""bg$n AS (
+      |  SELECT p[1] AS s1, p[2] AS s2, count(*) AS cnt FROM (
+      |    SELECT unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)]))
+      |      AS p
+      |    FROM (SELECT string_split(trim(sym), '  ') AS syms FROM $prev)
+      |  )
+      |  WHERE p[1] IS NOT NULL AND p[2] IS NOT NULL
+      |  GROUP BY 1, 2
+      |), best$n AS (
+      |  SELECT s1, s2, cnt FROM bg$n ORDER BY cnt DESC, s1, s2 LIMIT 1
+      |), c$n AS (
+      |  -- LEFT JOIN guard (mirrors the engine's headOption+stop): an
+      |  -- EMPTY best$n must pass the corpus through unchanged, not
+      |  -- silently empty it the way a cross join would.
+      |  SELECT CASE WHEN b.s1 IS NULL THEN sym
+      |         ELSE replace(sym, ' ' || b.s1 || '  ' || b.s2 || ' ',
+      |                      ' ' || b.s1 || b.s2 || ' ') END AS sym
+      |  FROM $prev LEFT JOIN best$n b ON TRUE
+      |)""".stripMargin
+
+  val bpeTrainOracle: String = {
     s"""WITH words AS (
       |  SELECT unnest(string_split(text, ' ')) AS w FROM documents
       |), c0 AS (
@@ -2339,9 +2582,9 @@ object LlmOps {
       |    AS sym
       |  FROM words WHERE length(w) > 0
       |),
-      |${stage(1, "c0")},
-      |${stage(2, "c1")},
-      |${stage(3, "c2")}
+      |${bpeStage(1, "c0")},
+      |${bpeStage(2, "c1")},
+      |${bpeStage(3, "c2")}
       |SELECT 1 AS rank, s1 || s2 AS merged, cnt FROM best1
       |UNION ALL SELECT 2, s1 || s2, cnt FROM best2
       |UNION ALL SELECT 3, s1 || s2, cnt FROM best3
@@ -3184,6 +3427,7 @@ object LlmOps {
     "llm_chunk_overlap" -> chunkOverlap,
     "llm_chunk_dedup" -> chunkDedup,
     "llm_bpe_train" -> bpeTrain,
+    "llm_bpe_apply" -> bpeApply,
     "llm_text_pmi" -> textPmi,
     "llm_index_inverted" -> indexInverted,
     "llm_feature_hash" -> featureHash,
@@ -3201,7 +3445,9 @@ object LlmOps {
     "llm_mm_phash" -> mmPhash,
     "llm_text_chunk" -> textChunk,
     "llm_filter_blocklist" -> filterBlocklist,
-    "llm_sim_knn_graph" -> simKnnGraph)
+    "llm_sim_knn_graph" -> simKnnGraph,
+    "llm_sim_graph" -> simGraphSearch,
+    "llm_sim_graph_recall" -> simGraphRecall)
 
   def oracles: Map[String, String] = Map(
     "llm_dedup_exact" -> dedupExactOracle,
@@ -3246,6 +3492,7 @@ object LlmOps {
     "llm_chunk_overlap" -> chunkOverlapOracle,
     "llm_chunk_dedup" -> chunkDedupOracle,
     "llm_bpe_train" -> bpeTrainOracle,
+    "llm_bpe_apply" -> bpeApplyOracle,
     "llm_text_pmi" -> textPmiOracle,
     "llm_index_inverted" -> indexInvertedOracle,
     "llm_feature_hash" -> featureHashOracle,
@@ -3263,5 +3510,7 @@ object LlmOps {
     "llm_mm_phash" -> mmPhashOracle,
     "llm_text_chunk" -> textChunkOracle,
     "llm_filter_blocklist" -> filterBlocklistOracle,
-    "llm_sim_knn_graph" -> simKnnGraphOracle)
+    "llm_sim_knn_graph" -> simKnnGraphOracle,
+    "llm_sim_graph" -> simGraphSearchOracle,
+    "llm_sim_graph_recall" -> simGraphRecallOracle)
 }

@@ -59,6 +59,34 @@ class PlanSpec extends SparkTestBase {
       "candidate re-rank joins must broadcast")
   }
 
+  test("llm_sim_graph: per-hop equi-joins over beam + edges, no " +
+      "nested loop beyond the 1-row probe broadcast") {
+    val p = plan("llm_sim_graph")
+    // Every hop = beam ⋈ edges + candidates ⋈ scored — all equi-joins
+    // (hash by vec_id); a nested-loop hop would be O(corpus) per step.
+    assert(!p.contains("CartesianProduct"),
+      "graph walk must never cross-join")
+    // The only permissible non-equi join is the 1-row probe vector
+    // broadcast (the simTopk precedent). Count them: hops reuse the
+    // same scored/edge lineage, so the probe appears a bounded number
+    // of times, but NO hop may introduce its own data-sized loop —
+    // every BroadcastNestedLoopJoin in this plan must be against the
+    // 1-row probe, whose build side is a single-row aggregate-free
+    // projection (it prints as a broadcast of the vec_id=0 filter).
+    // Distinct node ids: the formatted plan prints each node in both
+    // the tree and the detail section.
+    val bnl = "\\((\\d+)\\) BroadcastNestedLoopJoin".r.findAllMatchIn(p)
+      .map(_.group(1)).toSet.size
+    val probes = "PushedFilters: \\[IsNotNull\\(vec_id\\), EqualTo\\(vec_id,0\\)\\]".r
+      .findAllIn(p).size
+    assert(bnl <= probes,
+      s"$bnl nested-loop joins but only $probes 1-row probe scans — " +
+        "a hop degenerated to a nested loop")
+    // Beam cuts are TakeOrdered, not global sorts.
+    assert(p.contains("TakeOrderedAndProject"),
+      "beam cut must be TakeOrdered")
+  }
+
   test("llm_chunk_overlap: map-only chunking — pruned scan, one " +
       "exchange (the result sort), no aggregation or join") {
     val p = plan("llm_chunk_overlap")

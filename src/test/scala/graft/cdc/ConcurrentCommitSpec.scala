@@ -82,6 +82,53 @@ class ConcurrentCommitSpec extends SparkTestBase {
     assert(mergeCalls.get() >= 2 * Rounds)
   }
 
+  test("a data write slower than staleLockMs keeps its claim (heartbeat)") {
+    // ADVICE r8 (medium): before the heartbeat, any data write longer
+    // than staleLockMs let a waiter judge the live claim stale, steal
+    // it, and double-allocate the version — both writers then raced on
+    // one v<next> dir. The claimant now re-touches its marker during
+    // the write, so the waiter below must WAIT for the publish instead
+    // of stealing, and both commits land on distinct versions.
+    val store = new StateStore(
+      Files.createTempDirectory("graft-occ3-").toString, NBuckets)
+    val target = "occ.slow"
+    val init = withMeta(
+      (0L until NKeys).map(k => (k, 0L)).toDF("k", "cnt"), ts = 0L)
+    store.commit(spark, target, init, 0 until NBuckets)
+
+    // ~1.2 s of write time against a 300 ms staleness horizon: without
+    // the heartbeat this reliably triggers the steal.
+    val slow = udf((x: Long) => { Thread.sleep(60); x })
+    val a = Future {
+      store.commitOptimistic(spark, target, staleLockMs = 300L) { _ =>
+        val merged = withMeta(
+          (0L until NKeys).map(k => (k, 100L)).toDF("k", "cnt"), ts = 1L)
+          .repartition(1)
+          .withColumn("cnt", slow(col("cnt")))
+        (merged, 0 until NBuckets)
+      }
+    }
+    // Give A time to claim v1 before B contends for it.
+    Thread.sleep(150)
+    val b = Future {
+      store.commitOptimistic(spark, target, staleLockMs = 300L) { _ =>
+        val cur = store.rawState(spark, target)
+        val merged = cur.withColumn("cnt", col("cnt") + 1)
+          .withColumn(StateStore.TsCol, lit(2L))
+          .localCheckpoint(true)
+        (merged, 0 until NBuckets)
+      }
+    }
+    val (va, vb) = (Await.result(a, 5.minutes), Await.result(b, 5.minutes))
+    assert(va != vb, "version double-allocated: the claim was stolen")
+    assert(store.currentVersion(target) === math.max(va, vb))
+    // B retried against A's published state, so both effects survive.
+    val state = store.currentState(spark, target)
+      .select("k", "cnt").as[(Long, Long)].collect().toMap
+    assert(state.size === NKeys)
+    if (vb > va) assert(state.values.forall(_ == 101L), s"lost update: $state")
+  }
+
   test("stale marker from a dead claimant is broken, not a deadlock") {
     val store = new StateStore(
       Files.createTempDirectory("graft-occ2-").toString, NBuckets)

@@ -74,6 +74,115 @@ class PurgeSpec extends SparkTestBase {
     }
   }
 
+  test("purging an undetached shallow clone is refused; source intact") {
+    // ADVICE r8 (high): a clone's manifest entries are relative paths
+    // into the SOURCE ("../<src>/vK/_bucket=B"); before the guard,
+    // purging the clone resolved those paths, escaped the clone's
+    // directory, and deleted source version dirs the source's own
+    // manifests still referenced — silent data loss. The purge must
+    // refuse until the clone compacts under its own directory.
+    val store = new StateStore(
+      Files.createTempDirectory("graft-purge3-").toString, NBuckets)
+    val (src, dst) = ("p3.src", "p3.clone")
+    commitWave(store, src, 1)
+    store.cloneTable(src, dst)
+    val ex = intercept[IllegalArgumentException] {
+      store.purgeKeys(spark, dst, "k", Seq(1L))
+    }
+    assert(ex.getMessage.contains("shallow clone"))
+    // Nothing escaped: the source still serves all 40 rows, and no
+    // stray "purge-.." directory appeared anywhere in the warehouse.
+    assert(store.currentState(spark, src).count() === 40)
+    val stray = {
+      import scala.jdk.CollectionConverters._
+      val s = Files.walk(Paths.get(store.warehouse))
+      try s.iterator().asScala.exists(
+        _.getFileName.toString.startsWith("purge-."))
+      finally s.close()
+    }
+    assert(!stray, "mangled purge-.. dir written")
+    // A compacted-but-not-vacuumed clone still RETAINS manifest-0,
+    // whose entries share the source's files — erasing "every retained
+    // snapshot" would still destroy source data, so purge keeps
+    // refusing until the pre-compaction history is vacuumed (the full
+    // detach runbook from cloneTable's scaladoc).
+    store.compactTable(spark, dst)
+    intercept[IllegalArgumentException] {
+      store.purgeKeys(spark, dst, "k", Seq(1L))
+    }
+    store.vacuum(dst, keepVersions = 1)
+    val erased = store.purgeKeys(spark, dst, "k", Seq(1L))
+    assert(erased === 1)
+    assert(store.currentState(spark, dst).count() === 39)
+    assert(store.currentState(spark, src).count() === 40)
+  }
+
+  test("erasedHead counts live rows only, not retained tombstones") {
+    // ADVICE r8 (low): the audit count previously included tombstoned
+    // rows of the erased keys, so it could exceed the rows actually
+    // visible at head.
+    val store = new StateStore(
+      Files.createTempDirectory("graft-purge4-").toString, NBuckets)
+    val target = "p4.t"
+    commitWave(store, target, 1)
+    // Wave 2 tombstones key 5: at head, key 5 is a retained tombstone
+    // and key 3 is live.
+    val wave2 = (0L until 40L).map(k => (k, 2000L + k)).toDF("k", "v")
+      .withColumn(StateStore.TsCol, lit(2L))
+      .withColumn(StateStore.SeqCol, lit(0L))
+      .withColumn(StateStore.DeletedCol, col("k") === 5L)
+      .withColumn(StateStore.BucketCol,
+        StateStore.bucketExpr(Seq("k"), NBuckets))
+    store.commit(spark, target, wave2, 0 until NBuckets)
+    val erased = store.purgeKeys(spark, target, "k", Seq(3L, 5L))
+    assert(erased === 1, "tombstone of key 5 must not count as erased")
+    (0 to store.currentVersion(target)).foreach { v =>
+      val at = store.stateAt(spark, target, v)
+        .select("k").as[Long].collect().toSet
+      assert(!at.contains(3L) && !at.contains(5L),
+        s"version $v still serves purged keys")
+    }
+  }
+
+  test("purge between optimistic commits never resurrects erased keys") {
+    // VERDICT r8 #6 (purge × OCC): purge re-points manifests OUTSIDE
+    // the commitOptimistic claim protocol, so it is an OFFLINE op —
+    // quiesce writers first (now documented on purgeKeys). This spec
+    // pins the safe serialized interleaving: commit → purge → commit,
+    // where the later optimistic commit's merge reads POST-purge state,
+    // so the erased key cannot ride a merge back into a new version.
+    val store = new StateStore(
+      Files.createTempDirectory("graft-purge5-").toString, NBuckets)
+    val target = "p5.t"
+    store.commitOptimistic(spark, target) { _ =>
+      (withMeta((0L until 20L).map(k => (k, k)).toDF("k", "v"), 1),
+        0 until NBuckets)
+    }
+    store.commitOptimistic(spark, target) { _ =>
+      val cur = store.rawState(spark, target)
+        .withColumn("v", col("v") + 100L)
+        .withColumn(StateStore.TsCol, lit(2L))
+        .localCheckpoint(true)
+      (cur, 0 until NBuckets)
+    }
+    assert(store.purgeKeys(spark, target, "k", Seq(7L)) === 1)
+    // Writer resumes after the purge: its merge reads current (purged)
+    // state, so key 7 stays gone in the new version and all history.
+    store.commitOptimistic(spark, target) { _ =>
+      val cur = store.rawState(spark, target)
+        .withColumn("v", col("v") + 1000L)
+        .withColumn(StateStore.TsCol, lit(3L))
+        .localCheckpoint(true)
+      (cur, 0 until NBuckets)
+    }
+    (0 to store.currentVersion(target)).foreach { v =>
+      val at = store.stateAt(spark, target, v)
+        .select("k").as[Long].collect().toSet
+      assert(!at.contains(7L), s"version $v resurrected the purged key")
+    }
+    assert(store.currentState(spark, target).count() === 19)
+  }
+
   test("a live clone blocks purge; vacuum reclaims orphaned purge dirs") {
     val store = new StateStore(
       Files.createTempDirectory("graft-purge2-").toString, NBuckets)

@@ -104,6 +104,28 @@ class LlmOpsSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     spark.catalog.clearCache()
   }
 
+  test("bpeApply encodes with the learned merges in rank order") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bpe_apply").toString
+    // Hand computation over the two-doc corpus: round 1 counts
+    // (z,x):4 > (z,y):3 = (a,b):3 → zx; round 2 ties (a,b)/(z,y) and
+    // lexicographic order picks ab; round 3 takes zy. Doc 1 exercises
+    // PARTIAL merges: "zxy" fuses z+x then stops (the fused "zx" no
+    // longer ends in bare "z", so the zy merge must NOT fire across
+    // it), "abz" fuses a+b only.
+    Seq((0L, "zy zy zy zx zx zx ab ab"), (1L, "zxy abz"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = LlmOps.bpeApply(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // Doc 0: every 2-char word fuses to one token — 16 chars, 8 tokens.
+    assert(out(0L) === ((16L, 8L, 8L, 2.0)))
+    // Doc 1: zxy -> [zx, y], abz -> [ab, z] — 6 chars, 4 tokens.
+    assert(out(1L) === ((6L, 4L, 2L, 1.5)))
+    spark.catalog.clearCache()
+  }
+
   test("bloom-prefiltered decontamination equals the direct exact join " +
     "row for row") {
     val exact = LlmOps.decontaminate(spark, sf).collect()
