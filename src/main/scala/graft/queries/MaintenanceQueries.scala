@@ -314,26 +314,28 @@ object MaintenanceQueries {
     * per FILE, never per data row) — the same driver-side planning
     * step every table format's manifest scan performs.
     */
+  private def dateMillis(d: String): Long =
+    java.time.LocalDate.parse(d).atStartOfDay
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+
+  // The column arrives as TIMESTAMP or TIMESTAMP_NTZ depending on the
+  // writer; both map to UTC millis under the engine's UTC session tz.
+  private def boundMillis(v: Any): Long = v match {
+    case t: java.sql.Timestamp => t.getTime
+    case d: java.time.LocalDateTime =>
+      d.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    case other => sys.error(s"unexpected zone-map bound: $other")
+  }
+
   private[queries] def zonemapKeptFiles(spark: SparkSession, laid: String,
       from: String, to: String): (Seq[String], Int) = {
     val zmap = spark.read.parquet(laid)
       .groupBy(col("_metadata.file_path").as("file"))
       .agg(min("o_orderdate").as("lo"), max("o_orderdate").as("hi"))
       .collect()
-    def ts(d: String): Long =
-      java.time.LocalDate.parse(d).atStartOfDay
-        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
-    // The column arrives as TIMESTAMP or TIMESTAMP_NTZ depending on the
-    // writer; both map to UTC millis under the engine's UTC session tz.
-    def millis(v: Any): Long = v match {
-      case t: java.sql.Timestamp => t.getTime
-      case d: java.time.LocalDateTime =>
-        d.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
-      case other => sys.error(s"unexpected zone-map bound: $other")
-    }
     val kept = zmap.filter(r =>
-        millis(r.getAs[Any]("hi")) >= ts(from) &&
-        millis(r.getAs[Any]("lo")) <= ts(to))
+        boundMillis(r.getAs[Any]("hi")) >= dateMillis(from) &&
+        boundMillis(r.getAs[Any]("lo")) <= dateMillis(to))
       .map(_.getAs[String]("file")).toSeq.sorted
     (kept, zmap.length)
   }
@@ -382,6 +384,178 @@ object MaintenanceQueries {
     """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
       |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
       |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-04-01'
+      |  AND o_orderdate < TIMESTAMP '1997-04-01'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------- zone-map refresh under CDC
+
+  private val zmiDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The laid-out table dir for the incremental-zonemap query (test
+    * hook). */
+  private[queries] def zmiLaidDir(sfDir: String): String =
+    s"${zmiDirCache.get(sfDir)}/orders_by_year"
+
+  /** Per-file (lo, hi) millis of o_orderdate, optionally restricted to
+    * the given year partitions — the restricted form is the INCREMENTAL
+    * refresh: partition pruning keeps the stats scan to exactly the
+    * rewritten partitions' files. Metadata-sized collect (one row per
+    * file).
+    */
+  private[queries] def zmiStats(spark: SparkSession, laid: String,
+      years: Option[Seq[Int]] = None): Map[String, (Long, Long)] = {
+    val base = spark.read.parquet(laid)
+    val scoped = years.fold(base)(ys => base.filter(col("yr").isin(ys: _*)))
+    scoped.groupBy(col("_metadata.file_path").as("file"))
+      .agg(min("o_orderdate").as("lo"), max("o_orderdate").as("hi"))
+      .collect()
+      .map(r => r.getAs[String]("file") ->
+        (boundMillis(r.getAs[Any]("lo")), boundMillis(r.getAs[Any]("hi"))))
+      .toMap
+  }
+
+  /** Merge a refreshed partition subset into a prior stats map: drop
+    * every entry under a rewritten year (its files were replaced), then
+    * add the fresh per-file entries. Exactly Iceberg's manifest update:
+    * untouched partitions' stats carry over unscanned.
+    */
+  private[queries] def zmiRefresh(prior: Map[String, (Long, Long)],
+      years: Seq[Int],
+      fresh: Map[String, (Long, Long)]): Map[String, (Long, Long)] =
+    prior.filterNot { case (f, _) =>
+      years.exists(y => f.contains(s"/yr=$y/"))
+    } ++ fresh
+
+  /** ZONE-MAP REFRESH UNDER CDC — the Iceberg manifest-update analog
+    * [[layoutZonemap]] deliberately omits: there the stats are built
+    * once and the first commit after the build leaves them stale
+    * (pointing at replaced files, missing new partitions). Here a CDC
+    * micro-batch lands AFTER the stats build and the pruning map is
+    * refreshed INCREMENTALLY before the pruned query runs:
+    *
+    *   1. LAYOUT + STATS v0: orders clustered one file per order-year
+    *      (the [[layoutZonemap]] recipe), per-file min/max collected.
+    *   2. MICRO-BATCH: price updates against 1997 orders
+    *      (o_orderkey % 97 = 0 → +1000.0) and late-arriving inserts
+    *      (1995 orders % 13 = 0, re-keyed +10M, dated +12 months →
+    *      they land in 1996). Affected years: {1996, 1997}.
+    *   3. PARTITION MERGE: ONLY the affected year partitions are
+    *      rewritten (anti-join out the updated keys, union the batch,
+    *      dynamic partition overwrite) — the date-clustered fact-table
+    *      merge pattern: a hash-bucket rewrite would destroy the
+    *      clustering the zone map prunes by, so the partition IS the
+    *      merge unit, exactly as Iceberg/Delta fact tables do it.
+    *   4. STATS REFRESH: per-file stats recomputed for the affected
+    *      years ONLY (partition-pruned scan); every other entry carries
+    *      over from v0 untouched — refresh cost is O(changed
+    *      partitions), not a table scan ([[zmiRefresh]]).
+    *   5. PRUNED QUERY: the 12-month revenue window consults the
+    *      REFRESHED map, reads only intersecting files, and the result
+    *      is exact post-CDC — which is precisely what the oracle
+    *      checks. ZonemapCdcSpec holds the stale-map counterexample:
+    *      pruning with the v0 map dangles on replaced files and misses
+    *      the late inserts.
+    *
+    * At 100 TB: the micro-batch rewrite is O(affected partitions), the
+    * stats refresh is one pruned scan of those partitions with a
+    * file-count-sized collect, and the query reads only files whose
+    * range intersects — the stats path never becomes the bottleneck
+    * and never goes stale, commit after commit.
+    */
+  /** Build the base year-partitioned layout (step 1). */
+  private[queries] def zmiBuildLayout(spark: SparkSession, sfDir: String,
+      laid: String): Unit =
+    Tables.load(spark, sfDir, "orders")
+      .withColumn("yr", year(col("o_orderdate")))
+      .repartition(col("yr"))
+      .write.mode("overwrite").partitionBy("yr").parquet(laid)
+
+  /** Apply the deterministic CDC micro-batch via partition merge
+    * (steps 2-3): returns the affected years. */
+  private[queries] def zmiApplyBatch(spark: SparkSession, sfDir: String,
+      laid: String): Seq[Int] = {
+    val orders = Tables.load(spark, sfDir, "orders")
+    val updates = orders
+      .filter(year(col("o_orderdate")) === 1997 &&
+        col("o_orderkey") % 97 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+    val inserts = orders
+      .filter(year(col("o_orderdate")) === 1995 &&
+        col("o_orderkey") % 13 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      .withColumn("o_orderdate", add_months(col("o_orderdate"), 12))
+    val batch = updates.unionByName(inserts)
+      .withColumn("yr", year(col("o_orderdate")))
+    val years = batch.select("yr").distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+
+    // Partition merge: replaced keys anti-joined out, batch unioned in,
+    // affected partitions only. localCheckpoint breaks lineage to the
+    // directory being overwritten (read-your-own-write guard).
+    val cur = spark.read.parquet(laid).filter(col("yr").isin(years: _*))
+    val merged = cur
+      .join(updates.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+      .unionByName(batch.select(cur.columns.map(col): _*))
+      .localCheckpoint(eager = true)
+    merged.repartition(col("yr"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("yr").parquet(laid)
+    years
+  }
+
+  /** The pruned 12-month revenue window against a given stats map
+    * (step 5 — also the spec's instrument for the stale-map
+    * counterexample). */
+  private[queries] def zmiPrunedQuery(spark: SparkSession,
+      stats: Map[String, (Long, Long)]): DataFrame = {
+    val (from, to) = ("1996-04-01", "1997-03-31")
+    val kept = stats.toSeq
+      .filter { case (_, (lo, hi)) =>
+        hi >= dateMillis(from) && lo <= dateMillis(to) }
+      .map(_._1).sorted
+    spark.read.parquet(kept: _*)
+      .filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+        col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+      .groupBy(date_trunc("MONTH", col("o_orderdate")).as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("revenue"))
+      .orderBy("month")
+  }
+
+  def layoutZonemapIncremental(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import java.nio.file.Files
+    val dir = zmiDirCache.computeIfAbsent(sfDir, _ =>
+      Files.createTempDirectory("graft-zmi-").toString)
+    val laid = s"$dir/orders_by_year"
+    zmiBuildLayout(spark, sfDir, laid)
+    val statsV0 = zmiStats(spark, laid)
+    val years = zmiApplyBatch(spark, sfDir, laid)
+    val refreshed = zmiRefresh(statsV0, years,
+      zmiStats(spark, laid, Some(years)))
+    zmiPrunedQuery(spark, refreshed)
+      .localCheckpoint(eager = true)
+  }
+
+  val layoutZonemapIncrementalOracle: String =
+    """WITH t AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN year(o_orderdate) = 1997 AND o_orderkey % 97 = 0
+      |         THEN o_totalprice + 1000.0 ELSE o_totalprice END AS price,
+      |    o_orderdate
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, o_totalprice,
+      |    o_orderdate + INTERVAL 12 MONTH
+      |  FROM orders
+      |  WHERE year(o_orderdate) = 1995 AND o_orderkey % 13 = 0
+      |)
+      |SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+      |  count(*) AS n_orders, round(sum(price), 2) AS revenue
+      |FROM t
       |WHERE o_orderdate >= TIMESTAMP '1996-04-01'
       |  AND o_orderdate < TIMESTAMP '1997-04-01'
       |GROUP BY 1 ORDER BY 1""".stripMargin
@@ -1397,6 +1571,7 @@ object MaintenanceQueries {
     "cdc_log_compact" -> logCompact,
     "layout_zorder" -> layoutZorder,
     "layout_zonemap" -> layoutZonemap,
+    "layout_zonemap_incremental" -> layoutZonemapIncremental,
     "maintenance_lifecycle" -> maintenanceLifecycle,
     "maintenance_rebucket" -> rebucket,
     "maintenance_partition_evolution" -> partitionEvolution,
@@ -1415,6 +1590,7 @@ object MaintenanceQueries {
     "cdc_log_compact" -> logCompactOracle,
     "layout_zorder" -> layoutZorderOracle,
     "layout_zonemap" -> layoutZonemapOracle,
+    "layout_zonemap_incremental" -> layoutZonemapIncrementalOracle,
     "maintenance_lifecycle" -> maintenanceLifecycleOracle,
     "maintenance_rebucket" -> rebucketOracle,
     "maintenance_partition_evolution" -> partitionEvolutionOracle,
