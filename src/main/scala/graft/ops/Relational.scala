@@ -1405,6 +1405,161 @@ object Relational {
       |GROUP BY 1, 2
       |ORDER BY n_name, o_year DESC""".stripMargin
 
+  // ------------------------------------------------- TPC-DS-flavor shapes
+
+  /** TPC-DS Q77/Q5 flavor — ROLLUP over a star join: revenue and order
+    * volume per (nation, order-year) with subtotal and grand-total rows
+    * from one pass. The DS twist vs the plain [[aggRollup]]: the
+    * grouping keys come from DIFFERENT dimensions (nation via
+    * customer, year derived from the fact's date), so the rollup sits
+    * ON TOP of the join tree. Plan shape: lineitem⋈orders shuffles on
+    * orderkey once; customer and nation broadcast; the rollup's Expand
+    * doubles rows only AFTER aggregation keys are computed, and both
+    * grouping levels partial-aggregate map-side before the single
+    * shuffle — at 100 TB the Expand factor (×3 grouping sets) applies
+    * to the post-join keyed rows, never to the scan.
+    */
+  def dsqRollupJoin(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .join(t(spark, sfDir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(spark, sfDir, "customer")
+          .select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, sfDir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      // Project the grouping keys + measures BEFORE the rollup (the
+      // oracle's subquery shape), and pin a dataset alias: Spark 4.1's
+      // ambiguous-self-join detector false-positives on rollup-after-
+      // join attribute duplication (the Expand copies the keys), and
+      // qualified rollup columns are the documented resolution.
+      .select(col("n_name"), year(col("o_orderdate")).as("o_year"),
+        col("l_extendedprice"), col("l_discount"))
+      .as("j")
+      .rollup(col("j.n_name"), col("j.o_year"))
+      .agg(grouping("n_name").cast("int").as("g_nation"),
+        grouping("o_year").cast("int").as("g_year"),
+        count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+      .select(col("g_nation"), col("g_year"), col("n_name"), col("o_year"),
+        col("n_items"), col("revenue"))
+      .orderBy("g_nation", "g_year", "n_name", "o_year")
+
+  val dsqRollupJoinOracle: String =
+    """SELECT CAST(GROUPING(n_name) AS INT) AS g_nation,
+      |       CAST(GROUPING(o_year) AS INT) AS g_year,
+      |       n_name, o_year, count(*) AS n_items,
+      |       ROUND(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |FROM (
+      |  SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+      |         l_extendedprice, l_discount
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |)
+      |GROUP BY ROLLUP(n_name, o_year)
+      |ORDER BY g_nation, g_year, n_name, o_year""".stripMargin
+
+  /** TPC-DS Q47/Q57 flavor — top performers WITHIN DATE BANDS: monthly
+    * order revenue per nation over one year, then the top 3 nations of
+    * every month band by a row_number window (ties broken by name, so
+    * the cut is engine-identical). The aggregation runs FIRST and the
+    * window ranks the (months × nations)-sized rollup, not the fact
+    * rows — the band partition is tiny and bounded, so the window can
+    * never become the scale bottleneck; the one data-sized shuffle is
+    * the groupBy's.
+    */
+  def dsqRankBands(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val monthly = t(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .join(broadcast(t(spark, sfDir, "customer")
+          .select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, sfDir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(date_trunc("MONTH", col("o_orderdate")).as("month"),
+        col("n_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("revenue"))
+    val byBand = Window.partitionBy("month")
+      .orderBy(col("revenue").desc, col("n_name"))
+    monthly.withColumn("rk", row_number().over(byBand))
+      .filter(col("rk") <= 3)
+      .select(col("month"), col("rk"), col("n_name"), col("n_orders"),
+        col("revenue"))
+      .orderBy("month", "rk")
+  }
+
+  val dsqRankBandsOracle: String =
+    """WITH monthly AS (
+      |  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+      |    n_name, count(*) AS n_orders,
+      |    ROUND(sum(o_totalprice), 2) AS revenue
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |    AND o_orderdate < TIMESTAMP '1997-01-01'
+      |  GROUP BY 1, 2
+      |)
+      |SELECT month, CAST(rk AS INT) AS rk, n_name, n_orders, revenue
+      |FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY month ORDER BY revenue DESC, n_name) AS rk
+      |  FROM monthly
+      |)
+      |WHERE rk <= 3
+      |ORDER BY month, rk""".stripMargin
+
+  /** TPC-DS Q47 "same-store" flavor — YEAR-OVER-YEAR deltas: annual
+    * order revenue per nation, each year's revenue lag-joined to the
+    * previous year IN THE WINDOW (no self-join — the classic DS
+    * rewrite), with the percent change computed where a prior year
+    * exists. The lag window partitions by nation and is years-long —
+    * bounded — while the heavy lifting is again the partial-aggregated
+    * groupBy underneath.
+    */
+  def dsqYoy(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val yearly = t(spark, sfDir, "orders")
+      .join(broadcast(t(spark, sfDir, "customer")
+          .select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, sfDir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+      .agg(round(sum("o_totalprice"), 2).as("revenue"))
+    val byNation = Window.partitionBy("n_name").orderBy("o_year")
+    yearly.withColumn("prev_revenue", lag("revenue", 1).over(byNation))
+      .withColumn("yoy_pct",
+        round((col("revenue") - col("prev_revenue")) * 100.0 /
+          col("prev_revenue"), 2))
+      .select(col("n_name"), col("o_year"), col("revenue"),
+        col("prev_revenue"), col("yoy_pct"))
+      .orderBy("n_name", "o_year")
+  }
+
+  val dsqYoyOracle: String =
+    """WITH yearly AS (
+      |  SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+      |    ROUND(sum(o_totalprice), 2) AS revenue
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1, 2
+      |)
+      |SELECT n_name, o_year, revenue,
+      |  lag(revenue) OVER w AS prev_revenue,
+      |  ROUND((revenue - lag(revenue) OVER w) * 100.0 /
+      |    lag(revenue) OVER w, 2) AS yoy_pct
+      |FROM yearly
+      |WINDOW w AS (PARTITION BY n_name ORDER BY o_year)
+      |ORDER BY n_name, o_year""".stripMargin
+
   // --------------------------------------------------------- aggregations
 
   /** TPC-H Q1 shape: the canonical multi-aggregate hash agg over the
@@ -2515,6 +2670,9 @@ object Relational {
     "join_q13" -> joinQ13,
     "join_q17" -> joinQ17,
     "join_q22" -> joinQ22,
+    "dsq_rollup_join" -> dsqRollupJoin,
+    "dsq_rank_bands" -> dsqRankBands,
+    "dsq_yoy" -> dsqYoy,
     "join_q2" -> joinQ2,
     "join_q9" -> joinQ9,
     "join_q6" -> joinQ6,
@@ -2593,6 +2751,9 @@ object Relational {
     "join_q13" -> joinQ13Oracle,
     "join_q17" -> joinQ17Oracle,
     "join_q22" -> joinQ22Oracle,
+    "dsq_rollup_join" -> dsqRollupJoinOracle,
+    "dsq_rank_bands" -> dsqRankBandsOracle,
+    "dsq_yoy" -> dsqYoyOracle,
     "join_q2" -> joinQ2Oracle,
     "join_q9" -> joinQ9Oracle,
     "join_q6" -> joinQ6Oracle,

@@ -59,6 +59,45 @@ class PlanSpec extends SparkTestBase {
       "candidate re-rank joins must broadcast")
   }
 
+  test("dsq_rollup_join: rollup Expand sits above the join, dims " +
+      "broadcast, both grouping levels partial-aggregate") {
+    val p = plan("dsq_rollup_join")
+    assert(p.contains("Expand"), "rollup must plan an Expand")
+    assert(p.contains("BroadcastHashJoin"), "customer/nation must broadcast")
+    assert(!p.contains("CartesianProduct"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "rollup must partial-aggregate before the shuffle")
+    // The Expand triples rows AFTER the join keys are computed — it
+    // must consume the join output, not a scan (scan count stays 4).
+    assert(scanCount(p) === 4, s"expected 4 scans, got ${scanCount(p)}")
+  }
+
+  test("dsq_rank_bands: date window pushed to the orders scan; the " +
+      "rank window runs over the aggregated bands, not fact rows") {
+    val p = plan("dsq_rank_bands")
+    assert(p.contains("PushedFilters") &&
+      p.contains("GreaterThanOrEqual(o_orderdate"),
+      "the 1996 window must reach the scan")
+    assert(p.contains("BroadcastHashJoin"), "dims must broadcast")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "monthly rollup must partial-aggregate")
+    // Window input is the (month × nation) aggregate: in the formatted
+    // plan the Window node's child chain must contain the aggregate,
+    // which it does iff Window appears and no second fact scan feeds it.
+    assert(p.contains("Window"), "rank must be a window, not a self-join")
+    assert(scanCount(p) === 3, s"expected 3 scans, got ${scanCount(p)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("dsq_yoy: lag window over the yearly aggregate — no self-join") {
+    val p = plan("dsq_yoy")
+    assert(p.contains("Window"), "YoY must be a lag window")
+    assert(scanCount(p) === 3,
+      s"a self-join rewrite would re-scan: got ${scanCount(p)}")
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("llm_sim_graph: per-hop equi-joins over beam + edges, no " +
       "nested loop beyond the 1-row probe broadcast") {
     val p = plan("llm_sim_graph")
