@@ -113,9 +113,17 @@ object SchemaEvolution {
     case (x, y) if integral(x) && integral(y) => LongType
     case (x, y) if (integral(x) || fractional(x)) &&
                    (integral(y) || fractional(y)) => DoubleType
+    // Decimal PRECISION widening at equal scale — the Iceberg
+    // `decimal(P,S) → decimal(P',S)` evolution rule (the only decimal
+    // promotion its spec allows): values re-encode exactly, no
+    // rounding can occur. A scale change or a decimal↔float mix is a
+    // genuine conflict — rescaling rounds, so it must fail loudly.
+    case (x: DecimalType, y: DecimalType) if x.scale == y.scale =>
+      DecimalType(math.max(x.precision, y.precision), x.scale)
     case (x, y) => throw new IllegalArgumentException(
       s"incompatible schema evolution: cannot widen $x vs $y " +
-        "(only numeric widening is supported, per the reference sink)")
+        "(numeric widening and equal-scale decimal precision growth " +
+        "only, per the reference sink)")
   }
 
   /** Align `df` to the union of its schema with `target`'s: add missing

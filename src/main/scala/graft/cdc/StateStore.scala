@@ -665,6 +665,60 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
     commit(spark, target, all, manifest(target).keys.toSeq.sorted)
   }
 
+  /** Maintenance: SELECTIVE bin-packed compaction (the
+    * `rewrite_data_files` binpack strategy with a touch filter, where
+    * [[compactTable]] is the full rewrite). A bucket qualifies only if
+    * it is fragmented: its data dir holds more than
+    * `targetFilesPerBucket` part files (small-file debris from
+    * shuffle-partitioned merge writes), it lives `maxVersionLag`+
+    * versions behind the head (a straggler pinning an old version dir
+    * against [[vacuum]]), or its manifest entry reaches outside local
+    * `v<N>` numbering (an undetached shallow-clone reference — the
+    * rewrite localizes it, which is exactly the detach step
+    * [[purgeKeys]]'s runbook asks for). Fresh well-packed buckets keep
+    * their manifest pointers untouched, so the rewrite cost scales
+    * with the FRAGMENTED FRACTION, not the table size — the property
+    * a 100 TB table needs from its compactor; the full rewrite is the
+    * pathological case, not the routine one.
+    *
+    * Qualifying buckets are re-read partition-pruned
+    * ([[readBuckets]]), repartitioned onto one shuffle partition per
+    * bucket (so each lands as ONE packed file — per-bucket target
+    * size is governed upstream by `nBuckets` at table creation), and
+    * committed through the normal path: readers never see a partial
+    * rewrite. Returns (version, rewrittenBuckets); when nothing
+    * qualifies it returns the current version and rewrites nothing —
+    * repeated maintenance is a no-op, never an empty commit.
+    */
+  def compactBinpack(spark: SparkSession, target: String,
+                     targetFilesPerBucket: Int = 1,
+                     maxVersionLag: Int = 4): (Int, Seq[Int]) = {
+    val d = dir(target)
+    val cur = currentVersion(target)
+    val local = "^v(\\d+)$".r
+    val fragmented = manifest(target).filter { case (_, p) =>
+      val head = p.split("/")(0)
+      head match {
+        case local(v) =>
+          val bucketDir = d.resolve(p)
+          val nFiles =
+            if (!Files.exists(bucketDir)) 0
+            else {
+              val s = Files.list(bucketDir)
+              try s.iterator().asScala
+                .count(_.getFileName.toString.endsWith(".parquet"))
+              finally s.close()
+            }
+          nFiles > targetFilesPerBucket || cur - v.toInt >= maxVersionLag
+        case _ => true // purge-rewrite or clone reference: localize it
+      }
+    }.keys.toSeq.sorted
+    if (fragmented.isEmpty) return (cur, Nil)
+    val packed = readBuckets(spark, target, fragmented)
+      .repartition(fragmented.size, col(BucketCol))
+    (commit(spark, target, packed, fragmented), fragmented)
+  }
+
   /** Maintenance: delete ORPHANED files (the `remove_orphan_files`
     * analog) — debris a crashed commit attempt leaves behind: version
     * dirs, manifests, or schemas AT OR ABOVE a version the `_VERSION`

@@ -1593,6 +1593,111 @@ object LlmOps {
       |FROM exact JOIN approx_rr USING (vec_id)
       |ORDER BY method""".stripMargin
 
+  /** Sign-bit (binary) quantization: each 64-dim float vector packs to
+    * ONE bigint — bit i set iff coordinate i+1 is non-negative. The
+    * 1-bit-per-dimension point of the quantization family (int8 =
+    * [[embedQuantize]], PQ = [[graft.ops.ClusterOps]]): 256 bytes of
+    * floats become 8 bytes, and candidate generation is a popcount of
+    * an XOR (`bit_count(sig ^ psig)` — codegen'd builtins, one fused
+    * stage) instead of 64 multiply-adds.
+    *
+    * Packing is a zip_with against a LITERAL power-of-two array — the
+    * 64 set bits are distinct powers, so the long sum never carries and
+    * equals the bitwise OR (bit 63 wraps to Long.MinValue by two's
+    * complement; XOR/popcount are sign-agnostic, so Hamming is exact).
+    *
+    * Scale: at 100 TB a deployment stores `sig` as its own 8-byte
+    * column; the O(N) candidate scan reads 1/32 of the float bytes and
+    * ranks by TakeOrderedAndProject over a broadcast probe — no
+    * shuffle, no all-pairs. Exact cosine touches only the C=50
+    * survivors. Same coarse-to-fine shape as [[simRerank]], one point
+    * further down the compression curve: measured recall@10 = 0.7 at
+    * sf0.01 (500 vectors, C=50 = 10% re-ranked exactly) — matching the
+    * half-width float sketch's 0.7 at equal C while scanning 32× fewer
+    * candidate bytes; both points published by their recall audits.
+    */
+  private def binarySigs(spark: SparkSession, sfDir: String): DataFrame = {
+    val powers: Seq[Long] = (0 until 64).map(i => 1L << i)
+    val sig = aggregate(
+      zip_with(vecD(col("embedding")), typedLit(powers),
+        (x, p) => when(x >= 0d, p).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc + v)
+    t(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        vecD(col("embedding")).as("v"), sig.as("sig"))
+  }
+
+  def simBinary(spark: SparkSession, sfDir: String): DataFrame = {
+    val all = binarySigs(spark, sfDir)
+    val probe = all.filter(col("vec_id") === 0)
+      .select(col("v").as("p"), col("sig").as("psig"))
+    all.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .withColumn("ham",
+        bit_count(col("sig").bitwiseXOR(col("psig"))).cast("long"))
+      .orderBy(col("ham").asc, col("vec_id"))
+      .limit(50)
+      .select(col("vec_id"), col("label"), col("ham"),
+        round(cosine(col("v"), col("p")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** Shared oracle prefix: per-vector sign mismatch count against the
+    * probe — popcount(xor(sign-pack)) == count of dims whose signs
+    * differ, which is what the unpacked DuckDB twin counts directly.
+    */
+  private val binaryCandSql: String =
+    """WITH s AS (
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+      |), bprobe AS (
+      |  SELECT v AS p FROM s WHERE vec_id = 0
+      |), cand AS (
+      |  SELECT vec_id, label, v, p,
+      |    CAST(list_sum(list_transform(range(1, 65),
+      |      i -> CASE WHEN (v[i] >= 0) <> (p[i] >= 0)
+      |           THEN 1 ELSE 0 END)) AS BIGINT) AS ham
+      |  FROM s, bprobe WHERE vec_id <> 0
+      |  ORDER BY ham, vec_id LIMIT 50
+      |)""".stripMargin
+
+  val simBinaryOracle: String =
+    binaryCandSql + """
+      |SELECT vec_id, label, ham,
+      |  ROUND(list_dot_product(v, p) /
+      |    (sqrt(list_dot_product(v, v)) *
+      |     sqrt(list_dot_product(p, p))), 6) AS cos
+      |FROM cand ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+
+  /** recall@10 of [[simBinary]] against the exact brute-force ranking —
+    * published beside the IVF/LSH/PQ/IVFPQ/sketch/graph audits so the
+    * whole compression-vs-recall curve is measured, not asserted.
+    */
+  def simBinaryRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val exact = simTopk(spark, sfDir).select("vec_id")
+    val approx = simBinary(spark, sfDir).select("vec_id")
+    exact.join(approx, Seq("vec_id"))
+      .agg(count(lit(1)).as("hits"))
+      .select(lit(10).as("k"), col("hits"),
+        round(col("hits").cast("double") / 10, 2).as("recall"))
+  }
+
+  val simBinaryRecallOracle: String =
+    binaryCandSql + """, bin_approx AS (
+      |  SELECT vec_id FROM cand
+      |  ORDER BY ROUND(list_dot_product(v, p) /
+      |    (sqrt(list_dot_product(v, v)) *
+      |     sqrt(list_dot_product(p, p))), 6) DESC, vec_id LIMIT 10
+      |), bin_exact AS (
+      |  SELECT vec_id FROM s, bprobe WHERE vec_id <> 0
+      |  ORDER BY ROUND(list_dot_product(v, p) /
+      |    (sqrt(list_dot_product(v, v)) *
+      |     sqrt(list_dot_product(p, p))), 6) DESC, vec_id LIMIT 10
+      |)
+      |SELECT 10 AS k, count(*) AS hits,
+      |  ROUND(CAST(count(*) AS DOUBLE) / 10, 2) AS recall
+      |FROM bin_exact JOIN bin_approx USING (vec_id)""".stripMargin
+
   /** Per-label centroid vectors (the per-class "average embedding"
     * aggregate), published as one (label, dim, m) row per coordinate:
     * exploded scalar rows rather than an array column, so every output
@@ -2889,6 +2994,58 @@ object LlmOps {
       |  round(q, 6) AS p_temp, round(q / p, 6) AS boost
       |FROM t ORDER BY source""".stripMargin
 
+  /** EPOCH-AWARE UPSAMPLING materialization — the step after the
+    * mixture weights are chosen ([[mixWeighted]]/[[mixTemperature]]
+    * decide; this executes): each source carries a declared epoch
+    * budget (here 1.0/1.5/2.0/2.5 cycling by source number — the
+    * "books get 2.5 epochs, web gets 1" table every pretraining run
+    * writes down), and every document materializes floor(w) epoch
+    * copies plus one more for the fractional part, selected
+    * DETERMINISTICALLY by doc_id parity so exactly half of a
+    * half-epoch source upsamples (no RNG — reruns and the oracle see
+    * the same corpus). Output pins the realized weight per source and
+    * an epoch-index checksum (sum over copies of their 1-based epoch
+    * number), which only matches if the per-copy rows really exist.
+    *
+    * Scale: the explode is map-side only — copies ≤ ceil(max weight)
+    * rows per doc, no shuffle until the summary groupBy; at 100 TB
+    * the exploded frame writes epoch-stamped shards directly and the
+    * summary is the audit. The oracle computes the closed forms
+    * (sum of copies, sum of copies·(copies+1)/2) without exploding.
+    */
+  def mixEpochs(spark: SparkSession, sfDir: String): DataFrame = {
+    val srcNum = substring(col("source"), 4, 10).cast("int")
+    val whole = (lit(1) + floor((srcNum % 4) / 2)).cast("int")
+    val extra = when((srcNum % 4) % 2 === 1 && col("doc_id") % 2 === 0, 1)
+      .otherwise(0)
+    t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"),
+        (whole + extra).as("copies"))
+      .withColumn("epoch", explode(sequence(lit(1), col("copies"))))
+      .groupBy("source")
+      .agg(count(when(col("epoch") === 1, 1)).as("n_docs"),
+        count(lit(1)).as("n_rows"),
+        sum("epoch").cast("long").as("epoch_sum"))
+      .withColumn("realized_weight",
+        round(col("n_rows").cast("double") / col("n_docs"), 3))
+      .orderBy("source")
+  }
+
+  val mixEpochsOracle: String =
+    """WITH d AS (
+      |  SELECT source, doc_id,
+      |    1 + (CAST(substring(source, 4) AS INT) % 4) // 2
+      |      + CASE WHEN (CAST(substring(source, 4) AS INT) % 4) % 2 = 1
+      |                  AND doc_id % 2 = 0 THEN 1 ELSE 0 END AS copies
+      |  FROM documents
+      |)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(copies) AS BIGINT) AS n_rows,
+      |  CAST(sum(copies * (copies + 1) / 2) AS BIGINT) AS epoch_sum,
+      |  ROUND(CAST(sum(copies) AS DOUBLE) / count(*), 3)
+      |    AS realized_weight
+      |FROM d GROUP BY source ORDER BY source""".stripMargin
+
   /** Inverted-index build — the retrieval-side twin of [[textTfidf]]'s
     * df stage: per term, exact document frequency and the first 10
     * posting doc_ids, for the 20 highest-df terms. Bounded-memory by
@@ -3407,6 +3564,8 @@ object LlmOps {
     "llm_sim_lsh_recall" -> simLshRecall,
     "llm_sim_rerank" -> simRerank,
     "llm_sim_rerank_recall" -> simRerankRecall,
+    "llm_sim_binary" -> simBinary,
+    "llm_sim_binary_recall" -> simBinaryRecall,
     "llm_sim_centroids" -> simCentroids,
     "llm_text_stats" -> textStats,
     "llm_text_tokens" -> textTokens,
@@ -3433,6 +3592,7 @@ object LlmOps {
     "llm_feature_hash" -> featureHash,
     "llm_shard_balance" -> shardBalance,
     "llm_mix_temperature" -> mixTemperature,
+    "llm_mix_epochs" -> mixEpochs,
     "llm_text_quality_full" -> textQualityFull,
     "llm_decontaminate" -> decontaminate,
     "llm_decontaminate_bloom" -> decontaminateBloom,
@@ -3472,6 +3632,8 @@ object LlmOps {
     "llm_sim_lsh_recall" -> simLshRecallOracle,
     "llm_sim_rerank" -> simRerankOracle,
     "llm_sim_rerank_recall" -> simRerankRecallOracle,
+    "llm_sim_binary" -> simBinaryOracle,
+    "llm_sim_binary_recall" -> simBinaryRecallOracle,
     "llm_sim_centroids" -> simCentroidsOracle,
     "llm_text_stats" -> textStatsOracle,
     "llm_text_tokens" -> textTokensOracle,
@@ -3498,6 +3660,7 @@ object LlmOps {
     "llm_feature_hash" -> featureHashOracle,
     "llm_shard_balance" -> shardBalanceOracle,
     "llm_mix_temperature" -> mixTemperatureOracle,
+    "llm_mix_epochs" -> mixEpochsOracle,
     "llm_text_quality_full" -> textQualityFullOracle,
     "llm_decontaminate" -> decontaminateOracle,
     "llm_decontaminate_bloom" -> decontaminateBloomOracle,

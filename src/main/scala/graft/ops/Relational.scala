@@ -46,6 +46,50 @@ object WeightedAvg
     org.apache.spark.sql.Encoders.scalaDouble
 }
 
+/** Misra-Gries heavy-hitters sketch for [[Relational.aggHeavyHitters]]:
+  * a capacity-bounded counter map. `reduce` increments; whenever the
+  * map exceeds `capacity`, every counter is decremented by the
+  * (capacity+1)-th largest count and non-positive counters drop —
+  * the mergeable-summaries form (Agarwal et al., PODS 2012), so
+  * `merge` is counter-sum followed by the same bound and the sketch
+  * runs partial/final like any built-in aggregate: the fixed-size
+  * summary crosses the shuffle, never the rows. Guarantee: any key
+  * with true frequency > n/(capacity+1) survives, and each kept count
+  * undershoots its true count by at most n/(capacity+1).
+  *
+  * EXACT whenever the group's distinct-key count fits `capacity` (no
+  * decrement ever fires in any partial buffer) — the registered query
+  * is sized that way so the DuckDB oracle can hash-match; the sketch
+  * bound under forced overflow is property-tested in HeavyHittersSpec.
+  * `finish` publishes the top-`topK` as a canonical "key:count|…"
+  * string (count desc, key asc), so the output cell is hashable.
+  */
+case class HeavyHitters(capacity: Int, topK: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[
+      String, Map[String, Long], String] {
+  private def bound(m: Map[String, Long]): Map[String, Long] =
+    if (m.size <= capacity) m
+    else {
+      val cut = m.values.toSeq.sorted(Ordering[Long].reverse)(capacity)
+      m.collect { case (k, v) if v > cut => k -> (v - cut) }
+    }
+  override def zero: Map[String, Long] = Map.empty
+  override def reduce(b: Map[String, Long], k: String): Map[String, Long] =
+    bound(b.updated(k, b.getOrElse(k, 0L) + 1L))
+  override def merge(
+      a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+    bound(b.foldLeft(a) { case (acc, (k, v)) =>
+      acc.updated(k, acc.getOrElse(k, 0L) + v)
+    })
+  override def finish(m: Map[String, Long]): String =
+    m.toSeq.sortBy { case (k, v) => (-v, k) }.take(topK)
+      .map { case (k, v) => s"$k:$v" }.mkString("|")
+  override def bufferEncoder: org.apache.spark.sql.Encoder[Map[String, Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  override def outputEncoder: org.apache.spark.sql.Encoder[String] =
+    org.apache.spark.sql.Encoders.STRING
+}
+
 object Relational {
 
   private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
@@ -1560,6 +1604,41 @@ object Relational {
       |WINDOW w AS (PARTITION BY n_name ORDER BY o_year)
       |ORDER BY n_name, o_year""".stripMargin
 
+  /** TPC-DS Q88 flavor — MULTI-BAND COUNTS IN ONE SCAN: eight
+    * time-of-day activity counts over the event stream, written as
+    * eight conditional aggregates in a single pass. Q88's literal SQL
+    * is eight scalar subqueries (eight scans self-joined on dummy
+    * keys); the engine rewrite every warehouse applies is this one —
+    * conditional aggregation folds all bands into ONE scan + ONE
+    * partial/final hash aggregate, so at 100 TB the fact table is
+    * read once, not eight times. PlanSpec pins scan count = 1 and the
+    * absence of any join.
+    */
+  def dsqHourBands(spark: SparkSession, sfDir: String): DataFrame = {
+    def band(lo: Int, hi: Int) =
+      sum(when(hour(col("ts")) >= lo && hour(col("ts")) < hi, 1L)
+        .otherwise(0L)).as(s"h${lo}_$hi")
+    t(spark, sfDir, "events")
+      .filter(col("event_type").isin("click", "view", "purchase"))
+      .agg(band(0, 3), band(3, 6), band(6, 9), band(9, 12),
+        band(12, 15), band(15, 18), band(18, 21), band(21, 24),
+        count(lit(1)).as("total"))
+  }
+
+  val dsqHourBandsOracle: String =
+    """SELECT
+      |  CAST(SUM(CASE WHEN hour(ts) >= 0  AND hour(ts) < 3  THEN 1 ELSE 0 END) AS BIGINT) AS h0_3,
+      |  CAST(SUM(CASE WHEN hour(ts) >= 3  AND hour(ts) < 6  THEN 1 ELSE 0 END) AS BIGINT) AS h3_6,
+      |  CAST(SUM(CASE WHEN hour(ts) >= 6  AND hour(ts) < 9  THEN 1 ELSE 0 END) AS BIGINT) AS h6_9,
+      |  CAST(SUM(CASE WHEN hour(ts) >= 9  AND hour(ts) < 12 THEN 1 ELSE 0 END) AS BIGINT) AS h9_12,
+      |  CAST(SUM(CASE WHEN hour(ts) >= 12 AND hour(ts) < 15 THEN 1 ELSE 0 END) AS BIGINT) AS h12_15,
+      |  CAST(SUM(CASE WHEN hour(ts) >= 15 AND hour(ts) < 18 THEN 1 ELSE 0 END) AS BIGINT) AS h15_18,
+      |  CAST(SUM(CASE WHEN hour(ts) >= 18 AND hour(ts) < 21 THEN 1 ELSE 0 END) AS BIGINT) AS h18_21,
+      |  CAST(SUM(CASE WHEN hour(ts) >= 21 AND hour(ts) < 24 THEN 1 ELSE 0 END) AS BIGINT) AS h21_24,
+      |  count(*) AS total
+      |FROM events
+      |WHERE event_type IN ('click', 'view', 'purchase')""".stripMargin
+
   // --------------------------------------------------------- aggregations
 
   /** TPC-H Q1 shape: the canonical multi-aggregate hash agg over the
@@ -1849,6 +1928,40 @@ object Relational {
       |    AS wavg_disc,
       |  count(*) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Heavy hitters per group via the [[HeavyHitters]] Misra-Gries
+    * sketch: top-3 order priorities by frequency within each order
+    * status. Capacity 8 over 5 distinct priorities ⇒ the sketch is
+    * exact here and the oracle (exact GROUP BY counts, row_number ≤ 3)
+    * hash-matches; at 100 TB the same plan holds with millions of
+    * distinct keys because only the fixed-capacity counter map crosses
+    * the shuffle — the approximate counts then carry the published
+    * n/(capacity+1) error bound instead of being exact.
+    */
+  def aggHeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    val hh = udaf(HeavyHitters(capacity = 8, topK = 3))
+    t(spark, sfDir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(hh(col("o_orderpriority")).as("hh"), count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+  }
+
+  val aggHeavyHittersOracle: String =
+    """WITH c AS (
+      |  SELECT o_orderstatus, o_orderpriority AS k, count(*) AS cnt
+      |  FROM orders GROUP BY 1, 2
+      |), r AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY o_orderstatus ORDER BY cnt DESC, k) AS rn
+      |  FROM c
+      |), tot AS (
+      |  SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY 1
+      |)
+      |SELECT r.o_orderstatus,
+      |  string_agg(k || ':' || cnt, '|' ORDER BY cnt DESC, k) AS hh,
+      |  min(t.n) AS n
+      |FROM r JOIN tot t USING (o_orderstatus) WHERE rn <= 3
+      |GROUP BY r.o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
   /** Exact percentiles (median + p90) — both engines use linear
     * interpolation over the sorted group, so values match exactly.
@@ -2673,6 +2786,7 @@ object Relational {
     "dsq_rollup_join" -> dsqRollupJoin,
     "dsq_rank_bands" -> dsqRankBands,
     "dsq_yoy" -> dsqYoy,
+    "dsq_hour_bands" -> dsqHourBands,
     "join_q2" -> joinQ2,
     "join_q9" -> joinQ9,
     "join_q6" -> joinQ6,
@@ -2702,6 +2816,7 @@ object Relational {
     "agg_grouping_sets" -> aggGroupingSets,
     "agg_collect" -> aggCollect,
     "agg_udaf" -> aggUdaf,
+    "agg_heavy_hitters" -> aggHeavyHitters,
     "win_rank" -> winRank,
     "win_analytic" -> winAnalytic,
     "win_frame" -> winFrame,
@@ -2754,6 +2869,7 @@ object Relational {
     "dsq_rollup_join" -> dsqRollupJoinOracle,
     "dsq_rank_bands" -> dsqRankBandsOracle,
     "dsq_yoy" -> dsqYoyOracle,
+    "dsq_hour_bands" -> dsqHourBandsOracle,
     "join_q2" -> joinQ2Oracle,
     "join_q9" -> joinQ9Oracle,
     "join_q6" -> joinQ6Oracle,
@@ -2783,6 +2899,7 @@ object Relational {
     "agg_grouping_sets" -> aggGroupingSetsOracle,
     "agg_collect" -> aggCollectOracle,
     "agg_udaf" -> aggUdafOracle,
+    "agg_heavy_hitters" -> aggHeavyHittersOracle,
     "win_rank" -> winRankOracle,
     "win_analytic" -> winAnalyticOracle,
     "win_frame" -> winFrameOracle,

@@ -113,6 +113,7 @@ object StreamingOps {
   def prestage(spark: SparkSession, sfDir: String): Unit = {
     Seq("events", "documents", "orders").foreach(stage(spark, sfDir, _))
     stageLateDrop(spark, sfDir)
+    stageOuterJoin(spark, sfDir)
     ()
   }
 
@@ -261,6 +262,36 @@ object StreamingOps {
     *       by watermark progression alone, without relying on a
     *       trailing flush batch.
     */
+  /** Write `slices` into `dir` as one parquet file each, named and
+    * mtime-pinned so the file stream source (maxFilesPerTrigger=1)
+    * replays them in exactly this order however fast the writes ran.
+    */
+  private def writeOrderedSlices(slices: Seq[DataFrame], dir: String): Unit =
+    slices.zipWithIndex.foreach { case (df, i) =>
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-slice-").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .toArray.map(_.toString).filter(_.endsWith(".parquet"))
+      require(part.length == 1, s"expected 1 part file, got ${part.length}")
+      val dst = java.nio.file.Paths.get(dir, f"b$i%02d.parquet")
+      java.nio.file.Files.move(java.nio.file.Paths.get(part.head), dst,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 10000L))
+    }
+
+  /** One synthetic event row — watermark ballast for the ordered
+    * replay logs (never joins or aggregates into a result; each query
+    * filters its sentinels out by type/user before publishing).
+    */
+  private def sentinelRow(spark: SparkSession, ts: String, id: Long,
+                          user: Long, tpe: String): DataFrame =
+    spark.range(1).select(
+      lit(id).as("event_id"), lit(ts).cast("timestamp").as("ts"),
+      lit(user).as("user_id"), lit(tpe).as("event_type"),
+      lit(0.0).as("value"), lit("{}").as("props"))
+
   private def stageLateDrop(spark: SparkSession, sfDir: String): String =
     stagedCache.computeIfAbsent(s"$sfDir/events-latedrop", { _ =>
       val dir = java.nio.file.Files
@@ -269,30 +300,38 @@ object StreamingOps {
       val isLate = col("ts") < lit(LateDay).cast("timestamp") &&
         col("event_id") % 10 === 0
       def sentinel(ts: String, id: Long): DataFrame =
-        spark.range(1).select(
-          lit(id).as("event_id"), lit(ts).cast("timestamp").as("ts"),
-          lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
-          lit(0.0).as("value"), lit("{}").as("props"))
-      val slices = Seq(ev.filter(!isLate),
+        sentinelRow(spark, ts, id, -1L, "sentinel")
+      writeOrderedSlices(Seq(ev.filter(!isLate),
         sentinel("2024-02-05 00:00:00", -1L),
         ev.filter(isLate),
         sentinel("2024-02-10 00:00:00", -2L),
-        sentinel("2024-02-15 00:00:00", -3L))
-      slices.zipWithIndex.foreach { case (df, i) =>
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft-lateslice-").toString
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
-          .toArray.map(_.toString).filter(_.endsWith(".parquet"))
-        require(part.length == 1, s"expected 1 part file, got ${part.length}")
-        val dst = java.nio.file.Paths.get(dir, f"b$i%02d.parquet")
-        java.nio.file.Files.move(java.nio.file.Paths.get(part.head), dst,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        // Strictly increasing mtimes pin the replay order however fast
-        // the writes ran.
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 10000L))
-      }
+        sentinel("2024-02-15 00:00:00", -3L)), dir)
+      dir
+    })
+
+  /** Replay log for [[streamStreamOuter]]: the events fixture in three
+    * arbitrary slices (multi-micro-batch), then TWO trailing sentinel
+    * batches far past the fixture's horizon — one sentinel per JOIN
+    * SIDE per batch, because the global watermark is the MIN across
+    * both sides' watermark operators and each side only sees its own
+    * type filter. Two trailing batches, not one: the watermark a batch
+    * raises is APPLIED in the next batch, and it is that application
+    * that null-pads and evicts the unmatched left rows.
+    */
+  private def stageOuterJoin(spark: SparkSession, sfDir: String): String =
+    stagedCache.computeIfAbsent(s"$sfDir/events-outerjoin", { _ =>
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-outerjoin-").toString
+      val ev = Tables.load(spark, sfDir, "events")
+      def pair(ts: String, idBase: Long): DataFrame =
+        sentinelRow(spark, ts, idBase, -1L, "sentinel_p")
+          .unionAll(sentinelRow(spark, ts, idBase - 1L, -2L, "sentinel_c"))
+      writeOrderedSlices(Seq(
+        ev.filter(col("event_id") % 3 === 0),
+        ev.filter(col("event_id") % 3 === 1),
+        ev.filter(col("event_id") % 3 === 2),
+        pair("2024-06-01 00:00:00", -1L),
+        pair("2024-06-15 00:00:00", -3L)), dir)
       dir
     })
 
@@ -534,6 +573,68 @@ object StreamingOps {
       | AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
       |ORDER BY purchase_id, click_id""".stripMargin
 
+  /** Stream-stream LEFT OUTER join with watermark-driven null padding —
+    * the semantics the inner join can't show: a purchase with no click
+    * in its trailing hour must still emit, and it can only do so once
+    * the watermark PROVES no matching click can arrive. Runs over the
+    * ordered replay log of [[stageOuterJoin]]; unmatched rows flush
+    * when the trailing sentinel batches push both sides' watermarks
+    * past the fixture horizon. `click_id` is coalesced to -1 on both
+    * sides of the compare, so the result is null-free and sort order
+    * is engine-independent.
+    *
+    * Scale: identical state shape to the inner join — both sides keyed
+    * on user, state bounded by the watermark delay × arrival rate; the
+    * delay here spans the fixture replay, a production pipeline sets
+    * it to its real lateness SLA and state stays proportional to that
+    * window, not to history.
+    */
+  def streamStreamOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    val staged = stageOuterJoin(spark, sfDir)
+    val schema = Tables.load(spark, sfDir, "events").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+    val name = s"stream_sink_${nameCounter.incrementAndGet()}"
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val purchases = src
+        .filter(col("event_type").isin("purchase", "sentinel_p"))
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("purchase_id"))
+        .withWatermark("p_ts", "40 days")
+      val clicks = src
+        .filter(col("event_type").isin("click", "sentinel_c"))
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("event_id").as("click_id"))
+        .withWatermark("c_ts", "40 days")
+      val q = purchases.join(clicks,
+          col("p_user") === col("c_user") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+            col("c_ts") <= col("p_ts"),
+          "left_outer")
+        .select(col("purchase_id"), col("p_user").as("user_id"),
+          coalesce(col("click_id"), lit(-1L)).as("click_id"))
+        .writeStream
+        .format("memory").queryName(name).outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    spark.table(name)
+      .filter(col("user_id") >= 0)
+      .orderBy("purchase_id", "click_id")
+  }
+
+  val streamStreamOuterOracle: String =
+    """SELECT p.event_id AS purchase_id, p.user_id,
+      |  COALESCE(c.event_id, -1) AS click_id
+      |FROM events p LEFT JOIN events c
+      |  ON c.event_type = 'click'
+      | AND p.user_id = c.user_id
+      | AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+      |WHERE p.event_type = 'purchase'
+      |ORDER BY purchase_id, click_id""".stripMargin
+
   /** Arbitrary stateful processing (mapGroupsWithState): per-user
     * running (count, value-sum) state emitted every micro-batch in
     * `update` mode; the final per-user maximum is the converged total —
@@ -671,6 +772,7 @@ object StreamingOps {
     "stream_curate" -> streamCurate,
     "stream_curate_near" -> streamCurateNear,
     "stream_stream_join" -> streamStreamJoin,
+    "stream_stream_outer" -> streamStreamOuter,
     "stream_stateful" -> stateful,
     "stream_transform_state" -> transformState)
 
@@ -686,6 +788,7 @@ object StreamingOps {
     "stream_curate" -> streamCurateOracle,
     "stream_curate_near" -> streamCurateNearOracle,
     "stream_stream_join" -> streamStreamJoinOracle,
+    "stream_stream_outer" -> streamStreamOuterOracle,
     "stream_stateful" -> statefulOracle,
     "stream_transform_state" -> transformStateOracle)
 }

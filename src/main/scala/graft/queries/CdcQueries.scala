@@ -605,8 +605,58 @@ object CdcQueries {
       |  CAST((SELECT max(last_ts) FROM t) - last_ts AS BIGINT) AS lag_ms
       |FROM t ORDER BY topic""".stripMargin
 
+  // ------------------------------------------- decimal widening
+
+  private val decimalDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** A11 decimal evolution end to end: phase 1 commits the snapshot
+    * wave with `c_acctbal` typed DECIMAL(12,2) (the Debezium NUMERIC
+    * column's arrival shape), phase 2 merges the +100 update wave
+    * re-typed DECIMAL(18,2) into the SAME state table.
+    * [[graft.cdc.SchemaEvolution.widen]]'s equal-scale
+    * precision-growth rule re-encodes the stored phase-1 values
+    * exactly — decimal precision widening can never round — and the
+    * merged state publishes DECIMAL(18,2) across the schema boundary.
+    * The rejected directions (scale change, decimal↔float) are pinned
+    * in DecimalWideningSpec.
+    */
+  def decimalWidening(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val wh = decimalDirCache.computeIfAbsent(sfDir,
+      _ => Files.createTempDirectory("graft-dec-").toString)
+    val whPath = Paths.get(wh)
+    if (Files.exists(whPath)) {
+      Files.walk(whPath).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => if (p != whPath) Files.deleteIfExists(p))
+    }
+    val store = new graft.cdc.StateStore(wh, nBuckets = 8)
+    val target = "cdc.commerce_customer_dec"
+    val pk = Seq("c_custkey")
+    def log(precision: Int): DataFrame = ChangeGen.changeLog(
+      Tables.load(spark, sfDir, "customer")
+        .withColumn("c_acctbal",
+          col("c_acctbal").cast(s"decimal($precision,2)")),
+      "c_custkey", "c_acctbal", "commerce", "customer")
+    val ts = col("_cdc.ts_ms")
+    graft.cdc.MergeCommit.mergeFlattened(store, target,
+      Envelope.flatten(log(12)).filter(ts <= 1000), pk)
+    graft.cdc.MergeCommit.mergeFlattened(store, target,
+      Envelope.flatten(log(18)).filter(ts === 2000), pk)
+    store.currentState(spark, target)
+      .select("c_custkey", "c_acctbal")
+      .orderBy("c_custkey")
+  }
+
+  val decimalWideningOracle: String =
+    """SELECT c_custkey,
+      |  CAST(CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 100.0
+      |       ELSE c_acctbal END AS DECIMAL(18,2)) AS c_acctbal
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_merge" -> sqlMerge,
+    "cdc_decimal_widening" -> decimalWidening,
     "cdc_audit_diff" -> auditDiff,
     "cdc_transactions" -> transactions,
     "cdc_snapshot_chunked" -> snapshotChunked,
@@ -622,6 +672,7 @@ object CdcQueries {
 
   def oracles: Map[String, String] = Map(
     "sql_merge" -> mergeCustomerOracle,
+    "cdc_decimal_widening" -> decimalWideningOracle,
     "cdc_audit_diff" -> auditDiffOracle,
     "cdc_transactions" -> transactionsOracle,
     "cdc_snapshot_chunked" -> snapshotChunkedOracle,

@@ -676,6 +676,151 @@ object MaintenanceQueries {
       |UNION ALL SELECT 'vacuumed', n, bal, true FROM fin
       |ORDER BY step""".stripMargin
 
+  // ------------------------------------------------- binpack compaction
+
+  private val binpackDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** SELECTIVE BIN-PACKED COMPACTION as an oracle-checked query — the
+    * `rewrite_data_files(strategy => 'binpack')` analog with a touch
+    * filter, exercising [[graft.cdc.StateStore.compactBinpack]]'s
+    * VERSION-LAG criterion through four steps (the file-count
+    * criterion needs a forced multi-file dir — AQE packs merge output
+    * at fixture scale — and is pinned in CompactBinpackSpec instead):
+    *
+    *  1. `binpack`   — after a full snapshot and two hot single-key
+    *     waves (c_custkey=44), every bucket except the hot one is a
+    *     straggler still pinned at v0, two versions behind; the pass
+    *     must rewrite exactly those stragglers, keep the hot bucket's
+    *     pointer byte-identical, and change NO row.
+    *  2. `noop`      — an immediate second pass finds nothing lagging
+    *     and must rewrite NOTHING and commit NOTHING (same version
+    *     back): no-op maintenance costs a metadata read.
+    *  3. `selective` — a fresh single-key wave (c_custkey=45) lands;
+    *     now the HOT bucket of step 1 is the lone two-behind
+    *     straggler, and the pass must rewrite exactly it. This is the
+    *     100 TB property: compaction cost scales with the fragmented
+    *     fraction, not with table size.
+    *  4. `vacuumed`  — expire to the current snapshot; every version
+    *     dir the final manifest doesn't reference must be gone while
+    *     current state reads identically.
+    */
+  def maintenanceCompactBinpack(spark: SparkSession,
+                                sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val wh = binpackDirCache.computeIfAbsent(sfDir,
+      _ => Files.createTempDirectory("graft-binpack-").toString)
+    val whPath = Paths.get(wh)
+    if (Files.exists(whPath)) {
+      Files.walk(whPath).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => if (p != whPath) Files.deleteIfExists(p))
+    }
+    val store = new graft.cdc.StateStore(wh, nBuckets = 8)
+    val target = "cdc.commerce_customer_binpack"
+    val pk = Seq("c_custkey")
+    val cust = Tables.load(spark, sfDir, "customer")
+
+    def wave(df: DataFrame, ts: Long): Unit = {
+      graft.cdc.MergeCommit.mergeBatchMeta(store, target, df
+        .withColumn(graft.cdc.StateStore.TsCol, lit(ts))
+        .withColumn(graft.cdc.StateStore.SeqCol,
+          col("c_custkey").cast("long"))
+        .withColumn(graft.cdc.StateStore.DeletedCol, lit(false))
+        .withColumn(graft.cdc.StateStore.BucketCol,
+          graft.cdc.StateStore.bucketExpr(pk, 8)), pk)
+      ()
+    }
+    def keyWave(key: Int, delta: Double, ts: Long): Unit =
+      wave(cust.filter(col("c_custkey") === key)
+        .withColumn("c_acctbal", col("c_acctbal") + delta), ts)
+    def bucketOf(key: Int): Int =
+      cust.filter(col("c_custkey") === key)
+        .select(graft.cdc.StateStore.bucketExpr(pk, 8)).head.getInt(0)
+    // The file-count criterion is deliberately inert here (see doc).
+    def pass(): (Int, Seq[Int]) =
+      store.compactBinpack(spark, target,
+        targetFilesPerBucket = Int.MaxValue, maxVersionLag = 2)
+
+    wave(cust, 1000L)              // v0: snapshot, all buckets
+    keyWave(44, 100.0, 2000L)      // v1: hot bucket only
+    keyWave(44, 250.0, 3000L)      // v2: hot bucket again (latest wins)
+    val hot = bucketOf(44)
+
+    def summarize(df: DataFrame): (Long, Double) = {
+      val r = df.agg(count(lit(1)), round(sum(round(col("c_acctbal"), 2)), 2))
+        .head()
+      (r.getLong(0), r.getDouble(1))
+    }
+    val before = store.currentState(spark, target)
+    val (bn, bb) = summarize(before)
+    val expected1 = store.manifest(target).keys.filterNot(_ == hot).toSeq.sorted
+    val (v1, rewritten1) = pass()
+    val after1 = store.currentState(spark, target)
+    val (an, ab) = summarize(after1)
+    val binpackOk = rewritten1 == expected1 && rewritten1.nonEmpty &&
+      store.manifest(target).get(hot).contains(s"v2/_bucket=$hot") &&
+      an == bn && ab == bb &&
+      after1.exceptAll(before).isEmpty && before.exceptAll(after1).isEmpty
+
+    val (v2, rewritten2) = pass()
+    val noopOk = v2 == v1 && rewritten2.isEmpty
+
+    keyWave(45, 10.0, 4000L)       // v4: a second hot bucket
+    val manifestBefore = store.manifest(target)
+    val (_, rewritten3) = pass()   // only bucket(44) is now 2 behind
+    val manifestAfter = store.manifest(target)
+    val untouchedStable = manifestBefore
+      .filterNot { case (b, _) => b == hot }
+      .forall { case (b, p) => manifestAfter.get(b).contains(p) }
+    val (sn, sb) = summarize(store.currentState(spark, target))
+    val selectiveOk = rewritten3 == Seq(hot) && untouchedStable
+
+    store.vacuum(target, keepVersions = 1)
+    val (vn, vb) = summarize(store.currentState(spark, target))
+    val referenced =
+      store.manifest(target).values.map(_.split("/")(0)).toSet
+    val unreferencedGone = (0 to 5).forall { v =>
+      referenced(s"v$v") ||
+        !Files.exists(whPath.resolve(target).resolve(s"v$v"))
+    }
+    val vacuumOk = vn == sn && vb == sb && unreferencedGone
+
+    import spark.implicits._
+    Seq(
+      ("binpack", an, ab, binpackOk),
+      ("noop", an, ab, noopOk),
+      ("selective", sn, sb, selectiveOk),
+      ("vacuumed", vn, vb, vacuumOk))
+      .toDF("step", "n_rows", "bal_sum", "ok")
+      .orderBy("step")
+  }
+
+  /** The wave plan's merged states in SQL: snapshot + the key-44 hot
+    * waves (steps 1-2), then the key-45 wave on top (steps 3-4); the
+    * filesystem-level selectivity/reclaim invariants ride in `ok` as
+    * literal true, pinned Spark-side.
+    */
+  val maintenanceCompactBinpackOracle: String =
+    """WITH fin3 AS (
+      |  SELECT c_custkey,
+      |    c_acctbal + CASE WHEN c_custkey = 44 THEN 250.0
+      |                     ELSE 0.0 END AS bal
+      |  FROM customer
+      |), fin4 AS (
+      |  SELECT c_custkey,
+      |    bal + CASE WHEN c_custkey = 45 THEN 10.0 ELSE 0.0 END AS bal
+      |  FROM fin3
+      |), s3 AS (
+      |  SELECT count(*) AS n, ROUND(sum(ROUND(bal, 2)), 2) AS b FROM fin3
+      |), s4 AS (
+      |  SELECT count(*) AS n, ROUND(sum(ROUND(bal, 2)), 2) AS b FROM fin4
+      |)
+      |SELECT 'binpack' AS step, n AS n_rows, b AS bal_sum, true AS ok FROM s3
+      |UNION ALL SELECT 'noop', n, b, true FROM s3
+      |UNION ALL SELECT 'selective', n, b, true FROM s4
+      |UNION ALL SELECT 'vacuumed', n, b, true FROM s4
+      |ORDER BY step""".stripMargin
+
   // ------------------------------------------------- point lookup
 
   private val lookupDirCache =
@@ -1579,6 +1724,7 @@ object MaintenanceQueries {
     "maintenance_clone_restore" -> cloneRestore,
     "maintenance_clone_vacuum" -> cloneVacuum,
     "maintenance_purge" -> purgeLifecycle,
+    "maintenance_compact_binpack" -> maintenanceCompactBinpack,
     "cdc_point_lookup" -> pointLookup)
 
   def oracles: Map[String, String] = Map(
@@ -1598,5 +1744,6 @@ object MaintenanceQueries {
     "maintenance_clone_restore" -> cloneRestoreOracle,
     "maintenance_clone_vacuum" -> cloneVacuumOracle,
     "maintenance_purge" -> purgeLifecycleOracle,
+    "maintenance_compact_binpack" -> maintenanceCompactBinpackOracle,
     "cdc_point_lookup" -> pointLookupOracle)
 }

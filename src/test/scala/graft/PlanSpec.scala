@@ -629,4 +629,27 @@ class PlanSpec extends SparkTestBase {
     // The part semi join broadcasts (tiny name-filtered dim).
     assert(p.contains("BroadcastHashJoin"), "part prune must broadcast")
   }
+
+  test("dsq_hour_bands: all eight bands fold into ONE scan and one " +
+      "partial/final aggregate — no self-joins") {
+    val p = plan("dsq_hour_bands")
+    assert(scanCount(p) === 1, s"expected 1 scan, got ${scanCount(p)}")
+    assert(!p.contains("Join"), "the Q88 rewrite has no join at all")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "band counts must partial-aggregate map-side")
+  }
+
+  test("llm_sim_binary: broadcast 1-row probe, TakeOrdered cuts at " +
+      "both funnel stages, no shuffle over candidates") {
+    val p = plan("llm_sim_binary")
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2,
+      "both the Hamming cut and the cosine cut must be TakeOrdered")
+    assert(p.contains("BroadcastExchange"),
+      "the 1-row probe signature must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "candidate generation must stay a broadcast nested-loop of " +
+        "the 1-row probe, never a shuffle join")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "nothing in the funnel justifies a hash shuffle")
+  }
 }
