@@ -488,6 +488,55 @@ object AnalyticsOps {
     * the kernel, so the smoothed values derive from identical inputs;
     * the oracle spells the same kernel as a bounded range self-join.
     */
+  /** AUTOCORRELATION (ACF) of the daily event-count series at lags
+    * 1..3 — the first diagnostic a forecasting pipeline computes
+    * (seasonality/AR order detection; the lag-k Pearson correlation
+    * between the series and its k-shifted self). Heavy work is the
+    * partial-aggregated daily rollup; the lead window and the three
+    * `corr` aggregates then run over the DAYS-sized frame — at 100 TB
+    * the series is still one row per day, so the unpartitioned window
+    * is a deliberate metadata-frame operation, never an event-level
+    * sort (same discipline as [[tsEwma]]'s per-type windows). Both
+    * engines skip null (tail) pairs in `corr` and compute the same
+    * scale-invariant r, so 6-dp rounding hash-matches.
+    */
+  def tsAcf(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = t(spark, sfDir, "events")
+      .groupBy(date_trunc("DAY", col("ts")).as("d"))
+      .agg(count(lit(1)).cast("double").as("n"))
+    val w = Window.orderBy("d")
+    val shifted = daily
+      .withColumn("n1", lead("n", 1).over(w))
+      .withColumn("n2", lead("n", 2).over(w))
+      .withColumn("n3", lead("n", 3).over(w))
+    shifted
+      .select(col("n"), expr(
+        "stack(3, 1, n1, 2, n2, 3, n3) AS (lag, nk)"))
+      .groupBy("lag")
+      .agg(count(col("nk")).as("n_pairs"),
+        round(corr(col("n"), col("nk")), 6).as("acf"))
+      .orderBy("lag")
+  }
+
+  val tsAcfOracle: String =
+    """WITH daily AS (
+      |  SELECT date_trunc('day', ts) AS d,
+      |    CAST(count(*) AS DOUBLE) AS n
+      |  FROM events GROUP BY 1
+      |), shifted AS (
+      |  SELECT n,
+      |    lead(n, 1) OVER (ORDER BY d) AS n1,
+      |    lead(n, 2) OVER (ORDER BY d) AS n2,
+      |    lead(n, 3) OVER (ORDER BY d) AS n3
+      |  FROM daily
+      |), long AS (
+      |  SELECT 1 AS lag, n, n1 AS nk FROM shifted
+      |  UNION ALL SELECT 2, n, n2 FROM shifted
+      |  UNION ALL SELECT 3, n, n3 FROM shifted
+      |)
+      |SELECT lag, count(nk) AS n_pairs, ROUND(corr(n, nk), 6) AS acf
+      |FROM long GROUP BY lag ORDER BY lag""".stripMargin
+
   def tsEwma(spark: SparkSession, sfDir: String): DataFrame = {
     val daily = t(spark, sfDir, "events")
       .groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("d"))
@@ -537,6 +586,7 @@ object AnalyticsOps {
     "ts_anomaly" -> tsAnomaly,
     "ts_changepoint" -> tsChangepoint,
     "ts_seasonal" -> tsSeasonal,
+    "ts_acf" -> tsAcf,
     "win_retention" -> winRetention,
     "win_funnel" -> winFunnel,
     "agg_corr" -> aggCorr,
@@ -550,6 +600,7 @@ object AnalyticsOps {
     "ts_anomaly" -> tsAnomalyOracle,
     "ts_changepoint" -> tsChangepointOracle,
     "ts_seasonal" -> tsSeasonalOracle,
+    "ts_acf" -> tsAcfOracle,
     "win_retention" -> winRetentionOracle,
     "win_funnel" -> winFunnelOracle,
     "agg_corr" -> aggCorrOracle,

@@ -78,6 +78,46 @@ object Functions {
       |  regexp_matches(text, 'slow .*fast|fast .*slow') AS mixed_speed
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** URL-parsing family — the web-corpus primitive (domain filters,
+    * per-site quality stats and URL-keyed dedup all start here). URLs
+    * are synthesized deterministically from the documents fixture (it
+    * carries no url column), then decomposed with Spark's codegen'd
+    * `parse_url` — HOST, PATH, two QUERY parameters — while the oracle
+    * re-derives each part with anchored regexes: the engines must
+    * agree on the URL grammar, not merely echo the synthesis.
+    * Scale: scalar scan-fused per-row work, no shuffle; the per-host
+    * rollup a crawl pipeline runs next is one groupBy over the
+    * extracted host (output stays row-level to pin every part).
+    */
+  def fnUrl(spark: SparkSession, sfDir: String): DataFrame = {
+    val url = concat(lit("https://"), col("source"),
+      lit(".example.com/docs/"), col("doc_id"),
+      lit("?lang="), col("lang"), lit("&ref=r"), pmod(col("doc_id"), lit(7)))
+    t(spark, sfDir, "documents")
+      .select(col("doc_id"), url.as("url"))
+      .select(col("doc_id"), col("url"),
+        parse_url(col("url"), lit("HOST")).as("host"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        parse_url(col("url"), lit("QUERY"), lit("lang")).as("lang_param"),
+        parse_url(col("url"), lit("QUERY"), lit("ref")).as("ref_param"))
+      .orderBy("doc_id")
+  }
+
+  val fnUrlOracle: String =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    'https://' || source || '.example.com/docs/' ||
+      |      CAST(doc_id AS VARCHAR) || '?lang=' || lang || '&ref=r' ||
+      |      CAST(doc_id % 7 AS VARCHAR) AS url
+      |  FROM documents
+      |)
+      |SELECT doc_id, url,
+      |  regexp_extract(url, '^https://([^/?#]+)', 1) AS host,
+      |  regexp_extract(url, '^https://[^/?#]+([^?#]*)', 1) AS path,
+      |  regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS lang_param,
+      |  regexp_extract(url, '[?&]ref=([^&#]*)', 1) AS ref_param
+      |FROM u ORDER BY doc_id""".stripMargin
+
   /** Date/time family: extraction, truncation, day arithmetic, epoch.
     * Timestamps leave as formatted strings so parquet tz metadata never
     * matters.
@@ -279,7 +319,8 @@ object Functions {
     "fn_json" -> fnJson,
     "fn_hash" -> fnHash,
     "fn_bitwise" -> fnBitwise,
-    "fn_regexp" -> fnRegexp)
+    "fn_regexp" -> fnRegexp,
+    "fn_url" -> fnUrl)
 
   def oracles: Map[String, String] = Map(
     "fn_string" -> fnStringOracle,
@@ -290,5 +331,6 @@ object Functions {
     "fn_json" -> fnJsonOracle,
     "fn_hash" -> fnHashOracle,
     "fn_bitwise" -> fnBitwiseOracle,
-    "fn_regexp" -> fnRegexpOracle)
+    "fn_regexp" -> fnRegexpOracle,
+    "fn_url" -> fnUrlOracle)
 }

@@ -22,6 +22,21 @@ object GraphOps {
   private val Damping = 0.85
   private val PrIters = 3
 
+  /** The co-supplier edge list (symmetric, deduplicated) used by
+    * [[pagerank]]: suppliers linked iff they serve the same order.
+    * One distinct projection + one o-equi-join; the `a.s =!= b.s`
+    * guard keeps self-loops out.
+    */
+  private def coSupplierEdges(spark: SparkSession, sfDir: String): DataFrame = {
+    val os = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_suppkey").as("s"))
+      .distinct()
+    os.as("a").join(os.as("b"),
+        col("a.o") === col("b.o") && col("a.s") =!= col("b.s"))
+      .select(col("a.s").as("src"), col("b.s").as("dst"))
+      .distinct()
+  }
+
   /** PageRank, [[PrIters]] power iterations, damping 0.85. Every stage
     * is the partitioning-friendly spelling of distributed PageRank:
     * the edge list (src, dst, outdeg) is built once and persisted —
@@ -35,13 +50,7 @@ object GraphOps {
     * aggregate, never a driver collect.
     */
   def pagerank(spark: SparkSession, sfDir: String): DataFrame = {
-    val os = Tables.load(spark, sfDir, "lineitem")
-      .select(col("l_orderkey").as("o"), col("l_suppkey").as("s"))
-      .distinct()
-    val edges = os.as("a").join(os.as("b"),
-        col("a.o") === col("b.o") && col("a.s") =!= col("b.s"))
-      .select(col("a.s").as("src"), col("b.s").as("dst"))
-      .distinct()
+    val edges = coSupplierEdges(spark, sfDir)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
     // (src, dst, outdeg) built once; 3 iterations + the final select
     // all read it.
@@ -126,7 +135,15 @@ object GraphOps {
     */
   private val TriTopK = 3
 
-  def triangles(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Top-[[TriTopK]] strongest-edge sparsification of the weighted
+    * co-supplier graph — each vertex keeps its K heaviest
+    * co-occurrence edges, symmetrized back to an undirected (u < v)
+    * edge list. Shared by [[triangles]] and [[graphBfs]]: the raw
+    * co-occurrence graph densifies toward a clique over a fixed
+    * entity set, so every topology pass runs on the pruned graph.
+    */
+  private def sparsifiedUndirected(spark: SparkSession,
+                                   sfDir: String): DataFrame = {
     val os = Tables.load(spark, sfDir, "lineitem")
       .select(col("l_orderkey").as("o"), col("l_suppkey").as("s"))
       .distinct()
@@ -138,14 +155,17 @@ object GraphOps {
         col("w"))
       .union(weighted.select(col("v").as("x"), col("u").as("other"),
         col("w")))
-    val topk = directed
+    directed
       .withColumn("rn", row_number().over(Window.partitionBy("x")
         .orderBy(col("w").desc, col("other"))))
       .filter(col("rn") <= TriTopK)
-    val und = topk
       .select(least(col("x"), col("other")).as("u"),
         greatest(col("x"), col("other")).as("v"))
       .distinct()
+  }
+
+  def triangles(spark: SparkSession, sfDir: String): DataFrame = {
+    val und = sparsifiedUndirected(spark, sfDir)
     val deg = und.select(col("u").as("x"))
       .union(und.select(col("v").as("x")))
       .groupBy("x").agg(count(lit(1)).as("d"))
@@ -219,11 +239,86 @@ object GraphOps {
       |  UNION ALL SELECT tc AS x FROM tri)
       |GROUP BY x ORDER BY s_suppkey""".stripMargin
 
+  /** BOUNDED-HOP BFS — single-source shortest hop distances (≤ 3) over
+    * the SPARSIFIED co-supplier graph ([[sparsifiedUndirected]]: the
+    * raw co-occurrence graph is near-complete at fixture scale, so
+    * every node would be one hop away; on the pruned top-K graph the
+    * distances actually spread), the reachability/radius primitive
+    * under crawl-frontier expansion and "within N hops of a trusted
+    * seed" corpus gates. Each hop is ONE equi-join of the current
+    * frontier against the edge list plus a distinct — frontier size is
+    * bounded by the node count, the hop bound caps total work a
+    * priori, and nothing ever materializes paths (only (node,
+    * first-hop) labels, folded by a min aggregate — min-label
+    * propagation, the same algebra as the dedup connected-components
+    * pass). At 100 TB the frontier broadcasts while it is small and
+    * degrades to a hash join when it isn't; the plan is identical
+    * either way.
+    */
+  def graphBfs(spark: SparkSession, sfDir: String): DataFrame = {
+    val und = sparsifiedUndirected(spark, sfDir)
+    val edges = und.select(col("u").as("src"), col("v").as("dst"))
+      .union(und.select(col("v").as("src"), col("u").as("dst")))
+      .persist()
+    val seed = edges.sparkSession.range(1)
+      .select(lit(0L).as("node"), lit(0).as("h"))
+    var layers = Seq(seed)
+    var frontier = seed.select("node")
+    for (h <- 1 to 3) {
+      frontier = edges.join(broadcast(frontier), col("src") === col("node"))
+        .select(col("dst").as("node")).distinct()
+      layers = layers :+ frontier.select(col("node"), lit(h).as("h"))
+    }
+    layers.reduce(_ unionAll _)
+      .groupBy("node").agg(min("h").as("hops"))
+      .select(col("node").as("s_suppkey"), col("hops"))
+      .orderBy("s_suppkey")
+  }
+
+  val graphBfsOracle: String =
+    """WITH os AS (
+      |  SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem
+      |), wt AS (
+      |  SELECT a.s AS u, b.s AS v, count(*) AS w
+      |  FROM os a JOIN os b ON a.o = b.o AND a.s < b.s
+      |  GROUP BY 1, 2
+      |), da AS (
+      |  SELECT u AS x, v AS other, w FROM wt
+      |  UNION ALL SELECT v AS x, u AS other, w FROM wt
+      |), und AS (
+      |  SELECT DISTINCT least(x, other) AS u, greatest(x, other) AS v
+      |  FROM (SELECT x, other,
+      |          row_number() OVER (PARTITION BY x
+      |                             ORDER BY w DESC, other) AS rn
+      |        FROM da)
+      |  WHERE rn <= 3
+      |), ed AS (
+      |  SELECT u AS src, v AS dst FROM und
+      |  UNION ALL SELECT v AS src, u AS dst FROM und
+      |), h0 AS (
+      |  SELECT CAST(0 AS BIGINT) AS node
+      |), h1 AS (
+      |  SELECT DISTINCT dst AS node FROM ed JOIN h0 ON ed.src = h0.node
+      |), h2 AS (
+      |  SELECT DISTINCT dst AS node FROM ed JOIN h1 ON ed.src = h1.node
+      |), h3 AS (
+      |  SELECT DISTINCT dst AS node FROM ed JOIN h2 ON ed.src = h2.node
+      |), all_h AS (
+      |  SELECT node, 0 AS h FROM h0
+      |  UNION ALL SELECT node, 1 FROM h1
+      |  UNION ALL SELECT node, 2 FROM h2
+      |  UNION ALL SELECT node, 3 FROM h3
+      |)
+      |SELECT node AS s_suppkey, MIN(h) AS hops
+      |FROM all_h GROUP BY node ORDER BY s_suppkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> pagerank,
-    "graph_triangles" -> triangles)
+    "graph_triangles" -> triangles,
+    "graph_bfs" -> graphBfs)
 
   def oracles: Map[String, String] = Map(
     "graph_pagerank" -> pagerankOracle,
-    "graph_triangles" -> trianglesOracle)
+    "graph_triangles" -> trianglesOracle,
+    "graph_bfs" -> graphBfsOracle)
 }

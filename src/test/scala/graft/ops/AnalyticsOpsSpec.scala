@@ -119,6 +119,21 @@ class AnalyticsOpsSpec extends SparkTestBase {
       s"seasonal indices must average ~1, got $meanIdx")
   }
 
+  test("ts_acf: three lags, r in [-1,1], pair counts shrink by one per lag") {
+    val rows = AnalyticsOps.tsAcf(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq === Seq(1, 2, 3))
+    rows.foreach { case (lag, nPairs, acf) =>
+      assert(acf >= -1.0 && acf <= 1.0, s"acf at lag $lag out of range")
+      assert(nPairs > 0, s"lag $lag has no pairs")
+    }
+    val days = rows.head._2 + 1 // n_pairs at lag 1 = days - 1
+    rows.foreach { case (lag, nPairs, _) =>
+      assert(nPairs === days - lag,
+        s"lag $lag must lose exactly $lag tail pairs")
+    }
+  }
+
   test("win_funnel: stage survivors are monotone; rates consistent") {
     val rows = AnalyticsOps.winFunnel(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1),

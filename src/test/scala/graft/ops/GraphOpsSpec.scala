@@ -43,6 +43,48 @@ class GraphOpsSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("bfs: single seed at 0; hops bounded; every labeled node has a " +
+      "sparsified-graph neighbor exactly one hop closer") {
+    import org.apache.spark.sql.functions._
+    val dist = GraphOps.graphBfs(spark, sf).collect()
+      .map(r => r.getAs[Long]("s_suppkey") -> r.getAs[Int]("hops")).toMap
+    assert(dist.values.count(_ == 0) === 1, "exactly the seed at hop 0")
+    assert(dist(0L) === 0, "the seed is supplier 0")
+    assert(dist.values.forall(h => h >= 0 && h <= 3), "hop bound holds")
+
+    // Independent witness: rebuild the top-3 sparsified symmetric
+    // edge list (the oracle's und CTE, in DataFrame form) and check
+    // the BFS labeling is sound (a neighbor one hop closer exists)
+    // and complete (no labeled node's neighbor is closer than h-1).
+    val os = graft.Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_suppkey").as("s"))
+      .distinct()
+    val wt = os.as("a").join(os.as("b"),
+        col("a.o") === col("b.o") && col("a.s") < col("b.s"))
+      .groupBy(col("a.s").as("u"), col("b.s").as("v"))
+      .agg(count(lit(1)).as("w"))
+    val da = wt.select(col("u").as("x"), col("v").as("other"), col("w"))
+      .union(wt.select(col("v").as("x"), col("u").as("other"), col("w")))
+    val und = da.withColumn("rn",
+        org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("x")
+            .orderBy(col("w").desc, col("other"))))
+      .filter(col("rn") <= 3)
+      .select(least(col("x"), col("other")).as("u"),
+        greatest(col("x"), col("other")).as("v"))
+      .distinct().collect()
+    val nbrs = (und.map(r => r.getLong(0) -> r.getLong(1)) ++
+      und.map(r => r.getLong(1) -> r.getLong(0)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    dist.filter(_._2 > 0).foreach { case (n, h) =>
+      val ds = nbrs(n).flatMap(dist.get)
+      assert(ds.min === h - 1,
+        s"node $n labeled $h must have min neighbor label ${h - 1}, " +
+          s"got ${ds.min}")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("pagerank on a star graph: hub outranks leaves, leaves tie") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graphops").toString
