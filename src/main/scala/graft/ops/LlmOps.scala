@@ -86,6 +86,64 @@ object LlmOps {
     """SELECT min(doc_id) AS keeper, count(*) AS n_copies
       |FROM documents GROUP BY md5(text) ORDER BY keeper""".stripMargin
 
+  /** URL-CANONICALIZATION dedup — the crawl-side dedup that fires
+    * before any content hash: the same page arrives as
+    * `https://WWW.Site.Example.COM/p/7?utm_source=a` and
+    * `https://site.example.com/p/7?utm_source=b`, and the canonical
+    * key (lowercased host, `www.` stripped, tracking query dropped,
+    * path kept) must collapse them. URLs are synthesized with exactly
+    * those variations (case + `www.` cycling by doc id, a folded path
+    * so genuine collision groups exist, a rotating utm param), parsed back
+    * with the codegen'd `parse_url`, canonicalized, and grouped —
+    * keeper = min doc_id, the same convention as every dedup in this
+    * family. Scale: canonicalization is scan-fused per-row work; the
+    * only shuffle carries (canonical, doc_id) — URLs, like text,
+    * never cross the wire.
+    */
+  def dedupUrl(spark: SparkSession, sfDir: String): DataFrame = {
+    // Path = (doc_id div 20) mod 12: the fixture assigns source by
+    // doc_id mod 20, so this puts ids n, n+240, n+480 … on the SAME
+    // (source, path) page — real collision groups — while 240 mod 7
+    // ≠ 0 keeps each group spanning BOTH host spellings, so the
+    // canonicalization (not the synthesis) is what collapses them.
+    val url = concat(lit("https://"),
+      when(col("doc_id") % 7 < 3,
+        concat(lit("WWW."), col("source"), lit(".Example.COM")))
+        .otherwise(concat(col("source"), lit(".example.com"))),
+      lit("/p/"), pmod((col("doc_id") / lit(20)).cast("long"), lit(12)),
+      lit("?utm_source=r"), pmod(col("doc_id"), lit(3)))
+    val canonical = concat(
+      regexp_replace(lower(parse_url(col("url"), lit("HOST"))),
+        "^www\\.", ""),
+      parse_url(col("url"), lit("PATH")))
+    t(spark, sfDir, "documents")
+      .select(col("doc_id"), url.as("url"))
+      .withColumn("canonical", canonical)
+      .groupBy("canonical")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keeper"))
+      .orderBy("canonical")
+  }
+
+  val dedupUrlOracle: String =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    'https://' || CASE WHEN doc_id % 7 < 3
+      |        THEN 'WWW.' || source || '.Example.COM'
+      |        ELSE source || '.example.com' END ||
+      |      '/p/' || CAST((doc_id // 20) % 12 AS VARCHAR) ||
+      |      '?utm_source=r' || CAST(doc_id % 3 AS VARCHAR) AS url
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id,
+      |    regexp_replace(lower(
+      |      regexp_extract(url, '^https://([^/?#]+)', 1)), '^www\.', '')
+      |      || regexp_extract(url, '^https://[^/?#]+([^?#]*)', 1)
+      |      AS canonical
+      |  FROM u
+      |)
+      |SELECT canonical, count(*) AS n_docs, min(doc_id) AS keeper
+      |FROM c GROUP BY canonical ORDER BY canonical""".stripMargin
+
   /** Content fingerprint invariant to word order and duplication:
     * md5 of the sorted distinct word set. Pairs with equal fingerprints
     * are bag-of-words duplicates even when shingle order differs.
@@ -3546,6 +3604,7 @@ object LlmOps {
     "llm_dedup_normalized" -> dedupNormalized,
     "llm_source_stats" -> sourceStats,
     "llm_dedup_fingerprint" -> dedupFingerprint,
+    "llm_dedup_url" -> dedupUrl,
     "llm_dedup_minhash" -> dedupMinhash,
     "llm_dedup_jaccard" -> dedupJaccard,
     "llm_dedup_editdist" -> dedupEditdist,
@@ -3614,6 +3673,7 @@ object LlmOps {
     "llm_dedup_normalized" -> dedupNormalizedOracle,
     "llm_source_stats" -> sourceStatsOracle,
     "llm_dedup_fingerprint" -> dedupFingerprintOracle,
+    "llm_dedup_url" -> dedupUrlOracle,
     "llm_dedup_minhash" -> dedupMinhashOracle,
     "llm_dedup_jaccard" -> dedupJaccardOracle,
     "llm_dedup_editdist" -> dedupEditdistOracle,

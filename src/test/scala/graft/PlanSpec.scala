@@ -639,6 +639,16 @@ class PlanSpec extends SparkTestBase {
       "band counts must partial-aggregate map-side")
   }
 
+  test("graph_bfs: hops expand by broadcast equi-joins — no cartesian, " +
+      "min-label fold partial-aggregates") {
+    val p = plan("graph_bfs")
+    assert(!p.contains("CartesianProduct"), "no hop may nested-loop")
+    assert(p.contains("BroadcastHashJoin"),
+      "the frontier must broadcast against the edge list")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "the min-hop fold must partial-aggregate map-side")
+  }
+
   test("llm_sim_binary: broadcast 1-row probe, TakeOrdered cuts at " +
       "both funnel stages, no shuffle over candidates") {
     val p = plan("llm_sim_binary")
