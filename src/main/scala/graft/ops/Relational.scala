@@ -1639,6 +1639,64 @@ object Relational {
       |FROM events
       |WHERE event_type IN ('click', 'view', 'purchase')""".stripMargin
 
+  /** TPC-DS Q51 flavor — CUMULATIVE CROSS-OVER between two series:
+    * daily click-value vs purchase-value running totals, full-outer
+    * joined on day, flagging the days where the purchase cumulative
+    * has overtaken the click cumulative. The Q51 shape: heavy work is
+    * two partial-aggregated daily rollups; the running-sum windows
+    * and the full outer join then operate on the DAYS-sized frames —
+    * at 100 TB the window is still one row per day, so the
+    * unpartitioned cumulative is a metadata-frame op, never an
+    * event-level sort. Cumulative sums run over per-day values both
+    * engines computed and rounded identically, in the same day order,
+    * so the running doubles agree bit-for-bit before the final round.
+    */
+  def dsqCumulativeCross(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = t(spark, sfDir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(date_trunc("DAY", col("ts")).as("d"), col("event_type"))
+      .agg(round(sum("value"), 2).as("v"))
+    val clicks = daily.filter(col("event_type") === "click")
+      .select(col("d"), col("v").as("click_v"))
+    val purchases = daily.filter(col("event_type") === "purchase")
+      .select(col("d"), col("v").as("purch_v"))
+    val w = Window.orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.join(purchases, Seq("d"), "full_outer")
+      .withColumn("cum_click",
+        round(sum(coalesce(col("click_v"), lit(0.0))).over(w), 2))
+      .withColumn("cum_purch",
+        round(sum(coalesce(col("purch_v"), lit(0.0))).over(w), 2))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("cum_click"), col("cum_purch"),
+        (col("cum_purch") > col("cum_click")).as("purchase_ahead"))
+      .orderBy("day")
+  }
+
+  val dsqCumulativeCrossOracle: String =
+    """WITH daily AS (
+      |  SELECT date_trunc('day', ts) AS d, event_type,
+      |    ROUND(sum(value), 2) AS v
+      |  FROM events WHERE event_type IN ('click', 'purchase')
+      |  GROUP BY 1, 2
+      |), c AS (
+      |  SELECT d, v AS click_v FROM daily WHERE event_type = 'click'
+      |), p AS (
+      |  SELECT d, v AS purch_v FROM daily WHERE event_type = 'purchase'
+      |), j AS (
+      |  SELECT COALESCE(c.d, p.d) AS d, click_v, purch_v
+      |  FROM c FULL OUTER JOIN p ON c.d = p.d
+      |)
+      |SELECT strftime(d, '%Y-%m-%d') AS day,
+      |  ROUND(sum(COALESCE(click_v, 0)) OVER w, 2) AS cum_click,
+      |  ROUND(sum(COALESCE(purch_v, 0)) OVER w, 2) AS cum_purch,
+      |  ROUND(sum(COALESCE(purch_v, 0)) OVER w, 2) >
+      |    ROUND(sum(COALESCE(click_v, 0)) OVER w, 2) AS purchase_ahead
+      |FROM j
+      |WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+      |             AND CURRENT ROW)
+      |ORDER BY day""".stripMargin
+
   // --------------------------------------------------------- aggregations
 
   /** TPC-H Q1 shape: the canonical multi-aggregate hash agg over the
@@ -2787,6 +2845,7 @@ object Relational {
     "dsq_rank_bands" -> dsqRankBands,
     "dsq_yoy" -> dsqYoy,
     "dsq_hour_bands" -> dsqHourBands,
+    "dsq_cumulative_cross" -> dsqCumulativeCross,
     "join_q2" -> joinQ2,
     "join_q9" -> joinQ9,
     "join_q6" -> joinQ6,
@@ -2870,6 +2929,7 @@ object Relational {
     "dsq_rank_bands" -> dsqRankBandsOracle,
     "dsq_yoy" -> dsqYoyOracle,
     "dsq_hour_bands" -> dsqHourBandsOracle,
+    "dsq_cumulative_cross" -> dsqCumulativeCrossOracle,
     "join_q2" -> joinQ2Oracle,
     "join_q9" -> joinQ9Oracle,
     "join_q6" -> joinQ6Oracle,

@@ -146,6 +146,44 @@ object StreamingOps {
       |FROM events
       |GROUP BY 1, 2, 3 ORDER BY w_start_us, event_type""".stripMargin
 
+  /** The [[graft.ops.HeavyHitters]] Misra-Gries sketch running INSIDE
+    * a streaming aggregation — the streaming twin of
+    * `agg_heavy_hitters`: per event type, the top-3 user-id buckets by
+    * frequency, maintained as a mergeable fixed-capacity summary that
+    * partial-aggregates per micro-batch exactly like a built-in
+    * (complete mode republishes the converged sketch each drain).
+    * Capacity 32 over 16 distinct buckets ⇒ exact, so the result is
+    * independent of micro-batch slicing and hash-matches the batch
+    * oracle — the same mergeability that makes the sketch shuffle-
+    * bounded in batch is what makes it slicing-invariant here.
+    */
+  def streamHeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    val hh = udaf(graft.ops.HeavyHitters(capacity = 32, topK = 3))
+    streamEvents(spark, sfDir, "complete") { src =>
+      src.groupBy("event_type")
+        .agg(hh(pmod(col("user_id"), lit(16)).cast("string")).as("hh"),
+          count(lit(1)).as("n"))
+    }.orderBy("event_type")
+  }
+
+  val streamHeavyHittersOracle: String =
+    """WITH c AS (
+      |  SELECT event_type, CAST(user_id % 16 AS VARCHAR) AS k,
+      |    count(*) AS cnt
+      |  FROM events GROUP BY 1, 2
+      |), r AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY event_type ORDER BY cnt DESC, k) AS rn
+      |  FROM c
+      |), tot AS (
+      |  SELECT event_type, count(*) AS n FROM events GROUP BY 1
+      |)
+      |SELECT r.event_type,
+      |  string_agg(k || ':' || cnt, '|' ORDER BY cnt DESC, k) AS hh,
+      |  min(t.n) AS n
+      |FROM r JOIN tot t USING (event_type) WHERE rn <= 3
+      |GROUP BY r.event_type ORDER BY event_type""".stripMargin
+
   /** Sliding windows: 2-day length, 1-day slide — every event lands in
     * exactly two windows (the overlap-join shape).
     */
@@ -783,6 +821,7 @@ object StreamingOps {
     "stream_curate_near" -> streamCurateNear,
     "stream_stream_join" -> streamStreamJoin,
     "stream_stream_outer" -> streamStreamOuter,
+    "stream_heavy_hitters" -> streamHeavyHitters,
     "stream_stateful" -> stateful,
     "stream_transform_state" -> transformState)
 
@@ -799,6 +838,7 @@ object StreamingOps {
     "stream_curate_near" -> streamCurateNearOracle,
     "stream_stream_join" -> streamStreamJoinOracle,
     "stream_stream_outer" -> streamStreamOuterOracle,
+    "stream_heavy_hitters" -> streamHeavyHittersOracle,
     "stream_stateful" -> statefulOracle,
     "stream_transform_state" -> transformStateOracle)
 }

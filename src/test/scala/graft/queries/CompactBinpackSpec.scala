@@ -3,6 +3,7 @@ package graft.queries
 import graft.SparkTestBase
 import graft.cdc.StateStore
 import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => ScTest}
 
 import java.nio.file.{Files, Paths}
 
@@ -69,5 +70,56 @@ class CompactBinpackSpec extends SparkTestBase {
       store.compactBinpack(spark, target, targetFilesPerBucket = 1,
         maxVersionLag = 99)
     assert(v2 === v && again.isEmpty, "a packed table is a no-op")
+  }
+
+  /** Model-based property: random upsert/delete waves with binpack
+    * passes interleaved at random points must leave EXACTLY the
+    * latest-wins state a plain in-memory map computes — compaction is
+    * pure layout, never semantics, at every interleaving point (the
+    * MergeSpec slicing-invariance discipline extended to maintenance).
+    */
+  test("interleaved merges and binpacks preserve latest-wins state") {
+    import spark.implicits._
+    val genWave = Gen.mapOf(for {
+      k <- Gen.chooseNum(0L, 9L)
+      v <- Gen.chooseNum(0, 999)
+      del <- Gen.frequency((4, false), (1, true))
+    } yield k -> (v.toDouble, del))
+    val gen = for {
+      waves <- Gen.listOfN(4, genWave)
+      packAfter <- Gen.listOfN(4, Gen.oneOf(true, false))
+    } yield (waves, packAfter)
+    val prop = Prop.forAll(gen) { case (waves, packAfter) =>
+      val wh = Files.createTempDirectory("graft-binpack-prop-").toString
+      val store = new StateStore(wh, nBuckets = 4)
+      val target = "t"
+      var model = Map.empty[Long, (Double, Boolean)]
+      waves.zipWithIndex.foreach { case (wave, i) =>
+        if (wave.nonEmpty) {
+          val df = wave.toSeq.map { case (k, (v, del)) => (k, v, del) }
+            .toDF("key", "value", "del")
+            .withColumn(StateStore.TsCol, lit(1000L + i))
+            .withColumn(StateStore.SeqCol, col("key"))
+            .withColumn(StateStore.DeletedCol, col("del"))
+            .drop("del")
+            .withColumn(StateStore.BucketCol,
+              StateStore.bucketExpr(Seq("key"), 4))
+          graft.cdc.MergeCommit.mergeBatchMeta(store, target, df, Seq("key"))
+          model = model ++ wave
+        }
+        if (packAfter(i) && store.exists(target))
+          store.compactBinpack(spark, target, targetFilesPerBucket = 1,
+            maxVersionLag = 2)
+      }
+      val got =
+        if (!store.exists(target)) Map.empty[Long, Double]
+        else store.currentState(spark, target).collect()
+          .map(r => r.getAs[Long]("key") -> r.getAs[Double]("value")).toMap
+      val want = model.collect { case (k, (v, false)) => k -> v }
+      got == want
+    }
+    val res = ScTest.check(
+      ScTest.Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(res.passed, res.status.toString)
   }
 }
