@@ -537,6 +537,64 @@ object AnalyticsOps {
       |SELECT lag, count(nk) AS n_pairs, ROUND(corr(n, nk), 6) AS acf
       |FROM long GROUP BY lag ORDER BY lag""".stripMargin
 
+  /** CROSS-correlation (CCF) between the daily click and purchase
+    * count series at lags −2..+2 — [[tsAcf]]'s two-series sibling and
+    * the lead/lag-relationship diagnostic (does click volume lead
+    * purchase volume?): corr(click_t, purchase_{t+k}), negative k =
+    * purchases lead. Same scale shape as the ACF: two
+    * partial-aggregated daily rollups pivoted to one row per day,
+    * lead/lag windows + five `corr` aggregates over the O(days)
+    * frame; the unpartitioned window is a metadata-frame op at any
+    * corpus size.
+    */
+  def tsCcf(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = t(spark, sfDir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(date_trunc("DAY", col("ts")).as("d"))
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .cast("double").as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .cast("double").as("y"))
+    val w = Window.orderBy("d")
+    val shifted = daily
+      .withColumn("ym2", lag("y", 2).over(w))
+      .withColumn("ym1", lag("y", 1).over(w))
+      .withColumn("yp1", lead("y", 1).over(w))
+      .withColumn("yp2", lead("y", 2).over(w))
+    shifted
+      .select(col("x"), expr(
+        "stack(5, -2, ym2, -1, ym1, 0, y, 1, yp1, 2, yp2) AS (lag, yk)"))
+      .groupBy("lag")
+      .agg(count(col("yk")).as("n_pairs"),
+        round(corr(col("x"), col("yk")), 6).as("ccf"))
+      .orderBy("lag")
+  }
+
+  val tsCcfOracle: String =
+    """WITH daily AS (
+      |  SELECT date_trunc('day', ts) AS d,
+      |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      AS DOUBLE) AS x,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS DOUBLE) AS y
+      |  FROM events WHERE event_type IN ('click', 'purchase')
+      |  GROUP BY 1
+      |), shifted AS (
+      |  SELECT x, y,
+      |    lag(y, 2) OVER w AS ym2, lag(y, 1) OVER w AS ym1,
+      |    lead(y, 1) OVER w AS yp1, lead(y, 2) OVER w AS yp2
+      |  FROM daily WINDOW w AS (ORDER BY d)
+      |), long AS (
+      |  SELECT -2 AS lag, x, ym2 AS yk FROM shifted
+      |  UNION ALL SELECT -1, x, ym1 FROM shifted
+      |  UNION ALL SELECT 0, x, y FROM shifted
+      |  UNION ALL SELECT 1, x, yp1 FROM shifted
+      |  UNION ALL SELECT 2, x, yp2 FROM shifted
+      |)
+      |SELECT lag, count(yk) AS n_pairs, ROUND(corr(x, yk), 6) AS ccf
+      |FROM long GROUP BY lag ORDER BY lag""".stripMargin
+
   def tsEwma(spark: SparkSession, sfDir: String): DataFrame = {
     val daily = t(spark, sfDir, "events")
       .groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("d"))
@@ -587,6 +645,7 @@ object AnalyticsOps {
     "ts_changepoint" -> tsChangepoint,
     "ts_seasonal" -> tsSeasonal,
     "ts_acf" -> tsAcf,
+    "ts_ccf" -> tsCcf,
     "win_retention" -> winRetention,
     "win_funnel" -> winFunnel,
     "agg_corr" -> aggCorr,
@@ -601,6 +660,7 @@ object AnalyticsOps {
     "ts_changepoint" -> tsChangepointOracle,
     "ts_seasonal" -> tsSeasonalOracle,
     "ts_acf" -> tsAcfOracle,
+    "ts_ccf" -> tsCcfOracle,
     "win_retention" -> winRetentionOracle,
     "win_funnel" -> winFunnelOracle,
     "agg_corr" -> aggCorrOracle,

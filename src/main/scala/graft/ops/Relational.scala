@@ -342,6 +342,58 @@ object Relational {
       |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
       |ORDER BY p.event_id""".stripMargin
 
+  /** NEAREST-match ASOF with tolerance — the feature-store temporal
+    * join [[joinAsof]] (backward-only) can't express: each purchase
+    * pairs with its NEAREST click of the same user within ±1 hour,
+    * whichever side of the purchase it falls on. Candidates come from
+    * a per-user equi-join with the tolerance as a residual range
+    * predicate; the nearest pick is ONE `min_by` hash aggregate keyed
+    * on the purchase (map-side combinable — a window over candidates
+    * would sort them instead), ties cut by (distance, click_id) so
+    * the winner is engine-deterministic. Scale: the join key is
+    * user_id, so skew is bounded by per-user activity; a deployment
+    * at 100 TB additionally blocks on (user, hour-bucket) exactly as
+    * [[joinInterval]] does — same recipe, composable.
+    */
+  def joinAsofNearest(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = t(spark, sfDir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), tsMicros(col("ts")).as("p_us"),
+        col("event_id").as("purchase_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), tsMicros(col("ts")).as("c_us"),
+        col("event_id").as("click_id"))
+    val dist = abs(col("p_us") - col("c_us"))
+    purchases.join(clicks, Seq("user_id"))
+      .filter(dist <= 3600L * 1000000L)
+      .groupBy("purchase_id", "user_id")
+      .agg(min_by(struct(col("click_id"), (col("p_us") - col("c_us"))
+          .as("delta_us")),
+        struct(dist.as("a"), col("click_id"))).as("m"))
+      .select(col("purchase_id"), col("user_id"),
+        col("m.click_id").as("click_id"), col("m.delta_us").as("delta_us"))
+      .orderBy("purchase_id")
+  }
+
+  val joinAsofNearestOracle: String =
+    """WITH p AS (
+      |  SELECT user_id, epoch_us(ts) AS p_us, event_id AS purchase_id
+      |  FROM events WHERE event_type = 'purchase'
+      |), c AS (
+      |  SELECT user_id, epoch_us(ts) AS c_us, event_id AS click_id
+      |  FROM events WHERE event_type = 'click'
+      |), cand AS (
+      |  SELECT purchase_id, p.user_id, click_id,
+      |    p_us - c_us AS delta_us, abs(p_us - c_us) AS a
+      |  FROM p JOIN c ON p.user_id = c.user_id
+      |  WHERE abs(p_us - c_us) <= 3600000000
+      |)
+      |SELECT purchase_id, user_id, click_id, delta_us FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY purchase_id ORDER BY a, click_id) AS rn
+      |  FROM cand)
+      |WHERE rn = 1 ORDER BY purchase_id""".stripMargin
+
   /** Self join: supplier pairs within the same nation (k1 < k2 halves
     * the pairs and makes output canonical).
     */
@@ -2830,6 +2882,7 @@ object Relational {
     "join_theta" -> joinTheta,
     "join_cross" -> joinCross,
     "join_asof" -> joinAsof,
+    "join_asof_nearest" -> joinAsofNearest,
     "join_self" -> joinSelf,
     "join_q3" -> joinQ3,
     "join_q4" -> joinQ4,
@@ -2914,6 +2967,7 @@ object Relational {
     "join_theta" -> joinThetaOracle,
     "join_cross" -> joinCrossOracle,
     "join_asof" -> joinAsofOracle,
+    "join_asof_nearest" -> joinAsofNearestOracle,
     "join_self" -> joinSelfOracle,
     "join_q3" -> joinQ3Oracle,
     "join_q4" -> joinQ4Oracle,

@@ -134,6 +134,33 @@ class AnalyticsOpsSpec extends SparkTestBase {
     }
   }
 
+  test("ts_ccf: five lags, r in [-1,1], symmetric pair loss") {
+    val rows = AnalyticsOps.tsCcf(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq === Seq(-2, -1, 0, 1, 2))
+    rows.foreach { case (lag, n, ccf) =>
+      assert(ccf >= -1.0 && ccf <= 1.0, s"ccf at lag $lag out of range")
+      assert(n > 0, s"lag $lag has no pairs")
+    }
+    val byLag = rows.map(r => r._1 -> r._2).toMap
+    assert(byLag(-1) === byLag(1) && byLag(-2) === byLag(2),
+      "lag ±k lose the same number of boundary pairs")
+    assert(byLag(0) === byLag(1) + 1, "each lag step loses one pair")
+  }
+
+  test("join_asof_nearest: matches stay inside the tolerance and are " +
+      "unique per purchase") {
+    val rows = Relational.joinAsofNearest(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("purchase_id")).distinct.length ===
+      rows.length, "one nearest click per purchase")
+    rows.foreach { r =>
+      val d = r.getAs[Long]("delta_us")
+      assert(math.abs(d) <= 3600L * 1000000L,
+        s"delta $d outside the ±1 h tolerance")
+    }
+  }
+
   test("win_funnel: stage survivors are monotone; rates consistent") {
     val rows = AnalyticsOps.winFunnel(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1),
