@@ -3285,6 +3285,52 @@ object LlmOps {
       |    AS f_spaces
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Multimodal RESIZE PLANNING — the aspect-preserving fit + letterbox
+    * arithmetic every vision-preprocessing pipeline runs per image
+    * before batching into the model's square input (here 224×224).
+    * Source dimensions are synthesized deterministically per media row
+    * (the decode that would read them from real headers stays a stub —
+    * no codec in this environment; the PLAN is the part that matters
+    * for the pipeline: it decides output bytes, batch shapes and
+    * shuffle volume). Per row: the binding scale factor, the scaled
+    * dims (rounded, so both engines agree on near-integer products),
+    * and the symmetric letterbox pads that square the frame. All
+    * codegen'd scalar math fused into the scan — at 100 TB this is
+    * the metadata pass that sizes the real decode stage's work queue.
+    */
+  def mmResize(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = (lit(320) + pmod(col("doc_id"), lit(1280))).cast("double")
+    val h = (lit(240) + pmod(col("doc_id") * 7, lit(720))).cast("double")
+    val scale = least(lit(224.0) / w, lit(224.0) / h)
+    val ow = round(w * scale).cast("long")
+    val oh = round(h * scale).cast("long")
+    t(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        w.cast("long").as("src_w"), h.cast("long").as("src_h"),
+        round(scale, 6).as("scale"), ow.as("out_w"), oh.as("out_h"),
+        ((lit(224L) - ow) / 2).cast("long").as("pad_x"),
+        ((lit(224L) - oh) / 2).cast("long").as("pad_y"))
+      .orderBy("doc_id")
+  }
+
+  val mmResizeOracle: String =
+    """WITH dims AS (
+      |  SELECT doc_id,
+      |    CAST(320 + doc_id % 1280 AS DOUBLE) AS w,
+      |    CAST(240 + (doc_id * 7) % 720 AS DOUBLE) AS h
+      |  FROM documents
+      |), s AS (
+      |  SELECT doc_id, w, h, least(224.0 / w, 224.0 / h) AS scale
+      |  FROM dims
+      |)
+      |SELECT doc_id, CAST(w AS BIGINT) AS src_w, CAST(h AS BIGINT) AS src_h,
+      |  ROUND(scale, 6) AS scale,
+      |  CAST(round(w * scale) AS BIGINT) AS out_w,
+      |  CAST(round(h * scale) AS BIGINT) AS out_h,
+      |  CAST(floor((224 - round(w * scale)) / 2) AS BIGINT) AS pad_x,
+      |  CAST(floor((224 - round(h * scale)) / 2) AS BIGINT) AS pad_y
+      |FROM s ORDER BY doc_id""".stripMargin
+
   /** The batched per-partition decode path (spec-tested against
     * [[mmFeatures]], not registered): real codec work — image decode,
     * audio resample, frame sampling — can't be a Catalyst expression,
@@ -3658,6 +3704,7 @@ object LlmOps {
     "llm_curate_write" -> curateWrite,
     "llm_mm_binary" -> mmBinary,
     "llm_mm_features" -> mmFeatures,
+    "llm_mm_resize" -> mmResize,
     "llm_mm_frames" -> mmFrames,
     "llm_mm_join" -> mmJoin,
     "llm_mm_dedup" -> mmDedup,
@@ -3727,6 +3774,7 @@ object LlmOps {
     "llm_curate_write" -> curateWriteOracle,
     "llm_mm_binary" -> mmBinaryOracle,
     "llm_mm_features" -> mmFeaturesOracle,
+    "llm_mm_resize" -> mmResizeOracle,
     "llm_mm_frames" -> mmFramesOracle,
     "llm_mm_join" -> mmJoinOracle,
     "llm_mm_dedup" -> mmDedupOracle,
