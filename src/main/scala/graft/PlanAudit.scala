@@ -10,7 +10,9 @@ object PlanAudit {
         "sort_topk", "filter_predicates", "cdc_merge_customer",
         "llm_sim_topk", "llm_dedup_minhash", "llm_sim_centroids",
         "llm_sim_ivf_multiprobe", "llm_text_rollhash", "sample_hash",
-        "llm_curate", "llm_sim_rerank", "llm_decontaminate", "llm_pack")
+        "llm_curate", "llm_sim_rerank", "llm_decontaminate", "llm_pack",
+        "llm_sim_binary", "graph_bfs", "dsq_hour_bands",
+        "join_asof_nearest", "agg_heavy_hitters", "win_reach")
     for (q <- audit) {
       println(s"===== $q =====")
       println(SparkEntry.queries(q)(spark, sf).queryExecution.explainString(

@@ -175,6 +175,50 @@ object AnalyticsOps {
     * distinct-count shuffle carries (cohort, offset, customer) triples —
     * bounded by active customer-months, a fraction of input rows.
     */
+  /** CUMULATIVE REACH — distinct users ever seen, per day. Written in
+    * the FIRST-SEEN formulation: reach(d) = count of users whose first
+    * event day ≤ d, i.e. per-user min-day (one partial-aggregated
+    * groupBy), per-day new-user counts (a second), and a running sum
+    * over the day frame. The naive spelling — COUNT(DISTINCT) over an
+    * expanding window, or size(collect_set) OVER — buffers the
+    * distinct set per row and cannot scale; first-seen is the
+    * standard rewrite that makes cumulative-distinct a pair of hash
+    * aggregates plus a metadata-frame window, at any user count.
+    */
+  def winReach(spark: SparkSession, sfDir: String): DataFrame = {
+    val firstSeen = t(spark, sfDir, "events")
+      .groupBy("user_id")
+      .agg(min(date_trunc("DAY", col("ts"))).as("d0"))
+      .groupBy("d0").agg(count(lit(1)).as("new_users"))
+    val allDays = t(spark, sfDir, "events")
+      .select(date_trunc("DAY", col("ts")).as("d")).distinct()
+    val w = Window.orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    allDays.join(firstSeen, col("d") === col("d0"), "left_outer")
+      .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+      .withColumn("reach", sum("new_users").over(w))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("new_users"), col("reach"))
+      .orderBy("day")
+  }
+
+  val winReachOracle: String =
+    """WITH first_seen AS (
+      |  SELECT user_id, min(date_trunc('day', ts)) AS d0
+      |  FROM events GROUP BY 1
+      |), per_day AS (
+      |  SELECT d0, count(*) AS new_users FROM first_seen GROUP BY 1
+      |), all_days AS (
+      |  SELECT DISTINCT date_trunc('day', ts) AS d FROM events
+      |)
+      |SELECT strftime(d, '%Y-%m-%d') AS day,
+      |  COALESCE(new_users, 0) AS new_users,
+      |  CAST(sum(COALESCE(new_users, 0)) OVER (
+      |    ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS BIGINT) AS reach
+      |FROM all_days LEFT JOIN per_day ON d = d0
+      |ORDER BY day""".stripMargin
+
   def winRetention(spark: SparkSession, sfDir: String): DataFrame = {
     val o = t(spark, sfDir, "orders")
     val first = o.groupBy("o_custkey")
@@ -647,6 +691,7 @@ object AnalyticsOps {
     "ts_acf" -> tsAcf,
     "ts_ccf" -> tsCcf,
     "win_retention" -> winRetention,
+    "win_reach" -> winReach,
     "win_funnel" -> winFunnel,
     "agg_corr" -> aggCorr,
     "agg_regression" -> aggRegression,
@@ -662,6 +707,7 @@ object AnalyticsOps {
     "ts_acf" -> tsAcfOracle,
     "ts_ccf" -> tsCcfOracle,
     "win_retention" -> winRetentionOracle,
+    "win_reach" -> winReachOracle,
     "win_funnel" -> winFunnelOracle,
     "agg_corr" -> aggCorrOracle,
     "agg_regression" -> aggRegressionOracle,
