@@ -120,4 +120,18 @@ class StreamingOpsSpec extends SparkTestBase {
         s"of $qualityTotal quality-passing docs")
     assert(kept > 0, "some non-history docs must survive")
   }
+
+  test("streaming heavy hitters converges to the batch sketch exactly") {
+    val streamed = StreamingOps.streamHeavyHitters(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val hh = udaf(HeavyHitters(capacity = 32, topK = 3))
+    val batch = graft.Tables.load(spark, sf, "events")
+      .groupBy("event_type")
+      .agg(hh(pmod(col("user_id"), lit(16)).cast("string")).as("hh"),
+        count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed === batch,
+      "micro-batch slicing must not change the exact-regime sketch")
+  }
 }
