@@ -251,9 +251,13 @@ object GraphOps {
     * priori, and nothing ever materializes paths (only (node,
     * first-hop) labels, folded by a min aggregate — min-label
     * propagation, the same algebra as the dedup connected-components
-    * pass). At 100 TB the frontier broadcasts while it is small and
-    * degrades to a hash join when it isn't; the plan is identical
-    * either way.
+    * pass). The frontier is broadcast-HINTED: right whenever the seed
+    * set is small relative to the graph (the "hops from a trusted
+    * seed" gate shape this models — frontier ≤ nodes, and 3 hops from
+    * few seeds stays far below edge-list scale). A multi-source
+    * variant whose frontier can approach the node count drops the
+    * hint and lets AQE choose the join side; the per-hop dataflow is
+    * identical either way.
     */
   def graphBfs(spark: SparkSession, sfDir: String): DataFrame = {
     val und = sparsifiedUndirected(spark, sfDir)
