@@ -118,6 +118,59 @@ object Functions {
       |  regexp_extract(url, '[?&]ref=([^&#]*)', 1) AS ref_param
       |FROM u ORDER BY doc_id""".stripMargin
 
+  /** TRY-variant (ANSI-safe) error handling — the functions a pipeline
+    * uses at ingest boundaries where bad cells must become NULL, not
+    * job failures: try_cast on mixed numeric/garbage strings,
+    * try_divide with data-driven zero divisors, try_to_timestamp on
+    * partly-invalid date strings, try_element_at with out-of-range
+    * indexes, and try_add at the bigint overflow boundary. Inputs are
+    * synthesized deterministically so every failure mode actually
+    * fires on a known subset of rows. The oracle spells each with
+    * DuckDB's equivalents (TRY_CAST, NULLIF-guarded division,
+    * TRY_STRPTIME, out-of-bounds list index = NULL) and hand-computes
+    * the overflow boundary TRY() semantics. All scan-fused scalar
+    * work, no shuffle.
+    */
+  def fnTry(spark: SparkSession, sfDir: String): DataFrame = {
+    val numStr = when(col("doc_id") % 3 === 0,
+      col("doc_id").cast("string"))
+      .otherwise(concat(lit("x"), col("doc_id")))
+    val dateStr = when(col("doc_id") % 4 === 1, lit("not-a-date"))
+      .otherwise(concat(lit("2024-01-"),
+        lpad((pmod(col("doc_id"), lit(28)) + 1).cast("string"), 2, "0")))
+    t(spark, sfDir, "documents")
+      .withColumn("num_str", numStr)
+      .select(col("doc_id"),
+        expr("try_cast(num_str AS BIGINT)").as("parsed_num"),
+        round(try_divide(col("doc_id").cast("double"),
+          pmod(col("doc_id"), lit(5))), 6).as("ratio"),
+        date_format(try_to_timestamp(dateStr, lit("yyyy-MM-dd")),
+          "yyyy-MM-dd").as("parsed_date"),
+        try_element_at(split(col("text"), " "),
+          (pmod(col("doc_id"), lit(200)) + 1).cast("int")).as("nth_word"),
+        try_add(lit(9223372036854775800L),
+          pmod(col("doc_id"), lit(20))).as("near_overflow"))
+      .orderBy("doc_id")
+  }
+
+  val fnTryOracle: String =
+    """SELECT doc_id,
+      |  TRY_CAST(CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id AS VARCHAR)
+      |                ELSE 'x' || CAST(doc_id AS VARCHAR) END
+      |           AS BIGINT) AS parsed_num,
+      |  ROUND(CAST(doc_id AS DOUBLE) / NULLIF(doc_id % 5, 0), 6)
+      |    AS ratio,
+      |  strftime(TRY_STRPTIME(
+      |    CASE WHEN doc_id % 4 = 1 THEN 'not-a-date'
+      |         ELSE '2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR),
+      |                                 2, '0') END,
+      |    '%Y-%m-%d'), '%Y-%m-%d') AS parsed_date,
+      |  string_split(text, ' ')[doc_id % 200 + 1] AS nth_word,
+      |  CASE WHEN doc_id % 20 <= 7
+      |       THEN 9223372036854775800 + doc_id % 20 END
+      |    AS near_overflow
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Date/time family: extraction, truncation, day arithmetic, epoch.
     * Timestamps leave as formatted strings so parquet tz metadata never
     * matters.
@@ -320,7 +373,8 @@ object Functions {
     "fn_hash" -> fnHash,
     "fn_bitwise" -> fnBitwise,
     "fn_regexp" -> fnRegexp,
-    "fn_url" -> fnUrl)
+    "fn_url" -> fnUrl,
+    "fn_try" -> fnTry)
 
   def oracles: Map[String, String] = Map(
     "fn_string" -> fnStringOracle,
@@ -332,5 +386,6 @@ object Functions {
     "fn_hash" -> fnHashOracle,
     "fn_bitwise" -> fnBitwiseOracle,
     "fn_regexp" -> fnRegexpOracle,
-    "fn_url" -> fnUrlOracle)
+    "fn_url" -> fnUrlOracle,
+    "fn_try" -> fnTryOracle)
 }
