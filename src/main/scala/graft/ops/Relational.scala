@@ -2789,6 +2789,29 @@ object Relational {
       |                      GROUP BY c_nationkey HAVING count(*) > 10)
       |ORDER BY c_custkey""".stripMargin
 
+  /** Correlated LATERAL subquery with its own ORDER BY + LIMIT — the
+    * "top-N per outer row" front-door spelling (nation × its two
+    * richest customers). Catalyst decorrelates this into a
+    * window-rank-and-filter over ONE customer pass joined back —
+    * per-outer-row re-execution, the nested-loop reading, would be
+    * O(nations × customers) and is exactly what the rewrite avoids at
+    * scale. Same text runs verbatim on both engines.
+    */
+  def sqlLateral(spark: SparkSession, sfDir: String): DataFrame = {
+    registerViews(spark, sfDir, "customer", "nation")
+    spark.sql(sqlLateralText)
+  }
+
+  private val sqlLateralText: String =
+    """SELECT n_name, t.c_name, t.bal
+      |FROM nation, LATERAL (
+      |  SELECT c_name, ROUND(c_acctbal, 2) AS bal
+      |  FROM customer WHERE c_nationkey = n_nationkey
+      |  ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+      |ORDER BY n_name, bal DESC, c_name""".stripMargin
+
+  val sqlLateralOracle: String = sqlLateralText
+
   /** CTE + window in pure SQL: per-nation customer balance ranks from
     * a WITH-clause — the same text runs on both engines verbatim.
     */
@@ -2952,6 +2975,7 @@ object Relational {
     "set_union" -> setUnion,
     "filter_predicates" -> filterPredicates,
     "sql_subquery" -> sqlSubquery,
+    "sql_lateral" -> sqlLateral,
     "sql_cte" -> sqlCte,
     "sql_recursive" -> sqlRecursive,
     "sql_correlated" -> sqlCorrelated)
@@ -3037,6 +3061,7 @@ object Relational {
     "set_union" -> setUnionOracle,
     "filter_predicates" -> filterPredicatesOracle,
     "sql_subquery" -> sqlSubqueryOracle,
+    "sql_lateral" -> sqlLateralOracle,
     "sql_cte" -> sqlCteOracle,
     "sql_recursive" -> sqlRecursiveOracle,
     "sql_correlated" -> sqlCorrelatedOracle)

@@ -639,6 +639,15 @@ class PlanSpec extends SparkTestBase {
       "band counts must partial-aggregate map-side")
   }
 
+  test("sql_lateral: the correlated top-2 decorrelates into a window " +
+      "rank over one customer pass — never per-outer-row re-execution") {
+    val p = plan("sql_lateral")
+    assert(p.contains("Window"),
+      "lateral ORDER BY+LIMIT must become a rank window")
+    assert(!p.contains("CartesianProduct"), "no nested-loop re-execution")
+    assert(scanCount(p) === 2, s"expected 2 scans, got ${scanCount(p)}")
+  }
+
   test("graph_bfs: hops expand by broadcast equi-joins — no cartesian, " +
       "min-label fold partial-aggregates") {
     val p = plan("graph_bfs")
