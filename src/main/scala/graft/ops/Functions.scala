@@ -312,6 +312,52 @@ object Functions {
       |    k := CAST(json_extract_string(props, '$.k') AS BIGINT))) AS js
       |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin
 
+  /** VARIANT semi-structured navigation (Spark 4's parse-once binary
+    * JSON encoding — the engine path for schemaless columns): the
+    * props payload and a synthesized NESTED document (object-in-
+    * object plus an array) parse to VariantType ONCE, then every
+    * typed extraction (`variant_get` with `$.user.id`,
+    * `$.user.tags[0]`, …) reads the binary encoding — at 100 TB this
+    * replaces N string re-parses per row with one, and the variant
+    * column is what shredding/pushdown can later optimize. The oracle
+    * navigates the SAME document text with DuckDB's JSON paths, so
+    * both engines must agree on path semantics, not echo the
+    * synthesis. Complements [[fnJson]] (string-level get_json_object)
+    * and [[fnTry]] (error-tolerant parse).
+    */
+  def fnVariant(spark: SparkSession, sfDir: String): DataFrame = {
+    val doc = concat(lit("{\"user\":{\"id\":"), col("user_id"),
+      lit(",\"tags\":[\"t"), pmod(col("event_id"), lit(5)),
+      lit("\",\"x\"]},\"score\":"), pmod(col("event_id"), lit(100)),
+      lit("}"))
+    t(spark, sfDir, "events")
+      .filter(col("event_id") < 2000)
+      .withColumn("v", parse_json(doc))
+      .withColumn("pv", parse_json(col("props")))
+      .select(col("event_id"),
+        variant_get(col("pv"), "$.k", "bigint").as("k"),
+        variant_get(col("v"), "$.user.id", "bigint").as("uid"),
+        variant_get(col("v"), "$.user.tags[0]", "string").as("tag0"),
+        variant_get(col("v"), "$.score", "bigint").as("score"))
+      .orderBy("event_id")
+  }
+
+  val fnVariantOracle: String =
+    """WITH d AS (
+      |  SELECT event_id, props,
+      |    '{"user":{"id":' || CAST(user_id AS VARCHAR) ||
+      |    ',"tags":["t' || CAST(event_id % 5 AS VARCHAR) ||
+      |    '","x"]},"score":' || CAST(event_id % 100 AS VARCHAR) || '}'
+      |      AS doc
+      |  FROM events WHERE event_id < 2000
+      |)
+      |SELECT event_id,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      |  CAST(json_extract_string(doc, '$.user.id') AS BIGINT) AS uid,
+      |  json_extract_string(doc, '$.user.tags[0]') AS tag0,
+      |  CAST(json_extract_string(doc, '$.score') AS BIGINT) AS score
+      |FROM d ORDER BY event_id""".stripMargin
+
   /** Hash family: md5 + sha256 content keys (the exact-dedup
     * primitives). xxhash64/crc32 exist Spark-side but have no DuckDB
     * twin, so the oracle-checked pair is md5/sha2 — the LLM dedup ops
@@ -374,7 +420,8 @@ object Functions {
     "fn_bitwise" -> fnBitwise,
     "fn_regexp" -> fnRegexp,
     "fn_url" -> fnUrl,
-    "fn_try" -> fnTry)
+    "fn_try" -> fnTry,
+    "fn_variant" -> fnVariant)
 
   def oracles: Map[String, String] = Map(
     "fn_string" -> fnStringOracle,
@@ -387,5 +434,6 @@ object Functions {
     "fn_bitwise" -> fnBitwiseOracle,
     "fn_regexp" -> fnRegexpOracle,
     "fn_url" -> fnUrlOracle,
-    "fn_try" -> fnTryOracle)
+    "fn_try" -> fnTryOracle,
+    "fn_variant" -> fnVariantOracle)
 }
