@@ -654,9 +654,64 @@ object CdcQueries {
       |       ELSE c_acctbal END AS DECIMAL(18,2)) AS c_acctbal
       |FROM customer ORDER BY c_custkey""".stripMargin
 
+  // ------------------------------------------- variant payload
+
+  private val variantDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** CDC with a SEMI-STRUCTURED payload column end to end: the change
+    * log's row images carry a Spark 4 VARIANT column (`parse_json` of
+    * the event props — the schemaless attribute bag every real event
+    * stream drags along), and that column rides the ENTIRE merge
+    * machinery untouched — envelope structs, max_by latest-per-key
+    * compaction, schema alignment, the bucket-partitioned parquet
+    * state commit, and the partition-pruned read-back — before typed
+    * `variant_get` extraction at query time. This is the "ingest
+    * schemaless, shred on read" posture: the pipeline never needs the
+    * payload's schema to maintain the table, and the binary encoding
+    * round-trips parquet. Oracle recomputes the latest-wins state
+    * from the base table with JSON-path extraction.
+    */
+  def variantPayload(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val wh = variantDirCache.computeIfAbsent(sfDir,
+      _ => Files.createTempDirectory("graft-var-").toString)
+    val whPath = Paths.get(wh)
+    if (Files.exists(whPath)) {
+      Files.walk(whPath).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => if (p != whPath) Files.deleteIfExists(p))
+    }
+    val store = new graft.cdc.StateStore(wh, nBuckets = 8)
+    val target = "cdc.commerce_events_var"
+    val pk = Seq("event_id")
+    val base = Tables.load(spark, sfDir, "events")
+      .withColumn("props_v", parse_json(col("props"))).drop("props")
+    val ev = Envelope.flatten(ChangeGen.changeLog(
+      base, "event_id", "value", "commerce", "events"))
+    val ts = col("_cdc.ts_ms")
+    graft.cdc.MergeCommit.mergeFlattened(store, target,
+      ev.filter(ts <= 1000), pk)
+    graft.cdc.MergeCommit.mergeFlattened(store, target,
+      ev.filter(ts > 1000), pk)
+    store.currentState(spark, target)
+      .select(col("event_id"), round(col("value"), 2).as("value"),
+        variant_get(col("props_v"), "$.k", "bigint").as("k"))
+      .orderBy("event_id")
+  }
+
+  val variantPayloadOracle: String =
+    """SELECT event_id,
+      |  ROUND(CASE WHEN event_id % 5 = 0 THEN value + 200.0
+      |             WHEN event_id % 3 = 0 THEN value + 100.0
+      |             ELSE value END, 2) AS value,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |FROM events WHERE event_id % 7 <> 0
+      |ORDER BY event_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_merge" -> sqlMerge,
     "cdc_decimal_widening" -> decimalWidening,
+    "cdc_variant_payload" -> variantPayload,
     "cdc_audit_diff" -> auditDiff,
     "cdc_transactions" -> transactions,
     "cdc_snapshot_chunked" -> snapshotChunked,
@@ -673,6 +728,7 @@ object CdcQueries {
   def oracles: Map[String, String] = Map(
     "sql_merge" -> mergeCustomerOracle,
     "cdc_decimal_widening" -> decimalWideningOracle,
+    "cdc_variant_payload" -> variantPayloadOracle,
     "cdc_audit_diff" -> auditDiffOracle,
     "cdc_transactions" -> transactionsOracle,
     "cdc_snapshot_chunked" -> snapshotChunkedOracle,
