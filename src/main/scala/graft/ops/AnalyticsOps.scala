@@ -581,6 +581,40 @@ object AnalyticsOps {
       |SELECT lag, count(nk) AS n_pairs, ROUND(corr(n, nk), 6) AS acf
       |FROM long GROUP BY lag ORDER BY lag""".stripMargin
 
+  /** 7-DAY ROLLING MEDIAN of the daily event count — the robust
+    * smoother ([[tsEwma]]'s outlier-immune sibling: a single spike
+    * day moves an EWMA but not a median). Exact interpolated
+    * `percentile` as a window aggregate over the trailing 7-row
+    * frame; both engines interpolate identically on the sorted frame
+    * so 2-dp rounding hash-matches. Heavy work is the
+    * partial-aggregated daily rollup; the windowed median then sorts
+    * 7-element frames over the O(days) series — a metadata-frame op
+    * at any corpus size.
+    */
+  def tsRollingMedian(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = t(spark, sfDir, "events")
+      .groupBy(date_trunc("DAY", col("ts")).as("d"))
+      .agg(count(lit(1)).cast("double").as("n"))
+    val w = Window.orderBy("d").rowsBetween(-6, 0)
+    daily
+      .withColumn("med7", round(expr("percentile(n, 0.5)").over(w), 2))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("n"), col("med7"))
+      .orderBy("day")
+  }
+
+  val tsRollingMedianOracle: String =
+    """WITH daily AS (
+      |  SELECT date_trunc('day', ts) AS d,
+      |    CAST(count(*) AS DOUBLE) AS n
+      |  FROM events GROUP BY 1
+      |)
+      |SELECT strftime(d, '%Y-%m-%d') AS day, n,
+      |  ROUND(quantile_cont(n, 0.5) OVER (
+      |    ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2)
+      |    AS med7
+      |FROM daily ORDER BY day""".stripMargin
+
   /** CROSS-correlation (CCF) between the daily click and purchase
     * count series at lags −2..+2 — [[tsAcf]]'s two-series sibling and
     * the lead/lag-relationship diagnostic (does click volume lead
@@ -690,6 +724,7 @@ object AnalyticsOps {
     "ts_seasonal" -> tsSeasonal,
     "ts_acf" -> tsAcf,
     "ts_ccf" -> tsCcf,
+    "ts_rolling_median" -> tsRollingMedian,
     "win_retention" -> winRetention,
     "win_reach" -> winReach,
     "win_funnel" -> winFunnel,
@@ -706,6 +741,7 @@ object AnalyticsOps {
     "ts_seasonal" -> tsSeasonalOracle,
     "ts_acf" -> tsAcfOracle,
     "ts_ccf" -> tsCcfOracle,
+    "ts_rolling_median" -> tsRollingMedianOracle,
     "win_retention" -> winRetentionOracle,
     "win_reach" -> winReachOracle,
     "win_funnel" -> winFunnelOracle,
