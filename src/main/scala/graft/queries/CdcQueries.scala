@@ -708,10 +708,37 @@ object CdcQueries {
       |FROM events WHERE event_id % 7 <> 0
       |ORDER BY event_id""".stripMargin
 
+  /** SCHEMA-ON-READ wire routing via VARIANT: the interleaved
+    * customer+supplier wire stream (JSON lines) parses to VariantType
+    * and routes on `$.source.schema` / `$.source.table` / `$.op` path
+    * extractions — NO per-table schema is declared anywhere in the
+    * plan. This is the fan-out DISCOVERY phase done schemalessly: the
+    * typed FAILFAST parse ([[Envelope.fromWire]], A15) still guards
+    * the per-table MERGE, but which table a record belongs to can be
+    * decided before any registered schema is consulted (the Pipeline's
+    * head-parse uses a minimal envelope schema; variant needs none).
+    * Expected counts are identical to [[routeFanout]] — same oracle —
+    * so the schemaless and schema'd routers must agree exactly.
+    */
+  def wireVariant(spark: SparkSession, sfDir: String): DataFrame = {
+    val wire = Envelope.toWire(customerLog(spark, sfDir))
+      .unionAll(Envelope.toWire(supplierLog(spark, sfDir)))
+    wire.select(parse_json(col("value")).as("v"))
+      .select(
+        concat(lit("cdc."),
+          variant_get(col("v"), "$.source.schema", "string"),
+          lit("_"),
+          variant_get(col("v"), "$.source.table", "string")).as("target"),
+        variant_get(col("v"), "$.op", "string").as("op"))
+      .groupBy("target", "op").agg(count(lit(1)).as("n"))
+      .orderBy("target", "op")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_merge" -> sqlMerge,
     "cdc_decimal_widening" -> decimalWidening,
     "cdc_variant_payload" -> variantPayload,
+    "cdc_wire_variant" -> wireVariant,
     "cdc_audit_diff" -> auditDiff,
     "cdc_transactions" -> transactions,
     "cdc_snapshot_chunked" -> snapshotChunked,
@@ -729,6 +756,7 @@ object CdcQueries {
     "sql_merge" -> mergeCustomerOracle,
     "cdc_decimal_widening" -> decimalWideningOracle,
     "cdc_variant_payload" -> variantPayloadOracle,
+    "cdc_wire_variant" -> routeFanoutOracle,
     "cdc_audit_diff" -> auditDiffOracle,
     "cdc_transactions" -> transactionsOracle,
     "cdc_snapshot_chunked" -> snapshotChunkedOracle,
