@@ -68,6 +68,41 @@ object PipelineQueries {
         .write.mode("overwrite").text(dir)
     }
 
+  /** STREAMING schema-on-read routing — the [[CdcQueries.wireVariant]]
+    * batch router as a live micro-batched stream: the staged
+    * interleaved wire log replays through a text `readStream`, every
+    * line parses to VARIANT per micro-batch, and the per-(target, op)
+    * fan-out counts aggregate in complete mode — no declared schema
+    * anywhere, and the converged drain must equal the batch oracle
+    * (routing + counting are slicing-invariant, so batch and stream
+    * agree by construction). This is the discovery phase of the
+    * dynamic fan-out (A10) running schemalessly in the streaming
+    * engine itself.
+    */
+  def streamWireVariant(spark: SparkSession, sfDir: String): DataFrame = {
+    val staged = stageFanoutWire(spark, sfDir)
+    val src = spark.readStream
+      .option("maxFilesPerTrigger", 2).text(staged)
+    val name = s"wire_variant_sink_${System.nanoTime()}"
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = src.select(parse_json(col("value")).as("v"))
+        .select(
+          concat(lit("cdc."),
+            variant_get(col("v"), "$.source.schema", "string"),
+            lit("_"),
+            variant_get(col("v"), "$.source.table", "string")).as("target"),
+          variant_get(col("v"), "$.op", "string").as("op"))
+        .groupBy("target", "op").agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName(name).outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    spark.table(name).orderBy("target", "op")
+  }
+
   /** Stage every change-log input this module uses, without running
     * the pipelines — called from Bench's untimed warmup so the
     * one-time staging writes never land inside a timed repeat
@@ -225,10 +260,12 @@ object PipelineQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_pipeline_customer" -> pipelineCustomer,
     "cdc_pipeline_fanout" -> pipelineFanout,
-    "cdc_schema_evolution" -> schemaEvolution)
+    "cdc_schema_evolution" -> schemaEvolution,
+    "stream_wire_variant" -> streamWireVariant)
 
   def oracles: Map[String, String] = Map(
     "cdc_pipeline_customer" -> pipelineCustomerOracle,
     "cdc_pipeline_fanout" -> pipelineFanoutOracle,
-    "cdc_schema_evolution" -> schemaEvolutionOracle)
+    "cdc_schema_evolution" -> schemaEvolutionOracle,
+    "stream_wire_variant" -> CdcQueries.oracles("cdc_wire_variant"))
 }
