@@ -2073,6 +2073,42 @@ object Relational {
       |FROM r JOIN tot t USING (o_orderstatus) WHERE rn <= 3
       |GROUP BY r.o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** ANSI LISTAGG (SQL:2016, Spark 4.0) — the standard spelling of
+    * ordered string aggregation [[aggCollect]] expresses with
+    * collect_set/sort_array: distinct segments per nation WITHIN
+    * GROUP ordering, plus a NULL-skipping filtered aggregation (every
+    * 50th key), both deterministic because the WITHIN GROUP order is
+    * total. The oracle uses DuckDB's `string_agg(... ORDER BY)`
+    * equivalent — same semantics, dialect-specific spelling on each
+    * side. Plan shape is a plain hash aggregate; the DISTINCT branch
+    * adds the usual expand, nothing else.
+    */
+  def aggListagg(spark: SparkSession, sfDir: String): DataFrame = {
+    registerViews(spark, sfDir, "customer")
+    spark.sql(
+      """SELECT c_nationkey,
+        |  listagg(DISTINCT c_mktsegment, '|')
+        |    WITHIN GROUP (ORDER BY c_mktsegment) AS segs,
+        |  listagg(CASE WHEN c_custkey % 50 = 0
+        |               THEN CAST(c_custkey AS STRING) END, ',')
+        |    WITHIN GROUP (ORDER BY CASE WHEN c_custkey % 50 = 0
+        |                  THEN CAST(c_custkey AS STRING) END) AS sample_keys,
+        |  count(*) AS n
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
+  }
+
+  val aggListaggOracle: String =
+    """SELECT c_nationkey,
+      |  string_agg(DISTINCT c_mktsegment, '|' ORDER BY c_mktsegment)
+      |    AS segs,
+      |  string_agg(CASE WHEN c_custkey % 50 = 0
+      |                  THEN CAST(c_custkey AS VARCHAR) END, ','
+      |             ORDER BY CASE WHEN c_custkey % 50 = 0
+      |                      THEN CAST(c_custkey AS VARCHAR) END)
+      |    AS sample_keys,
+      |  count(*) AS n
+      |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
   /** Exact percentiles (median + p90) — both engines use linear
     * interpolation over the sorted group, so values match exactly.
     * At scale the exact form needs the group sorted; the approximate
@@ -2952,6 +2988,7 @@ object Relational {
     "agg_collect" -> aggCollect,
     "agg_udaf" -> aggUdaf,
     "agg_heavy_hitters" -> aggHeavyHitters,
+    "agg_listagg" -> aggListagg,
     "win_rank" -> winRank,
     "win_analytic" -> winAnalytic,
     "win_frame" -> winFrame,
@@ -3038,6 +3075,7 @@ object Relational {
     "agg_collect" -> aggCollectOracle,
     "agg_udaf" -> aggUdafOracle,
     "agg_heavy_hitters" -> aggHeavyHittersOracle,
+    "agg_listagg" -> aggListaggOracle,
     "win_rank" -> winRankOracle,
     "win_analytic" -> winAnalyticOracle,
     "win_frame" -> winFrameOracle,
