@@ -2848,6 +2848,44 @@ object Relational {
 
   val sqlLateralOracle: String = sqlLateralText
 
+  /** The SQL PIVOT clause — the front-door spelling of the wide
+    * reshape [[aggPivot]] expresses through the DataFrame API:
+    * revenue per order status pivoted across the five priorities,
+    * with explicit IN-list aliases so the output schema is static
+    * (the dynamic-pivot variant needs a dictionary pass first; a
+    * static IN-list is the planner-friendly production form). The
+    * oracle spells the identical reshape as conditional aggregation —
+    * DuckDB's PIVOT dialect differs, and conditional agg is exactly
+    * what Catalyst lowers PIVOT to anyway (one scan, one hash
+    * aggregate, no join).
+    */
+  def sqlPivot(spark: SparkSession, sfDir: String): DataFrame = {
+    registerViews(spark, sfDir, "orders")
+    spark.sql(
+      """SELECT * FROM (
+        |  SELECT o_orderstatus, o_orderpriority, o_totalprice FROM orders)
+        |PIVOT (
+        |  ROUND(SUM(o_totalprice), 2)
+        |  FOR o_orderpriority IN ('1-URGENT' AS urgent, '2-HIGH' AS high,
+        |    '3-MEDIUM' AS medium, '4-NOT SPECIFIED' AS notspec,
+        |    '5-LOW' AS low))
+        |ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  val sqlPivotOracle: String =
+    """SELECT o_orderstatus,
+      |  ROUND(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+      |            THEN o_totalprice END), 2) AS urgent,
+      |  ROUND(SUM(CASE WHEN o_orderpriority = '2-HIGH'
+      |            THEN o_totalprice END), 2) AS high,
+      |  ROUND(SUM(CASE WHEN o_orderpriority = '3-MEDIUM'
+      |            THEN o_totalprice END), 2) AS medium,
+      |  ROUND(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+      |            THEN o_totalprice END), 2) AS notspec,
+      |  ROUND(SUM(CASE WHEN o_orderpriority = '5-LOW'
+      |            THEN o_totalprice END), 2) AS low
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   /** CTE + window in pure SQL: per-nation customer balance ranks from
     * a WITH-clause — the same text runs on both engines verbatim.
     */
@@ -3013,6 +3051,7 @@ object Relational {
     "filter_predicates" -> filterPredicates,
     "sql_subquery" -> sqlSubquery,
     "sql_lateral" -> sqlLateral,
+    "sql_pivot" -> sqlPivot,
     "sql_cte" -> sqlCte,
     "sql_recursive" -> sqlRecursive,
     "sql_correlated" -> sqlCorrelated)
@@ -3100,6 +3139,7 @@ object Relational {
     "filter_predicates" -> filterPredicatesOracle,
     "sql_subquery" -> sqlSubqueryOracle,
     "sql_lateral" -> sqlLateralOracle,
+    "sql_pivot" -> sqlPivotOracle,
     "sql_cte" -> sqlCteOracle,
     "sql_recursive" -> sqlRecursiveOracle,
     "sql_correlated" -> sqlCorrelatedOracle)
