@@ -263,6 +263,50 @@ object Functions {
       |  len(list_distinct(string_split(text, ' '))) AS n_distinct
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Higher-order-function family — the lambda forms (filter / exists
+    * / forall / aggregate / zip_with) that keep per-row collection
+    * logic INSIDE the codegen'd scan instead of exploding to rows and
+    * re-aggregating: count of long words, membership, a universal
+    * property, an in-row fold (total word chars), and a position-
+    * tagged zip of the head words. [[fnArray]] covers the shape
+    * functions; this is the lambda calculus on top. The oracle spells
+    * each with DuckDB list lambdas (or the equivalent list op where
+    * the dialect lacks the exact form), so semantics are pinned
+    * cross-engine. Every column is scan-fused scalar work — the
+    * explode-groupBy spelling of `char_sum` alone would shuffle every
+    * word of the corpus.
+    */
+  def fnHof(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    t(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        size(filter(words, w => length(w) > 5)).as("n_long"),
+        exists(words, w => w === "the").as("has_the"),
+        forall(words, w => length(w) > 0).as("all_nonempty"),
+        aggregate(transform(words, w => length(w).cast("long")),
+          lit(0L), (a, b) => a + b).as("char_sum"),
+        array_join(
+          zip_with(slice(words, 1, 4),
+            sequence(lit(1), least(size(words), lit(4))),
+            (w, i) => concat(i, lit(":"), w)), "|").as("head_tagged"))
+      .orderBy("doc_id")
+  }
+
+  val fnHofOracle: String =
+    """SELECT doc_id,
+      |  len(list_filter(string_split(text, ' '), w -> len(w) > 5))
+      |    AS n_long,
+      |  list_contains(string_split(text, ' '), 'the') AS has_the,
+      |  len(list_filter(string_split(text, ' '), w -> len(w) = 0)) = 0
+      |    AS all_nonempty,
+      |  CAST(list_sum(list_transform(string_split(text, ' '),
+      |    w -> len(w))) AS BIGINT) AS char_sum,
+      |  array_to_string(list_transform(
+      |    range(1, least(len(string_split(text, ' ')), 4) + 1),
+      |    i -> CAST(i AS VARCHAR) || ':' || string_split(text, ' ')[i]),
+      |    '|') AS head_tagged
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Map family: construction from columns, key lookup, cardinality,
     * key listing. Values unified to long (Spark maps are monomorphic).
     */
@@ -421,7 +465,8 @@ object Functions {
     "fn_regexp" -> fnRegexp,
     "fn_url" -> fnUrl,
     "fn_try" -> fnTry,
-    "fn_variant" -> fnVariant)
+    "fn_variant" -> fnVariant,
+    "fn_hof" -> fnHof)
 
   def oracles: Map[String, String] = Map(
     "fn_string" -> fnStringOracle,
@@ -435,5 +480,6 @@ object Functions {
     "fn_regexp" -> fnRegexpOracle,
     "fn_url" -> fnUrlOracle,
     "fn_try" -> fnTryOracle,
-    "fn_variant" -> fnVariantOracle)
+    "fn_variant" -> fnVariantOracle,
+    "fn_hof" -> fnHofOracle)
 }
