@@ -56,10 +56,16 @@ object Bench {
       System.err.println(s"[bench] prestage failed: ${e.getMessage}")
     }
 
+    // Optional single-query focus for local iteration:
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2 times just those queries.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     var errors = Map.empty[String, String]
     var spreads = Map.empty[String, Double] // max/min over the repeats
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val samples = (1 to runs).flatMap { _ =>
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
+      def sampleOnce(): Option[Double] = {
         val t0 = System.nanoTime()
         // noop sink, not count(): count() lets Catalyst prune unused
         // projections and EliminateSorts drop result sorts, under-measuring
@@ -78,6 +84,14 @@ object Bench {
         spark.catalog.clearCache()
         if (ok) Some(elapsed) else None
       }
+      var samples = (1 to runs).flatMap(_ => sampleOnce())
+      // Adaptive insurance (VERDICT r9 #6): a >3x spread over the base
+      // repeats means at least one landed on a load spike; two extra
+      // repeats make it overwhelmingly likely at least one is clean, so
+      // the min is a true cold time even on a dirty run.
+      if (samples.size >= 2 && samples.min > 0 &&
+          samples.max / samples.min > 3.0)
+        samples = samples ++ (1 to 2).flatMap(_ => sampleOnce())
       val sorted = samples.sorted
       // Min of the successful cold repeats: the cache is cleared between
       // repeats so each one does the full work, machine contention can

@@ -47,6 +47,17 @@ object ChangeGen {
     def image(mutValue: Column): Column =
       struct(cols.map(c => if (c == mut) mutValue.cast(mutType).as(c)
                            else col(c)): _*)
+    // Update deltas: when the mutable column is DECIMAL, add the delta
+    // AS a decimal literal of the column's own type — decimal+decimal
+    // arithmetic is exact, so no double ever enters the decimal path
+    // and no engine-level double->decimal rounding can split the state
+    // from the oracle (the round-9 cdc_decimal_widening hash flake).
+    // Non-decimal columns keep the original double delta.
+    def plusDelta(delta: Int): Column = mutType match {
+      case _: org.apache.spark.sql.types.DecimalType =>
+        col(mut) + lit(delta).cast(mutType)
+      case _ => col(mut) + lit(delta.toDouble)
+    }
     val baseImage = image(col(mut))
     // Typed NULL of the row-struct type without touching unresolved
     // dataType: a never-true CASE yields NULL with the branch's type.
@@ -62,9 +73,9 @@ object ChangeGen {
     val stale = ev(pkCol % 2 === 0, baseImage, image(lit(-999.0)),
       Envelope.OpUpdate, 500L)
     val snap = ev(lit(true), nullImage, baseImage, Envelope.OpRead, 1000L)
-    val u1 = ev(pkCol % 3 === 0, baseImage, image(col(mut) + 100.0),
+    val u1 = ev(pkCol % 3 === 0, baseImage, image(plusDelta(100)),
       Envelope.OpUpdate, 2000L)
-    val u2 = ev(pkCol % 5 === 0, baseImage, image(col(mut) + 200.0),
+    val u2 = ev(pkCol % 5 === 0, baseImage, image(plusDelta(200)),
       Envelope.OpUpdate, 3000L)
     val del = ev(pkCol % 7 === 0, baseImage, nullImage,
       Envelope.OpDelete, 4000L)

@@ -648,10 +648,19 @@ object CdcQueries {
       .orderBy("c_custkey")
   }
 
+  /** Decimal-first oracle: the double fixture value is cast to
+    * DECIMAL(18,2) BEFORE any arithmetic (unambiguous for the ≤2-dp
+    * fixture in any rounding mode — a double near a 2-dp value is
+    * never an exact .5 tie at scale 2), then the +100 delta is added
+    * in decimal, which is exact. No double intermediate remains on
+    * either side, mirroring ChangeGen.plusDelta.
+    */
   val decimalWideningOracle: String =
     """SELECT c_custkey,
-      |  CAST(CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 100.0
-      |       ELSE c_acctbal END AS DECIMAL(18,2)) AS c_acctbal
+      |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) +
+      |       CASE WHEN c_custkey % 3 = 0 THEN CAST(100 AS DECIMAL(18,2))
+      |            ELSE CAST(0 AS DECIMAL(18,2)) END
+      |       AS DECIMAL(18,2)) AS c_acctbal
       |FROM customer ORDER BY c_custkey""".stripMargin
 
   // ------------------------------------------- variant payload

@@ -28,6 +28,33 @@ class DecimalWideningSpec extends SparkTestBase {
     }
   }
 
+  test("decimal update deltas are decimal-exact — no double intermediate") {
+    // ChangeGen.plusDelta must add the +100/+200 waves in the mutable
+    // column's OWN decimal type: decimal+decimal is exact, so an image
+    // for a value like 0.01 (not representable in binary floating
+    // point) comes back as precisely base+delta at scale 2. A double
+    // round-trip would still usually round back correctly — this test
+    // pins the TYPE of the arithmetic, which is what keeps the engine
+    // and the DuckDB oracle split-proof (round-9 hash flake).
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = Seq((3L, "0.01"), (6L, "999999999.99"), (9L, "123.45"))
+      .toDF("k", "v")
+      .withColumn("v", col("v").cast(DecimalType(12, 2)))
+    val log = ChangeGen.changeLog(base, "k", "v", "s", "t")
+    val u1 = log.filter(col("op") === "u" && col("ts_ms") === 2000L)
+      .select(col("after.k"), col("after.v")).collect()
+    assert(u1.length === 3)
+    val got = u1.map(r => r.getLong(0) ->
+      r.getDecimal(1).stripTrailingZeros.toPlainString).toMap
+    assert(got === Map(3L -> "100.01", 6L -> "1000000099.99",
+      9L -> "223.45"))
+    val vType = log.schema("after").dataType
+      .asInstanceOf[StructType]("v").dataType
+    assert(vType === DecimalType(12, 2),
+      "the image keeps the column's own decimal type end to end")
+  }
+
   test("the merged state publishes DECIMAL(18,2) across the boundary") {
     val out = graft.queries.CdcQueries.decimalWidening(spark, sf)
     assert(out.schema("c_acctbal").dataType === DecimalType(18, 2),

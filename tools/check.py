@@ -163,6 +163,28 @@ def main():
             if str(r) not in oset and shown < 3:
                 print(f"  spark-only:  {r}")
                 shown += 1
+        # Persist the full diff (capped) as a round artifact so a
+        # flaky driver-side hash mismatch leaves an inspectable trail
+        # instead of a bare flag. Per-column mismatch counts are
+        # computed over positionally aligned rows when the row counts
+        # match — that names the offending COLUMN even when the
+        # row-set diff is huge.
+        diff = {"query": name, "columns": oc,
+                "oracle_rows": len(orows), "spark_rows": len(grows),
+                "oracle_only": [list(map(str, r)) for r in orows
+                                if str(r) not in gset][:50],
+                "spark_only": [list(map(str, r)) for r in grows
+                               if str(r) not in oset][:50]}
+        if len(orows) == len(grows):
+            col_mism = {}
+            for a, b in zip(orows, grows):
+                for i, (x, y) in enumerate(zip(a, b)):
+                    if x != y:
+                        col_mism[oc[i]] = col_mism.get(oc[i], 0) + 1
+            diff["per_column_mismatches"] = col_mism
+        with open(f"{out_dir}/DIFF_{name}.json", "w") as f:
+            json.dump(diff, f, indent=1)
+        print(f"  full diff -> {out_dir}/DIFF_{name}.json")
         n_bad += 1
     print(f"== {n_ok} ok, {n_bad} bad ==")
     sys.exit(1 if n_bad else 0)
