@@ -1777,6 +1777,173 @@ object LlmOps {
       |FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) i
       |GROUP BY label, i.i ORDER BY label, dim""".stripMargin
 
+  // ------------------------------------------- filtered (hybrid) ANN
+
+  /** Post-filter overfetch factor: probe the index for k·OVERFETCH
+    * candidates before applying the predicate. The expected survivor
+    * count is k·OVERFETCH·selectivity, so 4 keeps k survivors down to
+    * ~25% selectivity — exactly the region the strategy switch hands
+    * to this path.
+    */
+  private val FilterOverfetch = 4
+  /** Predicate selectivity at or below this scans the filtered
+    * fraction exactly (pre-filter); above it, index-probe + post
+    * filter. 0.25 is where a full exact scan of the survivors starts
+    * costing more than an nprobe/nlist index probe at nlist=10.
+    */
+  private val PreFilterMaxSel = 0.25
+
+  /** Filtered (hybrid) vector search — top-k cosine UNDER a metadata
+    * predicate, the production shape of every real ANN query ("top-k
+    * similar WHERE lang='en' AND source=X"; the reference's Trino
+    * surface implies arbitrary WHERE composition,
+    * init_for_test.py:66-79). The strategy is selectivity-driven and
+    * decided BEFORE any distance math from a metadata-sized census
+    * (two longs to the driver; at 100 TB this is a column-stats/NDV
+    * lookup, not a scan):
+    *
+    *  - selectivity ≤ [[PreFilterMaxSel]]: PRE-FILTER — push the
+    *    predicate into the parquet scan (PlanSpec asserts the label
+    *    equality lands in PushedFilters) and rank the surviving
+    *    fraction EXACTLY. Cost ∝ selectivity, recall = 1: for rare
+    *    predicates the exact answer is cheaper than any index probe
+    *    because the scan reads only the predicate's row groups.
+    *  - selectivity > [[PreFilterMaxSel]]: POST-FILTER — probe the
+    *    IVF coarse quantizer (nprobe=2 of nlist=10 clusters, the
+    *    [[simIvfMultiprobe]] index) for k·[[FilterOverfetch]]
+    *    candidates, THEN apply the predicate and keep k. Cost ∝
+    *    nprobe/nlist, independent of the predicate; recall < 1 when
+    *    the predicate thins the overfetched set — the measured price
+    *    ([[simFilteredRecall]]).
+    *
+    * Output carries the chosen `strategy` so the decision itself is
+    * oracle-checked, not just the rows.
+    */
+  private def filteredAnn(spark: SparkSession, sfDir: String,
+                          pred: Column, k: Int): DataFrame = {
+    val emb = t(spark, sfDir, "embeddings")
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val census = corpus.agg(
+      count(lit(1)).as("n"), count(when(pred, lit(1))).as("m")).head()
+    val sel = census.getLong(1).toDouble / math.max(1L, census.getLong(0))
+    val probe = emb.filter(col("vec_id") === 0)
+      .select(vecD(col("embedding")).as("probe"))
+    if (sel <= PreFilterMaxSel) {
+      corpus.filter(pred)
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id"), col("label"),
+          round(cosine(vecD(col("embedding")), col("probe")), 6).as("cos"),
+          lit("pre_filter").as("strategy"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(k)
+    } else {
+      val centroids = labelCentroids(emb).select("label", "centroid")
+      val best2 = centroids.crossJoin(broadcast(probe))
+        .select(col("label"), col("probe"),
+          round(cosine(col("centroid"), col("probe")), 6).as("ccos"))
+        .orderBy(col("ccos").desc, col("label"))
+        .limit(2)
+        .select("label", "probe")
+      corpus.join(broadcast(best2), Seq("label"))
+        .select(col("vec_id"), col("label"),
+          round(cosine(vecD(col("embedding")), col("probe")), 6).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(k * FilterOverfetch)
+        .filter(pred)
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(k)
+        .withColumn("strategy", lit("post_filter"))
+    }
+  }
+
+  /** Selective predicate (label=3 AND vec_id%5=0, ~2% of the corpus)
+    * → the census picks PRE-FILTER and the answer is exact.
+    */
+  def simFiltered(spark: SparkSession, sfDir: String): DataFrame =
+    filteredAnn(spark, sfDir,
+      col("label") === 3 && col("vec_id") % 5 === 0, 10)
+
+  val simFilteredOracle: String =
+    """WITH probe AS (
+      |  SELECT embedding::DOUBLE[] AS p FROM embeddings WHERE vec_id = 0
+      |)
+      |SELECT vec_id, label,
+      |  ROUND(list_dot_product(embedding::DOUBLE[], p) /
+      |    (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+      |     sqrt(list_dot_product(p, p))), 6) AS cos,
+      |  'pre_filter' AS strategy
+      |FROM embeddings, probe
+      |WHERE vec_id <> 0 AND label = 3 AND vec_id % 5 = 0
+      |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+
+  /** Broad predicate (vec_id odd, ~50%) → the census picks
+    * POST-FILTER: 40 IVF candidates from the 2 probed clusters, then
+    * the predicate, then k=10.
+    */
+  def simFilteredPost(spark: SparkSession, sfDir: String): DataFrame =
+    filteredAnn(spark, sfDir, col("vec_id") % 2 === 1, 10)
+
+  /** Shared oracle CTE: the post-filter path's overfetched candidate
+    * set — top-40 by cosine within the 2 probed clusters.
+    */
+  private val filteredCandSql: String =
+    ivf2BestSql + """, fcand AS (
+      |  SELECT vec_id, e.label,
+      |    ROUND(list_dot_product(e.embedding::DOUBLE[], p) /
+      |      (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+      |       sqrt(list_dot_product(p, p))), 6) AS cos
+      |  FROM embeddings e JOIN best USING (label), probe
+      |  WHERE vec_id <> 0
+      |  ORDER BY cos DESC, vec_id LIMIT 40
+      |)""".stripMargin
+
+  val simFilteredPostOracle: String =
+    filteredCandSql + """
+      |SELECT vec_id, label, cos, 'post_filter' AS strategy
+      |FROM fcand WHERE vec_id % 2 = 1
+      |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+
+  /** recall@10 of the post-filter path against the FILTERED exact
+    * baseline (brute-force top-10 under the same predicate) — the
+    * price of refusing the exact scan at 50% selectivity, published
+    * beside the unfiltered IVF/LSH/PQ/graph/binary audits. This is
+    * the number that calibrates [[FilterOverfetch]]: recall rises
+    * toward 1 as overfetch × selectivity clears k.
+    */
+  def simFilteredRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val pred = col("vec_id") % 2 === 1
+    val emb = t(spark, sfDir, "embeddings")
+    val probe = emb.filter(col("vec_id") === 0)
+      .select(vecD(col("embedding")).as("probe"))
+    val exact = emb.filter(col("vec_id") =!= 0).filter(pred)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"),
+        round(cosine(vecD(col("embedding")), col("probe")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+      .select("vec_id")
+    val approx = simFilteredPost(spark, sfDir).select("vec_id")
+    exact.join(approx, Seq("vec_id"))
+      .agg(count(lit(1)).as("hits"))
+      .select(lit(10).as("k"), col("hits"),
+        round(col("hits").cast("double") / 10, 2).as("recall"))
+  }
+
+  val simFilteredRecallOracle: String =
+    filteredCandSql + """, fapprox AS (
+      |  SELECT vec_id FROM fcand WHERE vec_id % 2 = 1
+      |  ORDER BY cos DESC, vec_id LIMIT 10
+      |), fexact AS (
+      |  SELECT vec_id FROM embeddings, probe
+      |  WHERE vec_id <> 0 AND vec_id % 2 = 1
+      |  ORDER BY ROUND(list_dot_product(embedding::DOUBLE[], p) /
+      |    (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+      |     sqrt(list_dot_product(p, p))), 6) DESC, vec_id LIMIT 10
+      |)
+      |SELECT 10 AS k, count(*) AS hits,
+      |  ROUND(CAST(count(*) AS DOUBLE) / 10, 2) AS recall
+      |FROM fexact JOIN fapprox USING (vec_id)""".stripMargin
+
   // ------------------------------------------------------ text analysis
 
   /** Corpus statistics per language: doc counts, char/word averages,
@@ -3671,6 +3838,9 @@ object LlmOps {
     "llm_sim_rerank_recall" -> simRerankRecall,
     "llm_sim_binary" -> simBinary,
     "llm_sim_binary_recall" -> simBinaryRecall,
+    "llm_sim_filtered" -> simFiltered,
+    "llm_sim_filtered_post" -> simFilteredPost,
+    "llm_sim_filtered_recall" -> simFilteredRecall,
     "llm_sim_centroids" -> simCentroids,
     "llm_text_stats" -> textStats,
     "llm_text_tokens" -> textTokens,
@@ -3741,6 +3911,9 @@ object LlmOps {
     "llm_sim_rerank_recall" -> simRerankRecallOracle,
     "llm_sim_binary" -> simBinaryOracle,
     "llm_sim_binary_recall" -> simBinaryRecallOracle,
+    "llm_sim_filtered" -> simFilteredOracle,
+    "llm_sim_filtered_post" -> simFilteredPostOracle,
+    "llm_sim_filtered_recall" -> simFilteredRecallOracle,
     "llm_sim_centroids" -> simCentroidsOracle,
     "llm_text_stats" -> textStatsOracle,
     "llm_text_tokens" -> textTokensOracle,

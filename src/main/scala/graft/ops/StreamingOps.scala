@@ -683,6 +683,72 @@ object StreamingOps {
       |WHERE p.event_type = 'purchase'
       |ORDER BY purchase_id, click_id""".stripMargin
 
+  /** Stream-stream FULL OUTER join — the remaining watermark-padding
+    * semantics beside [[streamStreamOuter]]'s left outer: BOTH sides
+    * null-pad, each only once the OPPOSITE side's watermark proves no
+    * match can still arrive. A purchase with no click in its trailing
+    * hour emits (purchase, -1); a click no purchase ever trails within
+    * an hour emits (-1, click). Same ordered replay + per-side
+    * sentinel discipline as the left-outer twin (the global watermark
+    * is the min across both sides' watermark operators, so each
+    * trailing batch carries one sentinel PER SIDE); both padded
+    * directions flush when the sentinels push the watermark past the
+    * fixture horizon, and the spec asserts both directions actually
+    * appear. IDs are coalesced to -1 so the result is null-free and
+    * totally ordered by (purchase_id, click_id).
+    *
+    * Scale: identical state bound to the left-outer twin — keyed on
+    * user, evictable at watermark - 1 hour on the purchase side and
+    * watermark on the click side; the FULL variant adds no state, only
+    * the second null-padding scan of evicted rows.
+    */
+  def streamStreamFullOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    val staged = stageOuterJoin(spark, sfDir)
+    val schema = Tables.load(spark, sfDir, "events").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 2).parquet(staged)
+    val name = s"stream_sink_${nameCounter.incrementAndGet()}"
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val purchases = src
+        .filter(col("event_type").isin("purchase", "sentinel_p"))
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("purchase_id"))
+        .withWatermark("p_ts", "1 day")
+      val clicks = src
+        .filter(col("event_type").isin("click", "sentinel_c"))
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("event_id").as("click_id"))
+        .withWatermark("c_ts", "1 day")
+      val q = purchases.join(clicks,
+          col("p_user") === col("c_user") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+            col("c_ts") <= col("p_ts"),
+          "full_outer")
+        .select(coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+          coalesce(col("p_user"), col("c_user")).as("user_id"),
+          coalesce(col("click_id"), lit(-1L)).as("click_id"))
+        .writeStream
+        .format("memory").queryName(name).outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    spark.table(name)
+      .filter(col("user_id") >= 0)
+      .orderBy("purchase_id", "click_id")
+  }
+
+  val streamStreamFullOuterOracle: String =
+    """SELECT COALESCE(p.event_id, -1) AS purchase_id,
+      |  COALESCE(p.user_id, c.user_id) AS user_id,
+      |  COALESCE(c.event_id, -1) AS click_id
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id
+      | AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+      |ORDER BY purchase_id, click_id""".stripMargin
+
   /** Arbitrary stateful processing (mapGroupsWithState): per-user
     * running (count, value-sum) state emitted every micro-batch in
     * `update` mode; the final per-user maximum is the converged total —
@@ -821,6 +887,7 @@ object StreamingOps {
     "stream_curate_near" -> streamCurateNear,
     "stream_stream_join" -> streamStreamJoin,
     "stream_stream_outer" -> streamStreamOuter,
+    "stream_stream_full_outer" -> streamStreamFullOuter,
     "stream_heavy_hitters" -> streamHeavyHitters,
     "stream_stateful" -> stateful,
     "stream_transform_state" -> transformState)
@@ -838,6 +905,7 @@ object StreamingOps {
     "stream_curate_near" -> streamCurateNearOracle,
     "stream_stream_join" -> streamStreamJoinOracle,
     "stream_stream_outer" -> streamStreamOuterOracle,
+    "stream_stream_full_outer" -> streamStreamFullOuterOracle,
     "stream_heavy_hitters" -> streamHeavyHittersOracle,
     "stream_stateful" -> statefulOracle,
     "stream_transform_state" -> transformStateOracle)

@@ -152,6 +152,35 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
   }
 
+  test("llm_sim_filtered: pre-filter strategy prunes at the SCAN, " +
+      "before any distance math") {
+    val p = plan("llm_sim_filtered")
+    // The whole point of the pre-filter path: the metadata predicate
+    // reaches the parquet reader, so at 100 TB only the predicate's
+    // row groups are read — the cosine never sees a filtered-out row.
+    assert(p.contains("EqualTo(label,3)"),
+      "label equality must land in PushedFilters")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
+    assert(!p.contains("CartesianProduct"), "only the 1-row probe may loop")
+  }
+
+  test("llm_sim_filtered strategies: census picks pre_filter at 2% " +
+      "selectivity and post_filter at 50%") {
+    import org.apache.spark.sql.functions.col
+    val pre = SparkEntry.queries("llm_sim_filtered")(spark, sf)
+      .select("strategy").distinct().collect().map(_.getString(0)).toSet
+    assert(pre === Set("pre_filter"),
+      "selective predicate must take the exact pre-filter path")
+    val post = SparkEntry.queries("llm_sim_filtered_post")(spark, sf)
+      .select("strategy").distinct().collect().map(_.getString(0)).toSet
+    assert(post === Set("post_filter"),
+      "broad predicate must take the index-probe + post-filter path")
+    // The post-filter output actually honors the predicate.
+    val odd = SparkEntry.queries("llm_sim_filtered_post")(spark, sf)
+      .filter(col("vec_id") % 2 === 0).count()
+    assert(odd === 0, "post-filter must remove even vec_ids")
+  }
+
   test("llm_sim_centroids: 64 agg buffers in one groupBy, no pre-agg explode") {
     val p = plan("llm_sim_centroids")
     // The centroid build must NOT posexplode N rows into N·64 before

@@ -121,6 +121,24 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(kept > 0, "some non-history docs must survive")
   }
 
+  test("stream-stream FULL OUTER pads BOTH directions after watermark") {
+    // The semantics left-outer can't show: unmatched purchases emit
+    // (purchase, -1) AND unmatched clicks emit (-1, click), each only
+    // once the opposite side's watermark proves no match can arrive.
+    // Both directions must actually appear in the drained sink, and
+    // matched rows must agree with the inner join.
+    val out = StreamingOps.streamStreamFullOuter(spark, sf)
+    val padsLeft = out.filter(col("click_id") === -1L).count()
+    val padsRight = out.filter(col("purchase_id") === -1L).count()
+    assert(padsLeft > 0, "purchases with no trailing-hour click must pad")
+    assert(padsRight > 0, "clicks never followed by a purchase must pad")
+    val matchedFull = out
+      .filter(col("click_id") =!= -1L && col("purchase_id") =!= -1L).count()
+    val inner = StreamingOps.streamStreamJoin(spark, sf).count()
+    assert(matchedFull === inner,
+      "full outer's matched core must equal the inner join")
+  }
+
   test("streaming heavy hitters converges to the batch sketch exactly") {
     val streamed = StreamingOps.streamHeavyHitters(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
