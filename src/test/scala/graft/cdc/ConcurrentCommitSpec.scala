@@ -31,6 +31,35 @@ class ConcurrentCommitSpec extends SparkTestBase {
       .withColumn(StateStore.BucketCol,
         StateStore.bucketExpr(Seq("k"), NBuckets))
 
+  test("plain commit pays nothing for the optimistic protocol") {
+    // The pipeline's micro-batch path uses single-writer commit; the
+    // r9 OCC hardening (claim markers, heartbeat daemon, pre-swap
+    // token re-verify) must stay confined to commitOptimistic. Pin it:
+    // a plain commit leaves no marker file behind and spawns no
+    // occ-heartbeat thread (VERDICT r9 watch item on
+    // cdc_schema_evolution's commit-path cost).
+    val store = new StateStore(
+      Files.createTempDirectory("graft-plain-").toString, NBuckets)
+    val target = "occ.plain"
+    val d = java.nio.file.Paths.get(store.warehouse, "occ.plain")
+    store.commit(spark, target, withMeta(
+      (0L until NKeys).map(k => (k, 0L)).toDF("k", "cnt"), ts = 0L),
+      0 until NBuckets)
+    val leftovers = Files.list(d).iterator()
+    val markers = new scala.collection.mutable.ArrayBuffer[String]
+    while (leftovers.hasNext) {
+      val n = leftovers.next().getFileName.toString
+      if (n.endsWith(".lock")) markers += n
+    }
+    assert(markers.isEmpty, s"plain commit left claim markers: $markers")
+    val beats = Thread.getAllStackTraces.keySet().iterator()
+    while (beats.hasNext) {
+      val t = beats.next()
+      assert(!t.getName.contains("occ-heartbeat-occ.plain"),
+        "plain commit must not start a heartbeat thread")
+    }
+  }
+
   test("two interleaved committers, disjoint keys: no lost updates") {
     val store = new StateStore(
       Files.createTempDirectory("graft-occ-").toString, NBuckets)
