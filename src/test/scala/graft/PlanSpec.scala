@@ -152,6 +152,22 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
   }
 
+  test("llm_sim_hnsw: layered walk keeps every hop an equi-join — no " +
+      "nested loop beyond the 1-row probe broadcast") {
+    val p = plan("llm_sim_hnsw")
+    assert(!p.contains("CartesianProduct"),
+      "hierarchical walk must never cross-join")
+    val bnl = "\\((\\d+)\\) BroadcastNestedLoopJoin".r.findAllMatchIn(p)
+      .map(_.group(1)).toSet.size
+    val probes = "PushedFilters: \\[IsNotNull\\(vec_id\\), EqualTo\\(vec_id,0\\)\\]".r
+      .findAllIn(p).size
+    assert(bnl <= probes,
+      s"$bnl nested-loop joins but only $probes 1-row probe scans — " +
+        "a hop or the entry scan degenerated to a nested loop")
+    assert(p.contains("TakeOrderedAndProject"),
+      "beam cuts must be TakeOrdered, not global sorts")
+  }
+
   test("llm_sim_filtered: pre-filter strategy prunes at the SCAN, " +
       "before any distance math") {
     val p = plan("llm_sim_filtered")
