@@ -23,6 +23,7 @@ object Prestage {
     queries.TxApplyMultiQueries.prestage(spark, sfDir)
     queries.AggCdcQueries.prestage(spark, sfDir)
     queries.IvfCdcQueries.prestage(spark, sfDir)
+    queries.MinhashCdcQueries.prestage(spark, sfDir)
     queries.JoinCdcQueries.prestage(spark, sfDir)
     queries.PqCdcQueries.prestage(spark, sfDir)
     queries.Scd2CdcQueries.prestage(spark, sfDir)

@@ -39,6 +39,7 @@ object SparkEntry {
       graft.queries.SnapshotQueries.queries ++
       graft.queries.PipelineQueries.queries ++
       graft.queries.IvfCdcQueries.queries ++
+      graft.queries.MinhashCdcQueries.queries ++
       graft.queries.PqCdcQueries.queries ++
       graft.queries.AggCdcQueries.queries ++
       graft.queries.JoinCdcQueries.queries ++
@@ -66,6 +67,7 @@ object SparkEntry {
       graft.queries.SnapshotQueries.oracles ++
       graft.queries.PipelineQueries.oracles ++
       graft.queries.IvfCdcQueries.oracles ++
+      graft.queries.MinhashCdcQueries.oracles ++
       graft.queries.PqCdcQueries.oracles ++
       graft.queries.AggCdcQueries.oracles ++
       graft.queries.JoinCdcQueries.oracles ++
