@@ -272,6 +272,67 @@ object LlmOps {
       .select(col("doc_id"),
         graft.functions.ShingleSet.shingleSet(words).as("sset"))
 
+  /** CROSS-SOURCE overlap matrix — exact 3-gram Jaccard between every
+    * source pair, top-10: the source-level contamination diagnostic a
+    * curation run consults before mixing ("is source X a scrape of
+    * source Y?"), one level above the per-document dedup family. The
+    * shingle explode is the codegen'd scan-local [[shingleSets]] pass;
+    * distinct (source, shingle) collapses each source's multiset
+    * before any join (the shuffle carries source-tagged shingles, not
+    * documents); intersections come from ONE self-equi-join on the
+    * shingle key, whose per-key pair count is bounded by
+    * n_sources² — the matrix being computed — never by corpus size.
+    * At 100 TB with thousands of sources the same query runs on
+    * per-source MinHash signatures instead of exact sets (the
+    * [[dedupMinhash]] machinery keyed by source); the fixture's 20
+    * sources make the exact form the honest baseline.
+    */
+  def sourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    val sh = docs.filter(size(words) >= 3)
+      .select(col("source"),
+        explode(graft.functions.ShingleSet.shingleSet(words)).as("s"))
+      .distinct()
+    val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("s"), col("source").as("src_a"))
+      .join(sh.select(col("s"), col("source").as("src_b")), Seq("s"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("src_a"),
+        col("n").as("na"))), Seq("src_a"))
+      .join(broadcast(sizes.select(col("source").as("src_b"),
+        col("n").as("nb"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"),
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("src_a"), col("src_b"))
+      .limit(10)
+  }
+
+  val sourceOverlapOracle: String =
+    """WITH w AS (
+      |  SELECT source, string_split(text, ' ') AS w FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3
+      |), sh AS (
+      |  SELECT DISTINCT source,
+      |    w[i.i] || ' ' || w[i.i + 1] || ' ' || w[i.i + 2] AS s
+      |  FROM w,
+      |    LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) i
+      |), sizes AS (
+      |  SELECT source, count(*) AS n FROM sh GROUP BY source
+      |), inter AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS i
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+      |  GROUP BY 1, 2
+      |)
+      |SELECT src_a, src_b,
+      |  ROUND(CAST(i AS DOUBLE) / (na.n + nb.n - i), 6) AS jaccard
+      |FROM inter
+      |JOIN sizes na ON na.source = src_a
+      |JOIN sizes nb ON nb.source = src_b
+      |ORDER BY jaccard DESC, src_a, src_b LIMIT 10""".stripMargin
+
   /** Banded-MinHash candidate pairs from a shingle-SET frame: returns
     * (band, mh, d1, d2) bucket-collision rows (one per shared band).
     *
@@ -4023,6 +4084,7 @@ object LlmOps {
     "llm_dedup_fingerprint" -> dedupFingerprint,
     "llm_dedup_url" -> dedupUrl,
     "llm_dedup_minhash" -> dedupMinhash,
+    "llm_source_overlap" -> sourceOverlap,
     "llm_dedup_jaccard" -> dedupJaccard,
     "llm_dedup_editdist" -> dedupEditdist,
     "llm_split_leakage" -> splitLeakage,
@@ -4098,6 +4160,7 @@ object LlmOps {
     "llm_dedup_fingerprint" -> dedupFingerprintOracle,
     "llm_dedup_url" -> dedupUrlOracle,
     "llm_dedup_minhash" -> dedupMinhashOracle,
+    "llm_source_overlap" -> sourceOverlapOracle,
     "llm_dedup_jaccard" -> dedupJaccardOracle,
     "llm_dedup_editdist" -> dedupEditdistOracle,
     "llm_split_leakage" -> splitLeakageOracle,
