@@ -453,8 +453,41 @@ object Functions {
       |  ~p_partkey AS pk_not
       |FROM part ORDER BY p_partkey""".stripMargin
 
+  /** Spark 4 STRING COLLATION (`collate(expr, 'UNICODE_CI')`) driving
+    * a case-insensitive GROUP BY — the collation-aware comparison
+    * semantics SQL engines gate i18n behavior on, exercised end to
+    * end through the aggregate path (grouping keys hash/compare under
+    * the collation, not binary). Mixed case is synthesized
+    * deterministically (even keys initcap'd), so the collated
+    * grouping provably collapses what a binary grouping would split;
+    * the emitted key is `lower(min(...))` — min is binary UTF8 in
+    * both engines and lower() collapses the case split — so the
+    * output is representative-choice-independent. DuckDB's oracle
+    * spells the same semantics with `GROUP BY ... COLLATE NOCASE`
+    * (the fixture is ASCII, where NOCASE and UNICODE_CI agree).
+    */
+  def fnCollation(spark: SparkSession, sfDir: String): DataFrame = {
+    val seg = when(col("c_custkey") % 2 === 0, initcap(col("c_mktsegment")))
+      .otherwise(col("c_mktsegment"))
+    t(spark, sfDir, "customer")
+      .select(seg.as("seg"))
+      .groupBy(collate(col("seg"), "UNICODE_CI"))
+      .agg(lower(min(col("seg"))).as("seg2"), count(lit(1)).as("n"))
+      .select(col("seg2").as("seg"), col("n"))
+      .orderBy("seg")
+  }
+
+  val fnCollationOracle: String =
+    """SELECT lower(min(seg)) AS seg, count(*) AS n FROM (
+      |  SELECT CASE WHEN c_custkey % 2 = 0 THEN
+      |    upper(substr(c_mktsegment, 1, 1)) || lower(substr(c_mktsegment, 2))
+      |  ELSE c_mktsegment END AS seg FROM customer)
+      |GROUP BY seg COLLATE NOCASE
+      |ORDER BY seg""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fn_string" -> fnString,
+    "fn_collation" -> fnCollation,
     "fn_datetime" -> fnDatetime,
     "fn_math" -> fnMath,
     "fn_array" -> fnArray,
@@ -470,6 +503,7 @@ object Functions {
 
   def oracles: Map[String, String] = Map(
     "fn_string" -> fnStringOracle,
+    "fn_collation" -> fnCollationOracle,
     "fn_datetime" -> fnDatetimeOracle,
     "fn_math" -> fnMathOracle,
     "fn_array" -> fnArrayOracle,

@@ -2886,6 +2886,30 @@ object Relational {
       |            THEN o_totalprice END), 2) AS low
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** The SQL UNPIVOT clause — the front-door twin of [[sqlPivot]] and
+    * the SQL spelling of [[reshapeUnpivot]]'s DataFrame melt: two
+    * measure columns rotate to (dim, val) rows. Both engines run the
+    * standard `UNPIVOT (val FOR dim IN (...))` form on identically
+    * named/typed measures (cast to one type first — UNPIVOT requires a
+    * common value type), and both drop NULL measures by default, so
+    * the texts stay verbatim-parallel. Plan shape: Expand (2 rows per
+    * input row) on the scan — map-side, no shuffle before the result
+    * sort, identical to the DataFrame melt.
+    */
+  def sqlUnpivot(spark: SparkSession, sfDir: String): DataFrame = {
+    registerViews(spark, sfDir, "part")
+    spark.sql(sqlUnpivotText)
+  }
+
+  private val sqlUnpivotText: String =
+    """SELECT p_partkey, dim, val FROM (
+      |  SELECT p_partkey, CAST(p_size AS DOUBLE) AS size,
+      |    ROUND(p_retailprice, 2) AS price FROM part)
+      |UNPIVOT (val FOR dim IN (size, price))
+      |ORDER BY p_partkey, dim""".stripMargin
+
+  val sqlUnpivotOracle: String = sqlUnpivotText
+
   /** CTE + window in pure SQL: per-nation customer balance ranks from
     * a WITH-clause — the same text runs on both engines verbatim.
     */
@@ -3052,6 +3076,7 @@ object Relational {
     "sql_subquery" -> sqlSubquery,
     "sql_lateral" -> sqlLateral,
     "sql_pivot" -> sqlPivot,
+    "sql_unpivot" -> sqlUnpivot,
     "sql_cte" -> sqlCte,
     "sql_recursive" -> sqlRecursive,
     "sql_correlated" -> sqlCorrelated)
@@ -3140,6 +3165,7 @@ object Relational {
     "sql_subquery" -> sqlSubqueryOracle,
     "sql_lateral" -> sqlLateralOracle,
     "sql_pivot" -> sqlPivotOracle,
+    "sql_unpivot" -> sqlUnpivotOracle,
     "sql_cte" -> sqlCteOracle,
     "sql_recursive" -> sqlRecursiveOracle,
     "sql_correlated" -> sqlCorrelatedOracle)

@@ -18,7 +18,9 @@ class PlanRobustnessSpec extends SparkTestBase {
     "join_q3",           // multi-way broadcast-heavy join
     "cdc_merge_customer", // the flagship merge
     "agg_heavy_hitters", // sketch merge order
-    "graph_bfs")         // iterative broadcast-hinted joins
+    "graph_bfs",         // iterative broadcast-hinted joins
+    "llm_sim_hnsw",      // layered beam walk: joins + window cuts
+    "llm_sim_filtered")  // strategy census + pushdown path
 
   test("results are invariant to broadcast strategy and partition count") {
     for (q <- probes) {

@@ -34,6 +34,8 @@ class RegistrySpec extends AnyFunSuite {
         queries.TxApplyMultiQueries.oracles),
       ("OutboxQueries", queries.OutboxQueries.queries,
         queries.OutboxQueries.oracles),
+      ("MinhashCdcQueries", queries.MinhashCdcQueries.queries,
+        queries.MinhashCdcQueries.oracles),
       ("OccQueries", queries.OccQueries.queries, queries.OccQueries.oracles),
       ("MaintenanceQueries", queries.MaintenanceQueries.queries,
         queries.MaintenanceQueries.oracles),
