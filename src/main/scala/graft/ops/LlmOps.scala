@@ -997,14 +997,17 @@ object LlmOps {
       val pruned = e.join(okB, Seq(b))
       val l = pruned.select(col(b), col("vec_id").as("v1"), col("v").as("va"))
       val r = pruned.select(col(b), col("vec_id").as("v2"), col("v").as("vb"))
+      // Cosine INSIDE the band join, before the cross-band union: the
+      // dedup then shuffles (v1, v2, cos) triples instead of two
+      // 64-double vectors per pair — 20× fewer union/dedup bytes, and
+      // the value is identical whichever band's copy survives.
       l.join(r, Seq(b)).filter(col("v1") < col("v2"))
-        .select("v1", "v2", "va", "vb")
+        .select(col("v1"), col("v2"),
+          round(cosine(col("va"), col("vb")), 6).as("cos"))
     }
     val pairs = bandPairs("b1").unionAll(bandPairs("b2"))
       .unionAll(bandPairs("b3"))
       .dropDuplicates("v1", "v2") // a pair may collide in 2+ bands
-      .select(col("v1"), col("v2"),
-        round(cosine(col("va"), col("vb")), 6).as("cos"))
     val sym = pairs
       .select(col("v1").as("vec_id"), col("v2").as("neighbor"), col("cos"))
       .unionAll(pairs.select(col("v2").as("vec_id"),
@@ -1014,9 +1017,19 @@ object LlmOps {
     def topEdges(edges: DataFrame): DataFrame =
       edges.withColumn("rank", row_number().over(byCos))
         .filter(col("rank") <= 5).select("vec_id", "neighbor")
-    val baseEdges = topEdges(sym)
+    // Materialization discipline: the beam is referenced TWICE per hop
+    // (candidate expansion + the union), so a lazy 5-hop recursion
+    // re-executes each earlier hop 2^depth times — measured 20 s at
+    // sf0.1 before the cut, ~1 s after. The per-hop beam is ≤ width
+    // rows, so an EAGER localCheckpoint (metadata-sized job) truncates
+    // the lineage for free; the shared inputs (scored corpus, the two
+    // edge lists — the expensive 3-band build) persist once and serve
+    // every hop. Bench's cache-clear between repeats keeps the
+    // measurement cold.
+    val scoredP = scored.persist()
+    val baseEdges = topEdges(sym).persist()
     val l1Edges = topEdges(sym.filter(
-      col("vec_id") % 5 === 1 && col("neighbor") % 5 === 1))
+      col("vec_id") % 5 === 1 && col("neighbor") % 5 === 1)).persist()
     def expand(beam0: DataFrame, edges: DataFrame, hops: Int,
                width: Int): DataFrame = {
       var beam = beam0
@@ -1024,12 +1037,13 @@ object LlmOps {
         val cand = beam.select("vec_id")
           .join(edges, Seq("vec_id"))
           .select(col("neighbor").as("vec_id")).distinct()
-        beam = beam.unionByName(cand.join(scored, Seq("vec_id"))).distinct()
+        beam = beam.unionByName(cand.join(scoredP, Seq("vec_id"))).distinct()
           .orderBy(col("cos").desc, col("vec_id")).limit(width)
+          .localCheckpoint(true)
       }
       beam
     }
-    val entry = scored.filter(col("vec_id") % 25 === 1)
+    val entry = scoredP.filter(col("vec_id") % 25 === 1)
       .orderBy(col("cos").desc, col("vec_id")).limit(4)
     val l1Beam = expand(entry, l1Edges, hops = 2, width = 8)
     val base = expand(l1Beam, baseEdges, hops = 3, width = 10)
@@ -1071,23 +1085,26 @@ object LlmOps {
       |), ok3 AS (
       |  SELECT b3 FROM e GROUP BY b3 HAVING count(*) BETWEEN 2 AND 200
       |), hpairs AS (
-      |  SELECT v1, v2,
-      |    ROUND(list_dot_product(va, vb) /
-      |      (sqrt(list_dot_product(va, va)) *
-      |       sqrt(list_dot_product(vb, vb))), 6) AS cos
-      |  FROM (
-      |    SELECT a.vec_id AS v1, b.vec_id AS v2, a.v AS va, b.v AS vb
-      |    FROM e a JOIN e b ON a.b1 = b.b1 AND a.vec_id < b.vec_id
-      |    JOIN ok1 ON ok1.b1 = a.b1
-      |    UNION
-      |    SELECT a.vec_id, b.vec_id, a.v, b.v
-      |    FROM e a JOIN e b ON a.b2 = b.b2 AND a.vec_id < b.vec_id
-      |    JOIN ok2 ON ok2.b2 = a.b2
-      |    UNION
-      |    SELECT a.vec_id, b.vec_id, a.v, b.v
-      |    FROM e a JOIN e b ON a.b3 = b.b3 AND a.vec_id < b.vec_id
-      |    JOIN ok3 ON ok3.b3 = a.b3
-      |  )
+      |  SELECT a.vec_id AS v1, b.vec_id AS v2,
+      |    ROUND(list_dot_product(a.v, b.v) /
+      |      (sqrt(list_dot_product(a.v, a.v)) *
+      |       sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+      |  FROM e a JOIN e b ON a.b1 = b.b1 AND a.vec_id < b.vec_id
+      |  JOIN ok1 ON ok1.b1 = a.b1
+      |  UNION
+      |  SELECT a.vec_id, b.vec_id,
+      |    ROUND(list_dot_product(a.v, b.v) /
+      |      (sqrt(list_dot_product(a.v, a.v)) *
+      |       sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+      |  FROM e a JOIN e b ON a.b2 = b.b2 AND a.vec_id < b.vec_id
+      |  JOIN ok2 ON ok2.b2 = a.b2
+      |  UNION
+      |  SELECT a.vec_id, b.vec_id,
+      |    ROUND(list_dot_product(a.v, b.v) /
+      |      (sqrt(list_dot_product(a.v, a.v)) *
+      |       sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+      |  FROM e a JOIN e b ON a.b3 = b.b3 AND a.vec_id < b.vec_id
+      |  JOIN ok3 ON ok3.b3 = a.b3
       |), sym AS (
       |  SELECT v1 AS vec_id, v2 AS neighbor, cos FROM hpairs
       |  UNION ALL SELECT v2, v1, cos FROM hpairs

@@ -152,20 +152,21 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
   }
 
-  test("llm_sim_hnsw: layered walk keeps every hop an equi-join — no " +
-      "nested loop beyond the 1-row probe broadcast") {
+  test("llm_sim_hnsw: hop lineage is CUT — the final plan reads the " +
+      "checkpointed beam, not a 2^hops re-execution tree") {
+    // The beam is referenced twice per hop, so a lazy recursion
+    // re-executes each earlier hop 2^depth times (measured 20 s at
+    // sf0.1 before the eager per-hop localCheckpoint, ~4 s after).
+    // The property to pin is therefore the TRUNCATION: the returned
+    // plan must start from the checkpointed 10-row beam (an RDD scan),
+    // with no join, no parquet scan, and no beam re-derivation left
+    // above it — those all ran eagerly during construction.
     val p = plan("llm_sim_hnsw")
-    assert(!p.contains("CartesianProduct"),
-      "hierarchical walk must never cross-join")
-    val bnl = "\\((\\d+)\\) BroadcastNestedLoopJoin".r.findAllMatchIn(p)
-      .map(_.group(1)).toSet.size
-    val probes = "PushedFilters: \\[IsNotNull\\(vec_id\\), EqualTo\\(vec_id,0\\)\\]".r
-      .findAllIn(p).size
-    assert(bnl <= probes,
-      s"$bnl nested-loop joins but only $probes 1-row probe scans — " +
-        "a hop or the entry scan degenerated to a nested loop")
-    assert(p.contains("TakeOrderedAndProject"),
-      "beam cuts must be TakeOrdered, not global sorts")
+    assert(p.contains("Scan ExistingRDD"),
+      "final plan must read the checkpointed beam")
+    assert(scanCount(p) === 0, "no parquet re-scan above the checkpoint")
+    assert(!p.contains("Join"), "no join re-derivation above the checkpoint")
+    assert(!p.contains("CartesianProduct"), "never a cross-join")
   }
 
   test("llm_sim_filtered: pre-filter strategy prunes at the SCAN, " +
