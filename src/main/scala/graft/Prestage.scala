@@ -18,6 +18,7 @@ import org.apache.spark.sql.SparkSession
 object Prestage {
   def all(spark: SparkSession, sfDir: String): Unit = {
     ops.StreamingOps.prestage(spark, sfDir)
+    ops.Relational.prestageDpp(spark, sfDir)
     queries.PipelineQueries.prestage(spark, sfDir)
     queries.TxApplyQueries.prestage(spark, sfDir)
     queries.TxApplyMultiQueries.prestage(spark, sfDir)

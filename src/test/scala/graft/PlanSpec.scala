@@ -152,6 +152,22 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
   }
 
+  test("join_dpp: fact scan carries a dynamicpruning partition filter") {
+    val p = plan("join_dpp")
+    assert(p.contains("dynamicpruning"),
+      "the fact side must prune partitions from the dim's runtime filter")
+    assert(p.contains("PartitionFilters"),
+      "the prune must be a PARTITION filter, not a row filter")
+  }
+
+  test("agg_pushdown: the registered query returns the footer-stat row") {
+    // The full PushedAggregation plan assertion lives in
+    // AggPushdownSpec (the conf window must be open to see it); here
+    // just pin the checkpointed result shape.
+    val r = SparkEntry.queries("agg_pushdown")(spark, sf).collect()
+    assert(r.length === 1 && r(0).getLong(0) > 0)
+  }
+
   test("llm_sim_hnsw: hop lineage is CUT — the final plan reads the " +
       "checkpointed beam, not a 2^hops re-execution tree") {
     // The beam is referenced twice per hop, so a lazy recursion
