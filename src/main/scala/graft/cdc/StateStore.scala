@@ -67,6 +67,33 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
         b.toInt -> p
       }.toMap
 
+  /** METADATA TABLE — the Iceberg `table$snapshots` / `$history`
+    * analog: one row per committed version with the manifest's bucket
+    * coverage, how many buckets that commit actually REWROTE (its own
+    * `v<N>/` entries — the bucket-pruning visible in commit metadata)
+    * versus carried from earlier versions, and whether the schema
+    * changed at that commit. Reads ONLY commit metadata (manifests +
+    * schema files) — no data file is opened, so the query is
+    * O(versions × buckets) regardless of table size, exactly the
+    * property Iceberg's metadata tables exist for.
+    */
+  def snapshots(spark: SparkSession, target: String): DataFrame = {
+    val cur = currentVersion(target)
+    val rows = (0 to cur).map { v =>
+      val m = manifestAt(target, v)
+      val own = s"v$v/"
+      val rewritten = m.values.count(_.startsWith(own))
+      val schemaChanged = v == 0 || {
+        val a = dir(target).resolve(s"schema-$v.json")
+        val b = dir(target).resolve(s"schema-${v - 1}.json")
+        !Files.exists(b) || Files.readString(a) != Files.readString(b)
+      }
+      (v, m.size, rewritten, schemaChanged)
+    }
+    import spark.implicits._
+    rows.toDF("version", "n_buckets", "rewritten_buckets", "schema_changed")
+  }
+
   /** Raw state (with merge metadata) for the given buckets only — the
     * partition-pruned read path used by merges. Bucket dirs from
     * different versions are read per version group (each with its own

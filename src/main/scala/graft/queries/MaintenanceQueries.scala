@@ -1707,8 +1707,78 @@ object MaintenanceQueries {
       |  c_mktsegment
       |FROM customer ORDER BY c_custkey""".stripMargin
 
+  private val snapDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** METADATA TABLES as an oracle-checked query — the Iceberg
+    * `table$snapshots` / `$history` surface over the versioned store:
+    * four commits (snapshot wave, update wave, delete wave, then a
+    * SINGLE-KEY stale replay of key 0's already-applied update) and
+    * then [[graft.cdc.StateStore.snapshots]] read back joined with
+    * per-version live-row counts from time travel. The metadata rows
+    * prove three things the data rows can't: the schema journal marks
+    * only the creating commit, the single-key commit REWROTE exactly
+    * one bucket (bucket pruning visible in commit metadata — at 100 TB
+    * this is how an operator confirms a merge didn't rewrite the
+    * table), and the stale replay of a pre-delete update left the
+    * live count unchanged (the ordered merge kept the ts=4000
+    * tombstone over the replayed ts=2000 image — idempotent replay,
+    * A14's contract, visible as v3.live_rows == v2.live_rows).
+    * Metadata reads open no data files; only the four tiny time-travel
+    * counts touch data.
+    */
+  def maintenanceSnapshots(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val wh = snapDirCache.computeIfAbsent(sfDir,
+      _ => Files.createTempDirectory("graft-snap-").toString)
+    val whPath = Paths.get(wh)
+    if (Files.exists(whPath)) {
+      Files.walk(whPath).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => if (p != whPath) Files.deleteIfExists(p))
+    }
+    val store = new graft.cdc.StateStore(wh, nBuckets = 8)
+    val target = "cdc.commerce_customer_snap"
+    val pk = Seq("c_custkey")
+    val ev = Envelope.flatten(ChangeGen.changeLog(
+      Tables.load(spark, sfDir, "customer"),
+      "c_custkey", "c_acctbal", "commerce", "customer"))
+    val ts = col("_cdc.ts_ms")
+    commitPhase(spark, store, target, pk, ev.filter(ts <= 1000))
+    commitPhase(spark, store, target, pk,
+      ev.filter(ts > 1000 && ts <= 3000))
+    commitPhase(spark, store, target, pk, ev.filter(ts > 3000))
+    // v3: replay key 0's ts=2000 update AFTER its ts=4000 delete —
+    // one key → one rewritten bucket, and latest-wins must keep the
+    // tombstone (live count unchanged).
+    commitPhase(spark, store, target, pk,
+      ev.filter(ts === 2000 && col("_cdc.seq") === 0))
+    val session = spark
+    import session.implicits._
+    val live = (0 to store.currentVersion(target)).map(v =>
+      (v, store.stateAt(spark, target, v).count()))
+      .toDF("version", "live_rows")
+    store.snapshots(spark, target)
+      .join(live, Seq("version"))
+      .orderBy("version")
+  }
+
+  /** Expected metadata: every wave covers all 8 hash buckets at
+    * sf0.01 except the single-key v3 (exactly 1); the schema journal
+    * marks only v0; live counts follow the wave script.
+    */
+  val maintenanceSnapshotsOracle: String =
+    """WITH n AS (SELECT count(*) AS n FROM customer),
+      |d AS (SELECT count(*) AS d FROM customer WHERE c_custkey % 7 = 0)
+      |SELECT 0 AS version, 8 AS n_buckets, 8 AS rewritten_buckets,
+      |  TRUE AS schema_changed, n AS live_rows FROM n
+      |UNION ALL SELECT 1, 8, 8, FALSE, n FROM n
+      |UNION ALL SELECT 2, 8, 8, FALSE, n - d FROM n, d
+      |UNION ALL SELECT 3, 8, 1, FALSE, n - d FROM n, d
+      |ORDER BY version""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "maintenance_wap" -> wapPublish,
+    "maintenance_snapshots" -> maintenanceSnapshots,
     "cdc_scd2" -> scd2,
     "cdc_scd2_asof" -> scd2Asof,
     "cdc_table_changes" -> tableChanges,
@@ -1729,6 +1799,7 @@ object MaintenanceQueries {
 
   def oracles: Map[String, String] = Map(
     "maintenance_wap" -> wapPublishOracle,
+    "maintenance_snapshots" -> maintenanceSnapshotsOracle,
     "cdc_scd2" -> scd2Oracle,
     "cdc_scd2_asof" -> scd2AsofOracle,
     "cdc_table_changes" -> tableChangesOracle,
