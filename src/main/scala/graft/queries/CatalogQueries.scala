@@ -274,17 +274,94 @@ object CatalogQueries {
       |FROM raw GROUP BY col_name, bucket, lo0, w
       |ORDER BY col_name, bucket""".stripMargin
 
+  /** DATA-QUALITY EXPECTATIONS — the Delta CHECK-constraint /
+    * Great-Expectations validation report as one operator: six rules
+    * over `orders` (positivity, date range, key uniqueness, FK null
+    * rate, FK integrity against `customer`, domain membership), each
+    * emitting (rule, violation count, pass). Five rules fold into ONE
+    * conditional-count aggregate over a single scan (violations are
+    * `count(when(...))` buffers — adding a rule adds a buffer, not a
+    * scan); the FK rule is a broadcast LEFT ANTI join (dim-sized
+    * build side; at 100 TB a non-broadcastable dim shuffles both
+    * sides on the key like any join). The date-range rule genuinely
+    * FAILS on the fixture (orders run past 1998) — the report shape
+    * with mixed pass/fail is the point: a pipeline gates on
+    * `pass = false` rows, not on a boolean for the whole table.
+    */
+  def profileExpectations(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.load(spark, sfDir, "orders")
+    val cust = Tables.load(spark, sfDir, "customer").select("c_custkey")
+    val scan = orders.agg(
+      count(when(col("o_totalprice").isNull ||
+        !(col("o_totalprice") > 0), lit(1))).as("v_price"),
+      count(when(col("o_orderdate").isNull ||
+        col("o_orderdate") < lit("1992-01-01").cast("timestamp") ||
+        col("o_orderdate") > lit("1998-12-31").cast("timestamp"), lit(1)))
+        .as("v_date"),
+      (count(lit(1)) - countDistinct("o_orderkey")).as("v_unique"),
+      count(when(col("o_custkey").isNull, lit(1))).as("v_nullfk"),
+      count(when(!col("o_orderstatus").isin("F", "O", "P"), lit(1)))
+        .as("v_domain"))
+    val fk = orders.join(broadcast(cust),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("v_fk"))
+    def rule(name: String, v: Column) = struct(
+      lit(name).as("rule_name"), v.as("n_violations"),
+      (v === 0L).as("pass"))
+    scan.crossJoin(fk)
+      .select(explode(array(
+        rule("o_custkey_fk_customer", col("v_fk")),
+        rule("o_custkey_not_null", col("v_nullfk")),
+        rule("o_orderdate_in_range", col("v_date")),
+        rule("o_orderkey_unique", col("v_unique")),
+        rule("o_orderstatus_in_domain", col("v_domain")),
+        rule("o_totalprice_positive", col("v_price")))).as("r"))
+      .select("r.*")
+      .orderBy("rule_name")
+  }
+
+  val profileExpectationsOracle: String =
+    """WITH s AS (
+      |  SELECT
+      |    count(CASE WHEN o_totalprice IS NULL
+      |               OR NOT (o_totalprice > 0) THEN 1 END) AS v_price,
+      |    count(CASE WHEN o_orderdate IS NULL
+      |               OR o_orderdate < TIMESTAMP '1992-01-01'
+      |               OR o_orderdate > TIMESTAMP '1998-12-31'
+      |          THEN 1 END) AS v_date,
+      |    count(*) - count(DISTINCT o_orderkey) AS v_unique,
+      |    count(CASE WHEN o_custkey IS NULL THEN 1 END) AS v_nullfk,
+      |    count(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+      |          THEN 1 END) AS v_domain
+      |  FROM orders
+      |), f AS (
+      |  SELECT count(*) AS v_fk FROM orders o
+      |  LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      |  WHERE c.c_custkey IS NULL
+      |)
+      |SELECT 'o_custkey_fk_customer' AS rule_name, v_fk AS n_violations,
+      |  v_fk = 0 AS pass FROM f
+      |UNION ALL SELECT 'o_custkey_not_null', v_nullfk, v_nullfk = 0 FROM s
+      |UNION ALL SELECT 'o_orderdate_in_range', v_date, v_date = 0 FROM s
+      |UNION ALL SELECT 'o_orderkey_unique', v_unique, v_unique = 0 FROM s
+      |UNION ALL SELECT 'o_orderstatus_in_domain', v_domain,
+      |  v_domain = 0 FROM s
+      |UNION ALL SELECT 'o_totalprice_positive', v_price, v_price = 0 FROM s
+      |ORDER BY rule_name""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "catalog_ddl" -> catalogDdl,
     "sink_formats" -> sinkFormats,
     "profile_table" -> profileTable,
     "profile_histogram" -> profileHistogram,
-    "profile_skew" -> profileSkew)
+    "profile_skew" -> profileSkew,
+    "profile_expectations" -> profileExpectations)
 
   def oracles: Map[String, String] = Map(
     "catalog_ddl" -> catalogDdlOracle,
     "sink_formats" -> sinkFormatsOracle,
     "profile_table" -> profileTableOracle,
     "profile_histogram" -> profileHistogramOracle,
-    "profile_skew" -> profileSkewOracle)
+    "profile_skew" -> profileSkewOracle,
+    "profile_expectations" -> profileExpectationsOracle)
 }
