@@ -739,6 +739,63 @@ object StreamingOps {
       .orderBy("purchase_id", "click_id")
   }
 
+  /** STREAMING DATA-QUALITY GATE — the
+    * [[graft.queries.CatalogQueries.profileExpectations]] twin running
+    * INSIDE the streaming engine: four constraint rules maintained as
+    * conditional-count buffers in one global streaming aggregate
+    * (complete mode republishes the converged report each drain, and
+    * global counts are slicing-invariant by construction, so the
+    * drained report hash-matches the batch oracle). This is the shape
+    * a live pipeline alerts on — per-batch violation counters, not a
+    * post-hoc table scan; a new rule is a new buffer, never a new
+    * pass over the stream. The value-cap rule genuinely fails on the
+    * fixture (values run past 200), keeping the mixed pass/fail
+    * report shape honest.
+    */
+  def streamExpectations(spark: SparkSession, sfDir: String): DataFrame = {
+    def rule(name: String, v: org.apache.spark.sql.Column) = struct(
+      lit(name).as("rule_name"), v.as("n_violations"),
+      (v === 0L).as("pass"))
+    streamEvents(spark, sfDir, "complete") { src =>
+      src.agg(
+        count(when(col("value").isNull || !(col("value") > 0), lit(1)))
+          .as("v_pos"),
+        count(when(col("value") > 200, lit(1))).as("v_cap"),
+        count(when(!col("event_type").isin(
+          "click", "view", "purchase", "signup", "error"), lit(1)))
+          .as("v_dom"),
+        count(when(col("ts").isNull ||
+          col("ts") >= lit("2024-02-01").cast("timestamp"), lit(1)))
+          .as("v_jan"))
+    }.select(explode(array(
+        rule("event_ts_in_january", col("v_jan")),
+        rule("event_type_in_domain", col("v_dom")),
+        rule("event_value_below_cap", col("v_cap")),
+        rule("event_value_positive", col("v_pos")))).as("r"))
+      .select("r.*")
+      .orderBy("rule_name")
+  }
+
+  val streamExpectationsOracle: String =
+    """WITH s AS (
+      |  SELECT
+      |    count(CASE WHEN value IS NULL OR NOT (value > 0)
+      |          THEN 1 END) AS v_pos,
+      |    count(CASE WHEN value > 200 THEN 1 END) AS v_cap,
+      |    count(CASE WHEN event_type NOT IN
+      |          ('click', 'view', 'purchase', 'signup', 'error')
+      |          THEN 1 END) AS v_dom,
+      |    count(CASE WHEN ts IS NULL OR ts >= TIMESTAMP '2024-02-01'
+      |          THEN 1 END) AS v_jan
+      |  FROM events
+      |)
+      |SELECT 'event_ts_in_january' AS rule_name, v_jan AS n_violations,
+      |  v_jan = 0 AS pass FROM s
+      |UNION ALL SELECT 'event_type_in_domain', v_dom, v_dom = 0 FROM s
+      |UNION ALL SELECT 'event_value_below_cap', v_cap, v_cap = 0 FROM s
+      |UNION ALL SELECT 'event_value_positive', v_pos, v_pos = 0 FROM s
+      |ORDER BY rule_name""".stripMargin
+
   val streamStreamFullOuterOracle: String =
     """SELECT COALESCE(p.event_id, -1) AS purchase_id,
       |  COALESCE(p.user_id, c.user_id) AS user_id,
@@ -888,6 +945,7 @@ object StreamingOps {
     "stream_stream_join" -> streamStreamJoin,
     "stream_stream_outer" -> streamStreamOuter,
     "stream_stream_full_outer" -> streamStreamFullOuter,
+    "stream_expectations" -> streamExpectations,
     "stream_heavy_hitters" -> streamHeavyHitters,
     "stream_stateful" -> stateful,
     "stream_transform_state" -> transformState)
@@ -906,6 +964,7 @@ object StreamingOps {
     "stream_stream_join" -> streamStreamJoinOracle,
     "stream_stream_outer" -> streamStreamOuterOracle,
     "stream_stream_full_outer" -> streamStreamFullOuterOracle,
+    "stream_expectations" -> streamExpectationsOracle,
     "stream_heavy_hitters" -> streamHeavyHittersOracle,
     "stream_stateful" -> statefulOracle,
     "stream_transform_state" -> transformStateOracle)
