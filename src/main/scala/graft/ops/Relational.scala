@@ -1749,6 +1749,56 @@ object Relational {
       |             AND CURRENT ROW)
       |ORDER BY day""".stripMargin
 
+  /** TPC-DS Q36 shape — RANK WITHIN ROLLUP PARENT: revenue rolled up
+    * over (status, priority), each row ranked against its SIBLINGS —
+    * detail rows rank within their status parent, status subtotals
+    * rank against each other, the grand total ranks alone. The window
+    * partitions on (grouping depth, parent key masked by `grouping()`)
+    * — the `lochierarchy` idiom Q36 popularized: `grouping()` bits are
+    * ordinary post-aggregate columns, so the rollup's Expand feeds ONE
+    * window pass over ≤ |status|×|priority| aggregate rows, never fact
+    * rows. Rank orders by the ROUNDED revenue so both engines break
+    * (non-)ties identically; the result sort coalesces the rollup
+    * NULLs because Spark sorts NULLS FIRST and DuckDB NULLS LAST —
+    * every rollup query that ORDER BYs a groupable column needs that
+    * guard.
+    */
+  def dsqRollupRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = t(spark, sfDir, "orders")
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(round(sum("o_totalprice"), 2).as("rev"),
+        (grouping(col("o_orderstatus")) +
+          grouping(col("o_orderpriority"))).as("lochierarchy"),
+        grouping(col("o_orderpriority")).as("gp"))
+    val w = Window
+      .partitionBy(col("lochierarchy"),
+        when(col("gp") === 0, col("o_orderstatus")))
+      .orderBy(col("rev").desc, coalesce(col("o_orderpriority"), lit("~")))
+    g.withColumn("rnk", rank().over(w))
+      .select(col("o_orderstatus"), col("o_orderpriority"), col("rev"),
+        col("lochierarchy").cast("int").as("lochierarchy"),
+        col("rnk").cast("long").as("rnk"))
+      .orderBy(col("lochierarchy").desc,
+        coalesce(col("o_orderstatus"), lit("~")),
+        col("rnk"))
+  }
+
+  val dsqRollupRankOracle: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  ROUND(sum(o_totalprice), 2) AS rev,
+      |  CAST(GROUPING(o_orderstatus) + GROUPING(o_orderpriority) AS INT)
+      |    AS lochierarchy,
+      |  CAST(RANK() OVER (
+      |    PARTITION BY GROUPING(o_orderstatus) + GROUPING(o_orderpriority),
+      |      CASE WHEN GROUPING(o_orderpriority) = 0
+      |           THEN o_orderstatus END
+      |    ORDER BY ROUND(sum(o_totalprice), 2) DESC,
+      |      COALESCE(o_orderpriority, '~')) AS BIGINT) AS rnk
+      |FROM orders
+      |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+      |ORDER BY lochierarchy DESC, COALESCE(o_orderstatus, '~'), rnk"""
+      .stripMargin
+
   // --------------------------------------------------------- aggregations
 
   /** TPC-H Q1 shape: the canonical multi-aggregate hash agg over the
@@ -3125,6 +3175,7 @@ object Relational {
     "dsq_yoy" -> dsqYoy,
     "dsq_hour_bands" -> dsqHourBands,
     "dsq_cumulative_cross" -> dsqCumulativeCross,
+    "dsq_rollup_rank" -> dsqRollupRank,
     "join_q2" -> joinQ2,
     "join_q9" -> joinQ9,
     "join_q6" -> joinQ6,
@@ -3216,6 +3267,7 @@ object Relational {
     "dsq_yoy" -> dsqYoyOracle,
     "dsq_hour_bands" -> dsqHourBandsOracle,
     "dsq_cumulative_cross" -> dsqCumulativeCrossOracle,
+    "dsq_rollup_rank" -> dsqRollupRankOracle,
     "join_q2" -> joinQ2Oracle,
     "join_q9" -> joinQ9Oracle,
     "join_q6" -> joinQ6Oracle,
