@@ -486,6 +486,84 @@ object LlmOps {
       |JOIN ssets sb ON sb.doc_id = d2
       |ORDER BY d1, d2""".stripMargin
 
+  /** RECALL AUDIT for the DEDUP family — the number the ANN family
+    * already publishes (IVF/LSH/PQ/graph/binary `_recall` rows) but
+    * the near-dup pipeline only argued from banding theory: what
+    * fraction of the TRUE near-dup pairs (exact 3-gram Jaccard ≥ 0.5)
+    * do the banded-MinHash candidates actually capture? Ground truth
+    * comes from the shingle-KEY intersection join (docs sharing a
+    * shingle, per-key pair count bounded by co-occurrence — the
+    * [[sourceOverlap]] shape, never an all-pairs product); at corpus
+    * scale this audit runs on a sample, the same posture as every
+    * recall audit here. 4 bands × 8 hex chars: P(candidate) =
+    * 1 - (1 - j^r)^b with per-band r = effective slice selectivity —
+    * at j ≥ 0.5 the planted dup pairs share band minima with
+    * probability ≈ 1, and the published number checks it.
+    */
+  def dedupLshRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = shingleSets(t(spark, sfDir, "documents")).persist()
+    val sh = ss.select(col("doc_id"), explode(col("sset")).as("s"))
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("s"), col("doc_id").as("d1"))
+      .join(sh.select(col("s"), col("doc_id").as("d2")), Seq("s"))
+      .filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("i"))
+    val truth = inter
+      .join(broadcast(sz.select(col("doc_id").as("d1"), col("n").as("na"))),
+        Seq("d1"))
+      .join(broadcast(sz.select(col("doc_id").as("d2"), col("n").as("nb"))),
+        Seq("d2"))
+      .filter(round(col("i").cast("double") /
+        (col("na") + col("nb") - col("i")), 6) >= 0.5)
+      .select("d1", "d2")
+    val cands = minhashPairs(ss).select("d1", "d2").distinct()
+    truth.join(cands, Seq("d1", "d2"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+      .crossJoin(truth.agg(count(lit(1)).as("n_true")))
+      .select(lit(0.5).as("threshold"), col("n_true"), col("hits"),
+        round(col("hits").cast("double") / col("n_true"), 2).as("recall"))
+  }
+
+  val dedupLshRecallOracle: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3
+      |), sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    w[i.i] || ' ' || w[i.i + 1] || ' ' || w[i.i + 2] AS s
+      |  FROM w,
+      |    LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) i
+      |), sz AS (
+      |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+      |), inter AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), truth AS (
+      |  SELECT d1, d2 FROM inter
+      |  JOIN sz na ON na.doc_id = d1
+      |  JOIN sz nb ON nb.doc_id = d2
+      |  WHERE ROUND(CAST(i AS DOUBLE) / (na.n + nb.n - i), 6) >= 0.5
+      |), sigs AS (
+      |  SELECT doc_id, b.band, min(substr(md5(s), b.band * 8 + 1, 8)) AS mh
+      |  FROM sh, LATERAL (SELECT unnest(range(4)) AS band) b
+      |  GROUP BY doc_id, b.band
+      |), ok AS (
+      |  SELECT band, mh FROM sigs GROUP BY band, mh
+      |  HAVING count(*) BETWEEN 2 AND 100
+      |), cands AS (
+      |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |  FROM sigs a JOIN sigs b
+      |    ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id
+      |  JOIN ok ON ok.band = a.band AND ok.mh = a.mh
+      |), hits AS (
+      |  SELECT count(*) AS hits FROM truth
+      |  WHERE (d1, d2) IN (SELECT (d1, d2) FROM cands)
+      |), n AS (SELECT count(*) AS n_true FROM truth)
+      |SELECT CAST(0.5 AS DOUBLE) AS threshold, n_true, hits,
+      |  ROUND(CAST(hits AS DOUBLE) / n_true, 2) AS recall
+      |FROM n, hits""".stripMargin
+
   /** Train/test split LEAKAGE audit — the check an eval pipeline runs
     * after splitting: near-duplicate pairs that STRADDLE the split
     * boundary leak training signal into the test set (the
@@ -4102,6 +4180,7 @@ object LlmOps {
     "llm_dedup_url" -> dedupUrl,
     "llm_dedup_minhash" -> dedupMinhash,
     "llm_source_overlap" -> sourceOverlap,
+    "llm_dedup_lsh_recall" -> dedupLshRecall,
     "llm_dedup_jaccard" -> dedupJaccard,
     "llm_dedup_editdist" -> dedupEditdist,
     "llm_split_leakage" -> splitLeakage,
@@ -4178,6 +4257,7 @@ object LlmOps {
     "llm_dedup_url" -> dedupUrlOracle,
     "llm_dedup_minhash" -> dedupMinhashOracle,
     "llm_source_overlap" -> sourceOverlapOracle,
+    "llm_dedup_lsh_recall" -> dedupLshRecallOracle,
     "llm_dedup_jaccard" -> dedupJaccardOracle,
     "llm_dedup_editdist" -> dedupEditdistOracle,
     "llm_split_leakage" -> splitLeakageOracle,
