@@ -310,6 +310,87 @@ object LlmOps {
       .limit(10)
   }
 
+  /** The SKETCH path [[sourceOverlap]]'s scaladoc promises — per-source
+    * MinHash signatures instead of exact sets, with the estimator's
+    * error PUBLISHED against the exact Jaccard for the same top pairs.
+    * Per-source minima come from one partial-aggregable `min` per band
+    * over the per-doc band minima (min over a union is the min of
+    * mins, so the source signature is mergeable across docs/shards by
+    * construction — the property that lets thousands of sources
+    * signature-join at 100 TB while the exact set intersection stays
+    * audit-only). The estimate is the classic agreeing-minima fraction
+    * (P(min agree) = Jaccard per band); k=4 bands makes it coarse
+    * {0,.25,.5,.75,1} — the audit row's abs_err column IS the point:
+    * the estimator's variance at small k is measured, not hidden, and
+    * production picks k to the error budget (err ~ 1/sqrt(k)).
+    */
+  def sourceOverlapSketch(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    val perDoc = docs.filter(size(words) >= 3)
+      .select(col("source"),
+        graft.functions.BandedMinHash.bandedMinhash(
+          graft.functions.ShingleSet.shingleSet(words)).as("ms"))
+      .select(col("source"), posexplode(col("ms")).as(Seq("band", "mh")))
+    val srcSig = perDoc.groupBy("source", "band").agg(min("mh").as("mh"))
+    val est = srcSig.select(col("band"), col("mh"), col("source").as("src_a"))
+      .join(srcSig.select(col("band"), col("mh").as("mh_b"),
+        col("source").as("src_b")), Seq("band"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg((sum(when(col("mh") === col("mh_b"), 1).otherwise(0))
+        .cast("double") / 4).as("est_jaccard"))
+    sourceOverlap(spark, sfDir)
+      .join(est, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("jaccard"),
+        coalesce(col("est_jaccard"), lit(0.0)).as("est_jaccard"),
+        round(abs(col("jaccard") -
+          coalesce(col("est_jaccard"), lit(0.0))), 6).as("abs_err"))
+      .orderBy(col("jaccard").desc, col("src_a"), col("src_b"))
+  }
+
+  val sourceOverlapSketchOracle: String =
+    """WITH w AS (
+      |  SELECT source, doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3
+      |), shd AS (
+      |  SELECT DISTINCT source, doc_id,
+      |    w[i.i] || ' ' || w[i.i + 1] || ' ' || w[i.i + 2] AS s
+      |  FROM w,
+      |    LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) i
+      |), srcsig AS (
+      |  SELECT source, b.band, min(substr(md5(s), b.band * 8 + 1, 8)) AS mh
+      |  FROM shd, LATERAL (SELECT unnest(range(4)) AS band) b
+      |  GROUP BY source, b.band
+      |), est AS (
+      |  SELECT a.source AS src_a, b.source AS src_b,
+      |    CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS DOUBLE) / 4
+      |      AS est_jaccard
+      |  FROM srcsig a JOIN srcsig b
+      |    ON a.band = b.band AND a.source < b.source
+      |  GROUP BY 1, 2
+      |), sh AS (
+      |  SELECT DISTINCT source, s FROM shd
+      |), sizes AS (
+      |  SELECT source, count(*) AS n FROM sh GROUP BY source
+      |), inter AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS i
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+      |  GROUP BY 1, 2
+      |), exact AS (
+      |  SELECT src_a, src_b,
+      |    ROUND(CAST(i AS DOUBLE) / (na.n + nb.n - i), 6) AS jaccard
+      |  FROM inter
+      |  JOIN sizes na ON na.source = src_a
+      |  JOIN sizes nb ON nb.source = src_b
+      |  ORDER BY jaccard DESC, src_a, src_b LIMIT 10
+      |)
+      |SELECT e.src_a, e.src_b, e.jaccard,
+      |  COALESCE(est.est_jaccard, 0.0) AS est_jaccard,
+      |  ROUND(abs(e.jaccard - COALESCE(est.est_jaccard, 0.0)), 6) AS abs_err
+      |FROM exact e
+      |LEFT JOIN est ON est.src_a = e.src_a AND est.src_b = e.src_b
+      |ORDER BY e.jaccard DESC, e.src_a, e.src_b""".stripMargin
+
   val sourceOverlapOracle: String =
     """WITH w AS (
       |  SELECT source, string_split(text, ' ') AS w FROM documents
@@ -4181,6 +4262,7 @@ object LlmOps {
     "llm_dedup_minhash" -> dedupMinhash,
     "llm_source_overlap" -> sourceOverlap,
     "llm_dedup_lsh_recall" -> dedupLshRecall,
+    "llm_source_overlap_sketch" -> sourceOverlapSketch,
     "llm_dedup_jaccard" -> dedupJaccard,
     "llm_dedup_editdist" -> dedupEditdist,
     "llm_split_leakage" -> splitLeakage,
@@ -4258,6 +4340,7 @@ object LlmOps {
     "llm_dedup_minhash" -> dedupMinhashOracle,
     "llm_source_overlap" -> sourceOverlapOracle,
     "llm_dedup_lsh_recall" -> dedupLshRecallOracle,
+    "llm_source_overlap_sketch" -> sourceOverlapSketchOracle,
     "llm_dedup_jaccard" -> dedupJaccardOracle,
     "llm_dedup_editdist" -> dedupEditdistOracle,
     "llm_split_leakage" -> splitLeakageOracle,
