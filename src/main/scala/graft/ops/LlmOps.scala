@@ -703,6 +703,16 @@ object LlmOps {
         col("plen").as("la")), Seq("d1"))
       .join(pre.select(col("doc_id").as("d2"), col("pfx").as("pb"),
         col("plen").as("lb")), Seq("d2"))
+      // Length lower bound BEFORE the DP: |la-lb| ≤ edist always, so a
+      // pair whose length gap alone already fails the relative cut can
+      // never be emitted — one codegen'd comparison instead of an
+      // O(len·k) banded DP for 30% of the LSH candidates (12.8k of
+      // 42.7k at sf0.1). At fixture scale the bench barely moves (the
+      // 256-char prefix keeps each DP small; the candidate BUILD
+      // dominates) — the prune matters when prefixes lengthen, which
+      // is exactly when the DP term takes over.
+      .filter(abs(col("la") - col("lb")) * 5 <=
+        greatest(col("la"), col("lb")))
       .select(col("d1"), col("d2"),
         levenshtein(col("pa"), col("pb"), 51).cast("long").as("edist"),
         greatest(col("la"), col("lb")).as("maxlen"))
