@@ -12,7 +12,9 @@ object PlanAudit {
         "llm_sim_ivf_multiprobe", "llm_text_rollhash", "sample_hash",
         "llm_curate", "llm_sim_rerank", "llm_decontaminate", "llm_pack",
         "llm_sim_binary", "graph_bfs", "dsq_hour_bands",
-        "join_asof_nearest", "agg_heavy_hitters", "win_reach")
+        "join_asof_nearest", "agg_heavy_hitters", "win_reach",
+        "llm_sim_filtered", "llm_sim_filtered_post", "join_dpp",
+        "llm_source_overlap", "dsq_rollup_rank", "llm_dedup_lsh_recall")
     for (q <- audit) {
       println(s"===== $q =====")
       println(SparkEntry.queries(q)(spark, sf).queryExecution.explainString(
