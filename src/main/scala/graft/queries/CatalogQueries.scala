@@ -349,8 +349,49 @@ object CatalogQueries {
       |UNION ALL SELECT 'o_totalprice_positive', v_price, v_price = 0 FROM s
       |ORDER BY rule_name""".stripMargin
 
+  /** PIPELINE OBSERVABILITY via `Dataset.observe` — named metrics
+    * collected AS A SIDE EFFECT of a real job, with zero extra scans:
+    * the write below is a quality-filtered projection of lineitem
+    * (the shape every curation job has), and the observation rides
+    * that single pass — row count, quantity sum, and the filtered-out
+    * count all materialize in the driver's listener without a second
+    * aggregate job. At 100 TB this is the difference between "run the
+    * pipeline, then re-scan to count what it did" and getting the
+    * audit numbers for free; the returned frame IS the observed
+    * metrics row, oracle-checked against a from-scratch aggregate.
+    * (`observe` requires a completed action — the noop write — so the
+    * metrics reflect exactly the rows the job really processed.)
+    */
+  def profileObserve(spark: SparkSession, sfDir: String): DataFrame = {
+    val observation = new org.apache.spark.sql.Observation()
+    Tables.load(spark, sfDir, "lineitem")
+      .observe(observation,
+        count(lit(1)).as("rows_in"),
+        count(when(col("l_quantity") >= 25, lit(1))).as("rows_kept"),
+        round(sum(when(col("l_quantity") >= 25, col("l_quantity"))), 2)
+          .as("qty_kept"))
+      .filter(col("l_quantity") >= 25)
+      .select("l_orderkey", "l_quantity")
+      .write.format("noop").mode("overwrite").save()
+    val m = observation.get
+    val session = spark
+    import session.implicits._
+    Seq((m("rows_in").asInstanceOf[Long],
+      m("rows_kept").asInstanceOf[Long],
+      m("qty_kept").asInstanceOf[Double]))
+      .toDF("rows_in", "rows_kept", "qty_kept")
+  }
+
+  val profileObserveOracle: String =
+    """SELECT count(*) AS rows_in,
+      |  count(CASE WHEN l_quantity >= 25 THEN 1 END) AS rows_kept,
+      |  ROUND(sum(CASE WHEN l_quantity >= 25 THEN l_quantity END), 2)
+      |    AS qty_kept
+      |FROM lineitem""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "catalog_ddl" -> catalogDdl,
+    "profile_observe" -> profileObserve,
     "sink_formats" -> sinkFormats,
     "profile_table" -> profileTable,
     "profile_histogram" -> profileHistogram,
@@ -359,6 +400,7 @@ object CatalogQueries {
 
   def oracles: Map[String, String] = Map(
     "catalog_ddl" -> catalogDdlOracle,
+    "profile_observe" -> profileObserveOracle,
     "sink_formats" -> sinkFormatsOracle,
     "profile_table" -> profileTableOracle,
     "profile_histogram" -> profileHistogramOracle,
