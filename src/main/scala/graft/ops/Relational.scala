@@ -1893,6 +1893,44 @@ object Relational {
       |WHERE dayofweek(CAST(ts AS DATE)) = 1
       |GROUP BY 1 ORDER BY d""".stripMargin
 
+  /** Spark 4 `Dataset.transpose` — the matrix flip over an
+    * AGGREGATE frame: per-status revenue/count rows become one row
+    * per metric with a column per status (the report orientation BI
+    * hands off). Transpose collects the index column's values to name
+    * the output columns, so it is a METADATA-frame operator by
+    * contract — always apply it after the aggregation (3 rows here),
+    * never to fact rows; measures share one type (double) because a
+    * transposed column can only have one. The oracle spells the flip
+    * as conditional aggregation, which is exactly what the API
+    * replaces.
+    */
+  def reshapeTranspose(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(round(sum("o_totalprice"), 2).as("rev"),
+        count(lit(1)).cast("double").as("n"))
+      .transpose(col("o_orderstatus"))
+      .orderBy("key")
+
+  val reshapeTransposeOracle: String =
+    """WITH s AS (
+      |  SELECT o_orderstatus, ROUND(sum(o_totalprice), 2) AS rev,
+      |    CAST(count(*) AS DOUBLE) AS n
+      |  FROM orders GROUP BY o_orderstatus
+      |)
+      |SELECT 'n' AS key,
+      |  min(CASE WHEN o_orderstatus = 'F' THEN n END) AS F,
+      |  min(CASE WHEN o_orderstatus = 'O' THEN n END) AS O,
+      |  min(CASE WHEN o_orderstatus = 'P' THEN n END) AS P
+      |FROM s
+      |UNION ALL
+      |SELECT 'rev',
+      |  min(CASE WHEN o_orderstatus = 'F' THEN rev END),
+      |  min(CASE WHEN o_orderstatus = 'O' THEN rev END),
+      |  min(CASE WHEN o_orderstatus = 'P' THEN rev END)
+      |FROM s
+      |ORDER BY key""".stripMargin
+
   /** Parquet AGGREGATE PUSHDOWN — COUNT/MIN/MAX answered from footer
     * STATISTICS instead of row scans (`spark.sql.parquet.
     * aggregatePushdown`): the plan's scan node reports
@@ -3225,6 +3263,7 @@ object Relational {
     "sample_group" -> sampleGroup,
     "agg_mode" -> aggMode,
     "reshape_unpivot" -> reshapeUnpivot,
+    "reshape_transpose" -> reshapeTranspose,
     "set_intersect" -> setIntersect,
     "set_except" -> setExcept,
     "set_except_all" -> setExceptAll,
@@ -3317,6 +3356,7 @@ object Relational {
     "agg_mode" -> aggModeOracle,
     "sort_sample" -> sortSampleOracle,
     "reshape_unpivot" -> reshapeUnpivotOracle,
+    "reshape_transpose" -> reshapeTransposeOracle,
     "set_intersect" -> setIntersectOracle,
     "set_except" -> setExceptOracle,
     "set_except_all" -> setExceptAllOracle,
