@@ -34,6 +34,58 @@ class UserRunningStats
   }
 }
 
+/** Event-time TIMER processor — the transformWithState surface no
+  * window/watermark operator can express: emit BECAUSE nothing
+  * arrived. Per key it tracks (last event time, event count) and
+  * re-arms an inactivity timer at last+gap on every batch (deleting
+  * the stale one); when the WATERMARK passes the armed expiry,
+  * [[handleExpiredTimer]] emits the closed session exactly once and
+  * clears state. The expiry==last+gap guard makes a raced stale timer
+  * (deleted-too-late by a concurrent re-arm) a no-op instead of a
+  * premature close. State per key is one (long, long) — bounded by
+  * live keys, evicted at close; the production uses are session
+  * timeout, SLA breach and heartbeat-loss alerts.
+  */
+class InactivityDetector(gapMs: Long)
+    extends StatefulProcessor[Long, (Long, java.sql.Timestamp),
+      (Long, Long, Long)] {
+  @transient private var sess:
+    org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    sess = getHandle.getValueState[(Long, Long)]("sess",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+
+  override def handleInputRows(key: Long,
+      rows: Iterator[(Long, java.sql.Timestamp)],
+      timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+    val (prevLast, prevN) =
+      if (sess.exists()) sess.get() else (Long.MinValue, 0L)
+    var last = prevLast
+    var n = prevN
+    rows.foreach { r =>
+      val t = r._2.getTime
+      if (t > last) last = t
+      n += 1
+    }
+    if (prevLast != Long.MinValue) getHandle.deleteTimer(prevLast + gapMs)
+    getHandle.registerTimer(last + gapMs)
+    sess.update((last, n))
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+      expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+      : Iterator[(Long, Long, Long)] = {
+    if (!sess.exists()) return Iterator.empty
+    val (last, n) = sess.get()
+    if (expiredTimerInfo.getExpiryTimeInMs == last + gapMs) {
+      sess.clear()
+      Iterator.single((key, last, n))
+    } else Iterator.empty
+  }
+}
+
 /** Tier C streaming analytics over the `events` fixture, run as REAL
   * Structured Streaming: file source micro-batches (maxFilesPerTrigger
   * keeps it multi-batch), windowed/sessionized/stateful operators,

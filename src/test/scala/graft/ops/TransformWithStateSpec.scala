@@ -58,4 +58,61 @@ class TransformWithStateSpec extends SparkTestBase {
     } finally
       session.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("event-time TIMERS close inactive sessions exactly once " +
+      "(register/re-arm/delete + handleExpiredTimer)") {
+    // The timer surface of transformWithState — the one streaming
+    // primitive the window/watermark operators can't express: emit
+    // BECAUSE nothing arrived. Each key re-arms an inactivity timer at
+    // (last event + gap); when the WATERMARK passes it, the expired
+    // session emits once and clears. Controlled MemoryStream batches
+    // make firing deterministic: the watermark a batch raises applies
+    // in the next batch.
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = session.sqlContext
+    session.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def ts(s: String): java.sql.Timestamp =
+        java.sql.Timestamp.valueOf(s)
+      val ms = MemoryStream[(Long, java.sql.Timestamp)]
+      val sessions = ms.toDF().toDF("user", "ts")
+        .withWatermark("ts", "0 seconds")
+        .as[(Long, java.sql.Timestamp)]
+        .groupByKey(_._1)
+        .transformWithState(new InactivityDetector(gapMs = 3600 * 1000L),
+          TimeMode.EventTime(), OutputMode.Append())
+        .toDF("user", "last_ms", "n_events")
+      val q = sessions.writeStream.format("memory").queryName("timer_test")
+        .outputMode("append").start()
+      try {
+        // Session opens: u1 two events, u2 one.
+        ms.addData((1L, ts("2024-01-01 10:00:00")),
+          (1L, ts("2024-01-01 10:30:00")),
+          (2L, ts("2024-01-01 10:00:00")))
+        q.processAllAvailable()
+        // u1 extends its session (timer must RE-ARM, not fire early);
+        // watermark stays at 10:45 so nothing expires yet.
+        ms.addData((1L, ts("2024-01-01 10:45:00")))
+        q.processAllAvailable()
+        assert(spark.table("timer_test").count() === 0,
+          "no session may close before the watermark passes its gap")
+        // u3 pushes the watermark to 13:00...
+        ms.addData((3L, ts("2024-01-01 13:00:00")))
+        q.processAllAvailable()
+        // ...which is APPLIED in the next batch: both stale timers
+        // (u1 @ 11:45, u2 @ 11:00) fire exactly once.
+        ms.addData((4L, ts("2024-01-01 13:00:01")))
+        q.processAllAvailable()
+        val out = spark.table("timer_test").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        assert(out === Set(
+          (1L, ts("2024-01-01 10:45:00").getTime, 3L),
+          (2L, ts("2024-01-01 10:00:00").getTime, 1L)),
+          s"expected exactly the two closed sessions, got $out")
+      } finally q.stop()
+    } finally
+      session.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
