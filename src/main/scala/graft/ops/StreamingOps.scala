@@ -86,6 +86,69 @@ class InactivityDetector(gapMs: Long)
   }
 }
 
+/** TIMER-DRIVEN STREAMING SESSIONIZER — the production form of gap
+  * sessionization on the transformWithState API: per user a ListState
+  * of PENDING sessions (start, last, n in event-time micros) plus one
+  * event-time timer per pending session at last+gap; a session emits
+  * exactly once, when the WATERMARK passes its gap (handleExpiredTimer),
+  * never on data arrival — so late events inside the watermark can
+  * still extend or bridge pending sessions, and the converged output
+  * equals batch gap-sessionization under ANY micro-batch slicing.
+  * Each input batch re-merges (sort by start, sweep, join sessions
+  * whose gap closed) — a batch can carry several sessions of one key
+  * and they split correctly, the case a single-value inactivity state
+  * gets wrong. State per key is bounded by pending sessions inside
+  * the watermark horizon, exactly the session_window operator's bound
+  * — what this adds over session_window is the ARBITRARY per-session
+  * state and emission timing control (alerts at close, side outputs).
+  * Timers are registered at ms granularity strictly above last+gap,
+  * so firing is safe-late (the watermark check stays exact in micros).
+  */
+class TimerSessionizer(gapUs: Long)
+    extends StatefulProcessor[Long, (Long, Long), (Long, Long, Long, Long)] {
+  @transient private var pending:
+    org.apache.spark.sql.streaming.ListState[(Long, Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    pending = getHandle.getListState[(Long, Long, Long)]("pending",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.scalaLong), TTLConfig.NONE)
+
+  private def timerAt(lastUs: Long): Long = lastUs / 1000 + gapUs / 1000 + 1
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+      timerValues: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+    val old = pending.get().toSeq
+    old.foreach(s => getHandle.deleteTimer(timerAt(s._2)))
+    val items = (old ++ rows.map(r => (r._2, r._2, 1L)))
+      .sortBy(x => (x._1, x._2))
+    val merged = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    for (it <- items) {
+      if (merged.nonEmpty && it._1 - merged.last._2 <= gapUs) {
+        val cur = merged.last
+        merged(merged.size - 1) =
+          (cur._1, math.max(cur._2, it._2), cur._3 + it._3)
+      } else merged += it
+    }
+    pending.put(merged.toArray)
+    merged.foreach(s => getHandle.registerTimer(timerAt(s._2)))
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+      expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+      : Iterator[(Long, Long, Long, Long)] = {
+    val all = pending.get().toSeq
+    val (closed, open) =
+      all.partition(s => timerAt(s._2) <= expiredTimerInfo.getExpiryTimeInMs)
+    if (closed.nonEmpty) {
+      // the store rejects empty list writes — clear() is the empty form
+      if (open.isEmpty) pending.clear() else pending.put(open.toArray)
+    }
+    closed.sortBy(_._1).iterator.map(s => (key, s._1, s._2, s._3))
+  }
+}
+
 /** Tier C streaming analytics over the `events` fixture, run as REAL
   * Structured Streaming: file source micro-batches (maxFilesPerTrigger
   * keeps it multi-batch), windowed/sessionized/stateful operators,
@@ -791,6 +854,80 @@ object StreamingOps {
       .orderBy("purchase_id", "click_id")
   }
 
+  /** GAP SESSIONIZATION VIA EVENT-TIME TIMERS, oracle-checked — the
+    * [[TimerSessionizer]] over the ordered replay log: pending
+    * sessions per user close exactly once when the watermark passes
+    * their 30-minute gap, the per-side sentinel batches push the
+    * watermark past the fixture horizon so every session closes, and
+    * the converged output must equal the batch window-sessionization
+    * (`win_sessionize` semantics, minus the arrival-order-dependent
+    * value sum). session_no is derived after the drain by ranking the
+    * closed sessions per user by start — the drained frame is
+    * sessions-sized, so the window is a metadata op.
+    */
+  def streamTimerSessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val staged = stageOuterJoin(spark, sfDir)
+    val schema = Tables.load(spark, sfDir, "events").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 2).parquet(staged)
+    val name = s"stream_sink_${nameCounter.incrementAndGet()}"
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevProvider =
+      spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val session = spark
+      import session.implicits._
+      val q = src
+        .withWatermark("ts", "1 day")
+        .select(col("user_id").cast("long"), unix_micros(col("ts")))
+        .as[(Long, Long)]
+        .groupByKey(_._1)
+        .transformWithState(
+          new TimerSessionizer(gapUs = 30L * 60 * 1000 * 1000),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          OutputMode.Append())
+        .toDF("user_id", "s_start_us", "s_end_us", "n_events")
+        .writeStream
+        .format("memory").queryName(name).outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        prevProvider)
+    }
+    import org.apache.spark.sql.expressions.Window
+    spark.table(name)
+      .filter(col("user_id") >= 0) // sentinel rows carry negative users
+      .withColumn("session_no", row_number().over(
+        Window.partitionBy("user_id").orderBy("s_start_us")).cast("long"))
+      .select("user_id", "session_no", "s_start_us", "s_end_us", "n_events")
+      .orderBy("user_id", "session_no")
+  }
+
+  val streamTimerSessionizeOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), s AS (
+      |  SELECT user_id, ts,
+      |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                          ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      |      AS session_no
+      |  FROM e
+      |)
+      |SELECT user_id, session_no, epoch_us(min(ts)) AS s_start_us,
+      |  epoch_us(max(ts)) AS s_end_us, count(*) AS n_events
+      |FROM s GROUP BY user_id, session_no
+      |ORDER BY user_id, session_no""".stripMargin
+
   /** STREAMING DATA-QUALITY GATE — the
     * [[graft.queries.CatalogQueries.profileExpectations]] twin running
     * INSIDE the streaming engine: four constraint rules maintained as
@@ -998,6 +1135,7 @@ object StreamingOps {
     "stream_stream_outer" -> streamStreamOuter,
     "stream_stream_full_outer" -> streamStreamFullOuter,
     "stream_expectations" -> streamExpectations,
+    "stream_timer_sessionize" -> streamTimerSessionize,
     "stream_heavy_hitters" -> streamHeavyHitters,
     "stream_stateful" -> stateful,
     "stream_transform_state" -> transformState)
@@ -1017,6 +1155,7 @@ object StreamingOps {
     "stream_stream_outer" -> streamStreamOuterOracle,
     "stream_stream_full_outer" -> streamStreamFullOuterOracle,
     "stream_expectations" -> streamExpectationsOracle,
+    "stream_timer_sessionize" -> streamTimerSessionizeOracle,
     "stream_heavy_hitters" -> streamHeavyHittersOracle,
     "stream_stateful" -> statefulOracle,
     "stream_transform_state" -> transformStateOracle)
