@@ -324,6 +324,57 @@ object AnalyticsOps {
       |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** PER-SERIES TREND FORECAST — the capacity-planning query on top
+    * of the series toolkit: each event type's daily mean regresses on
+    * the day index (regr_slope/intercept over ~30 points — algebraic
+    * moments, map-side combinable like [[aggRegression]]) and projects
+    * 7 days past the last observation. The projection is computed FROM
+    * THE ROUNDED coefficients (4 dp, the agg_regression precedent for
+    * cross-engine summation-order stability), so both engines derive
+    * the identical forecast from identical published numbers — the
+    * same round-then-derive discipline as the incremental-IVF
+    * centroids. Scale: the regression consumes the DAYS×TYPES rollup,
+    * a metadata frame at any corpus size.
+    */
+  def tsForecast(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = t(spark, sfDir, "events")
+      .groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("d"))
+      .agg(round(avg("value"), 6).as("x"))
+      .withColumn("t",
+        datediff(col("d"), lit("2024-01-01").cast("date")).cast("double"))
+    daily.groupBy("event_type")
+      .agg(
+        round(expr("regr_slope(x, t)"), 4).as("slope"),
+        round(expr("regr_intercept(x, t)"), 4).as("intercept"),
+        round(expr("regr_r2(x, t)"), 6).as("r2"),
+        max("t").as("t_last"))
+      .withColumn("forecast_7d",
+        round(col("intercept") + col("slope") * (col("t_last") + 7), 4))
+      .select("event_type", "slope", "intercept", "r2", "forecast_7d")
+      .orderBy("event_type")
+  }
+
+  val tsForecastOracle: String =
+    """WITH d AS (
+      |  SELECT event_type, date_trunc('day', ts) AS d,
+      |    ROUND(avg(value), 6) AS x
+      |  FROM events GROUP BY 1, 2
+      |), i AS (
+      |  SELECT event_type, x,
+      |    CAST(date_diff('day', DATE '2024-01-01', d) AS DOUBLE) AS t
+      |  FROM d
+      |), f AS (
+      |  SELECT event_type,
+      |    ROUND(regr_slope(x, t), 4) AS slope,
+      |    ROUND(regr_intercept(x, t), 4) AS intercept,
+      |    ROUND(regr_r2(x, t), 6) AS r2,
+      |    max(t) AS t_last
+      |  FROM i GROUP BY 1
+      |)
+      |SELECT event_type, slope, intercept, r2,
+      |  ROUND(intercept + slope * (t_last + 7), 4) AS forecast_7d
+      |FROM f ORDER BY event_type""".stripMargin
+
   /** Shannon entropy per categorical column across tables — the
     * data-profiling signal that ranks columns by information content
     * (a 0-entropy column is constant; log2(k)-entropy is uniform).
@@ -725,6 +776,7 @@ object AnalyticsOps {
     "ts_acf" -> tsAcf,
     "ts_ccf" -> tsCcf,
     "ts_rolling_median" -> tsRollingMedian,
+    "ts_forecast" -> tsForecast,
     "win_retention" -> winRetention,
     "win_reach" -> winReach,
     "win_funnel" -> winFunnel,
@@ -742,6 +794,7 @@ object AnalyticsOps {
     "ts_acf" -> tsAcfOracle,
     "ts_ccf" -> tsCcfOracle,
     "ts_rolling_median" -> tsRollingMedianOracle,
+    "ts_forecast" -> tsForecastOracle,
     "win_retention" -> winRetentionOracle,
     "win_reach" -> winReachOracle,
     "win_funnel" -> winFunnelOracle,
