@@ -854,6 +854,46 @@ object StreamingOps {
       .orderBy("purchase_id", "click_id")
   }
 
+  /** MODEL-SCORED STREAMING ANOMALY FLAGGING — the "trained profile
+    * applied to the live stream" pattern, distinct from the fixed-rule
+    * gate ([[streamExpectations]]) and the plain enrich join
+    * ([[staticJoin]]): a per-type (μ, σ) profile trains on the static
+    * corpus (one metadata-sized aggregate, broadcast — the model
+    * artifact), every streamed event scores against its type's
+    * broadcast profile IN the streaming plan, and the per-type
+    * anomaly counters aggregate in complete mode. Thresholds are the
+    * 6-dp ROUNDED published coefficients on both sides (the
+    * round-then-derive discipline), so the flag decision is
+    * engine-identical; global counts make the drain slicing-invariant.
+    * At scale the profile stays a broadcast of |types| rows however
+    * large the stream, and the scoring is one fused per-row predicate.
+    */
+  def streamAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    val profile = Tables.load(spark, sfDir, "events")
+      .groupBy("event_type")
+      .agg(round(avg("value"), 6).as("mu"),
+        round(stddev_samp("value"), 6).as("sd"))
+    streamEvents(spark, sfDir, "complete") { src =>
+      src.join(broadcast(profile), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          count(when(abs(col("value") - col("mu")) > lit(2.0) * col("sd"),
+            lit(1))).as("n_anomalous"))
+    }.orderBy("event_type")
+  }
+
+  val streamAnomalyOracle: String =
+    """WITH p AS (
+      |  SELECT event_type, ROUND(avg(value), 6) AS mu,
+      |    ROUND(stddev_samp(value), 6) AS sd
+      |  FROM events GROUP BY 1
+      |)
+      |SELECT e.event_type, count(*) AS n,
+      |  count(CASE WHEN abs(value - mu) > 2.0 * sd THEN 1 END)
+      |    AS n_anomalous
+      |FROM events e JOIN p USING (event_type)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** GAP SESSIONIZATION VIA EVENT-TIME TIMERS, oracle-checked — the
     * [[TimerSessionizer]] over the ordered replay log: pending
     * sessions per user close exactly once when the watermark passes
@@ -1136,6 +1176,7 @@ object StreamingOps {
     "stream_stream_full_outer" -> streamStreamFullOuter,
     "stream_expectations" -> streamExpectations,
     "stream_timer_sessionize" -> streamTimerSessionize,
+    "stream_anomaly" -> streamAnomaly,
     "stream_heavy_hitters" -> streamHeavyHitters,
     "stream_stateful" -> stateful,
     "stream_transform_state" -> transformState)
@@ -1156,6 +1197,7 @@ object StreamingOps {
     "stream_stream_full_outer" -> streamStreamFullOuterOracle,
     "stream_expectations" -> streamExpectationsOracle,
     "stream_timer_sessionize" -> streamTimerSessionizeOracle,
+    "stream_anomaly" -> streamAnomalyOracle,
     "stream_heavy_hitters" -> streamHeavyHittersOracle,
     "stream_stateful" -> statefulOracle,
     "stream_transform_state" -> transformStateOracle)
