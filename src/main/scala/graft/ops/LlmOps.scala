@@ -1621,6 +1621,114 @@ object LlmOps {
 
   val curateOracle: String = curateBodySql + "\nORDER BY doc_id"
 
+  /** THE CURATION FUNNEL — the whole pipeline as one auditable report:
+    * raw → quality gate → exact dedup → verified near-dup drop →
+    * decontamination (eval docs removed, ≥20%-contaminated survivors
+    * dropped), one row per stage with the count and the stage's drop.
+    * This is the capstone number set a curation run publishes; every
+    * stage reuses the SAME machinery as its standalone operator
+    * ([[curate]]'s quality/digest/LSH stages, [[decontaminate]]'s
+    * eval-shingle overlap), so the funnel can't drift from the parts.
+    * The five counts are metadata-sized driver scalars over persisted
+    * stage frames — each stage's frame feeds the next, so the corpus
+    * is scanned once per DERIVED representation, never per stage
+    * count.
+    */
+  def curateFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    val nRaw = docs.count()
+    val qualified = docs.filter(qualityPred)
+      .select(col("doc_id"), col("text")).persist()
+    val nQuality = qualified.count()
+    val keepers = qualified
+      .select(md5(col("text")).as("h"), col("doc_id"))
+      .groupBy("h").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val exactKept = qualified.join(keepers, Seq("doc_id"), "left_semi")
+      .persist()
+    val nExact = exactKept.count()
+    val ss = shingleSets(exactKept).persist()
+    val jac = graft.functions.JaccardSim.jaccardSim(col("sa"), col("sb"))
+    val dropped = minhashPairs(ss).select("d1", "d2").distinct()
+      .join(ss.select(col("doc_id").as("d1"), col("sset").as("sa")), Seq("d1"))
+      .join(ss.select(col("doc_id").as("d2"), col("sset").as("sb")), Seq("d2"))
+      .filter(round(jac, 6) >= 0.5)
+      .select(col("d2").as("doc_id"))
+      .distinct()
+    val nearKept = exactKept.join(dropped, Seq("doc_id"), "left_anti")
+      .select("doc_id").persist()
+    val nNear = nearKept.count()
+    val evalShingles = shingleSets(docs.filter(col("doc_id") % 10 === 0))
+      .select(explode(col("sset")).as("es")).distinct()
+    val contaminated = ss.join(nearKept, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), size(col("sset")).as("n_sh"),
+        explode(col("sset")).as("s"))
+      .join(evalShingles, col("s") === col("es"), "left")
+      .groupBy("doc_id", "n_sh")
+      .agg(count(col("es")).as("n_hits"))
+      .filter(round(col("n_hits").cast("double") / col("n_sh"), 6) >= 0.2)
+      .select("doc_id")
+    val nClean = nearKept
+      .filter(col("doc_id") % 10 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .count()
+    val session = spark
+    import session.implicits._
+    Seq(
+      (0, "raw", nRaw, 0L),
+      (1, "quality", nQuality, nRaw - nQuality),
+      (2, "exact_dedup", nExact, nQuality - nExact),
+      (3, "near_dedup", nNear, nExact - nNear),
+      (4, "decontaminated", nClean, nNear - nClean))
+      .toDF("stage", "stage_name", "n_docs", "dropped")
+      .orderBy("stage")
+  }
+
+  val curateFunnelOracle: String =
+    s"""WITH base AS (
+      |$curateBodySql
+      |), rawn AS (SELECT count(*) AS n FROM documents),
+      |qn AS (SELECT count(*) AS n FROM documents WHERE $qualityPredSql),
+      |en AS (
+      |  SELECT count(*) AS n FROM (
+      |    SELECT min(doc_id) FROM documents WHERE $qualityPredSql
+      |    GROUP BY md5(text))
+      |), nn AS (SELECT count(*) AS n FROM base),
+      |bsh AS (
+      |  SELECT DISTINCT b.doc_id,
+      |    string_split(d.text, ' ')[idx.i] || ' ' ||
+      |    string_split(d.text, ' ')[idx.i + 1] || ' ' ||
+      |    string_split(d.text, ' ')[idx.i + 2] AS s
+      |  FROM documents d JOIN base b USING (doc_id),
+      |    LATERAL (SELECT unnest(range(1, len(string_split(d.text, ' ')) - 1)) AS i) idx
+      |  WHERE len(string_split(d.text, ' ')) >= 3
+      |), evalsh AS (
+      |  SELECT DISTINCT
+      |    string_split(text, ' ')[idx.i] || ' ' ||
+      |    string_split(text, ' ')[idx.i + 1] || ' ' ||
+      |    string_split(text, ' ')[idx.i + 2] AS es
+      |  FROM documents,
+      |    LATERAL (SELECT unnest(range(1, len(string_split(text, ' ')) - 1)) AS i) idx
+      |  WHERE doc_id % 10 = 0 AND len(string_split(text, ' ')) >= 3
+      |), flagged AS (
+      |  SELECT doc_id FROM (
+      |    SELECT b.doc_id, count(*) AS n_sh, count(e.es) AS n_hits
+      |    FROM bsh b LEFT JOIN evalsh e ON b.s = e.es
+      |    GROUP BY b.doc_id)
+      |  WHERE ROUND(CAST(n_hits AS DOUBLE) / n_sh, 6) >= 0.2
+      |), cn AS (
+      |  SELECT count(*) AS n FROM base
+      |  WHERE doc_id % 10 <> 0
+      |    AND doc_id NOT IN (SELECT doc_id FROM flagged)
+      |)
+      |SELECT 0 AS stage, 'raw' AS stage_name, rawn.n AS n_docs,
+      |  CAST(0 AS BIGINT) AS dropped FROM rawn
+      |UNION ALL SELECT 1, 'quality', qn.n, rawn.n - qn.n FROM rawn, qn
+      |UNION ALL SELECT 2, 'exact_dedup', en.n, qn.n - en.n FROM qn, en
+      |UNION ALL SELECT 3, 'near_dedup', nn.n, en.n - nn.n FROM en, nn
+      |UNION ALL SELECT 4, 'decontaminated', cn.n, nn.n - cn.n FROM nn, cn
+      |ORDER BY stage""".stripMargin
+
   /** [[curate]] + the route-partitioned sink: the curated corpus is
     * written `partitionBy(lang)` — the layout downstream trainers
     * actually read, where a per-language job scans ONLY its partition
@@ -4281,6 +4389,7 @@ object LlmOps {
     "llm_dedup_embed" -> dedupEmbed,
     "llm_dedup_components" -> dedupComponents,
     "llm_curate" -> curate,
+    "llm_curate_funnel" -> curateFunnel,
     "llm_sim_topk" -> simTopk,
     "llm_sim_join" -> simJoin,
     "llm_sim_ivf" -> simIvf,
@@ -4359,6 +4468,7 @@ object LlmOps {
     "llm_dedup_embed" -> dedupEmbedOracle,
     "llm_dedup_components" -> dedupComponentsOracle,
     "llm_curate" -> curateOracle,
+    "llm_curate_funnel" -> curateFunnelOracle,
     "llm_sim_topk" -> simTopkOracle,
     "llm_sim_join" -> simJoinOracle,
     "llm_sim_ivf" -> simIvfOracle,
