@@ -62,6 +62,16 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     var errors = Map.empty[String, String]
     var spreads = Map.empty[String, Double] // max/min over the repeats
+    var medians = Map.empty[String, Double] // median over the repeats
+    // Host load at run start/end (1-min loadavg): a record taken on a
+    // loaded driver host (BENCH_r10: uniform ~1.3-1.8x "regressions" in
+    // untouched code, all of which re-timed at their old values on an
+    // idle host) is diagnosable from the artifact alone.
+    def loadavg(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").getLines()
+        .next().split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val loadStart = loadavg()
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>
@@ -85,12 +95,16 @@ object Bench {
         if (ok) Some(elapsed) else None
       }
       var samples = (1 to runs).flatMap(_ => sampleOnce())
-      // Adaptive insurance (VERDICT r9 #6): a >3x spread over the base
-      // repeats means at least one landed on a load spike; two extra
-      // repeats make it overwhelmingly likely at least one is clean, so
-      // the min is a true cold time even on a dirty run.
-      if (samples.size >= 2 && samples.min > 0 &&
-          samples.max / samples.min > 3.0)
+      // Adaptive insurance (VERDICT r9 #6, tightened r11 #5): a spread
+      // over the base repeats means at least one landed on a load
+      // spike; two extra repeats make it overwhelmingly likely at least
+      // one is clean, so the min is a true cold time even on a dirty
+      // run. Expensive queries (>2 s) dominate the total and get the
+      // tighter 2x trigger; cheap ones keep 3x (their spread is mostly
+      // scheduler jitter, not load).
+      def dirty(s: Seq[Double]): Boolean = s.size >= 2 && s.min > 0 &&
+        s.max / s.min > (if (s.min > 2.0) 2.0 else 3.0)
+      if (dirty(samples))
         samples = samples ++ (1 to 2).flatMap(_ => sampleOnce())
       val sorted = samples.sorted
       // Min of the successful cold repeats: the cache is cleared between
@@ -101,6 +115,8 @@ object Bench {
       val best = if (sorted.isEmpty) 0.0 else sorted.head
       if (sorted.size >= 2 && sorted.head > 0)
         spreads += name -> sorted.last / sorted.head
+      if (sorted.nonEmpty)
+        medians += name -> sorted(sorted.size / 2)
       name -> best
     }
     // Locale.ROOT: the f-interpolator is locale-sensitive and a
@@ -117,10 +133,20 @@ object Bench {
     // query landed. A clean machine gives median_spread ~1.0-1.2; a
     // contended one pushes it up — the driver can discount such a run.
     val spreadVals = spreads.values.toSeq.sorted
+    val loadEnd = loadavg()
     val noiseJson =
       if (spreadVals.isEmpty) "{}"
-      else s"""{"runs":$runs,"median_spread":${fmt(spreadVals(spreadVals.size / 2))},"max_spread":${fmt(spreadVals.last)}}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"noise":$noiseJson,"sf":"$sfDir"}""")
+      else s"""{"runs":$runs,"median_spread":${fmt(spreadVals(spreadVals.size / 2))},"max_spread":${fmt(spreadVals.last)},"load_start":${fmt(loadStart)},"load_end":${fmt(loadEnd)},"cpus":$cpus}"""
+    // median_total beside the min-based total: on a clean host the two
+    // agree within ~10%; a median_total far above total is the signature
+    // of a loaded host (the min stays honest, the median absorbs the
+    // contention) — the r10 contamination would have been visible here.
+    val medianTotal = medians.values.sum
+    val medJson = medians.toSeq.sortBy(_._1).map { case (k, v) =>
+      "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f",
+        Double.box(v))
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","median_total":${fmt(medianTotal)},"queries":$qs,"medians":$medJson,"errors":$errJson,"noise":$noiseJson,"sf":"$sfDir"}""")
     // The harness that records this output keeps only the LAST ~2000
     // chars of the log; with 100+ registered queries the full line above
     // overflows that window and its head (the parseable "{"metric"
@@ -133,7 +159,7 @@ object Bench {
       "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f",
         Double.box(v))
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"queries":$topQs,"noise":$noiseJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","median_total":${fmt(medianTotal)},"n_queries":${results.size},"n_errors":${errors.size},"queries":$topQs,"noise":$noiseJson,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
