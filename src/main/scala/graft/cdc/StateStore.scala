@@ -79,17 +79,23 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
     */
   def snapshots(spark: SparkSession, target: String): DataFrame = {
     val cur = currentVersion(target)
-    val rows = (0 to cur).map { v =>
-      val m = manifestAt(target, v)
-      val own = s"v$v/"
-      val rewritten = m.values.count(_.startsWith(own))
-      val schemaChanged = v == 0 || {
-        val a = dir(target).resolve(s"schema-$v.json")
-        val b = dir(target).resolve(s"schema-${v - 1}.json")
-        !Files.exists(b) || Files.readString(a) != Files.readString(b)
+    // Versions whose manifest was deleted by expireSnapshots are
+    // SKIPPED, not thrown on — Iceberg's $snapshots likewise simply
+    // omits expired snapshots after a vacuum.
+    val rows = (0 to cur)
+      .filter(v => Files.exists(dir(target).resolve(s"manifest-$v.tsv")))
+      .map { v =>
+        val m = manifestAt(target, v)
+        val own = s"v$v/"
+        val rewritten = m.values.count(_.startsWith(own))
+        val schemaChanged = v == 0 || {
+          val a = dir(target).resolve(s"schema-$v.json")
+          val b = dir(target).resolve(s"schema-${v - 1}.json")
+          !Files.exists(a) || !Files.exists(b) ||
+            Files.readString(a) != Files.readString(b)
+        }
+        (v, m.size, rewritten, schemaChanged)
       }
-      (v, m.size, rewritten, schemaChanged)
-    }
     import spark.implicits._
     rows.toDF("version", "n_buckets", "rewritten_buckets", "schema_changed")
   }

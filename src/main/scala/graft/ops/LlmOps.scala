@@ -598,11 +598,17 @@ object LlmOps {
         (col("na") + col("nb") - col("i")), 6) >= 0.5)
       .select("d1", "d2")
     val cands = minhashPairs(ss).select("d1", "d2").distinct()
-    truth.join(cands, Seq("d1", "d2"), "left_semi")
+    val report = truth.join(cands, Seq("d1", "d2"), "left_semi")
       .agg(count(lit(1)).as("hits"))
       .crossJoin(truth.agg(count(lit(1)).as("n_true")))
       .select(lit(0.5).as("threshold"), col("n_true"), col("hits"),
         round(col("hits").cast("double") / col("n_true"), 2).as("recall"))
+    // The report is one row; materialize it eagerly so the shared
+    // shingle frame can be unpersisted here instead of leaking cached
+    // blocks until an external clearCache.
+    try spark.createDataFrame(
+      java.util.Arrays.asList(report.collect(): _*), report.schema)
+    finally ss.unpersist()
   }
 
   val dedupLshRecallOracle: String =
@@ -1639,6 +1645,13 @@ object LlmOps {
     val nRaw = docs.count()
     val qualified = docs.filter(qualityPred)
       .select(col("doc_id"), col("text")).persist()
+    try curateFunnelStages(spark, docs, qualified, nRaw)
+    finally qualified.unpersist()
+  }
+
+  private def curateFunnelStages(spark: SparkSession, docs: DataFrame,
+                                 qualified: DataFrame,
+                                 nRaw: Long): DataFrame = {
     val nQuality = qualified.count()
     val keepers = qualified
       .select(md5(col("text")).as("h"), col("doc_id"))
@@ -1646,8 +1659,16 @@ object LlmOps {
       .select("doc_id")
     val exactKept = qualified.join(keepers, Seq("doc_id"), "left_semi")
       .persist()
+    try curateFunnelNear(spark, docs, exactKept, nRaw, nQuality)
+    finally exactKept.unpersist()
+  }
+
+  private def curateFunnelNear(spark: SparkSession, docs: DataFrame,
+                               exactKept: DataFrame, nRaw: Long,
+                               nQuality: Long): DataFrame = {
     val nExact = exactKept.count()
     val ss = shingleSets(exactKept).persist()
+    try {
     val jac = graft.functions.JaccardSim.jaccardSim(col("sa"), col("sb"))
     val dropped = minhashPairs(ss).select("d1", "d2").distinct()
       .join(ss.select(col("doc_id").as("d1"), col("sset").as("sa")), Seq("d1"))
@@ -1657,31 +1678,34 @@ object LlmOps {
       .distinct()
     val nearKept = exactKept.join(dropped, Seq("doc_id"), "left_anti")
       .select("doc_id").persist()
-    val nNear = nearKept.count()
-    val evalShingles = shingleSets(docs.filter(col("doc_id") % 10 === 0))
-      .select(explode(col("sset")).as("es")).distinct()
-    val contaminated = ss.join(nearKept, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), size(col("sset")).as("n_sh"),
-        explode(col("sset")).as("s"))
-      .join(evalShingles, col("s") === col("es"), "left")
-      .groupBy("doc_id", "n_sh")
-      .agg(count(col("es")).as("n_hits"))
-      .filter(round(col("n_hits").cast("double") / col("n_sh"), 6) >= 0.2)
-      .select("doc_id")
-    val nClean = nearKept
-      .filter(col("doc_id") % 10 =!= 0)
-      .join(contaminated, Seq("doc_id"), "left_anti")
-      .count()
-    val session = spark
-    import session.implicits._
-    Seq(
-      (0, "raw", nRaw, 0L),
-      (1, "quality", nQuality, nRaw - nQuality),
-      (2, "exact_dedup", nExact, nQuality - nExact),
-      (3, "near_dedup", nNear, nExact - nNear),
-      (4, "decontaminated", nClean, nNear - nClean))
-      .toDF("stage", "stage_name", "n_docs", "dropped")
-      .orderBy("stage")
+    try {
+      val nNear = nearKept.count()
+      val evalShingles = shingleSets(docs.filter(col("doc_id") % 10 === 0))
+        .select(explode(col("sset")).as("es")).distinct()
+      val contaminated = ss.join(nearKept, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), size(col("sset")).as("n_sh"),
+          explode(col("sset")).as("s"))
+        .join(evalShingles, col("s") === col("es"), "left")
+        .groupBy("doc_id", "n_sh")
+        .agg(count(col("es")).as("n_hits"))
+        .filter(round(col("n_hits").cast("double") / col("n_sh"), 6) >= 0.2)
+        .select("doc_id")
+      val nClean = nearKept
+        .filter(col("doc_id") % 10 =!= 0)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .count()
+      val session = spark
+      import session.implicits._
+      Seq(
+        (0, "raw", nRaw, 0L),
+        (1, "quality", nQuality, nRaw - nQuality),
+        (2, "exact_dedup", nExact, nQuality - nExact),
+        (3, "near_dedup", nNear, nExact - nNear),
+        (4, "decontaminated", nClean, nNear - nClean))
+        .toDF("stage", "stage_name", "n_docs", "dropped")
+        .orderBy("stage")
+    } finally nearKept.unpersist()
+    } finally ss.unpersist()
   }
 
   val curateFunnelOracle: String =

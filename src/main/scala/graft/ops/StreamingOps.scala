@@ -994,6 +994,7 @@ object StreamingOps {
           "click", "view", "purchase", "signup", "error"), lit(1)))
           .as("v_dom"),
         count(when(col("ts").isNull ||
+          col("ts") < lit("2024-01-01").cast("timestamp") ||
           col("ts") >= lit("2024-02-01").cast("timestamp"), lit(1)))
           .as("v_jan"))
     }.select(explode(array(
@@ -1014,7 +1015,8 @@ object StreamingOps {
       |    count(CASE WHEN event_type NOT IN
       |          ('click', 'view', 'purchase', 'signup', 'error')
       |          THEN 1 END) AS v_dom,
-      |    count(CASE WHEN ts IS NULL OR ts >= TIMESTAMP '2024-02-01'
+      |    count(CASE WHEN ts IS NULL OR ts < TIMESTAMP '2024-01-01'
+      |          OR ts >= TIMESTAMP '2024-02-01'
       |          THEN 1 END) AS v_jan
       |  FROM events
       |)

@@ -23,6 +23,30 @@ class SnapshotsMetaSpec extends SparkTestBase {
     assert(byV(0)._4 === byV(1)._4, "the update wave preserves live rows")
   }
 
+  test("snapshots stays readable after vacuum: expired versions are " +
+      "omitted, not thrown on (Iceberg \\$snapshots semantics)") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    import graft.cdc.StateStore
+    import spark.implicits._
+    val store = new StateStore(
+      Files.createTempDirectory("graft-snapvac-").toString, 4)
+    val target = "meta.snapvac"
+    def wave(ts: Long) = store.commit(spark, target,
+      (0L until 40L).map(k => (k, ts * 1000 + k)).toDF("k", "v")
+        .withColumn(StateStore.TsCol, lit(ts))
+        .withColumn(StateStore.SeqCol, lit(0L))
+        .withColumn(StateStore.DeletedCol, lit(false))
+        .withColumn(StateStore.BucketCol,
+          StateStore.bucketExpr(Seq("k"), 4)),
+      0 until 4)
+    (1L to 3L).foreach(wave)
+    store.vacuum(target, keepVersions = 1)
+    val rows = store.snapshots(spark, target).collect()
+    assert(rows.map(_.getInt(0)).toSeq === Seq(2),
+      "only the retained version surfaces after vacuum")
+  }
+
   test("expectations report: exactly the date-range rule fails in batch " +
       "and the value-cap rule fails in streaming") {
     val batch = CatalogQueries.profileExpectations(spark, sf).collect()
