@@ -50,7 +50,8 @@ object MergeCommit {
     */
   def mergeBatchMeta(store: StateStore, table: String, batchMeta: DataFrame,
                      pkCols: Seq[String],
-                     persistSlices: Boolean = false): Option[Result] = {
+                     persistSlices: Boolean = false,
+                     stage: Boolean = false): Option[Result] = {
     val spark = batchMeta.sparkSession
     val affected = batchMeta.select(StateStore.BucketCol).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
@@ -65,16 +66,23 @@ object MergeCommit {
     val merged0 = Merge.mergeOrdered(stateAligned,
       SchemaEvolution.align(batchMeta, stateAligned), pkCols)
     val merged = if (persistSlices) merged0.persist() else merged0
-    val v = store.commit(spark, table, merged, affected)
+    val v =
+      if (stage) store.stageCommit(spark, table, merged, affected)
+      else store.commit(spark, table, merged, affected)
     Some(Result(stateAligned, merged, v))
   }
 
-  /** Compact + merge a flattened slice ([[Envelope.flatten]] output). */
+  /** Compact + merge a flattened slice ([[Envelope.flatten]] output).
+    * With `stage = true` the merge lands as an UNPUBLISHED branch
+    * version ([[StateStore.stageCommit]]) for a write-audit-publish
+    * gate — same merge path, head pointer untouched.
+    */
   def mergeFlattened(store: StateStore, table: String, slice: DataFrame,
                      pkCols: Seq[String],
-                     persistSlices: Boolean = false): Option[Result] =
+                     persistSlices: Boolean = false,
+                     stage: Boolean = false): Option[Result] =
     mergeBatchMeta(store, table,
       toBatchMeta(Merge.compactKeepTombstones(slice, pkCols), pkCols,
         store.nBuckets),
-      pkCols, persistSlices)
+      pkCols, persistSlices, stage)
 }

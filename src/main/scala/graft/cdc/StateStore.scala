@@ -186,6 +186,31 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
     */
   def commit(spark: SparkSession, target: String, merged: DataFrame,
              affected: Seq[Int]): Int = {
+    val next = stageCommit(spark, target, merged, affected)
+    // A17 single-writer detection: if the committed pointer moved while
+    // this merge ran, another writer raced us — abort before publishing.
+    if (currentVersion(target) != next - 1)
+      throw new IllegalStateException(
+        s"single-writer invariant violated on $target: version moved " +
+          s"from ${next - 1} to ${currentVersion(target)} during commit")
+    swapPointer(target, next)
+    next
+  }
+
+  /** WAP BRANCH STAGE — write version `N+1` in full (data dir,
+    * manifest, schema, journal) WITHOUT moving `_VERSION`: readers at
+    * head never see it, but [[stateAt]] can — this is the
+    * audit-readable staging branch of an Iceberg-style
+    * write-audit-publish flow. The staged version then either
+    * [[publishStaged]]es (one atomic pointer swap — cheaper than
+    * Iceberg's cherry-pick because the staged commit was built on the
+    * current head, so fast-forward is always legal) or
+    * [[dropStaged]]s. Single-writer like [[commit]]: a regular commit
+    * racing a live staged branch would treat its files as crash
+    * debris, so publish-or-drop before committing anything else.
+    */
+  def stageCommit(spark: SparkSession, target: String, merged: DataFrame,
+                  affected: Seq[Int]): Int = {
     val d = dir(target)
     Files.createDirectories(d)
     val prev = currentVersion(target)
@@ -206,14 +231,38 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
       .partitionBy(BucketCol)
       .parquet(d.resolve(verDir).toString)
     writeMetadata(target, merged, affected, prev, next)
-    // A17 single-writer detection: if the committed pointer moved while
-    // this merge ran, another writer raced us — abort before publishing.
-    if (currentVersion(target) != prev)
-      throw new IllegalStateException(
-        s"single-writer invariant violated on $target: version moved " +
-          s"from $prev to ${currentVersion(target)} during commit")
-    swapPointer(target, next)
     next
+  }
+
+  /** WAP PUBLISH: fast-forward the head pointer onto a staged branch
+    * version. The version's files are already durable, so this is a
+    * single atomic metadata swap — the audit gate's only publish cost.
+    */
+  def publishStaged(target: String, staged: Int): Unit = {
+    val cur = currentVersion(target)
+    require(staged == cur + 1,
+      s"staged version $staged does not extend head $cur of $target")
+    swapPointer(target, staged)
+  }
+
+  /** WAP DROP: discard a failed staged branch — delete its manifest,
+    * schema and data dir. Never touches head or any committed version
+    * (`staged` must be ahead of the pointer). The append-only
+    * schema-history journal is NOT rewritten: like Iceberg's metadata
+    * log, it records observations, and a journal line for a dropped
+    * version is inert (readers resolve schemas via per-version files).
+    */
+  def dropStaged(target: String, staged: Int): Unit = {
+    val cur = currentVersion(target)
+    require(staged > cur,
+      s"refusing to drop committed version $staged (head is $cur)")
+    val d = dir(target)
+    Files.deleteIfExists(d.resolve(s"manifest-$staged.tsv"))
+    Files.deleteIfExists(d.resolve(s"schema-$staged.json"))
+    val dataDir = d.resolve(s"v$staged")
+    if (Files.exists(dataDir))
+      Files.walk(dataDir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
   }
 
   /** Manifest + schema + evolution-journal files for version `next`

@@ -1698,6 +1698,125 @@ object MaintenanceQueries {
   private[queries] def wapRoot(sfDir: String): String =
     wapDirCache.get(sfDir)
 
+  private val wapBranchDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** WRITE-AUDIT-PUBLISH ON THE VERSIONED STORE — the Iceberg
+    * branch-based WAP flow ([[wapPublish]] is the row-level
+    * quarantine variant over plain files; this one gates whole
+    * COMMITS on the CDC state store): each incoming wave merges
+    * through the ordinary ordered-merge path but lands as an
+    * UNPUBLISHED branch version ([[graft.cdc.StateStore.stageCommit]]
+    * — data + manifest + schema written, `_VERSION` untouched), the
+    * audit rules run against the staged snapshot via time travel
+    * (readers at head never see it), and the branch then either
+    * publishes by one atomic pointer swap or drops without a trace.
+    * Script: snapshot commit, a clean +100 update wave
+    * (audit-green → published), then a poisoned wave writing
+    * out-of-band balances (audit-red → dropped; head and history
+    * stay exactly as published). The report row per step carries the
+    * audit verdict and the head's row/cents totals the oracle
+    * recomputes from the fixture alone. WapBranchSpec covers what the
+    * report can't show: the dropped version's files are reclaimed,
+    * `$snapshots` never lists it, and a committed version can't be
+    * dropped.
+    *
+    * Scale: staging cost = the merge the wave would cost anyway
+    * (bucket-pruned, change-volume-sized); the audit is a scan of the
+    * staged snapshot (prunable to affected buckets for scan-local
+    * rules); publish is one metadata swap and drop deletes only the
+    * branch's own files — nothing ever rewrites committed data.
+    */
+  def wapBranch(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val wh = wapBranchDirCache.computeIfAbsent(sfDir,
+      _ => Files.createTempDirectory("graft-wapbr-").toString)
+    val whPath = Paths.get(wh)
+    if (Files.exists(whPath)) {
+      Files.walk(whPath).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => if (p != whPath) Files.deleteIfExists(p))
+    }
+    val store = new graft.cdc.StateStore(wh, nBuckets = 8)
+    val target = "cdc.commerce_customer_wapbr"
+    val pk = Seq("c_custkey")
+    val base = Tables.load(spark, sfDir, "customer")
+    val k = col("c_custkey")
+    val img = struct(base.columns.map(col): _*)
+    def env(rows: DataFrame, op: String, ts: Long): DataFrame =
+      rows.select(when(lit(false), img).as("before"), img.as("after"),
+        lit(op).as("op"), lit(ts).as("ts_ms"),
+        k.cast("long").as("seq"),
+        struct(lit("commerce").as("schema"),
+          lit("customer").as("table")).as("source"))
+    def headStats(): (Int, Long, Long) = {
+      val r = store.currentState(spark, target)
+        .agg(count(lit(1)).as("n"),
+          sum((col("c_acctbal").cast("decimal(18,2)") * 100)
+            .cast("long")).as("c")).head
+      (store.currentVersion(target), r.getLong(0), r.getLong(1))
+    }
+    // The audit gate: the same constraint shape as
+    // profile_expectations, run against a STAGED snapshot via time
+    // travel before any reader can observe it.
+    def audit(staged: Int): Long =
+      store.stateAt(spark, target, staged)
+        .filter(col("c_name").isNull || col("c_acctbal") < -1000.0)
+        .count()
+    def stageAuditGate(wave: DataFrame, ts: Long): (Long, Boolean) = {
+      val staged = graft.cdc.MergeCommit.mergeFlattened(store, target,
+        Envelope.flatten(env(wave, Envelope.OpUpdate, ts)), pk,
+        stage = true).get.version
+      val violations = audit(staged)
+      val pass = violations == 0L
+      if (pass) store.publishStaged(target, staged)
+      else store.dropStaged(target, staged)
+      (violations, pass)
+    }
+
+    graft.cdc.MergeCommit.mergeFlattened(store, target,
+      Envelope.flatten(env(base, Envelope.OpRead, 1000L)), pk)
+    val (hv0, n0, c0) = headStats()
+    val (goodV, goodPass) = stageAuditGate(
+      base.filter(k % 3 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 100.0), 2000L)
+    val (hv1, n1, c1) = headStats()
+    val (badV, badPass) = stageAuditGate(
+      base.filter(k % 5 === 0)
+        .withColumn("c_acctbal", lit(-99999.0)), 3000L)
+    val (hv2, n2, c2) = headStats()
+    val session = spark
+    import session.implicits._
+    Seq(
+      (0, "snapshot", 0L, true, hv0, n0, c0),
+      (1, "good_wave", goodV, goodPass, hv1, n1, c1),
+      (2, "bad_wave", badV, badPass, hv2, n2, c2))
+      .toDF("step", "action", "audit_violations", "published",
+        "head_version", "head_rows", "head_cents")
+      .orderBy("step")
+  }
+
+  /** Expected WAP script from the fixture alone: the clean wave adds
+    * exactly 100.00 to every pk%3 key and publishes (head moves to
+    * v1); the poisoned wave trips the balance bound on every pk%5 key
+    * and is dropped (head numbers frozen at the published state).
+    */
+  val wapBranchOracle: String =
+    """WITH n AS (
+      |  SELECT count(*) AS n,
+      |    CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS c0
+      |  FROM customer),
+      |g AS (SELECT count(*) AS g FROM customer WHERE c_custkey % 3 = 0),
+      |b AS (SELECT count(*) AS b FROM customer WHERE c_custkey % 5 = 0)
+      |SELECT 0 AS step, 'snapshot' AS action,
+      |  CAST(0 AS BIGINT) AS audit_violations, TRUE AS published,
+      |  0 AS head_version, n AS head_rows, c0 AS head_cents FROM n
+      |UNION ALL SELECT 1, 'good_wave', 0, TRUE, 1, n, c0 + 10000 * g
+      |  FROM n, g
+      |UNION ALL SELECT 2, 'bad_wave', b, FALSE, 1, n, c0 + 10000 * g
+      |  FROM n, g, b
+      |ORDER BY step""".stripMargin
+
   val wapPublishOracle: String =
     """SELECT c_custkey, c_name, c_nationkey,
       |  ROUND(CASE WHEN c_custkey % 4 = 0 AND c_custkey % 40 <> 0
@@ -1778,6 +1897,7 @@ object MaintenanceQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "maintenance_wap" -> wapPublish,
+    "maintenance_wap_branch" -> wapBranch,
     "maintenance_snapshots" -> maintenanceSnapshots,
     "cdc_scd2" -> scd2,
     "cdc_scd2_asof" -> scd2Asof,
@@ -1799,6 +1919,7 @@ object MaintenanceQueries {
 
   def oracles: Map[String, String] = Map(
     "maintenance_wap" -> wapPublishOracle,
+    "maintenance_wap_branch" -> wapBranchOracle,
     "maintenance_snapshots" -> maintenanceSnapshotsOracle,
     "cdc_scd2" -> scd2Oracle,
     "cdc_scd2_asof" -> scd2AsofOracle,
