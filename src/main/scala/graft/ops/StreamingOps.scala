@@ -149,6 +149,96 @@ class TimerSessionizer(gapUs: Long)
   }
 }
 
+/** PROCESSING-TIME debounced flusher — the other half of the Spark 4
+  * timer surface ([[TimerSessionizer]] is event-time): per key a
+  * running (count, sum) that emits ON A WALL-CLOCK CADENCE, not per
+  * arriving row — the "publish the running aggregate at most every N
+  * ms" primitive behind live dashboards and the reference sink's
+  * fixed 10 s commit cadence. Data arrival arms ONE processing-time
+  * timer per key (the armed expiry rides in the state, so bursts
+  * never stack duplicates); on expiry the key flushes its snapshot —
+  * possibly in a batch carrying NONE of its data, the emission no
+  * data-driven operator can express — and DISARMS until new data
+  * dirties it again. The dirty-gate (flush only when the count moved
+  * past the last flushed count) is also what makes the operator
+  * terminate under Trigger.AvailableNow: an unconditional re-arm
+  * keeps a due timer pending forever and the engine keeps scheduling
+  * timer-service batches — measured here as a never-draining query.
+  * Flushes are monotone in the count, so the CONVERGED per-key
+  * emission (max count) equals the batch aggregate under any
+  * micro-batch slicing — what makes the operator oracle-checkable.
+  * State per key is one (long, double, long, long); timers at most
+  * one.
+  */
+class PeriodicFlusher(intervalMs: Long)
+    extends StatefulProcessor[Long, (Long, Double), (Long, Long, Double)] {
+  @transient private var agg:
+    org.apache.spark.sql.streaming.ValueState[(Long, Double, Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    agg = getHandle.getValueState[(Long, Double, Long, Long)]("agg",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble,
+        Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+      timerValues: TimerValues): Iterator[(Long, Long, Double)] = {
+    val (n0, s0, armed, emitted) =
+      if (agg.exists()) agg.get() else (0L, 0.0, 0L, 0L)
+    var n = n0; var s = s0
+    rows.foreach { r => n += 1; s += r._2 }
+    val nextArmed = if (armed == 0L) {
+      val at = timerValues.getCurrentProcessingTimeInMs() + intervalMs
+      getHandle.registerTimer(at)
+      at
+    } else armed
+    agg.update((n, s, nextArmed, emitted))
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+      expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+      : Iterator[(Long, Long, Double)] = {
+    if (!agg.exists()) return Iterator.empty
+    val (n, s, _, emitted) = agg.get()
+    agg.update((n, s, 0L, n)) // disarm; new data re-arms
+    if (n > emitted) Iterator.single((key, n, s)) else Iterator.empty
+  }
+}
+
+/** TTL-BOUNDED first-arrival dedup — [[StreamingOps.dedup]]'s state
+  * made finite BY POLICY instead of by watermark: the per-key "seen"
+  * marker is a ValueState with a processing-time TTL, so the state
+  * store itself retires idle keys after the TTL (RocksDB TTL column
+  * family — no timer, no scan, no watermark column required on the
+  * data). Within a TTL window a key emits exactly once; after its
+  * marker expires the key may emit again — the deliberate trade
+  * (bounded state, a duplicate at most once per TTL per key) every
+  * at-scale dedup of an unbounded keyspace makes.
+  * TransformWithStateSpec drives the expiry path with a short TTL;
+  * the oracle-gated query uses a TTL far above the drain time, where
+  * the output is exactly DISTINCT.
+  */
+class TtlDedup(ttl: java.time.Duration)
+    extends StatefulProcessor[(Long, String), (Long, String),
+      (Long, String)] {
+  @transient private var seen:
+    org.apache.spark.sql.streaming.ValueState[Boolean] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    seen = getHandle.getValueState[Boolean]("seen", Encoders.scalaBoolean,
+      TTLConfig(ttl))
+
+  override def handleInputRows(key: (Long, String),
+      rows: Iterator[(Long, String)],
+      timerValues: TimerValues): Iterator[(Long, String)] = {
+    if (seen.exists() || !rows.hasNext) Iterator.empty
+    else {
+      seen.update(true)
+      Iterator.single(key)
+    }
+  }
+}
+
 /** Tier C streaming analytics over the `events` fixture, run as REAL
   * Structured Streaming: file source micro-batches (maxFilesPerTrigger
   * keeps it multi-batch), windowed/sessionized/stateful operators,
@@ -948,6 +1038,125 @@ object StreamingOps {
       .orderBy("user_id", "session_no")
   }
 
+  /** PROCESSING-TIME TIMER HEARTBEAT end to end ([[PeriodicFlusher]]):
+    * per-user running (count, value sum) flushed on a wall-clock
+    * cadence over the ordered replay log — the trailing sentinel
+    * batches play the role wall-clock idle triggers play in
+    * production, advancing processing time so every key's armed timer
+    * fires after its last data batch. Emissions are monotone
+    * snapshots, so the converged (max-count) emission per key equals
+    * the batch aggregate under any slicing — that convergence, not
+    * the intermediate cadence, is what the oracle checks; the
+    * cadence mechanics (arm once, fire, re-arm, heartbeat through
+    * dataless batches) are pinned in TransformWithStateSpec.
+    */
+  def streamTimerPeriodic(spark: SparkSession, sfDir: String): DataFrame = {
+    val staged = stageOuterJoin(spark, sfDir)
+    val schema = Tables.load(spark, sfDir, "events").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 2).parquet(staged)
+    val name = s"stream_sink_${nameCounter.incrementAndGet()}"
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevProvider =
+      spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    val prevNoData =
+      spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // In ProcessingTime mode the stateful operator answers
+    // shouldRunAnotherBatch=true on every trigger (the wall clock
+    // always advances), so with no-data batches enabled the engine
+    // services timers in a perpetual empty-batch loop and
+    // Trigger.AvailableNow never drains (measured: a never-returning
+    // query). Disabling no-data batches pins timer service to DATA
+    // batches — the trailing sentinel batches of the staged replay
+    // play the clock's role, deterministically.
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+      "false")
+    try {
+      val session = spark
+      import session.implicits._
+      val q = src
+        .select(col("user_id").cast("long"), col("value").cast("double"))
+        .as[(Long, Double)]
+        .groupByKey(_._1)
+        .transformWithState(new PeriodicFlusher(intervalMs = 1L),
+          org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+          OutputMode.Append())
+        .toDF("user_id", "n_flush", "sum_flush")
+        .writeStream
+        .format("memory").queryName(name).outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        prevProvider)
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+        prevNoData)
+    }
+    spark.table(name)
+      .filter(col("user_id") >= 0) // sentinel rows carry negative users
+      .groupBy("user_id")
+      .agg(max("n_flush").as("n_events"),
+        round(max_by(col("sum_flush"), col("n_flush")), 2)
+          .as("total_value"))
+      .orderBy("user_id")
+  }
+
+  val streamTimerPeriodicOracle: String =
+    """SELECT user_id, count(*) AS n_events,
+      |  ROUND(sum(value), 2) AS total_value
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** TTL-BOUNDED streaming dedup end to end ([[TtlDedup]]): per
+    * (user, event_type) first-arrival emission with the "seen" marker
+    * in a processing-time-TTL ValueState. The query's 1-hour TTL is
+    * far above the drain time, so nothing expires mid-run and the
+    * output is exactly DISTINCT — the determinism contract; the
+    * expiry path (marker lapses, key re-emits) runs under a short TTL
+    * in TransformWithStateSpec. Versus
+    * [[dedupWatermark]]: that bounds state by EVENT-time horizon and
+    * needs a watermark column; this bounds it by IDLE-time policy on
+    * any key shape — the 100 TB posture for deduping an unbounded
+    * keyspace where "exactly once ever" state would grow forever.
+    */
+  def dedupTtl(spark: SparkSession, sfDir: String): DataFrame = {
+    val prevProvider =
+      spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    val prevNoData =
+      spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // Same AvailableNow-drain guard as [[streamTimerPeriodic]]:
+    // ProcessingTime state (TTL here) requests a batch every trigger.
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+      "false")
+    try {
+      val session = spark
+      import session.implicits._
+      streamEvents(spark, sfDir, "append") { src =>
+        src.select(col("user_id").cast("long"), col("event_type"))
+          .as[(Long, String)]
+          .groupByKey(identity)
+          .transformWithState(new TtlDedup(java.time.Duration.ofHours(1)),
+            org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+            OutputMode.Append())
+          .toDF("user_id", "event_type")
+      }.orderBy("user_id", "event_type")
+    } finally {
+      spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", prevProvider)
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+        prevNoData)
+    }
+  }
+
+  val dedupTtlOracle: String =
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type""".stripMargin
+
   val streamTimerSessionizeOracle: String =
     """WITH e AS (
       |  SELECT user_id, ts, event_id,
@@ -1178,6 +1387,8 @@ object StreamingOps {
     "stream_stream_full_outer" -> streamStreamFullOuter,
     "stream_expectations" -> streamExpectations,
     "stream_timer_sessionize" -> streamTimerSessionize,
+    "stream_timer_periodic" -> streamTimerPeriodic,
+    "stream_dedup_ttl" -> dedupTtl,
     "stream_anomaly" -> streamAnomaly,
     "stream_heavy_hitters" -> streamHeavyHitters,
     "stream_stateful" -> stateful,
@@ -1199,6 +1410,8 @@ object StreamingOps {
     "stream_stream_full_outer" -> streamStreamFullOuterOracle,
     "stream_expectations" -> streamExpectationsOracle,
     "stream_timer_sessionize" -> streamTimerSessionizeOracle,
+    "stream_timer_periodic" -> streamTimerPeriodicOracle,
+    "stream_dedup_ttl" -> dedupTtlOracle,
     "stream_anomaly" -> streamAnomalyOracle,
     "stream_heavy_hitters" -> streamHeavyHittersOracle,
     "stream_stateful" -> statefulOracle,
