@@ -1133,15 +1133,19 @@ object LlmOps {
     * at this cardinality the scan IS the greedy walk's work bound,
     * and it needs no top-layer edge build), keeping 4 entries; layer
     * 1 runs 2 beam-8 hops over L1-restricted kNN edges; the base
-    * layer runs the same 3 beam-10 hops as the flat walk, seeded by
-    * the L1 beam instead of constants. Every hop stays one equi-join
-    * of a metadata-sized beam against bucketed edges + one against
-    * the scored corpus — the flat walk's scale bound (hops × beam ×
-    * fanout rows, corpus-size-independent) is unchanged; the layers
-    * add 2 hops over a 25× smaller edge set. Measured recall@10 at
-    * sf0.01: 0.4 vs the flat walk's 0.1 at the same base beam width
-    * ([[simHnswRecall]] publishes it) — the gain splits between the
-    * coarse-sample entry and the 3-band edge build below.
+    * layer runs 3 beam-16 hops over fanout-8 edges, seeded by the L1
+    * beam instead of constants, and publishes the beam's top-10.
+    * Every hop stays one equi-join of a metadata-sized beam against
+    * bucketed edges + one against the scored corpus — the flat
+    * walk's scale bound (hops × beam × fanout rows,
+    * corpus-size-independent) is unchanged; the layers add 2 hops
+    * over a 25× smaller edge set. Measured recall@10 at sf0.01: 0.7
+    * vs the flat walk's 0.1 ([[simHnswRecall]] publishes it). The
+    * round-11 calibration sweep (run in the DuckDB oracle, which
+    * fully defines the walk): fanout 5→8 with base beam 10→16 is
+    * what moved 0.4→0.7; widening to beam 24 buys 0.8; adding BANDS
+    * does not (5 bands at fanout 5 measured 0.1 — extra collisions
+    * crowd true neighbors out of a narrow edge list).
     */
   def simHnsw(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1189,9 +1193,13 @@ object LlmOps {
         col("v1").as("neighbor"), col("cos")))
     val byCos = Window.partitionBy("vec_id")
       .orderBy(col("cos").desc, col("neighbor"))
+    // Edge fanout 8 (round-11 calibration sweep in the DuckDB oracle:
+    // fanout 5→8 with base beam 10→16 lifts recall@10 0.4→0.7; more
+    // BANDS did not — 5 bands at fanout 5 measured 0.1, the extra
+    // collisions crowding true neighbors out of the narrow edge list).
     def topEdges(edges: DataFrame): DataFrame =
       edges.withColumn("rank", row_number().over(byCos))
-        .filter(col("rank") <= 5).select("vec_id", "neighbor")
+        .filter(col("rank") <= 8).select("vec_id", "neighbor")
     // Materialization discipline: the beam is referenced TWICE per hop
     // (candidate expansion + the union), so a lazy 5-hop recursion
     // re-executes each earlier hop 2^depth times — measured 20 s at
@@ -1221,15 +1229,17 @@ object LlmOps {
     val entry = scoredP.filter(col("vec_id") % 25 === 1)
       .orderBy(col("cos").desc, col("vec_id")).limit(4)
     val l1Beam = expand(entry, l1Edges, hops = 2, width = 8)
-    val base = expand(l1Beam, baseEdges, hops = 3, width = 10)
+    val base = expand(l1Beam, baseEdges, hops = 3, width = 16)
     base.withColumn("rank", row_number().over(
         Window.orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= 10) // walk with beam 16, publish top-10
       .select("rank", "vec_id", "cos")
       .orderBy("rank")
   }
 
-  /** Shared oracle prefix for the HNSW walk: layers, per-layer edges,
-    * and the 2-entry → L1 beam-5 → base beam-10 descent, unrolled.
+  /** Shared oracle prefix for the HNSW walk: layers, per-layer
+    * fanout-8 edges, and the 4-entry → L1 beam-8 → base beam-16
+    * descent, unrolled (the query publishes the beam's top-10).
     */
   private val hnswBeamSql: String = {
     def hop(n: Int, edges: String, width: Int): String =
@@ -1286,12 +1296,12 @@ object LlmOps {
       |), knn AS (
       |  SELECT vec_id, neighbor FROM sym
       |  WINDOW w AS (PARTITION BY vec_id ORDER BY cos DESC, neighbor)
-      |  QUALIFY row_number() OVER w <= 5
+      |  QUALIFY row_number() OVER w <= 8
       |), l1knn AS (
       |  SELECT vec_id, neighbor FROM sym
       |  WHERE vec_id % 5 = 1 AND neighbor % 5 = 1
       |  WINDOW w AS (PARTITION BY vec_id ORDER BY cos DESC, neighbor)
-      |  QUALIFY row_number() OVER w <= 5
+      |  QUALIFY row_number() OVER w <= 8
       |), probe AS (
       |  SELECT embedding::DOUBLE[] AS p FROM embeddings WHERE vec_id = 0
       |), scored AS (
@@ -1306,16 +1316,16 @@ object LlmOps {
       |),
       |${hop(1, "l1knn", 8)},
       |${hop(2, "l1knn", 8)},
-      |${hop(3, "knn", 10)},
-      |${hop(4, "knn", 10)},
-      |${hop(5, "knn", 10)}""".stripMargin
+      |${hop(3, "knn", 16)},
+      |${hop(4, "knn", 16)},
+      |${hop(5, "knn", 16)}""".stripMargin
   }
 
   val simHnswOracle: String =
     hnswBeamSql + "\n" +
       """SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS INT)
         |    AS rank, vec_id, cos
-        |FROM hb5 ORDER BY rank""".stripMargin
+        |FROM hb5 ORDER BY rank LIMIT 10""".stripMargin
 
   /** recall@10 of the hierarchical walk vs the brute-force baseline —
     * published beside [[simGraphRecall]] so the layered-entry gain
@@ -1333,12 +1343,14 @@ object LlmOps {
   }
 
   val simHnswRecallOracle: String =
-    hnswBeamSql + """, hexact AS (
+    hnswBeamSql + """, happrox AS (
+      |  SELECT vec_id FROM hb5 ORDER BY cos DESC, vec_id LIMIT 10
+      |), hexact AS (
       |  SELECT vec_id FROM scored ORDER BY cos DESC, vec_id LIMIT 10
       |)
       |SELECT 10 AS k, count(*) AS hits,
       |  ROUND(CAST(count(*) AS DOUBLE) / 10, 2) AS recall
-      |FROM hexact JOIN hb5 USING (vec_id)""".stripMargin
+      |FROM hexact JOIN happrox USING (vec_id)""".stripMargin
 
   val simKnnGraphOracle: String =
     """WITH e AS (
@@ -1948,8 +1960,11 @@ object LlmOps {
       .limit(10)
   }
 
-  private val ivf2BestSql: String =
-    """WITH cent AS (
+  /** IVF coarse-quantizer probe CTE, parameterized by nprobe: label
+    * centroids, the probe vector, and the nprobe best clusters.
+    */
+  private def ivfBestSql(nprobe: Int): String =
+    s"""WITH cent AS (
       |  SELECT label, list(m ORDER BY i) AS centroid
       |  FROM (
       |    SELECT label, i.i, avg(embedding[i.i]) AS m
@@ -1963,8 +1978,10 @@ object LlmOps {
       |  ORDER BY ROUND(list_dot_product(centroid, p) /
       |    (sqrt(list_dot_product(centroid, centroid)) *
       |     sqrt(list_dot_product(p, p))), 6) DESC, label
-      |  LIMIT 2
+      |  LIMIT $nprobe
       |)""".stripMargin
+
+  private val ivf2BestSql: String = ivfBestSql(2)
 
   val simIvfMultiprobeOracle: String =
     ivf2BestSql + "\n" +
@@ -2369,6 +2386,18 @@ object LlmOps {
     * to this path.
     */
   private val FilterOverfetch = 4
+  /** Post-filter probe width, calibrated by a measured sweep on the
+    * fixture (round 11, DuckDB oracle as the lab — the oracle fully
+    * defines the operator): recall@10 under the 50% predicate is FLAT
+    * in overfetch (4/8/16 all identical — the predicate never thins
+    * the candidate head enough to matter) and moves only with nprobe:
+    * 2→0.3, 3→0.3 (the 3rd-ranked cluster holds none of the true
+    * top-10), 4→0.7, 5→0.8 (the true top-10 spread across 6 of the 10
+    * near-random clusters — the fixture's ceiling without scanning
+    * most of them). nprobe=4 is the knee: recall 0.7 at 40% of the
+    * corpus probed, still under the exact filtered scan's 50%.
+    */
+  private val FilterNprobe = 4
   /** Predicate selectivity at or below this scans the filtered
     * fraction exactly (pre-filter); above it, index-probe + post
     * filter. 0.25 is where a full exact scan of the survivors starts
@@ -2392,12 +2421,13 @@ object LlmOps {
     *    predicates the exact answer is cheaper than any index probe
     *    because the scan reads only the predicate's row groups.
     *  - selectivity > [[PreFilterMaxSel]]: POST-FILTER — probe the
-    *    IVF coarse quantizer (nprobe=2 of nlist=10 clusters, the
-    *    [[simIvfMultiprobe]] index) for k·[[FilterOverfetch]]
-    *    candidates, THEN apply the predicate and keep k. Cost ∝
-    *    nprobe/nlist, independent of the predicate; recall < 1 when
-    *    the predicate thins the overfetched set — the measured price
-    *    ([[simFilteredRecall]]).
+    *    IVF coarse quantizer ([[FilterNprobe]]=4 of nlist=10
+    *    clusters; the [[simIvfMultiprobe]] index keeps its own
+    *    nprobe=2) for k·[[FilterOverfetch]] candidates, THEN apply
+    *    the predicate and keep k. Cost ∝ nprobe/nlist, independent of
+    *    the predicate; recall < 1 from the probed-fraction miss — the
+    *    measured price ([[simFilteredRecall]]; see [[FilterNprobe]]
+    *    for the calibration sweep).
     *
     * Output carries the chosen `strategy` so the decision itself is
     * oracle-checked, not just the rows.
@@ -2421,13 +2451,13 @@ object LlmOps {
         .limit(k)
     } else {
       val centroids = labelCentroids(emb).select("label", "centroid")
-      val best2 = centroids.crossJoin(broadcast(probe))
+      val best = centroids.crossJoin(broadcast(probe))
         .select(col("label"), col("probe"),
           round(cosine(col("centroid"), col("probe")), 6).as("ccos"))
         .orderBy(col("ccos").desc, col("label"))
-        .limit(2)
+        .limit(FilterNprobe)
         .select("label", "probe")
-      corpus.join(broadcast(best2), Seq("label"))
+      corpus.join(broadcast(best), Seq("label"))
         .select(col("vec_id"), col("label"),
           round(cosine(vecD(col("embedding")), col("probe")), 6).as("cos"))
         .orderBy(col("cos").desc, col("vec_id"))
@@ -2460,17 +2490,18 @@ object LlmOps {
       |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
 
   /** Broad predicate (vec_id odd, ~50%) → the census picks
-    * POST-FILTER: 40 IVF candidates from the 2 probed clusters, then
-    * the predicate, then k=10.
+    * POST-FILTER: 40 IVF candidates from the [[FilterNprobe]]=4
+    * probed clusters, then the predicate, then k=10.
     */
   def simFilteredPost(spark: SparkSession, sfDir: String): DataFrame =
     filteredAnn(spark, sfDir, col("vec_id") % 2 === 1, 10)
 
   /** Shared oracle CTE: the post-filter path's overfetched candidate
-    * set — top-40 by cosine within the 2 probed clusters.
+    * set — top-40 by cosine within the [[FilterNprobe]] probed
+    * clusters.
     */
   private val filteredCandSql: String =
-    ivf2BestSql + """, fcand AS (
+    ivfBestSql(FilterNprobe) + """, fcand AS (
       |  SELECT vec_id, e.label,
       |    ROUND(list_dot_product(e.embedding::DOUBLE[], p) /
       |      (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
@@ -2490,8 +2521,9 @@ object LlmOps {
     * baseline (brute-force top-10 under the same predicate) — the
     * price of refusing the exact scan at 50% selectivity, published
     * beside the unfiltered IVF/LSH/PQ/graph/binary audits. This is
-    * the number that calibrates [[FilterOverfetch]]: recall rises
-    * toward 1 as overfetch × selectivity clears k.
+    * the number the [[FilterNprobe]] sweep calibrates: on this
+    * fixture recall is governed by the probed fraction, not by
+    * [[FilterOverfetch]] (flat across 4/8/16).
     */
   def simFilteredRecall(spark: SparkSession, sfDir: String): DataFrame = {
     val pred = col("vec_id") % 2 === 1
