@@ -245,6 +245,91 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
     swapPointer(target, staged)
   }
 
+  /** NAMED REFS — the Iceberg tag/branch surface over committed
+    * versions: a ref is a (name, kind, version) pointer persisted in
+    * `named-refs.jsonl`. Tags are immutable audit pins ("the exact
+    * state the Q1 report ran on"); branches are movable pointers
+    * ([[moveRef]]). Both PIN their version against [[vacuum]] — a
+    * tagged version's manifest, schema, and every data dir that
+    * manifest reaches stay readable however old, exactly like clone
+    * back-references — so `stateAtRef` time travel can never dangle.
+    */
+  def createRef(target: String, name: String, version: Int,
+                kind: String = "tag"): Unit = {
+    require(kind == "tag" || kind == "branch", s"unknown ref kind $kind")
+    require(version <= currentVersion(target) &&
+      Files.exists(dir(target).resolve(s"manifest-$version.tsv")),
+      s"cannot ref version $version of $target: not a committed version")
+    require(!namedRefs(target).exists(_._1 == name),
+      s"ref '$name' already exists on $target")
+    Files.writeString(dir(target).resolve(NamedRefsFile),
+      s"""{"name":"$name","kind":"$kind","version":$version}""" + "\n",
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+  }
+
+  /** Move a BRANCH ref to a new version (tags refuse — immutability
+    * is their contract). Rewrites the refs file atomically.
+    */
+  def moveRef(target: String, name: String, version: Int): Unit = {
+    val refs = namedRefs(target)
+    val ref = refs.find(_._1 == name)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no ref '$name' on $target"))
+    require(ref._2 == "branch", s"ref '$name' is a tag; tags never move")
+    require(version <= currentVersion(target) &&
+      Files.exists(dir(target).resolve(s"manifest-$version.tsv")),
+      s"cannot move '$name' to $version: not a committed version")
+    writeRefs(target, refs.map(r =>
+      if (r._1 == name) (r._1, r._2, version) else r))
+  }
+
+  def dropRef(target: String, name: String): Unit =
+    writeRefs(target, namedRefs(target).filterNot(_._1 == name))
+
+  /** All named refs of `target` as (name, kind, version). */
+  def namedRefs(target: String): Seq[(String, String, Int)] = {
+    val f = dir(target).resolve(NamedRefsFile)
+    if (!Files.exists(f)) return Seq.empty
+    Files.readAllLines(f).asScala.filter(_.nonEmpty).map { line =>
+      def field(k: String): String =
+        s""""$k":"?([^",}]*)"?""".r.findFirstMatchIn(line).get.group(1)
+      (field("name"), field("kind"), field("version").toInt)
+    }.toSeq
+  }
+
+  private def writeRefs(target: String,
+                        refs: Seq[(String, String, Int)]): Unit = {
+    val f = dir(target).resolve(NamedRefsFile)
+    val tmp = dir(target).resolve(NamedRefsFile + ".tmp")
+    Files.writeString(tmp, refs.map { case (n, k, v) =>
+      s"""{"name":"$n","kind":"$k","version":$v}"""
+    }.mkString("", "\n", "\n"))
+    Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** METADATA TABLE twin of Iceberg's `$refs`: every named ref plus
+    * the implicit `head` branch, with each ref's live row count
+    * resolvable via [[stateAtRef]].
+    */
+  def refs(spark: SparkSession, target: String): DataFrame = {
+    val session = spark
+    import session.implicits._
+    (("head", "branch", currentVersion(target)) +: namedRefs(target))
+      .toDF("ref_name", "kind", "version")
+  }
+
+  /** Time travel by NAME: the state a tag pinned or a branch points
+    * at.
+    */
+  def stateAtRef(spark: SparkSession, target: String,
+                 name: String): DataFrame =
+    if (name == "head") currentState(spark, target)
+    else stateAt(spark, target, namedRefs(target).find(_._1 == name)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no ref '$name' on $target"))._3)
+
   /** WAP DROP: discard a failed staged branch — delete its manifest,
     * schema and data dir. Never touches head or any committed version
     * (`staged` must be ahead of the pointer). The append-only
@@ -854,11 +939,19 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
     // A retained version's manifest may already be gone if an earlier
     // vacuum ran with a tighter window — skip missing manifests so
     // repeated maintenance is a no-op, never a crash.
-    val referenced = (keepFrom to cur)
+    // NAMED REFS pin like retention: a tagged/branched version keeps
+    // its manifest+schema AND every data dir that manifest reaches
+    // (a tag's manifest may reference older versions' dirs for
+    // buckets its commit didn't rewrite).
+    val refVersions = namedRefs(target).map(_._3).toSet
+    val pinned = (keepFrom to cur).toSet ++ refVersions
+    val referenced = pinned.toSeq.sorted
       .filter(v => Files.exists(d.resolve(s"manifest-$v.tsv")))
       .flatMap(v => manifestAt(target, v).values.map(_.split("/")(0))).toSet ++
       cloneReferencedDirs(target)
-    val deletable = (0 until keepFrom).filterNot(v => referenced(s"v$v"))
+    val deletable = (0 until keepFrom)
+      .filterNot(refVersions)
+      .filterNot(v => referenced(s"v$v"))
     deletable.foreach { v =>
       Files.deleteIfExists(d.resolve(s"manifest-$v.tsv"))
       Files.deleteIfExists(d.resolve(s"schema-$v.json"))
@@ -871,7 +964,7 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
     // Purge-rewrite dirs ([[purgeKeys]]) live outside the v<N>
     // numbering; reclaim any that no retained manifest (nor live
     // clone) references anymore.
-    val stillReferenced = (keepFrom to cur)
+    val stillReferenced = pinned.toSeq.sorted
       .filter(v => Files.exists(d.resolve(s"manifest-$v.tsv")))
       .flatMap(v => manifestAt(target, v).values.map(_.split("/")(0)))
       .toSet ++ cloneReferencedDirs(target)
@@ -897,6 +990,7 @@ object StateStore {
   val BucketCol = "_bucket"
   val VersionFile = "_VERSION"
   val RefsFile = "refs.jsonl"
+  val NamedRefsFile = "named-refs.jsonl"
 
   /** Deterministic PK → bucket assignment (xxhash64, the engine-wide
     * content hash). The same expression computes batch-side and

@@ -1826,6 +1826,75 @@ object MaintenanceQueries {
       |  c_mktsegment
       |FROM customer ORDER BY c_custkey""".stripMargin
 
+  private val refsDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** NAMED REFS — the Iceberg tag/branch surface
+    * ([[graft.cdc.StateStore.createRef]]) as an oracle-checked query:
+    * three committed waves, a TAG pinning the pre-delete state
+    * ("q1-audit" at v1 — the immutable audit pin a compliance run
+    * keeps), a BRANCH at head ("release"), then a vacuum down to one
+    * retained version. The tag PINS v1 through the vacuum — its
+    * manifest, schema, and reachable data dirs survive while
+    * untagged v0 is reclaimed — so the report's per-ref live counts,
+    * resolved via [[graft.cdc.StateStore.stateAtRef]] time travel
+    * AFTER the vacuum, include a version the retention window alone
+    * would have expired. RefsSpec covers the mechanics the report
+    * can't show (tag immutability, branch moves, drop-then-vacuum
+    * reclaim, dangling-ref refusal).
+    *
+    * Scale: refs are a metadata file; the pin costs exactly the
+    * pinned version's files (no copy); per-ref counts are
+    * bucket-pruned manifest reads — nothing scans beyond the listed
+    * versions.
+    */
+  def maintenanceRefs(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val wh = refsDirCache.computeIfAbsent(sfDir,
+      _ => Files.createTempDirectory("graft-refs-").toString)
+    val whPath = Paths.get(wh)
+    if (Files.exists(whPath)) {
+      Files.walk(whPath).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => if (p != whPath) Files.deleteIfExists(p))
+    }
+    val store = new graft.cdc.StateStore(wh, nBuckets = 8)
+    val target = "cdc.commerce_customer_refs"
+    val pk = Seq("c_custkey")
+    val ev = Envelope.flatten(ChangeGen.changeLog(
+      Tables.load(spark, sfDir, "customer"),
+      "c_custkey", "c_acctbal", "commerce", "customer"))
+    val ts = col("_cdc.ts_ms")
+    commitPhase(spark, store, target, pk, ev.filter(ts <= 1000))
+    commitPhase(spark, store, target, pk,
+      ev.filter(ts > 1000 && ts <= 3000))
+    commitPhase(spark, store, target, pk, ev.filter(ts > 3000))
+    store.createRef(target, "q1-audit", 1, "tag")
+    store.createRef(target, "release", 2, "branch")
+    store.vacuum(target, keepVersions = 1)
+    val session = spark
+    import session.implicits._
+    val counts = store.refs(spark, target).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+      .map { case (name, kind, v) =>
+        (name, kind, v, store.stateAtRef(spark, target, name).count())
+      }.toSeq
+    counts.toDF("ref_name", "kind", "version", "n_rows")
+      .orderBy("ref_name")
+  }
+
+  /** Expected refs after the wave script: head and the release
+    * branch at v2 (post-delete), the tag still serving the full
+    * pre-delete count v1 pinned through the vacuum.
+    */
+  val maintenanceRefsOracle: String =
+    """WITH n AS (SELECT count(*) AS n FROM customer),
+      |d AS (SELECT count(*) AS d FROM customer WHERE c_custkey % 7 = 0)
+      |SELECT 'head' AS ref_name, 'branch' AS kind, 2 AS version,
+      |  n - d AS n_rows FROM n, d
+      |UNION ALL SELECT 'q1-audit', 'tag', 1, n FROM n
+      |UNION ALL SELECT 'release', 'branch', 2, n - d FROM n, d
+      |ORDER BY ref_name""".stripMargin
+
   private val snapDirCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -1898,6 +1967,7 @@ object MaintenanceQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "maintenance_wap" -> wapPublish,
     "maintenance_wap_branch" -> wapBranch,
+    "maintenance_refs" -> maintenanceRefs,
     "maintenance_snapshots" -> maintenanceSnapshots,
     "cdc_scd2" -> scd2,
     "cdc_scd2_asof" -> scd2Asof,
@@ -1920,6 +1990,7 @@ object MaintenanceQueries {
   def oracles: Map[String, String] = Map(
     "maintenance_wap" -> wapPublishOracle,
     "maintenance_wap_branch" -> wapBranchOracle,
+    "maintenance_refs" -> maintenanceRefsOracle,
     "maintenance_snapshots" -> maintenanceSnapshotsOracle,
     "cdc_scd2" -> scd2Oracle,
     "cdc_scd2_asof" -> scd2AsofOracle,

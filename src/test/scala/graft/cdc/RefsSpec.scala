@@ -1,0 +1,104 @@
+package graft.cdc
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Named refs (Iceberg tag/branch semantics) on the versioned store —
+  * the contracts the `maintenance_refs` report can't show:
+  *   1. tags are immutable (moveRef refuses), branches move;
+  *   2. a tag pins its version — AND the older data dirs its manifest
+  *      reaches — through vacuum; drop-then-vacuum reclaims;
+  *   3. refs to uncommitted versions are refused, duplicate names
+  *      are refused, and stateAtRef on an unknown name throws.
+  */
+class RefsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val NBuckets = 4
+
+  private def wave(ts: Long, keys: Range = 0 until 40): DataFrame =
+    keys.map(n => (n.toLong, ts * 1000 + n)).toDF("k", "v")
+      .withColumn(StateStore.TsCol, lit(ts))
+      .withColumn(StateStore.SeqCol, lit(0L))
+      .withColumn(StateStore.DeletedCol, lit(false))
+      .withColumn(StateStore.BucketCol,
+        StateStore.bucketExpr(Seq("k"), NBuckets))
+
+  private def affectedOf(df: DataFrame): Seq[Int] =
+    df.select(StateStore.BucketCol).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+
+  private def versionDirs(store: StateStore, target: String): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    val d = Paths.get(store.warehouse, target)
+    val s = Files.list(d)
+    try s.iterator().asScala.map(_.getFileName.toString)
+      .filter(_.matches("v\\d+")).toSet
+    finally s.close()
+  }
+
+  test("tags are immutable, branches move, bad refs are refused") {
+    val store = new StateStore(
+      Files.createTempDirectory("graft-refs-spec-").toString, NBuckets)
+    val t = "refs.t"
+    store.commit(spark, t, wave(1), 0 until NBuckets)
+    store.commit(spark, t, wave(2), 0 until NBuckets)
+    store.createRef(t, "audit", 0, "tag")
+    store.createRef(t, "rel", 0, "branch")
+    intercept[IllegalArgumentException] {
+      store.moveRef(t, "audit", 1) // tags never move
+    }
+    store.moveRef(t, "rel", 1)
+    assert(store.namedRefs(t).toSet ===
+      Set(("audit", "tag", 0), ("rel", "branch", 1)))
+    intercept[IllegalArgumentException] {
+      store.createRef(t, "audit", 1) // duplicate name
+    }
+    intercept[IllegalArgumentException] {
+      store.createRef(t, "future", 7) // not a committed version
+    }
+    intercept[IllegalArgumentException] {
+      store.stateAtRef(spark, t, "nope")
+    }
+    assert(store.stateAtRef(spark, t, "audit")
+      .agg(max("v")).head.getLong(0) === 1039L)
+    assert(store.stateAtRef(spark, t, "head")
+      .agg(max("v")).head.getLong(0) === 2039L)
+  }
+
+  test("a tag pins its version and its REACHED older dirs through " +
+      "vacuum; dropping the tag releases them") {
+    val store = new StateStore(
+      Files.createTempDirectory("graft-refs-spec2-").toString, NBuckets)
+    val t = "refs.t2"
+    // v0 writes all buckets; v1 rewrites ONE bucket (key 0's hash
+    // bucket, full bucket contents with key 0 updated), so the tag at
+    // v1 reaches v0's dirs for the other buckets — vacuum must keep
+    // those too, not just v1/.
+    store.commit(spark, t, wave(1), 0 until NBuckets)
+    val b0 = affectedOf(wave(1).filter(col("k") === 0L)).head
+    val v1wave = wave(1).filter(col(StateStore.BucketCol) === b0)
+      .withColumn("v",
+        when(col("k") === 0L, lit(2000L)).otherwise(col("v")))
+      .withColumn(StateStore.TsCol, lit(2L))
+    store.commit(spark, t, v1wave, Seq(b0))
+    store.commit(spark, t, wave(3), 0 until NBuckets)
+    store.createRef(t, "pin", 1, "tag")
+    store.vacuum(t, keepVersions = 1)
+    assert(versionDirs(store, t) === Set("v0", "v1", "v2"),
+      "the tag's manifest reaches v0's unrewritten buckets - all kept")
+    val pinned = store.stateAtRef(spark, t, "pin")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pinned.size === 40 && pinned(0L) === 2000L &&
+      pinned.forall { case (k, v) =>
+        v === (if (k == 0L) 2000L else 1000L + k) },
+      "the tagged state reads exactly v1 after vacuum")
+    store.dropRef(t, "pin")
+    store.vacuum(t, keepVersions = 1)
+    assert(versionDirs(store, t) === Set("v2"),
+      "dropping the tag releases the pinned history to the next vacuum")
+  }
+}
