@@ -326,9 +326,78 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
   def stateAtRef(spark: SparkSession, target: String,
                  name: String): DataFrame =
     if (name == "head") currentState(spark, target)
-    else stateAt(spark, target, namedRefs(target).find(_._1 == name)
+    else stateAt(spark, target, resolveRef(target, name))
+
+  def resolveRef(target: String, name: String): Int =
+    if (name == "head") currentVersion(target)
+    else namedRefs(target).find(_._1 == name)
       .getOrElse(throw new IllegalArgumentException(
-        s"no ref '$name' on $target"))._3)
+        s"no ref '$name' on $target"))._3
+
+  /** Buckets whose manifest entry DIFFERS between two versions — the
+    * only buckets a ref-to-ref diff can possibly touch. A bucket
+    * whose entry is byte-identical points at the same immutable data
+    * dir in both refs, so it is provably unchanged and never read.
+    */
+  def changedBucketsBetween(target: String, vFrom: Int,
+                            vTo: Int): Seq[Int] = {
+    val mFrom = manifestAt(target, vFrom)
+    val mTo = manifestAt(target, vTo)
+    (mFrom.keySet ++ mTo.keySet).toSeq.sorted
+      .filter(b => mFrom.get(b) != mTo.get(b))
+  }
+
+  /** CHANGE DATA FEED between two refs — "what changed since the
+    * q1-audit tag", the Iceberg incremental-read / Delta
+    * `table_changes` analog resolved by ref NAME: a full-outer join
+    * of the two states on the primary key, classified
+    * insert/update/delete, with unchanged keys dropped by value
+    * comparison. The scale lever is [[changedBucketsBetween]]:
+    * both sides read ONLY the buckets whose manifest entries differ,
+    * so diff cost is ∝ changed data, never table size — the same
+    * pruning the merge path uses, applied to time travel. Schemas
+    * are mutually aligned first, so a diff across a schema-evolution
+    * boundary compares widened/backfilled images, not raw bytes.
+    */
+  def diffRefs(spark: SparkSession, target: String, fromRef: String,
+               toRef: String, pkCols: Seq[String]): DataFrame = {
+    val vFrom = resolveRef(target, fromRef)
+    val vTo = resolveRef(target, toRef)
+    val changed = changedBucketsBetween(target, vFrom, vTo)
+    def side(v: Int): DataFrame = {
+      val m = manifestAt(target, v).view
+        .filterKeys(changed.contains).toMap
+      val schema = DataType.fromJson(
+        Files.readString(dir(target).resolve(s"schema-$v.json")))
+        .asInstanceOf[StructType]
+      readManifestEntries(spark, target, m, schema)
+        .filter(!col(DeletedCol))
+        .drop(TsCol, SeqCol, DeletedCol, BucketCol)
+    }
+    val before0 = side(vFrom)
+    val after0 = side(vTo)
+    val before = SchemaEvolution.align(before0, after0)
+    val after = SchemaEvolution.align(after0, before)
+    val valueCols = after.columns.filterNot(pkCols.contains)
+    val b = before.as("b")
+    val a = after.as("a")
+    val joined = b.join(a,
+      pkCols.map(c => b(c) <=> a(c)).reduce(_ && _), "full_outer")
+    val bPk = pkCols.map(c => b(c)).head
+    val aPk = pkCols.map(c => a(c)).head
+    // Per-column null-safe equality (a struct compare would inject a
+    // nullability cast that Catalyst rejects for NOT NULL fields).
+    val unchanged = valueCols.map(c => b(c) <=> a(c))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    joined.withColumn("change_type",
+        when(bPk.isNull, lit("insert"))
+          .when(aPk.isNull, lit("delete"))
+          .when(!unchanged, lit("update")))
+      .filter(col("change_type").isNotNull)
+      .select(pkCols.map(c => coalesce(a(c), b(c)).as(c)) ++
+        valueCols.map(c => coalesce(a(c), b(c)).as(c)) :+
+        col("change_type"): _*)
+  }
 
   /** WAP DROP: discard a failed staged branch — delete its manifest,
     * schema and data dir. Never touches head or any committed version

@@ -1895,6 +1895,83 @@ object MaintenanceQueries {
       |UNION ALL SELECT 'release', 'branch', 2, n - d FROM n, d
       |ORDER BY ref_name""".stripMargin
 
+  private val refsDiffDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** REF-TO-REF CHANGE DATA FEED
+    * ([[graft.cdc.StateStore.diffRefs]]) — "what changed since the
+    * q1-audit tag", the question tags exist to answer: snapshot
+    * tagged, then an update wave, a delete wave, and an INSERT wave
+    * commit on top; the diff from the tag to head classifies every
+    * key insert/update/delete by full-outer state comparison, with
+    * unchanged keys dropped by value equality. The oracle recomputes
+    * all three classes from the fixture's wave script alone.
+    *
+    * Scale: both sides read ONLY buckets whose manifest entries
+    * differ between the refs ([[graft.cdc.StateStore
+    * .changedBucketsBetween]] — a byte-identical entry points at the
+    * same immutable dir, provably unchanged), so diff cost follows
+    * changed data, not table size; RefsSpec pins the pruning with a
+    * single-bucket commit and the self-diff empty case.
+    */
+  def maintenanceRefsDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val wh = refsDiffDirCache.computeIfAbsent(sfDir,
+      _ => Files.createTempDirectory("graft-refsdiff-").toString)
+    val whPath = Paths.get(wh)
+    if (Files.exists(whPath)) {
+      Files.walk(whPath).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => if (p != whPath) Files.deleteIfExists(p))
+    }
+    val store = new graft.cdc.StateStore(wh, nBuckets = 8)
+    val target = "cdc.commerce_customer_refsdiff"
+    val pk = Seq("c_custkey")
+    val base = Tables.load(spark, sfDir, "customer")
+    val ev = Envelope.flatten(ChangeGen.changeLog(
+      base, "c_custkey", "c_acctbal", "commerce", "customer"))
+    val ts = col("_cdc.ts_ms")
+    commitPhase(spark, store, target, pk, ev.filter(ts <= 1000))
+    store.createRef(target, "q1-audit", 0, "tag")
+    commitPhase(spark, store, target, pk,
+      ev.filter(ts > 1000 && ts <= 3000))
+    commitPhase(spark, store, target, pk, ev.filter(ts > 3000))
+    // Insert wave: brand-new keys (fixture key + 1e6), full images.
+    val k = col("c_custkey")
+    val insRows = base.filter(k % 11 === 0)
+      .withColumn("c_custkey", k + 1000000L)
+    val img = struct(base.columns.map(col): _*)
+    val insEnv = insRows.select(
+      when(lit(false), img).as("before"), img.as("after"),
+      lit(Envelope.OpCreate).as("op"), lit(5000L).as("ts_ms"),
+      col("c_custkey").cast("long").as("seq"),
+      struct(lit("commerce").as("schema"),
+        lit("customer").as("table")).as("source"))
+    commitPhase(spark, store, target, pk, Envelope.flatten(insEnv))
+    store.diffRefs(spark, target, "q1-audit", "head", pk)
+      .select(col("c_custkey"), round(col("c_acctbal"), 2).as("c_acctbal"),
+        col("change_type"))
+      .orderBy("c_custkey")
+  }
+
+  /** The diff the wave script implies: +100/+200 updates on surviving
+    * pk%3 / pk%5 keys, deletes of pk%7 (before-image balance), and
+    * the shifted-key insert wave.
+    */
+  val maintenanceRefsDiffOracle: String =
+    """SELECT c_custkey,
+      |  ROUND(c_acctbal + CASE WHEN c_custkey % 5 = 0 THEN 200.0
+      |                         ELSE 100.0 END, 2) AS c_acctbal,
+      |  'update' AS change_type
+      |FROM customer
+      |WHERE (c_custkey % 3 = 0 OR c_custkey % 5 = 0) AND c_custkey % 7 <> 0
+      |UNION ALL
+      |SELECT c_custkey, ROUND(c_acctbal, 2), 'delete'
+      |FROM customer WHERE c_custkey % 7 = 0
+      |UNION ALL
+      |SELECT c_custkey + 1000000, ROUND(c_acctbal, 2), 'insert'
+      |FROM customer WHERE c_custkey % 11 = 0
+      |ORDER BY c_custkey""".stripMargin
+
   private val snapDirCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -1968,6 +2045,7 @@ object MaintenanceQueries {
     "maintenance_wap" -> wapPublish,
     "maintenance_wap_branch" -> wapBranch,
     "maintenance_refs" -> maintenanceRefs,
+    "maintenance_refs_diff" -> maintenanceRefsDiff,
     "maintenance_snapshots" -> maintenanceSnapshots,
     "cdc_scd2" -> scd2,
     "cdc_scd2_asof" -> scd2Asof,
@@ -1991,6 +2069,7 @@ object MaintenanceQueries {
     "maintenance_wap" -> wapPublishOracle,
     "maintenance_wap_branch" -> wapBranchOracle,
     "maintenance_refs" -> maintenanceRefsOracle,
+    "maintenance_refs_diff" -> maintenanceRefsDiffOracle,
     "maintenance_snapshots" -> maintenanceSnapshotsOracle,
     "cdc_scd2" -> scd2Oracle,
     "cdc_scd2_asof" -> scd2AsofOracle,

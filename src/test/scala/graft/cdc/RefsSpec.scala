@@ -101,4 +101,47 @@ class RefsSpec extends SparkTestBase {
     assert(versionDirs(store, t) === Set("v2"),
       "dropping the tag releases the pinned history to the next vacuum")
   }
+
+  test("diffRefs prunes to manifest-changed buckets and classifies " +
+      "insert/update/delete by value") {
+    val store = new StateStore(
+      Files.createTempDirectory("graft-refs-spec3-").toString, NBuckets)
+    val t = "refs.t3"
+    store.commit(spark, t, wave(1), 0 until NBuckets)
+    store.createRef(t, "base", 0, "tag")
+    // One commit rewrites ONLY key 0's bucket: key 0 updated, its
+    // bucket-mate key (first other key in the bucket) deleted, one
+    // new key (40, same bucket by construction below) inserted.
+    val b0 = affectedOf(wave(1).filter(col("k") === 0L)).head
+    val bucketKeys = wave(1).filter(col(StateStore.BucketCol) === b0)
+      .select("k").collect().map(_.getLong(0)).sorted
+    val victim = bucketKeys.find(_ != 0L).get
+    val newKey = (40L to 200L).find(k =>
+      affectedOf(wave(1, 0 until 1)
+        .withColumn("k", lit(k))
+        .withColumn(StateStore.BucketCol,
+          StateStore.bucketExpr(Seq("k"), NBuckets))).head == b0).get
+    val v1wave = wave(1).filter(col(StateStore.BucketCol) === b0)
+      .withColumn("v", when(col("k") === 0L, lit(9999L)).otherwise(col("v")))
+      .withColumn(StateStore.DeletedCol, col("k") === victim)
+      .unionByName(wave(1, 0 until 1)
+        .withColumn("k", lit(newKey)).withColumn("v", lit(7777L))
+        .withColumn(StateStore.BucketCol,
+          StateStore.bucketExpr(Seq("k"), NBuckets)))
+      .withColumn(StateStore.TsCol, lit(2L))
+    store.commit(spark, t, v1wave, Seq(b0))
+    assert(store.changedBucketsBetween(t, 0, 1) === Seq(b0),
+      "only the rewritten bucket may be read by the diff")
+    assert(store.changedBucketsBetween(t, 1, 1) === Seq.empty,
+      "self-diff reads nothing")
+    assert(store.diffRefs(spark, t, "head", "head", Seq("k")).count() === 0)
+    val diff = store.diffRefs(spark, t, "base", "head", Seq("k"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    assert(diff === Map(
+      0L -> ((9999L, "update")),
+      victim -> ((1000L + victim, "delete")),
+      newKey -> ((7777L, "insert"))),
+      s"unchanged bucket-mates must be value-dropped, got $diff")
+  }
 }
