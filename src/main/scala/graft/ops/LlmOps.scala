@@ -2450,23 +2450,37 @@ object LlmOps {
         .orderBy(col("cos").desc, col("vec_id"))
         .limit(k)
     } else {
-      val centroids = labelCentroids(emb).select("label", "centroid")
-      val best = centroids.crossJoin(broadcast(probe))
-        .select(col("label"), col("probe"),
-          round(cosine(col("centroid"), col("probe")), 6).as("ccos"))
-        .orderBy(col("ccos").desc, col("label"))
-        .limit(FilterNprobe)
-        .select("label", "probe")
-      corpus.join(broadcast(best), Seq("label"))
-        .select(col("vec_id"), col("label"),
-          round(cosine(vecD(col("embedding")), col("probe")), 6).as("cos"))
-        .orderBy(col("cos").desc, col("vec_id"))
-        .limit(k * FilterOverfetch)
-        .filter(pred)
-        .orderBy(col("cos").desc, col("vec_id"))
-        .limit(k)
+      postFilterTopk(spark, sfDir, pred, k, FilterNprobe)
         .withColumn("strategy", lit("post_filter"))
     }
+  }
+
+  /** The post-filter probe path alone, parameterized by nprobe — the
+    * else-branch of [[filteredAnn]], also swept by
+    * [[simFilteredCurve]].
+    */
+  private def postFilterTopk(spark: SparkSession, sfDir: String,
+                             pred: Column, k: Int,
+                             nprobe: Int): DataFrame = {
+    val emb = t(spark, sfDir, "embeddings")
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val probe = emb.filter(col("vec_id") === 0)
+      .select(vecD(col("embedding")).as("probe"))
+    val centroids = labelCentroids(emb).select("label", "centroid")
+    val best = centroids.crossJoin(broadcast(probe))
+      .select(col("label"), col("probe"),
+        round(cosine(col("centroid"), col("probe")), 6).as("ccos"))
+      .orderBy(col("ccos").desc, col("label"))
+      .limit(nprobe)
+      .select("label", "probe")
+    corpus.join(broadcast(best), Seq("label"))
+      .select(col("vec_id"), col("label"),
+        round(cosine(vecD(col("embedding")), col("probe")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k * FilterOverfetch)
+      .filter(pred)
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
   }
 
   /** Selective predicate (label=3 AND vec_id%5=0, ~2% of the corpus)
@@ -2542,6 +2556,88 @@ object LlmOps {
       .agg(count(lit(1)).as("hits"))
       .select(lit(10).as("k"), col("hits"),
         round(col("hits").cast("double") / 10, 2).as("recall"))
+  }
+
+  /** THE CALIBRATION CURVE AS A QUERY — recall@10 of the post-filter
+    * path at nprobe 2..5, oracle-checked: the sweep that chose
+    * [[FilterNprobe]] is a published, re-verified artifact instead of
+    * a doc claim, so a fixture change that moves the knee shows up as
+    * a red row, not a silently stale constant. (This is the
+    * round-10→11 lesson industrialized: the first sweep used a
+    * subtly different centroid formula than the oracle and picked a
+    * zero-gain nprobe=3.) Each curve point costs one probe of
+    * nprobe/nlist of the corpus; the exact baseline is shared.
+    */
+  def simFilteredCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    val pred = col("vec_id") % 2 === 1
+    val emb = t(spark, sfDir, "embeddings")
+    val probe = emb.filter(col("vec_id") === 0)
+      .select(vecD(col("embedding")).as("probe"))
+    val exact = emb.filter(col("vec_id") =!= 0).filter(pred)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"),
+        round(cosine(vecD(col("embedding")), col("probe")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+      .select("vec_id")
+      .persist()
+    try {
+      (2 to 5).map { nprobe =>
+        exact.join(
+            postFilterTopk(spark, sfDir, pred, 10, nprobe)
+              .select("vec_id"),
+            Seq("vec_id"))
+          .agg(count(lit(1)).as("hits"))
+          .select(lit(nprobe).as("nprobe"), col("hits"),
+            round(col("hits").cast("double") / 10, 2).as("recall"))
+      }.reduce(_ unionAll _).orderBy("nprobe")
+        .localCheckpoint(true) // materialize before unpersisting exact
+    } finally exact.unpersist()
+  }
+
+  val simFilteredCurveOracle: String = {
+    def point(n: Int): String =
+      s"""best$n AS (
+        |  SELECT label FROM cent, probe
+        |  ORDER BY ROUND(list_dot_product(centroid, p) /
+        |    (sqrt(list_dot_product(centroid, centroid)) *
+        |     sqrt(list_dot_product(p, p))), 6) DESC, label
+        |  LIMIT $n
+        |), cand$n AS (
+        |  SELECT vec_id,
+        |    ROUND(list_dot_product(e.embedding::DOUBLE[], p) /
+        |      (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+        |       sqrt(list_dot_product(p, p))), 6) AS cos
+        |  FROM embeddings e JOIN best$n USING (label), probe
+        |  WHERE vec_id <> 0
+        |  ORDER BY cos DESC, vec_id LIMIT 40
+        |), appr$n AS (
+        |  SELECT vec_id FROM cand$n WHERE vec_id % 2 = 1
+        |  ORDER BY cos DESC, vec_id LIMIT 10
+        |)""".stripMargin
+    def row(n: Int): String =
+      s"""SELECT $n AS nprobe, count(*) AS hits,
+        |  ROUND(CAST(count(*) AS DOUBLE) / 10, 2) AS recall
+        |FROM fexact JOIN appr$n USING (vec_id)""".stripMargin
+    s"""WITH cent AS (
+      |  SELECT label, list(m ORDER BY i) AS centroid
+      |  FROM (
+      |    SELECT label, i.i, avg(embedding[i.i]) AS m
+      |    FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) i
+      |    GROUP BY label, i.i)
+      |  GROUP BY label
+      |), probe AS (
+      |  SELECT embedding::DOUBLE[] AS p FROM embeddings WHERE vec_id = 0
+      |), fexact AS (
+      |  SELECT vec_id FROM embeddings, probe
+      |  WHERE vec_id <> 0 AND vec_id % 2 = 1
+      |  ORDER BY ROUND(list_dot_product(embedding::DOUBLE[], p) /
+      |    (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+      |     sqrt(list_dot_product(p, p))), 6) DESC, vec_id LIMIT 10
+      |),
+      |${(2 to 5).map(point).mkString(",\n")}
+      |${(2 to 5).map(row).mkString("\nUNION ALL ")}
+      |ORDER BY nprobe""".stripMargin
   }
 
   val simFilteredRecallOracle: String =
@@ -4460,6 +4556,7 @@ object LlmOps {
     "llm_sim_filtered" -> simFiltered,
     "llm_sim_filtered_post" -> simFilteredPost,
     "llm_sim_filtered_recall" -> simFilteredRecall,
+    "llm_sim_filtered_curve" -> simFilteredCurve,
     "llm_sim_centroids" -> simCentroids,
     "llm_text_stats" -> textStats,
     "llm_text_tokens" -> textTokens,
@@ -4539,6 +4636,7 @@ object LlmOps {
     "llm_sim_filtered" -> simFilteredOracle,
     "llm_sim_filtered_post" -> simFilteredPostOracle,
     "llm_sim_filtered_recall" -> simFilteredRecallOracle,
+    "llm_sim_filtered_curve" -> simFilteredCurveOracle,
     "llm_sim_centroids" -> simCentroidsOracle,
     "llm_text_stats" -> textStatsOracle,
     "llm_text_tokens" -> textTokensOracle,
