@@ -20,7 +20,9 @@ class PlanRobustnessSpec extends SparkTestBase {
     "agg_heavy_hitters", // sketch merge order
     "graph_bfs",         // iterative broadcast-hinted joins
     "llm_sim_hnsw",      // layered beam walk: joins + window cuts
-    "llm_sim_filtered")  // strategy census + pushdown path
+    "llm_sim_filtered",  // strategy census + pushdown path
+    "maintenance_wap_branch", // stage/audit/publish over the store
+    "maintenance_refs_diff")  // full-outer state diff, bucket-pruned
 
   test("results are invariant to broadcast strategy and partition count") {
     for (q <- probes) {
