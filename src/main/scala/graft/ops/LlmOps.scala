@@ -1147,7 +1147,26 @@ object LlmOps {
     * does not (5 bands at fanout 5 measured 0.1 — extra collisions
     * crowd true neighbors out of a narrow edge list).
     */
-  def simHnsw(spark: SparkSession, sfDir: String): DataFrame = {
+  def simHnsw(spark: SparkSession, sfDir: String): DataFrame =
+    hnswWith(spark, sfDir) { (walk, _) =>
+      import org.apache.spark.sql.expressions.Window
+      walk(16)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("cos").desc, col("vec_id"))))
+        .filter(col("rank") <= 10) // walk with beam 16, publish top-10
+        .select("rank", "vec_id", "cos")
+        .orderBy("rank")
+        .localCheckpoint(true)
+    }
+
+  /** Build the HNSW graph ONCE (scored corpus + both persisted edge
+    * lists), hand the caller a base-beam-width → final-beam walk
+    * function plus the scored corpus, and unpersist the shared frames
+    * after the caller MATERIALIZES its result — [[simHnsw]] runs one
+    * walk, [[simHnswCurve]] sweeps several over the same graph.
+    */
+  private def hnswWith(spark: SparkSession, sfDir: String)
+      (use: (Int => DataFrame, DataFrame) => DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val emb = t(spark, sfDir, "embeddings")
     val probe = emb.filter(col("vec_id") === 0)
@@ -1228,13 +1247,16 @@ object LlmOps {
     }
     val entry = scoredP.filter(col("vec_id") % 25 === 1)
       .orderBy(col("cos").desc, col("vec_id")).limit(4)
-    val l1Beam = expand(entry, l1Edges, hops = 2, width = 8)
-    val base = expand(l1Beam, baseEdges, hops = 3, width = 16)
-    base.withColumn("rank", row_number().over(
-        Window.orderBy(col("cos").desc, col("vec_id"))))
-      .filter(col("rank") <= 10) // walk with beam 16, publish top-10
-      .select("rank", "vec_id", "cos")
-      .orderBy("rank")
+    def walk(baseWidth: Int): DataFrame = {
+      val l1Beam = expand(entry, l1Edges, hops = 2, width = 8)
+      expand(l1Beam, baseEdges, hops = 3, width = baseWidth)
+    }
+    try use(walk, scoredP)
+    finally {
+      scoredP.unpersist()
+      baseEdges.unpersist()
+      l1Edges.unpersist()
+    }
   }
 
   /** Shared oracle prefix for the HNSW walk: layers, per-layer
@@ -1333,6 +1355,64 @@ object LlmOps {
     * beam width, exactly the comparison HNSW's layer construction is
     * supposed to win.
     */
+  /** THE BEAM-WIDTH/RECALL CURVE AS A QUERY — recall@10 of the
+    * hierarchical walk at base beam 10/16/24 over ONE shared graph
+    * build, oracle-checked like [[simFilteredCurve]]: the sweep that
+    * chose beam 16 stays a re-verified artifact (10→0.4, 16→0.7,
+    * 24→0.8 at sf0.01), and a fixture change that moves the knee
+    * turns a row red. Each extra point costs only the walk (beam ×
+    * fanout joins), never a second edge build.
+    */
+  def simHnswCurve(spark: SparkSession, sfDir: String): DataFrame =
+    hnswWith(spark, sfDir) { (walk, scored) =>
+      val exact = scored.orderBy(col("cos").desc, col("vec_id"))
+        .limit(10).select("vec_id")
+      Seq(10, 16, 24).map { w =>
+        exact.join(
+            walk(w).orderBy(col("cos").desc, col("vec_id")).limit(10)
+              .select("vec_id"),
+            Seq("vec_id"))
+          .agg(count(lit(1)).as("hits"))
+          .select(lit(w).as("beam"), col("hits"),
+            round(col("hits").cast("double") / 10, 2).as("recall"))
+      }.reduce(_ unionAll _).orderBy("beam")
+        .localCheckpoint(true) // materialize before the graph unpersists
+    }
+
+  val simHnswCurveOracle: String = {
+    def hopW(w: Int, n: Int, edges: String, width: Int): String =
+      s"""cw${w}_$n AS (
+        |  SELECT DISTINCT e.neighbor AS vec_id
+        |  FROM w${w}_${n - 1} b JOIN $edges e ON e.vec_id = b.vec_id
+        |), w${w}_$n AS (
+        |  SELECT vec_id, cos FROM (
+        |    SELECT vec_id, cos FROM w${w}_${n - 1}
+        |    UNION
+        |    SELECT s.vec_id, s.cos FROM cw${w}_$n JOIN scored s USING (vec_id)
+        |  ) ORDER BY cos DESC, vec_id LIMIT $width
+        |)""".stripMargin
+    def walkSql(w: Int): String =
+      s"""w${w}_0 AS (SELECT vec_id, cos FROM hb0),
+        |${hopW(w, 1, "l1knn", 8)},
+        |${hopW(w, 2, "l1knn", 8)},
+        |${hopW(w, 3, "knn", w)},
+        |${hopW(w, 4, "knn", w)},
+        |${hopW(w, 5, "knn", w)},
+        |appr$w AS (
+        |  SELECT vec_id FROM w${w}_5 ORDER BY cos DESC, vec_id LIMIT 10
+        |)""".stripMargin
+    def row(w: Int): String =
+      s"""SELECT $w AS beam, count(*) AS hits,
+        |  ROUND(CAST(count(*) AS DOUBLE) / 10, 2) AS recall
+        |FROM hexact JOIN appr$w USING (vec_id)""".stripMargin
+    hnswBeamSql + s""", hexact AS (
+      |  SELECT vec_id FROM scored ORDER BY cos DESC, vec_id LIMIT 10
+      |),
+      |${Seq(10, 16, 24).map(walkSql).mkString(",\n")}
+      |${Seq(10, 16, 24).map(row).mkString("\nUNION ALL ")}
+      |ORDER BY beam""".stripMargin
+  }
+
   def simHnswRecall(spark: SparkSession, sfDir: String): DataFrame = {
     val exact = simTopk(spark, sfDir).select(col("vec_id"))
     val approx = simHnsw(spark, sfDir).select(col("vec_id"))
@@ -4601,6 +4681,7 @@ object LlmOps {
     "llm_sim_graph" -> simGraphSearch,
     "llm_sim_hnsw" -> simHnsw,
     "llm_sim_hnsw_recall" -> simHnswRecall,
+    "llm_sim_hnsw_curve" -> simHnswCurve,
     "llm_sim_graph_recall" -> simGraphRecall)
 
   def oracles: Map[String, String] = Map(
@@ -4681,5 +4762,6 @@ object LlmOps {
     "llm_sim_graph" -> simGraphSearchOracle,
     "llm_sim_hnsw" -> simHnswOracle,
     "llm_sim_hnsw_recall" -> simHnswRecallOracle,
+    "llm_sim_hnsw_curve" -> simHnswCurveOracle,
     "llm_sim_graph_recall" -> simGraphRecallOracle)
 }
