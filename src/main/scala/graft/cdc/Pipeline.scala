@@ -78,7 +78,24 @@ final case class PipelineConfig(
   *  - A17 single writer: targets are merged sequentially inside the
   *    micro-batch thread; nothing else writes the store.
   */
-final class Pipeline(store: StateStore) {
+/** WAP gate for the pipeline's micro-batch commit path: `violation`
+  * is a predicate over post-merge state rows. A micro-batch whose
+  * merge would put ANY violating live row into the affected buckets
+  * is staged ([[StateStore.stageCommit]] — full data+metadata,
+  * head pointer untouched), audited on the post-merge
+  * affected-bucket slice (change-volume-sized — never a table
+  * rescan), DROPPED, and its envelope slice appended to
+  * `quarantineDir` for operator replay. Readers never observe the
+  * poisoned commit and the stream keeps running — the batch-level
+  * complement of A15's fail-fast (which aborts the query) and of
+  * `cdc_dead_letter` (which quarantines single malformed EVENTS;
+  * this gate catches batches whose events are well-formed but whose
+  * VALUES violate table constraints).
+  */
+final case class WapGate(violation: org.apache.spark.sql.Column,
+                         quarantineDir: String)
+
+final class Pipeline(store: StateStore, gate: Option[WapGate] = None) {
 
   /** Start the stream. `rowSchema` is the captured table's row image
     * schema (A6 journal records its evolution per target).
@@ -229,9 +246,25 @@ final class Pipeline(store: StateStore) {
     * the shared [[MergeCommit]] recipe — compact within batch → bucket
     * → read ONLY affected state buckets → mutual schema alignment
     * (A11) → latest-(ts,seq)-wins merge → atomic commit of just those
-    * buckets (A13).
+    * buckets (A13). With a [[WapGate]], the commit lands as a staged
+    * branch first and publishes only if the audit passes.
     */
   private def mergeTarget(target: String, pk: Seq[String],
-                          slice: DataFrame): Unit =
-    MergeCommit.mergeFlattened(store, target, slice, pk)
+                          slice: DataFrame): Unit = gate match {
+    case None =>
+      MergeCommit.mergeFlattened(store, target, slice, pk); ()
+    case Some(g) =>
+      MergeCommit.mergeFlattened(store, target, slice, pk,
+        persistSlices = true, stage = true).foreach { r =>
+        try {
+          val bad = r.postSlice
+            .filter(!col(StateStore.DeletedCol) && g.violation).count()
+          if (bad == 0L) store.publishStaged(target, r.version)
+          else {
+            store.dropStaged(target, r.version)
+            slice.write.mode("append").parquet(g.quarantineDir)
+          }
+        } finally r.unpersist()
+      }
+  }
 }

@@ -151,6 +151,106 @@ object PipelineQueries {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
+  /** Write slices as one parquet file each, named and mtime-pinned so
+    * the file source (maxFilesPerTrigger=1) replays them in exactly
+    * this order — the StreamingOps ordered-replay discipline applied
+    * to a change log, so each wave is its own micro-batch and the WAP
+    * gate's batch-level verdicts are deterministic.
+    */
+  private def writeOrderedSlices(slices: Seq[DataFrame],
+                                 dir: String): Unit =
+    slices.zipWithIndex.foreach { case (df, i) =>
+      val tmp = Files.createTempDirectory("graft-slice-").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(java.nio.file.Paths.get(tmp))
+        .toArray.map(_.toString).filter(_.endsWith(".parquet"))
+      require(part.length == 1, s"expected 1 part file, got ${part.length}")
+      val dst = java.nio.file.Paths.get(dir, f"b$i%02d.parquet")
+      Files.move(java.nio.file.Paths.get(part.head), dst,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 10000L))
+    }
+
+  /** The poisoned replay log for [[pipelineWap]]: the standard
+    * customer waves in commit order, with a POISON micro-batch
+    * (out-of-band balances on every pk%5 key, ts between the update
+    * and delete waves) spliced in as its own slice.
+    */
+  private def stagePoisonedLog(spark: SparkSession,
+                               sfDir: String): String =
+    stageOnce(s"$sfDir:customer-poisoned") { dir =>
+      val base = Tables.load(spark, sfDir, "customer")
+      val log = customerLog(spark, sfDir)
+      val ts = col("ts_ms")
+      val k = col("c_custkey")
+      val img = struct(base.columns.map(col): _*)
+      val poison = base.filter(k % 5 === 0)
+        .withColumn("c_acctbal", lit(-99999.0))
+        .select(when(lit(false), img).as("before"), img.as("after"),
+          lit(Envelope.OpUpdate).as("op"), lit(3500L).as("ts_ms"),
+          k.cast("long").as("seq"),
+          struct(lit("commerce").as("schema"),
+            lit("customer").as("table")).as("source"))
+      writeOrderedSlices(Seq(
+        log.filter(ts <= 1000),
+        log.filter(ts > 1000 && ts <= 3000),
+        poison,
+        log.filter(ts > 3000)), dir)
+    }
+
+  private val wapPipeDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private[queries] def wapPipeDirs(sfDir: String): (String, String) =
+    wapPipeDirCache.get(sfDir)
+
+  /** WAP INSIDE THE STREAMING COMMIT PATH ([[graft.cdc.WapGate]]):
+    * the full A2→A14 pipeline with every micro-batch commit gated —
+    * staged as an unpublished branch, audited on the post-merge
+    * affected-bucket slice, published by pointer swap or dropped with
+    * the envelope slice quarantined. The replay splices a poisoned
+    * micro-batch (out-of-band balances) between the update and
+    * delete waves; the gate drops exactly that batch, the stream
+    * keeps running, and the final state is IDENTICAL to the
+    * ungated pipeline on the clean log — the oracle is literally
+    * [[pipelineCustomerOracle]]. WapPipelineSpec pins what the state
+    * can't show: the quarantine holds exactly the poison slice, the
+    * version chain has no gap, and a clean log quarantines nothing.
+    *
+    * Scale: the audit reads the merge's own post-slice (already in
+    * memory, change-volume-sized) — gating adds zero extra scans;
+    * publish is one pointer swap; a dropped batch costs its own merge
+    * plus the quarantine append, both ∝ batch size.
+    */
+  def pipelineWap(spark: SparkSession, sfDir: String): DataFrame = {
+    CdcAdmin.enableCdc("commerce.customer", Seq("c_custkey"))
+    val store = new StateStore(
+      Files.createTempDirectory("graft-warehouse-").toString, nBuckets = 8)
+    val quarantine = Files.createTempDirectory("graft-quarantine-").toString
+    wapPipeDirCache.put(sfDir, (store.warehouse, quarantine))
+    val logDir = stagePoisonedLog(spark, sfDir)
+    val ckptDir = Files.createTempDirectory("graft-ckpt-")
+    val cfg = PipelineConfig(
+      changeLogDir = logDir,
+      checkpointDir = ckptDir.toString,
+      includeTables = Seq("customer", "product", "supplier"),
+      triggerIntervalMs = None,
+      maxFilesPerTrigger = 1) // one wave per micro-batch: the gate's
+                              // verdict is per-wave, deterministically
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val gate = WapGate(col("c_acctbal") < -1000.0, quarantine)
+      val q = new Pipeline(store, Some(gate)).start(spark,
+        rowSchemaOf(customerLog(spark, sfDir)), cfg)
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    store.currentState(spark, "cdc.commerce_customer")
+      .withColumn("c_acctbal", round(col("c_acctbal"), 2))
+      .orderBy("c_custkey")
+  }
+
   /** Flagship streaming query: the customer change log through the full
     * A2→A14 pipeline; oracle identical to the batch merge.
     */
@@ -259,12 +359,14 @@ object PipelineQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_pipeline_customer" -> pipelineCustomer,
+    "cdc_pipeline_wap" -> pipelineWap,
     "cdc_pipeline_fanout" -> pipelineFanout,
     "cdc_schema_evolution" -> schemaEvolution,
     "stream_wire_variant" -> streamWireVariant)
 
   def oracles: Map[String, String] = Map(
     "cdc_pipeline_customer" -> pipelineCustomerOracle,
+    "cdc_pipeline_wap" -> pipelineCustomerOracle,
     "cdc_pipeline_fanout" -> pipelineFanoutOracle,
     "cdc_schema_evolution" -> schemaEvolutionOracle,
     "stream_wire_variant" -> CdcQueries.oracles("cdc_wire_variant"))
