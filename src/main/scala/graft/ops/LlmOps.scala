@@ -1921,6 +1921,99 @@ object LlmOps {
         array((1 to EmbDim).map(i => col(s"m$i")): _*).as("centroid"))
   }
 
+  /** RECALL PANEL — the IVF audit freed from its single lucky probe:
+    * recall@10 measured for a PANEL of 5 probe vectors in one
+    * vectorized plan (probe set broadcast against one corpus scan,
+    * every per-probe top-k a window rank partitioned by probe), so
+    * the published quality number is a distribution, not one draw.
+    * The corpus excludes the whole panel uniformly; centroids are
+    * panel-free for the same reason. At 100 TB the shape is
+    * unchanged: |panel| × corpus scored rows partition-pruned per
+    * probe — no driver loop, no per-probe job.
+    */
+  def simRecallPanel(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = t(spark, sfDir, "embeddings")
+    val probes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), vecD(col("embedding")).as("p"))
+    val corpus = emb.filter(col("vec_id") >= 5)
+    val scored = corpus.crossJoin(broadcast(probes))
+      .select(col("probe_id"), col("vec_id"), col("label"),
+        round(cosine(vecD(col("embedding")), col("p")), 6).as("cos"))
+    val byProbe = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    val exact = scored.withColumn("rn", row_number().over(byProbe))
+      .filter(col("rn") <= 10).select("probe_id", "vec_id")
+    val centroids = labelCentroids(corpus).select("label", "centroid")
+    val byProbeLabel = Window.partitionBy("probe_id")
+      .orderBy(col("ccos").desc, col("label"))
+    val best = centroids.crossJoin(broadcast(probes))
+      .select(col("probe_id"), col("label"),
+        round(cosine(col("centroid"), col("p")), 6).as("ccos"))
+      .withColumn("rn", row_number().over(byProbeLabel))
+      .filter(col("rn") <= 2).select("probe_id", "label")
+    val cand = scored.join(best, Seq("probe_id", "label"))
+      .withColumn("rn", row_number().over(byProbe))
+      .filter(col("rn") <= 10).select("probe_id", "vec_id")
+    val hits = exact.join(cand, Seq("probe_id", "vec_id"))
+      .groupBy("probe_id").agg(count(lit(1)).as("hits"))
+    probes.select("probe_id")
+      .join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)).cast("double") / 10, 2)
+          .as("recall"))
+      .orderBy("probe_id")
+  }
+
+  val simRecallPanelOracle: String =
+    """WITH probes AS (
+      |  SELECT vec_id AS probe_id, embedding::DOUBLE[] AS p
+      |  FROM embeddings WHERE vec_id < 5
+      |), corpus AS (
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS v
+      |  FROM embeddings WHERE vec_id >= 5
+      |), scored AS (
+      |  SELECT probe_id, vec_id, label,
+      |    ROUND(list_dot_product(v, p) /
+      |      (sqrt(list_dot_product(v, v)) *
+      |       sqrt(list_dot_product(p, p))), 6) AS cos
+      |  FROM corpus, probes
+      |), exact AS (
+      |  SELECT probe_id, vec_id FROM scored
+      |  WINDOW w AS (PARTITION BY probe_id ORDER BY cos DESC, vec_id)
+      |  QUALIFY row_number() OVER w <= 10
+      |), cent AS (
+      |  SELECT label, list(m ORDER BY i) AS centroid
+      |  FROM (
+      |    SELECT label, i.i, avg(v[i.i]) AS m
+      |    FROM corpus, (SELECT unnest(generate_series(1, 64)) AS i) i
+      |    GROUP BY label, i.i)
+      |  GROUP BY label
+      |), best AS (
+      |  SELECT probe_id, label FROM (
+      |    SELECT probe_id, label,
+      |      ROUND(list_dot_product(centroid, p) /
+      |        (sqrt(list_dot_product(centroid, centroid)) *
+      |         sqrt(list_dot_product(p, p))), 6) AS ccos
+      |    FROM cent, probes)
+      |  WINDOW w AS (PARTITION BY probe_id ORDER BY ccos DESC, label)
+      |  QUALIFY row_number() OVER w <= 2
+      |), cand AS (
+      |  SELECT probe_id, vec_id FROM scored JOIN best
+      |    USING (probe_id, label)
+      |  WINDOW w AS (PARTITION BY probe_id ORDER BY cos DESC, vec_id)
+      |  QUALIFY row_number() OVER w <= 10
+      |), hits AS (
+      |  SELECT probe_id, count(*) AS hits
+      |  FROM exact JOIN cand USING (probe_id, vec_id)
+      |  GROUP BY probe_id
+      |)
+      |SELECT p.probe_id, COALESCE(h.hits, 0) AS hits,
+      |  ROUND(CAST(COALESCE(h.hits, 0) AS DOUBLE) / 10, 2) AS recall
+      |FROM probes p LEFT JOIN hits h USING (probe_id)
+      |ORDER BY probe_id""".stripMargin
+
   def simIvf(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = t(spark, sfDir, "embeddings")
     val centroids = labelCentroids(emb).select("label", "centroid")
@@ -4637,6 +4730,7 @@ object LlmOps {
     "llm_sim_filtered_post" -> simFilteredPost,
     "llm_sim_filtered_recall" -> simFilteredRecall,
     "llm_sim_filtered_curve" -> simFilteredCurve,
+    "llm_sim_recall_panel" -> simRecallPanel,
     "llm_sim_centroids" -> simCentroids,
     "llm_text_stats" -> textStats,
     "llm_text_tokens" -> textTokens,
@@ -4718,6 +4812,7 @@ object LlmOps {
     "llm_sim_filtered_post" -> simFilteredPostOracle,
     "llm_sim_filtered_recall" -> simFilteredRecallOracle,
     "llm_sim_filtered_curve" -> simFilteredCurveOracle,
+    "llm_sim_recall_panel" -> simRecallPanelOracle,
     "llm_sim_centroids" -> simCentroidsOracle,
     "llm_text_stats" -> textStatsOracle,
     "llm_text_tokens" -> textTokensOracle,
