@@ -32,14 +32,14 @@ object LlmOps {
     * ([[StreamingOps.streamCurate]]) so the three can't desynchronize;
     * [[qualityPredSql]] is the DuckDB spelling their oracles embed.
     */
-  private[ops] def qualityPred: Column = {
+  private[graft] def qualityPred: Column = {
     val n = size(words)
     round(size(array_distinct(words)).cast("double") / n, 6) >= 0.5 &&
       n.between(20, 1000)
   }
 
   /** DuckDB twin of [[qualityPred]], interpolated into the oracles. */
-  private[ops] val qualityPredSql: String =
+  private[graft] val qualityPredSql: String =
     """ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
       |        len(string_split(text, ' ')), 6) >= 0.5
       |    AND len(string_split(text, ' ')) BETWEEN 20 AND 1000""".stripMargin
@@ -267,7 +267,7 @@ object LlmOps {
     * it replaced ran interpreted and was profiled as the dominant cost
     * of the whole LSH pair (~4.2 s of the bench at sf0.1).
     */
-  private def shingleSets(docs: DataFrame): DataFrame =
+  private[graft] def shingleSets(docs: DataFrame): DataFrame =
     docs.filter(size(words) >= 3)
       .select(col("doc_id"),
         graft.functions.ShingleSet.shingleSet(words).as("sset"))
@@ -1672,11 +1672,11 @@ object LlmOps {
     * [[curateOracle]] and the [[curateWrite]] rollup so the two can't
     * drift.
     */
-  private val curateBodySql: String =
+  private[graft] def curateBody(table: String): String =
     s"""WITH q AS (
       |  SELECT doc_id, lang, text,
       |    len(string_split(text, ' ')) AS n_words
-      |  FROM documents
+      |  FROM $table
       |  WHERE $qualityPredSql
       |), keep AS (
       |  SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)
@@ -1716,6 +1716,8 @@ object LlmOps {
       |)
       |SELECT doc_id, lang, n_words FROM ek
       |WHERE doc_id NOT IN (SELECT doc_id FROM dups)""".stripMargin
+
+  private val curateBodySql: String = curateBody("documents")
 
   val curateOracle: String = curateBodySql + "\nORDER BY doc_id"
 

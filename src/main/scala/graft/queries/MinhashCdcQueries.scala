@@ -49,8 +49,11 @@ object MinhashCdcQueries {
     */
   private[queries] def docChangeLog(base: DataFrame): DataFrame = {
     val src = struct(lit("corpus").as("schema"), lit("documents").as("table"))
+    // lang rides every image (unchanged by the waves): the signature
+    // maintainer ignores it, the curation maintainer needs it.
     def image(text: Column): Column =
-      struct(col("doc_id").cast("long").as("doc_id"), text.as("text"))
+      struct(col("doc_id").cast("long").as("doc_id"),
+        col("lang").as("lang"), text.as("text"))
     val baseImage = image(col("text"))
     val nullImage = when(lit(false), baseImage)
     val pk = col("doc_id").cast("long")
@@ -145,9 +148,123 @@ object MinhashCdcQueries {
       |SELECT doc_id, CAST(band AS INT) AS band, mh
       |FROM sig ORDER BY doc_id, band""".stripMargin
 
+  /** One micro-batch of the CURATION maintainer: the SAME flattened
+    * slice feeds two derived state tables — the doc row image
+    * (`cur.docs`: doc_id, lang, text) and the banded-MinHash
+    * signature (`cur.signatures`), both through the shared ordered
+    * bucket-pruned merge. The expensive per-doc derivation
+    * (signatures) happens map-side on batch rows only; nothing here
+    * rescans the corpus.
+    */
+  private def processCurateBatch(store: StateStore,
+                                 batch: DataFrame): Unit = {
+    MergeCommit.mergeFlattened(store, "cur.docs", batch, Seq("doc_id"))
+    val sigged = batch.withColumn("row",
+      struct(col("row.doc_id").as("doc_id"),
+        graft.functions.BandedMinHash.bandedMinhash(
+          graft.functions.ShingleSet.shingleSet(
+            split(col("row.text"), " ")))
+          .cast("array<string>").as("ms")))
+    MergeCommit.mergeFlattened(store, "cur.signatures", sigged,
+      Seq("doc_id"))
+    ()
+  }
+
+  /** INCREMENTAL CURATION UNDER CDC — the capstone composition: the
+    * curate pipeline's answer stays current as DOCUMENTS CHANGE,
+    * without re-deriving the corpus. The drain maintains `cur.docs`
+    * and `cur.signatures` per micro-batch (change-volume work); the
+    * read side then assembles the curated set from STATE alone:
+    * quality gate (map over docs), exact-dedup keepers (digest-only
+    * group-by), LSH candidates from the MAINTAINED signatures
+    * (band-censused equi-join — no re-signing), and Jaccard
+    * verification on candidate pairs only. Semantics are pinned to
+    * the batch [[graft.ops.LlmOps.curate]] by construction — the
+    * signature table is filtered to the exact-kept set BEFORE the
+    * band census, exactly the population batch curate signs — and
+    * the oracle is literally the batch curate SQL over the post-CDC
+    * corpus.
+    *
+    * 100 TB split: maintenance cost ∝ change volume (the per-doc
+    * signature work never re-runs); assembly cost is the CHEAP part
+    * of curate — a digest shuffle, a signature-table band join, and
+    * pair-proportional verification — with the per-doc heavy lifting
+    * amortized into the pipeline.
+    */
+  def curateIncremental(spark: SparkSession, sfDir: String,
+                        filesPerTrigger: Int = 2): DataFrame = {
+    import graft.ops.LlmOps
+    val store = DrainHarness.drain(spark,
+      docChangeLog(Tables.load(spark, sfDir, "documents")),
+      s"$sfDir/curate-incr", NBuckets, filesPerTrigger)(processCurateBatch)
+    val docs = store.currentState(spark, "cur.docs")
+    val qualified = docs.filter(LlmOps.qualityPred)
+      .select(col("doc_id"), col("lang"), col("text"),
+        size(split(col("text"), " ")).as("n_words"))
+    val keepers = qualified
+      .select(md5(col("text")).as("h"), col("doc_id"))
+      .groupBy("h").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val exactKept = qualified.join(keepers, Seq("doc_id"), "left_semi")
+      .persist()
+    try {
+      // Candidates from the MAINTAINED signature index, restricted to
+      // the exact-kept population before the band census (the batch
+      // pipeline signs exactly this set).
+      val inb = store.currentState(spark, "cur.signatures")
+        .join(exactKept.select("doc_id"), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), posexplode(col("ms")).as(Seq("band", "mh")))
+      val ok = inb.groupBy("band", "mh").agg(count(lit(1)).as("bn"))
+        .filter(col("bn").between(2, 100)).select("band", "mh")
+      val pruned = inb.join(ok, Seq("band", "mh"))
+      val cands = pruned.select(col("band"), col("mh"),
+          col("doc_id").as("d1"))
+        .join(pruned.select(col("band"), col("mh"),
+          col("doc_id").as("d2")), Seq("band", "mh"))
+        .filter(col("d1") < col("d2"))
+        .select("d1", "d2").distinct()
+      val ss = LlmOps.shingleSets(exactKept).persist()
+      try {
+        val jac = graft.functions.JaccardSim.jaccardSim(col("sa"), col("sb"))
+        val dropped = cands
+          .join(ss.select(col("doc_id").as("d1"), col("sset").as("sa")),
+            Seq("d1"))
+          .join(ss.select(col("doc_id").as("d2"), col("sset").as("sb")),
+            Seq("d2"))
+          .filter(round(jac, 6) >= 0.5)
+          .select(col("d2").as("doc_id")).distinct()
+        exactKept.join(dropped, Seq("doc_id"), "left_anti")
+          .select("doc_id", "lang", "n_words")
+          .orderBy("doc_id")
+          .localCheckpoint(true) // materialize before unpersist
+      } finally ss.unpersist()
+    } finally exactKept.unpersist()
+  }
+
+  /** Batch curate over the post-CDC corpus: the SAME SQL body as the
+    * batch `llm_curate` oracle, pointed at the edited/deleted final
+    * corpus — incremental maintenance must converge to it exactly.
+    */
+  val curateIncrementalOracle: String =
+    """WITH final_docs AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN doc_id % 3 = 0
+      |         THEN text || ' data table row data table row'
+      |         ELSE text END AS text
+      |  FROM documents WHERE doc_id % 7 <> 0
+      |), curated AS (
+      |""".stripMargin +
+      graft.ops.LlmOps.curateBody("final_docs") +
+      """
+      |)
+      |SELECT doc_id, lang, n_words FROM curated
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "cdc_minhash_incremental" -> ((s, d) => minhashIncremental(s, d)))
+    "cdc_minhash_incremental" -> ((s, d) => minhashIncremental(s, d)),
+    "cdc_curate_incremental" -> ((s, d) => curateIncremental(s, d)))
 
   def oracles: Map[String, String] = Map(
-    "cdc_minhash_incremental" -> minhashIncrementalOracle)
+    "cdc_minhash_incremental" -> minhashIncrementalOracle,
+    "cdc_curate_incremental" -> curateIncrementalOracle)
 }

@@ -44,4 +44,29 @@ class MinhashCdcSpec extends SparkTestBase {
       .select("mh").distinct().count()
     assert(evenDistinct > 1, "stale boilerplate must lose the merge")
   }
+
+  test("incremental curation is independent of micro-batch slicing " +
+      "and excludes every deleted doc") {
+    def run(filesPerTrigger: Int) =
+      MinhashCdcQueries.curateIncremental(spark, sf, filesPerTrigger)
+        .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val oneAtATime = run(1)
+    val allAtOnce = run(4)
+    assert(oneAtATime.nonEmpty)
+    assert(oneAtATime === allAtOnce,
+      "the curated set must converge under any micro-batch slicing")
+    assert(oneAtATime.keys.forall(_ % 7 != 0),
+      "no deleted doc may survive curation")
+    // Edited docs (%3) gained 6 repeated words: any %3 doc that still
+    // qualifies carries the edit's word count, proving the curation
+    // read the POST-EDIT state, not the snapshot.
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).as("n0"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val edited = oneAtATime.filter { case (k, _) => k % 3 == 0 }
+    assert(edited.nonEmpty && edited.forall { case (k, n) =>
+      n == docs(k) + 6
+    }, "curated %3 docs must carry the edited text's word count")
+  }
 }
