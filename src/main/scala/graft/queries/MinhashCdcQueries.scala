@@ -260,11 +260,62 @@ object MinhashCdcQueries {
       |SELECT doc_id, lang, n_words FROM curated
       |ORDER BY doc_id""".stripMargin
 
+  /** CURATION MEMBERSHIP DELTA — "what did this change wave do to my
+    * training set": the curated set over the PRE-CDC corpus compared
+    * against the incrementally maintained post-CDC set
+    * ([[curateIncremental]]), classified `entered` (now curated:
+    * edits pushed a doc over the quality bar, or removed the doc
+    * that was shadowing it as an exact/near dup) vs `left` (deleted,
+    * quality-degraded, or newly shadowed). This is the audit a
+    * training-data owner reviews before re-training on a refreshed
+    * corpus; both sides are full curate semantics, so the delta
+    * carries cascade effects (a delete un-shadowing a near-dup) that
+    * a per-event view cannot.
+    */
+  def curateDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    val before = graft.ops.LlmOps.curate(spark, sfDir).select("doc_id")
+    val after = curateIncremental(spark, sfDir).select("doc_id")
+    val entered = after.join(before, Seq("doc_id"), "left_anti")
+      .withColumn("change", lit("entered"))
+    val left = before.join(after, Seq("doc_id"), "left_anti")
+      .withColumn("change", lit("left"))
+    entered.unionByName(left).orderBy("doc_id", "change")
+  }
+
+  val curateDeltaOracle: String =
+    """WITH final_docs AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN doc_id % 3 = 0
+      |         THEN text || ' data table row data table row'
+      |         ELSE text END AS text
+      |  FROM documents WHERE doc_id % 7 <> 0
+      |), cur_before AS (
+      |  SELECT doc_id FROM (
+      |""".stripMargin +
+      graft.ops.LlmOps.curateBody("documents") +
+      """
+      |)
+      |), cur_after AS (
+      |  SELECT doc_id FROM (
+      |""".stripMargin +
+      graft.ops.LlmOps.curateBody("final_docs") +
+      """
+      |)
+      |)
+      |SELECT doc_id, 'entered' AS change FROM cur_after
+      |WHERE doc_id NOT IN (SELECT doc_id FROM cur_before)
+      |UNION ALL
+      |SELECT doc_id, 'left' FROM cur_before
+      |WHERE doc_id NOT IN (SELECT doc_id FROM cur_after)
+      |ORDER BY doc_id, change""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_minhash_incremental" -> ((s, d) => minhashIncremental(s, d)),
-    "cdc_curate_incremental" -> ((s, d) => curateIncremental(s, d)))
+    "cdc_curate_incremental" -> ((s, d) => curateIncremental(s, d)),
+    "cdc_curate_delta" -> curateDelta)
 
   def oracles: Map[String, String] = Map(
     "cdc_minhash_incremental" -> minhashIncrementalOracle,
-    "cdc_curate_incremental" -> curateIncrementalOracle)
+    "cdc_curate_incremental" -> curateIncrementalOracle,
+    "cdc_curate_delta" -> curateDeltaOracle)
 }
