@@ -114,8 +114,8 @@ final class Pipeline(store: StateStore, gate: Option[WapGate] = None) {
     val routed = Routing.route(Envelope.flatten(filtered), cfg.routePattern)
     val writer = routed.writeStream
       .option("checkpointLocation", cfg.checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(batch)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId)
       }
     cfg.triggerIntervalMs match {
       case Some(ms) => writer.trigger(Trigger.ProcessingTime(ms)).start()
@@ -224,7 +224,7 @@ final class Pipeline(store: StateStore, gate: Option[WapGate] = None) {
     * The distinct-target collect is metadata-sized — bounded by the
     * number of captured tables, never by data volume.
     */
-  def processBatch(batch: DataFrame): Unit = {
+  def processBatch(batch: DataFrame, batchId: Long = 0L): Unit = {
     batch.persist()
     try {
       val targets = batch
@@ -237,7 +237,8 @@ final class Pipeline(store: StateStore, gate: Option[WapGate] = None) {
         val pk = CdcAdmin.pkOf(tableFqn).getOrElse(throw new IllegalStateException(
           s"A15 fail-fast: CDC not enabled for $tableFqn " +
             "(call CdcAdmin.enableCdc(table, pkCols) first)"))
-        mergeTarget(target, pk, batch.filter(col("_cdc_target") === target))
+        mergeTarget(target, pk,
+          batch.filter(col("_cdc_target") === target), batchId)
       }
     } finally batch.unpersist()
   }
@@ -250,21 +251,27 @@ final class Pipeline(store: StateStore, gate: Option[WapGate] = None) {
     * branch first and publishes only if the audit passes.
     */
   private def mergeTarget(target: String, pk: Seq[String],
-                          slice: DataFrame): Unit = gate match {
-    case None =>
-      MergeCommit.mergeFlattened(store, target, slice, pk); ()
-    case Some(g) =>
-      MergeCommit.mergeFlattened(store, target, slice, pk,
-        persistSlices = true, stage = true).foreach { r =>
-        try {
-          val bad = r.postSlice
-            .filter(!col(StateStore.DeletedCol) && g.violation).count()
-          if (bad == 0L) store.publishStaged(target, r.version)
-          else {
-            store.dropStaged(target, r.version)
-            slice.write.mode("append").parquet(g.quarantineDir)
-          }
-        } finally r.unpersist()
-      }
-  }
+                          slice: DataFrame, batchId: Long = 0L): Unit =
+    gate match {
+      case None =>
+        MergeCommit.mergeFlattened(store, target, slice, pk); ()
+      case Some(g) =>
+        MergeCommit.mergeFlattened(store, target, slice, pk,
+          persistSlices = true, stage = true).foreach { r =>
+          try {
+            val bad = r.postSlice
+              .filter(!col(StateStore.DeletedCol) && g.violation).count()
+            if (bad == 0L) store.publishStaged(target, r.version)
+            else {
+              store.dropStaged(target, r.version)
+              // Keyed by batchId and OVERWRITTEN, not appended: a
+              // checkpoint-replayed micro-batch (A14) re-audits, drops
+              // again, and rewrites the same quarantine slot — the
+              // quarantine stays exactly-once like the state itself.
+              slice.write.mode("overwrite")
+                .parquet(s"${g.quarantineDir}/batch=$batchId")
+            }
+          } finally r.unpersist()
+        }
+    }
 }

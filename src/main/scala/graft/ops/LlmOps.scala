@@ -1247,10 +1247,12 @@ object LlmOps {
     }
     val entry = scoredP.filter(col("vec_id") % 25 === 1)
       .orderBy(col("cos").desc, col("vec_id")).limit(4)
-    def walk(baseWidth: Int): DataFrame = {
-      val l1Beam = expand(entry, l1Edges, hops = 2, width = 8)
+    // The L1 descent is base-width-independent — computed once (it is
+    // localCheckpointed per hop, so reuse across walks is free) and
+    // shared by every base-beam sweep point.
+    lazy val l1Beam = expand(entry, l1Edges, hops = 2, width = 8)
+    def walk(baseWidth: Int): DataFrame =
       expand(l1Beam, baseEdges, hops = 3, width = baseWidth)
-    }
     try use(walk, scoredP)
     finally {
       scoredP.unpersist()
