@@ -111,11 +111,11 @@ object MinhashCdcQueries {
       .orderBy("doc_id", "band")
   }
 
-  /** Stage the change log without draining — Bench's untimed warmup. */
+  /** Stage the change logs without draining — Bench's untimed warmup. */
   def prestage(spark: SparkSession, sfDir: String): Unit = {
-    DrainHarness.stage(
-      docChangeLog(Tables.load(spark, sfDir, "documents")),
-      s"$sfDir/minhash")
+    val log = docChangeLog(Tables.load(spark, sfDir, "documents"))
+    DrainHarness.stage(log, s"$sfDir/minhash")
+    DrainHarness.stage(log, s"$sfDir/curate-incr")
     ()
   }
 

@@ -117,6 +117,8 @@ object PipelineQueries {
     stageLog(ChangeGen.evolvedChangeLog(base, "c_custkey", "c_acctbal",
       "commerce", "customer"), s"$sfDir:customer-evolved")
     stageFanoutWire(spark, sfDir)
+    stagePoisonedLog(spark, sfDir)
+    ()
   }
 
   /** Run one bounded pipeline pass over `log`, returning the target's
