@@ -567,6 +567,94 @@ object LlmOps {
       |JOIN ssets sb ON sb.doc_id = d2
       |ORDER BY d1, d2""".stripMargin
 
+  /** SOURCE-PRIORITY near-dup dedup — when a verified near-dup pair
+    * spans sources, KEEP THE HIGHER-PRIORITY SOURCE'S COPY (curated
+    * corpora outrank crawls), not the smaller doc_id: the actual
+    * production resolution rule for cross-source dedup, where
+    * min-doc-id would silently prefer whichever corpus was ingested
+    * first. Priority here is the source's numeric rank (src0 best),
+    * doc_id as the tiebreak; a doc drops iff it is the WORSE member
+    * of any verified pair (same greedy pair-drop semantics as
+    * [[curate]], different ordering key). Same banded candidates +
+    * exact-verify machinery as [[dedupJaccard]] — the only new cost
+    * is a broadcast-sized priority lookup per pair.
+    */
+  def dedupPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    val ss = shingleSets(docs).persist()
+    try {
+      val jac = graft.functions.JaccardSim.jaccardSim(col("sa"), col("sb"))
+      val verified = minhashPairs(ss).select("d1", "d2").distinct()
+        .join(ss.select(col("doc_id").as("d1"), col("sset").as("sa")),
+          Seq("d1"))
+        .join(ss.select(col("doc_id").as("d2"), col("sset").as("sb")),
+          Seq("d2"))
+        .filter(round(jac, 6) >= 0.5)
+        .select("d1", "d2")
+      val pr = docs.select(col("doc_id"),
+        substring(col("source"), 4, 10).cast("int").as("srcn"))
+      val dropped = verified
+        .join(pr.select(col("doc_id").as("d1"), col("srcn").as("p1")),
+          Seq("d1"))
+        .join(pr.select(col("doc_id").as("d2"), col("srcn").as("p2")),
+          Seq("d2"))
+        .select(when(col("p2") > col("p1") ||
+            (col("p2") === col("p1") && col("d2") > col("d1")),
+            col("d2")).otherwise(col("d1")).as("doc_id"))
+        .distinct()
+      docs.join(dropped, Seq("doc_id"), "left_anti")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+        .localCheckpoint(true) // materialize before ss unpersists
+    } finally ss.unpersist()
+  }
+
+  val dedupPriorityOracle: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    string_split(text, ' ')[idx.i] || ' ' ||
+      |    string_split(text, ' ')[idx.i + 1] || ' ' ||
+      |    string_split(text, ' ')[idx.i + 2] AS s
+      |  FROM documents,
+      |    LATERAL (SELECT unnest(range(1, len(string_split(text, ' ')) - 1)) AS i) idx
+      |  WHERE len(string_split(text, ' ')) >= 3
+      |), ssets AS (
+      |  SELECT doc_id, list_distinct(list(s)) AS sset FROM sh GROUP BY doc_id
+      |), sigs AS (
+      |  SELECT doc_id, b.band, min(substr(md5(s), b.band * 8 + 1, 8)) AS mh
+      |  FROM sh, LATERAL (SELECT unnest(range(4)) AS band) b
+      |  GROUP BY doc_id, b.band
+      |), ok AS (
+      |  SELECT band, mh FROM sigs GROUP BY band, mh
+      |  HAVING count(*) BETWEEN 2 AND 100
+      |), inb AS (
+      |  SELECT s.doc_id, s.band, s.mh FROM sigs s JOIN ok USING (band, mh)
+      |), cands AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2
+      |  FROM inb a JOIN inb b ON a.band = b.band AND a.mh = b.mh
+      |  WHERE a.doc_id < b.doc_id
+      |  GROUP BY d1, d2
+      |), ver AS (
+      |  SELECT d1, d2 FROM cands
+      |  JOIN ssets sa ON sa.doc_id = d1
+      |  JOIN ssets sb ON sb.doc_id = d2
+      |  WHERE ROUND(CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE) /
+      |        len(list_distinct(list_concat(sa.sset, sb.sset))), 6) >= 0.5
+      |), pr AS (
+      |  SELECT doc_id, CAST(substr(source, 4, 10) AS INT) AS srcn
+      |  FROM documents
+      |), drp AS (
+      |  SELECT DISTINCT CASE
+      |    WHEN p2.srcn > p1.srcn OR (p2.srcn = p1.srcn AND d2 > d1)
+      |    THEN d2 ELSE d1 END AS doc_id
+      |  FROM ver
+      |  JOIN pr p1 ON p1.doc_id = d1
+      |  JOIN pr p2 ON p2.doc_id = d2
+      |)
+      |SELECT doc_id, source FROM documents
+      |WHERE doc_id NOT IN (SELECT doc_id FROM drp)
+      |ORDER BY doc_id""".stripMargin
+
   /** RECALL AUDIT for the DEDUP family — the number the ANN family
     * already publishes (IVF/LSH/PQ/graph/binary `_recall` rows) but
     * the near-dup pipeline only argued from banding theory: what
@@ -4711,6 +4799,7 @@ object LlmOps {
     "llm_dedup_lsh_recall" -> dedupLshRecall,
     "llm_source_overlap_sketch" -> sourceOverlapSketch,
     "llm_dedup_jaccard" -> dedupJaccard,
+    "llm_dedup_priority" -> dedupPriority,
     "llm_dedup_editdist" -> dedupEditdist,
     "llm_split_leakage" -> splitLeakage,
     "llm_dedup_simhash" -> dedupSimhash,
@@ -4793,6 +4882,7 @@ object LlmOps {
     "llm_dedup_lsh_recall" -> dedupLshRecallOracle,
     "llm_source_overlap_sketch" -> sourceOverlapSketchOracle,
     "llm_dedup_jaccard" -> dedupJaccardOracle,
+    "llm_dedup_priority" -> dedupPriorityOracle,
     "llm_dedup_editdist" -> dedupEditdistOracle,
     "llm_split_leakage" -> splitLeakageOracle,
     "llm_dedup_simhash" -> dedupSimhashOracle,
