@@ -144,4 +144,34 @@ class RefsSpec extends SparkTestBase {
       newKey -> ((7777L, "insert"))),
       s"unchanged bucket-mates must be value-dropped, got $diff")
   }
+
+  test("diffRefs across a schema boundary compares ALIGNED images") {
+    // The after-side commit adds a new column `w`; the before side is
+    // null-backfilled by mutual alignment, so every rewritten-bucket
+    // row classifies as update (it gained a value), never as a crash
+    // or a spurious insert/delete.
+    val store = new StateStore(
+      Files.createTempDirectory("graft-refs-spec4-").toString, NBuckets)
+    val t = "refs.t4"
+    store.commit(spark, t, wave(1), 0 until NBuckets)
+    store.createRef(t, "base", 0, "tag")
+    val b0 = affectedOf(wave(1).filter(col("k") === 0L)).head
+    val v1wave = wave(1).filter(col(StateStore.BucketCol) === b0)
+      .withColumn("v",
+        when(col("k") === 0L, lit(9999L)).otherwise(col("v")))
+      .withColumn("w", lit("x"))
+      .withColumn(StateStore.TsCol, lit(2L))
+    store.commit(spark, t, v1wave, Seq(b0))
+    val diff = store.diffRefs(spark, t, "base", "head", Seq("k"))
+      .collect()
+    val bucketKeys = wave(1).filter(col(StateStore.BucketCol) === b0)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(diff.map(r => r.getAs[String]("change_type")).toSet
+      === Set("update"),
+      "a gained column value is an update, nothing else")
+    assert(diff.map(_.getLong(0)).toSet === bucketKeys,
+      "exactly the rewritten bucket's keys changed")
+    val k0 = diff.find(_.getLong(0) == 0L).get
+    assert(k0.getAs[Long]("v") === 9999L && k0.getAs[String]("w") === "x")
+  }
 }
