@@ -174,4 +174,62 @@ class RefsSpec extends SparkTestBase {
     val k0 = diff.find(_.getLong(0) == 0L).get
     assert(k0.getAs[Long]("v") === 9999L && k0.getAs[String]("w") === "x")
   }
+
+  test("PROPERTY: diffRefs equals the brute-force state diff for " +
+      "random second waves") {
+    // The bucket-pruned, manifest-driven diff must agree with the
+    // naive full comparison of the two collected states for ANY
+    // update/delete/insert mix — including waves that rewrite a
+    // bucket without changing some of its rows (value-drop), delete
+    // whole buckets' keys, or insert keys into fresh buckets.
+    import org.scalacheck.{Gen, Prop, Test => ScTest}
+    val gen = for {
+      upd <- Gen.someOf(0L until 30L)
+      del <- Gen.someOf(0L until 30L)
+      ins <- Gen.someOf(30L until 40L)
+    } yield (upd.toSet -- del.toSet, del.toSet, ins.toSet)
+    var caseNo = 0
+    val prop = Prop.forAll(gen) { case (upd, del, ins) =>
+      caseNo += 1
+      val store = new StateStore(
+        Files.createTempDirectory(s"graft-refs-prop-").toString, NBuckets)
+      val t = s"refs.prop$caseNo"
+      store.commit(spark, t, wave(1, 0 until 30), 0 until NBuckets)
+      store.createRef(t, "base", 0, "tag")
+      val touched = upd ++ del ++ ins
+      if (touched.nonEmpty) {
+        val touchedBuckets = affectedOf(
+          wave(1, 0 until 40).filter(col("k").isin(touched.toSeq: _*)))
+        // Full contents of every touched bucket, with the wave applied.
+        val v1 = wave(1, 0 until 30)
+          .filter(col(StateStore.BucketCol).isin(touchedBuckets: _*))
+          .withColumn("v", when(col("k").isin(upd.toSeq: _*),
+            col("v") + 100000L).otherwise(col("v")))
+          .withColumn(StateStore.DeletedCol, col("k").isin(del.toSeq: _*))
+          .unionByName(wave(2, 0 until 40)
+            .filter(col("k").isin(ins.toSeq: _*)))
+          .withColumn(StateStore.TsCol, lit(2L))
+        store.commit(spark, t, v1, touchedBuckets)
+      }
+      val got = store.diffRefs(spark, t, "base", "head", Seq("k"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+        .toMap
+      val before = store.stateAt(spark, t, 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val after = store.currentState(spark, t)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want =
+        (after.keySet -- before.keySet).map(k =>
+          k -> (after(k), "insert")) ++
+        (before.keySet -- after.keySet).map(k =>
+          k -> (before(k), "delete")) ++
+        (before.keySet & after.keySet).collect {
+          case k if before(k) != after(k) => k -> (after(k), "update")
+        }
+      got == want.toMap
+    }
+    val res = ScTest.check(ScTest.Parameters.default
+      .withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
