@@ -3103,6 +3103,36 @@ object Relational {
 
   val sqlUnpivotOracle: String = sqlUnpivotText
 
+  /** SQL PIPE SYNTAX (Spark 4, SPARK-49555): the `|>` operator chain
+    * — FROM … |> WHERE … |> AGGREGATE … GROUP BY … |> ORDER BY — the
+    * linear query spelling ETL authors read top-to-bottom instead of
+    * inside-out. Catalyst plans it identically to the nested form
+    * (each pipe stage is sugar over the same logical operators), so
+    * the oracle is the equivalent ANSI query: same rows, same order,
+    * proving the sugar changes nothing semantic.
+    */
+  def sqlPipe(spark: SparkSession, sfDir: String): DataFrame = {
+    registerViews(spark, sfDir, "events")
+    spark.sql(
+      """FROM events
+        ||> WHERE event_type IN ('click', 'view', 'purchase')
+        ||> EXTEND date_trunc('DAY', ts) AS day
+        ||> AGGREGATE count(*) AS n_events,
+        |     ROUND(sum(value), 2) AS total_value
+        |   GROUP BY event_type, day
+        ||> WHERE n_events >= 5
+        ||> ORDER BY event_type, day""".stripMargin)
+  }
+
+  val sqlPipeOracle: String =
+    """SELECT event_type, CAST(date_trunc('DAY', ts) AS TIMESTAMP) AS day,
+      |  count(*) AS n_events, ROUND(sum(value), 2) AS total_value
+      |FROM events
+      |WHERE event_type IN ('click', 'view', 'purchase')
+      |GROUP BY event_type, day
+      |HAVING count(*) >= 5
+      |ORDER BY event_type, day""".stripMargin
+
   /** CTE + window in pure SQL: per-nation customer balance ranks from
     * a WITH-clause — the same text runs on both engines verbatim.
     */
@@ -3274,6 +3304,7 @@ object Relational {
     "sql_lateral" -> sqlLateral,
     "sql_pivot" -> sqlPivot,
     "sql_unpivot" -> sqlUnpivot,
+    "sql_pipe" -> sqlPipe,
     "sql_cte" -> sqlCte,
     "sql_recursive" -> sqlRecursive,
     "sql_correlated" -> sqlCorrelated)
@@ -3367,6 +3398,7 @@ object Relational {
     "sql_lateral" -> sqlLateralOracle,
     "sql_pivot" -> sqlPivotOracle,
     "sql_unpivot" -> sqlUnpivotOracle,
+    "sql_pipe" -> sqlPipeOracle,
     "sql_cte" -> sqlCteOracle,
     "sql_recursive" -> sqlRecursiveOracle,
     "sql_correlated" -> sqlCorrelatedOracle)
