@@ -508,6 +508,49 @@ object AnalyticsOps {
       |  (row_number() OVER (ORDER BY mean_daily DESC, dow) = 1) AS is_peak
       |FROM w ORDER BY dow""".stripMargin
 
+  /** SEQUENCE-PATTERN BURST DETECTOR — "an error followed by ≥3
+    * clicks within 24 hours from the same user", the
+    * MATCH_RECOGNIZE-flavored alert shape (rage-click / retry-storm
+    * detection) expressed as ONE window pass: per user, a RANGE frame
+    * over event-time seconds counts the following day's clicks
+    * for every row, and error rows past the threshold emit. No
+    * self-join, no per-pattern scan — the frame is computed once per
+    * row in a single user-partitioned sort, and being a VALUE frame
+    * it is tie-stable by construction (same-second events land in or
+    * out of the frame by value, not by row order).
+    *
+    * Scale: one shuffle by user_id, one sort per partition, frame
+    * work bounded by events-per-day-window — the plan a billion-
+    * event day wants; widening the pattern (more event types, longer
+    * windows) adds conditional sums to the SAME pass, never a join.
+    */
+  def winPatternBurst(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("tsec"))
+      .rangeBetween(1, 86400)
+    t(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts"), unix_timestamp(col("ts")).as("tsec"))
+      .withColumn("clicks_24h",
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).over(w))
+      .filter(col("event_type") === "error" && col("clicks_24h") >= 3)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("err_us"), col("clicks_24h"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val winPatternBurstOracle: String =
+    """SELECT user_id, event_id, epoch_us(ts) AS err_us, clicks_24h
+      |FROM (
+      |  SELECT user_id, event_id, event_type, ts,
+      |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER (
+      |      PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+      |      RANGE BETWEEN 1 FOLLOWING AND 86400 FOLLOWING
+      |    ) AS BIGINT) AS clicks_24h
+      |  FROM events)
+      |WHERE event_type = 'error' AND clicks_24h >= 3
+      |ORDER BY user_id, event_id""".stripMargin
+
   /** Ordered conversion funnel view → click → purchase: a user converts
     * at a stage only via events STRICTLY AFTER their entry to the
     * previous stage (the earliest qualifying event becomes the new
@@ -780,6 +823,7 @@ object AnalyticsOps {
     "win_retention" -> winRetention,
     "win_reach" -> winReach,
     "win_funnel" -> winFunnel,
+    "win_pattern_burst" -> winPatternBurst,
     "agg_corr" -> aggCorr,
     "agg_regression" -> aggRegression,
     "profile_entropy" -> profileEntropy)
@@ -798,6 +842,7 @@ object AnalyticsOps {
     "win_retention" -> winRetentionOracle,
     "win_reach" -> winReachOracle,
     "win_funnel" -> winFunnelOracle,
+    "win_pattern_burst" -> winPatternBurstOracle,
     "agg_corr" -> aggCorrOracle,
     "agg_regression" -> aggRegressionOracle,
     "profile_entropy" -> profileEntropyOracle)
