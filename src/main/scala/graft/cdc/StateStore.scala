@@ -328,6 +328,14 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
     if (name == "head") currentState(spark, target)
     else stateAt(spark, target, resolveRef(target, name))
 
+  /** ROLLBACK BY NAME: restore head to the state a ref pins — the
+    * `ALTER TABLE … ROLLBACK TO TAG` sugar over [[restore]]'s
+    * pointer-only commit. History above the tag stays
+    * time-travelable until vacuum, exactly like a numeric restore.
+    */
+  def restoreRef(target: String, name: String): Int =
+    restore(target, resolveRef(target, name))
+
   def resolveRef(target: String, name: String): Int =
     if (name == "head") currentVersion(target)
     else namedRefs(target).find(_._1 == name)

@@ -67,6 +67,16 @@ class RefsSpec extends SparkTestBase {
       .agg(max("v")).head.getLong(0) === 1039L)
     assert(store.stateAtRef(spark, t, "head")
       .agg(max("v")).head.getLong(0) === 2039L)
+    // Rollback by name: a pointer-only commit whose state equals the
+    // tag's; the rolled-past version stays time-travelable.
+    val rolled = store.restoreRef(t, "audit")
+    assert(rolled === 2 && store.currentVersion(t) === 2)
+    assert(store.currentState(spark, t)
+      .agg(max("v")).head.getLong(0) === 1039L,
+      "head must read the tagged state after restoreRef")
+    assert(store.stateAt(spark, t, 1)
+      .agg(max("v")).head.getLong(0) === 2039L,
+      "the rolled-past version stays time-travelable")
   }
 
   test("a tag pins its version and its REACHED older dirs through " +
