@@ -185,7 +185,7 @@ final class Pipeline(store: StateStore, gate: Option[WapGate] = None) {
       .select("value", "meta")
     val writer = src.writeStream
       .option("checkpointLocation", cfg.checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.persist()
         try {
           val tables = batch
@@ -209,7 +209,7 @@ final class Pipeline(store: StateStore, gate: Option[WapGate] = None) {
               cfg.routePattern)
             val target = cfg.routePattern
               .replace("{schema}", s).replace("{table}", t)
-            mergeTarget(target, pk, routed)
+            mergeTarget(target, pk, routed, batchId)
           }
         } finally batch.unpersist()
       }
@@ -259,17 +259,26 @@ final class Pipeline(store: StateStore, gate: Option[WapGate] = None) {
         MergeCommit.mergeFlattened(store, target, slice, pk,
           persistSlices = true, stage = true).foreach { r =>
           try {
+            // Audit only rows this batch introduced or rewrote (semi-join
+            // on the batch's keys): a violating row already committed
+            // before the gate was enabled must not permanently poison
+            // every later clean batch that hashes into its bucket.
+            val batchKeys = slice
+              .select(pk.map(c => col(s"row.$c").as(c)): _*).distinct()
             val bad = r.postSlice
+              .join(batchKeys, pk, "left_semi")
               .filter(!col(StateStore.DeletedCol) && g.violation).count()
             if (bad == 0L) store.publishStaged(target, r.version)
             else {
               store.dropStaged(target, r.version)
-              // Keyed by batchId and OVERWRITTEN, not appended: a
-              // checkpoint-replayed micro-batch (A14) re-audits, drops
+              // Keyed by (target, batchId) and OVERWRITTEN, not appended:
+              // a checkpoint-replayed micro-batch (A14) re-audits, drops
               // again, and rewrites the same quarantine slot — the
-              // quarantine stays exactly-once like the state itself.
+              // quarantine stays exactly-once like the state itself —
+              // and two targets failing in one micro-batch land in
+              // disjoint slots (their schemas differ; they must not mix).
               slice.write.mode("overwrite")
-                .parquet(s"${g.quarantineDir}/batch=$batchId")
+                .parquet(s"${g.quarantineDir}/target=$target/batch=$batchId")
             }
           } finally r.unpersist()
         }

@@ -88,12 +88,18 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
         val m = manifestAt(target, v)
         val own = s"v$v/"
         val rewritten = m.values.count(_.startsWith(own))
-        val schemaChanged = v == 0 || {
-          val a = dir(target).resolve(s"schema-$v.json")
-          val b = dir(target).resolve(s"schema-${v - 1}.json")
-          !Files.exists(a) || !Files.exists(b) ||
-            Files.readString(a) != Files.readString(b)
-        }
+        // Nullable tri-state: true/false = genuine journal comparison;
+        // null = the PRIOR version's schema file was reclaimed by vacuum,
+        // so "changed at this commit" is unknowable — reporting true here
+        // would be a spurious signal for any consumer keying off it.
+        val schemaChanged: Option[Boolean] =
+          if (v == 0) Some(true)
+          else {
+            val a = dir(target).resolve(s"schema-$v.json")
+            val b = dir(target).resolve(s"schema-${v - 1}.json")
+            if (!Files.exists(a) || !Files.exists(b)) None
+            else Some(Files.readString(a) != Files.readString(b))
+          }
         (v, m.size, rewritten, schemaChanged)
       }
     import spark.implicits._
@@ -256,6 +262,12 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
     */
   def createRef(target: String, name: String, version: Int,
                 kind: String = "tag"): Unit = {
+    // The refs file is line-oriented JSON parsed with a regex that stops
+    // at quote/comma/brace; an unvalidated name containing one of those
+    // (or a newline) would corrupt EVERY ref on the target. Git-like
+    // charset, enforced at the only write entry point.
+    require(name.matches("[A-Za-z0-9._/-]+"),
+      s"ref name '$name' invalid: allowed charset is [A-Za-z0-9._/-]")
     require(kind == "tag" || kind == "branch", s"unknown ref kind $kind")
     require(version <= currentVersion(target) &&
       Files.exists(dir(target).resolve(s"manifest-$version.tsv")),

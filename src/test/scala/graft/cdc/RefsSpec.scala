@@ -60,6 +60,15 @@ class RefsSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       store.createRef(t, "future", 7) // not a committed version
     }
+    // Names that would corrupt the line-oriented refs file (quote,
+    // comma, brace, newline, empty) are refused at the write entry
+    // point — one bad ref must never break resolution for ALL refs.
+    Seq("a\"b", "a,b", "a}b", "a\nb", "", "a b").foreach { bad =>
+      intercept[IllegalArgumentException] { store.createRef(t, bad, 0) }
+    }
+    store.createRef(t, "ok-1.2_x/y", 0) // full allowed charset round-trips
+    assert(store.namedRefs(t).exists(_._1 == "ok-1.2_x/y"))
+    store.dropRef(t, "ok-1.2_x/y")
     intercept[IllegalArgumentException] {
       store.stateAtRef(spark, t, "nope")
     }

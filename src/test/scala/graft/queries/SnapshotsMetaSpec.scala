@@ -45,6 +45,9 @@ class SnapshotsMetaSpec extends SparkTestBase {
     val rows = store.snapshots(spark, target).collect()
     assert(rows.map(_.getInt(0)).toSeq === Seq(2),
       "only the retained version surfaces after vacuum")
+    assert(rows.head.isNullAt(3),
+      "schema_changed must be NULL (unknown) when the prior version's " +
+        "schema file was reclaimed by vacuum — never a spurious TRUE")
   }
 
   test("expectations report: exactly the date-range rule fails in batch " +
