@@ -134,9 +134,15 @@ object Bench {
     // contended one pushes it up — the driver can discount such a run.
     val spreadVals = spreads.values.toSeq.sorted
     val loadEnd = loadavg()
+    // Scratch forensics (VERDICT r12 #1/#8): every temp dir now lives
+    // under the per-process Scratch.root (deleted by a shutdown hook),
+    // and the run publishes how much it minted so a future leak of the
+    // pre-r13 class is self-identifying from the artifact alone.
+    val scratchDirs = Scratch.count()
+    val scratchMb = Scratch.bytes() / (1024 * 1024)
     val noiseJson =
       if (spreadVals.isEmpty) "{}"
-      else s"""{"runs":$runs,"median_spread":${fmt(spreadVals(spreadVals.size / 2))},"max_spread":${fmt(spreadVals.last)},"load_start":${fmt(loadStart)},"load_end":${fmt(loadEnd)},"cpus":$cpus}"""
+      else s"""{"runs":$runs,"median_spread":${fmt(spreadVals(spreadVals.size / 2))},"max_spread":${fmt(spreadVals.last)},"load_start":${fmt(loadStart)},"load_end":${fmt(loadEnd)},"cpus":$cpus,"scratch_dirs":$scratchDirs,"scratch_mb":$scratchMb}"""
     // median_total beside the min-based total: on a clean host the two
     // agree within ~10%; a median_total far above total is the signature
     // of a loaded host (the min stays honest, the median absorbs the

@@ -17,14 +17,18 @@ object MergeCommit {
   /** The committed merge's working frames: the pre-merge and post-merge
     * affected-bucket slices (for callers that derive deltas from the
     * state transition, e.g. the incremental-aggregate contribution
-    * pass) and the committed version. Both slices stay readable after
-    * later commits — version dirs are immutable until vacuum.
+    * pass), the compacted latest-per-key batch itself (`batchMeta`,
+    * one row per key — the WAP gate's audit scope, so the gate never
+    * has to re-distinct the raw slice) and the committed version. All
+    * frames stay readable after later commits — version dirs are
+    * immutable until vacuum.
     */
   final case class Result(preSlice: DataFrame, postSlice: DataFrame,
-                          version: Int) {
+                          version: Int, batchMeta: DataFrame) {
     def unpersist(): Unit = {
       preSlice.unpersist(blocking = false)
       postSlice.unpersist(blocking = false)
+      batchMeta.unpersist(blocking = false)
     }
   }
 
@@ -53,23 +57,30 @@ object MergeCommit {
                      persistSlices: Boolean = false,
                      stage: Boolean = false): Option[Result] = {
     val spark = batchMeta.sparkSession
-    val affected = batchMeta.select(StateStore.BucketCol).distinct()
+    // With persistSlices the compacted batch is persisted too: it is
+    // read once for the affected-bucket set, once inside the merge, and
+    // (under a WAP gate) once more as the audit's key scope.
+    val batchMetaP = if (persistSlices) batchMeta.persist() else batchMeta
+    val affected = batchMetaP.select(StateStore.BucketCol).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
-    if (affected.isEmpty) return None
+    if (affected.isEmpty) {
+      if (persistSlices) batchMetaP.unpersist(blocking = false)
+      return None
+    }
     val state =
       if (store.exists(table)) store.readBuckets(spark, table, affected)
       else store.emptyState(spark, table) // A10 auto-create on commit
     // A11 — mutual alignment: widen conflicts, backfill missing columns.
-    val stateAligned0 = SchemaEvolution.align(state, batchMeta)
+    val stateAligned0 = SchemaEvolution.align(state, batchMetaP)
     val stateAligned =
       if (persistSlices) stateAligned0.persist() else stateAligned0
     val merged0 = Merge.mergeOrdered(stateAligned,
-      SchemaEvolution.align(batchMeta, stateAligned), pkCols)
+      SchemaEvolution.align(batchMetaP, stateAligned), pkCols)
     val merged = if (persistSlices) merged0.persist() else merged0
     val v =
       if (stage) store.stageCommit(spark, table, merged, affected)
       else store.commit(spark, table, merged, affected)
-    Some(Result(stateAligned, merged, v))
+    Some(Result(stateAligned, merged, v, batchMetaP))
   }
 
   /** Compact + merge a flattened slice ([[Envelope.flatten]] output).

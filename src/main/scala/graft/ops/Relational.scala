@@ -1843,8 +1843,7 @@ object Relational {
   private def stageDatePartitioned(spark: SparkSession,
                                    sfDir: String): String =
     dppStageCache.computeIfAbsent(sfDir, { _ =>
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-events-bydate-").toString
+      val dir = graft.Scratch.dir("graft-events-bydate-").toString
       t(spark, sfDir, "events")
         .withColumn("d", to_date(col("ts")))
         .repartition(col("d"))

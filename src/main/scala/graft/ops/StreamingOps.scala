@@ -303,8 +303,7 @@ object StreamingOps {
   private def stage(spark: SparkSession, sfDir: String,
                     table: String): String =
     stagedCache.computeIfAbsent(s"$sfDir/$table", { _ =>
-      val dir = java.nio.file.Files
-        .createTempDirectory(s"graft-$table-").toString
+      val dir = graft.Scratch.dir(s"graft-$table-").toString
       Tables.load(spark, sfDir, table).repartition(4)
         .write.mode("overwrite").parquet(dir)
       dir
@@ -511,8 +510,7 @@ object StreamingOps {
     */
   private def writeOrderedSlices(slices: Seq[DataFrame], dir: String): Unit =
     slices.zipWithIndex.foreach { case (df, i) =>
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-slice-").toString
+      val tmp = graft.Scratch.dir("graft-slice-").toString
       df.coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
         .toArray.map(_.toString).filter(_.endsWith(".parquet"))
@@ -537,8 +535,7 @@ object StreamingOps {
 
   private def stageLateDrop(spark: SparkSession, sfDir: String): String =
     stagedCache.computeIfAbsent(s"$sfDir/events-latedrop", { _ =>
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-latedrop-").toString
+      val dir = graft.Scratch.dir("graft-latedrop-").toString
       val ev = Tables.load(spark, sfDir, "events")
       val isLate = col("ts") < lit(LateDay).cast("timestamp") &&
         col("event_id") % 10 === 0
@@ -565,8 +562,7 @@ object StreamingOps {
     */
   private def stageOuterJoin(spark: SparkSession, sfDir: String): String =
     stagedCache.computeIfAbsent(s"$sfDir/events-outerjoin", { _ =>
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-outerjoin-").toString
+      val dir = graft.Scratch.dir("graft-outerjoin-").toString
       val ev = Tables.load(spark, sfDir, "events")
       def pair(ts: String, idBase: Long): DataFrame =
         sentinelRow(spark, ts, idBase, -1L, "sentinel_p")

@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
 object CatalogQueries {
 
   def catalogDdl(spark: SparkSession, sfDir: String): DataFrame = {
-    val whDir = Files.createTempDirectory("graft-cat-wh-")
+    val whDir = graft.Scratch.dir("graft-cat-wh-")
     Warehouse.createNamespaceIfNotExists(spark, "cdc",
       whDir.resolve("cdc").toString)
     val account = Tables.load(spark, sfDir, "customer")
@@ -53,7 +53,7 @@ object CatalogQueries {
       |ORDER BY table_name""".stripMargin
 
   def sinkFormats(spark: SparkSession, sfDir: String): DataFrame = {
-    val out = Files.createTempDirectory("graft-sink-")
+    val out = graft.Scratch.dir("graft-sink-")
     // Pre-rounded projection so text formats (csv/json) serialize the
     // exact same value the checksum compares.
     val src = Tables.load(spark, sfDir, "customer")

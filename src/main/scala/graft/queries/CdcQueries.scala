@@ -624,7 +624,7 @@ object CdcQueries {
   def decimalWideningState(spark: SparkSession, sfDir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     val wh = decimalDirCache.computeIfAbsent(sfDir,
-      _ => Files.createTempDirectory("graft-dec-").toString)
+      _ => graft.Scratch.dir("graft-dec-").toString)
     val whPath = Paths.get(wh)
     if (Files.exists(whPath)) {
       Files.walk(whPath).sorted(java.util.Comparator.reverseOrder())
@@ -701,7 +701,7 @@ object CdcQueries {
   def variantPayload(spark: SparkSession, sfDir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     val wh = variantDirCache.computeIfAbsent(sfDir,
-      _ => Files.createTempDirectory("graft-var-").toString)
+      _ => graft.Scratch.dir("graft-var-").toString)
     val whPath = Paths.get(wh)
     if (Files.exists(whPath)) {
       Files.walk(whPath).sorted(java.util.Comparator.reverseOrder())

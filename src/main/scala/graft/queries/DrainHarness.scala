@@ -36,7 +36,7 @@ private[queries] object DrainHarness {
     */
   def stage(log: DataFrame, cacheKey: String): String =
     stagedCache.computeIfAbsent(cacheKey, { _ =>
-      val dir = Files.createTempDirectory("graft-log-").toString
+      val dir = graft.Scratch.dir("graft-log-").toString
       log.repartition(4).write.mode("overwrite").parquet(dir)
       dir
     })
@@ -51,8 +51,8 @@ private[queries] object DrainHarness {
            (processBatch: (StateStore, DataFrame) => Unit): StateStore = {
     val logDir = stage(log, cacheKey)
     val (whDir, ckptDir) = workDirCache.computeIfAbsent(cacheKey, { _ =>
-      (Files.createTempDirectory("graft-wh-").toString,
-        Files.createTempDirectory("graft-ckpt-").toString)
+      (graft.Scratch.dir("graft-wh-").toString,
+        graft.Scratch.dir("graft-ckpt-").toString)
     })
     wipe(whDir)
     wipe(ckptDir)

@@ -362,7 +362,7 @@ object MaintenanceQueries {
     */
   def layoutZonemap(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = zonemapDirCache.computeIfAbsent(sfDir, _ =>
-      java.nio.file.Files.createTempDirectory("graft-zm-").toString)
+      graft.Scratch.dir("graft-zm-").toString)
     val laid = s"$dir/orders_by_year"
     val (from, to) = ("1996-04-01", "1997-03-31")
     Tables.load(spark, sfDir, "orders")
@@ -529,7 +529,7 @@ object MaintenanceQueries {
       sfDir: String): DataFrame = {
     import java.nio.file.Files
     val dir = zmiDirCache.computeIfAbsent(sfDir, _ =>
-      Files.createTempDirectory("graft-zmi-").toString)
+      graft.Scratch.dir("graft-zmi-").toString)
     val laid = s"$dir/orders_by_year"
     zmiBuildLayout(spark, sfDir, laid)
     val statsV0 = zmiStats(spark, laid)
@@ -559,6 +559,278 @@ object MaintenanceQueries {
       |WHERE o_orderdate >= TIMESTAMP '1996-04-01'
       |  AND o_orderdate < TIMESTAMP '1997-04-01'
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------- bloom skipping index
+
+  private val bloomDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The laid-out table dir for the bloom-index query (test hook). */
+  private[queries] def bloomLaidDir(sfDir: String): String =
+    s"${bloomDirCache.get(sfDir)}/orders_by_orderkey"
+
+  /** Per-file bloom sidecar over `o_custkey`: ONE `_metadata.file_path`
+    * aggregate builds a serialized bloom filter per file (the same
+    * BloomFilterAggregate machinery `join_bloom` hand-materializes for
+    * runtime join filters — Spark's InjectRuntimeFilter internals).
+    * The collect is metadata-sized: one ~100 KB filter per FILE, the
+    * Delta bloom-index / Iceberg puffin sidecar shape, never data rows.
+    */
+  private[queries] def bloomSidecar(spark: SparkSession,
+      laid: String): Seq[(String, Array[Byte])] =
+    spark.read.parquet(laid)
+      .groupBy(col("_metadata.file_path").as("file"))
+      .agg(graft.functions.BloomFilters.bloomAgg(
+        col("o_custkey").cast("long"), 60000L, 1L << 20).as("bf"))
+      .collect()
+      .map(r => r.getAs[String]("file") -> r.getAs[Array[Byte]]("bf"))
+      .toSeq.sortBy(_._1)
+
+  /** Driver-side sidecar consult: the files whose bloom filter might
+    * contain `key` (false positives possible — the residual predicate
+    * stays on the scan; false negatives impossible — a file holding
+    * the key is always kept). Deserializes with the sketch library the
+    * aggregate serialized with, so probe and build agree bit-for-bit.
+    */
+  private[queries] def bloomKeptFiles(sidecar: Seq[(String, Array[Byte])],
+      key: Long): Seq[String] =
+    sidecar.collect {
+      case (f, bytes) if org.apache.spark.util.sketch.BloomFilter
+        .readFrom(new java.io.ByteArrayInputStream(bytes))
+        .mightContainLong(key) => f
+    }
+
+  /** FILE-LEVEL BLOOM SKIPPING INDEX (VERDICT r12 "what's missing"
+    * #1) — the member of the file-skipping family min/max zone maps
+    * cannot cover: a point lookup on a HIGH-NDV, UNCLUSTERED column.
+    * The layout clusters orders by o_orderkey, so every file's
+    * [min, max] o_custkey range spans essentially the whole key
+    * domain and `layout_zonemap`-style range pruning keeps ALL files;
+    * a per-file bloom filter prunes by membership instead:
+    *
+    *   1. LAYOUT: orders in 8 files clustered by o_orderkey —
+    *      o_custkey is scattered (the realistic secondary-column
+    *      case: a table is clustered by at most one dimension).
+    *   2. SIDECAR: per-file bloom over o_custkey ([[bloomSidecar]]) —
+    *      one scan, file-count-sized collect, exactly the Delta
+    *      bloom-index / Iceberg puffin blob a production sink would
+    *      persist beside the manifest.
+    *   3. SKIP: the lookup key is a LOW-FREQUENCY customer (min key
+    *      among those with ≤2 orders — exists at every sf), so its
+    *      orders touch at most 2 of the 8 files; the sidecar consult
+    *      ([[bloomKeptFiles]]) keeps only might-contain files and the
+    *      scan reads a strict subset. The residual `o_custkey = k`
+    *      predicate still applies inside survivors, so bloom false
+    *      positives cost I/O, never correctness.
+    *
+    * At 100 TB the sidecar is built once per commit (incrementally,
+    * per new file — the zonemap-incremental refresh pattern applies
+    * unchanged), lives beside the manifest, and turns a
+    * needle-in-haystack lookup from a full scan into a
+    * files-holding-the-needle scan. BloomIndexSpec proves files were
+    * skipped, no false negatives, and the pruned answer equals the
+    * full scan.
+    */
+  def layoutBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = bloomDirCache.computeIfAbsent(sfDir, _ =>
+      graft.Scratch.dir("graft-bloom-").toString)
+    val laid = s"$dir/orders_by_orderkey"
+    Tables.load(spark, sfDir, "orders")
+      .repartitionByRange(8, col("o_orderkey"))
+      .write.mode("overwrite").parquet(laid)
+    // Probe key: deterministic, oracle-expressible, low-frequency.
+    val probe = Tables.load(spark, sfDir, "orders")
+      .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+      .filter(col("n") <= 2)
+      .agg(min("o_custkey")).head().getLong(0)
+    val kept = bloomKeptFiles(bloomSidecar(spark, laid), probe)
+    spark.read.parquet(kept: _*)
+      .filter(col("o_custkey") === probe) // residual: exact regardless of FPs
+      .groupBy(col("o_custkey").as("probe_key"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total_price"),
+        min("o_orderdate").as("first_order"))
+      .orderBy("probe_key")
+      .localCheckpoint(eager = true)
+  }
+
+  val layoutBloomOracle: String =
+    """WITH probe AS (
+      |  SELECT min(o_custkey) AS k FROM (
+      |    SELECT o_custkey FROM orders GROUP BY 1 HAVING count(*) <= 2) t
+      |)
+      |SELECT o_custkey AS probe_key, count(*) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS total_price,
+      |  min(o_orderdate) AS first_order
+      |FROM orders, probe WHERE o_custkey = k
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --------------------------------- hidden-partitioning transforms
+
+  private val ptDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The two spec-epoch dirs for the transform query (test hook). */
+  private[queries] def ptEpochDirs(sfDir: String): (String, String) =
+    (s"${ptDirCache.get(sfDir)}/epoch0", s"${ptDirCache.get(sfDir)}/epoch1")
+
+  /** Epoch-0 partition transform: `bucket(8, o_custkey)` — the same
+    * hash family Iceberg's bucket transform uses (a hash mod n of the
+    * raw value). Internal to the table layout; queries never name it.
+    */
+  private[queries] def ptBucket(c: Column): Column =
+    pmod(xxhash64(c.cast("long")), lit(8))
+
+  /** Hidden-partitioning planner: given predicates on the RAW columns
+    * (an o_custkey equality, an o_orderdate range), derive each spec
+    * epoch's matching partition directories. This is the Iceberg
+    * semantic the raw-value partitioning of
+    * `maintenance_partition_evolution` lacks: the TABLE knows
+    * `p_bucket = bucket(8, o_custkey)` and `p_month =
+    * month(o_orderdate)`, so a predicate on the raw column prunes
+    * transformed directories without the query naming the transform —
+    * and a spec with no transform over a predicate's column simply
+    * keeps all its directories (the residual predicate still applies
+    * on the scan, so answers stay exact).
+    *
+    * The dir listing is driver-side metadata (one entry per partition,
+    * the manifest scan every table format performs); existence-filtered
+    * so planning never fabricates paths for empty partitions.
+    */
+  private[queries] def ptPlan(spark: SparkSession, sfDir: String,
+      custkeyEq: Option[Long], dateRange: Option[(String, String)])
+      : (Seq[String], Seq[String]) = {
+    val (e0, e1) = ptEpochDirs(sfDir)
+    import spark.implicits._
+    val e0Dirs = custkeyEq match {
+      case Some(k) =>
+        val b = Seq(k).toDF("k").select(ptBucket(col("k"))).head().getLong(0)
+        Seq(s"$e0/p_bucket=$b")
+      case None => listPartDirs(e0)
+    }
+    val e1Dirs = dateRange match {
+      case Some((from, to)) =>
+        val lo = java.time.YearMonth.from(java.time.LocalDate.parse(from))
+        val hi = java.time.YearMonth.from(java.time.LocalDate.parse(to))
+        Iterator.iterate(lo)(_.plusMonths(1)).takeWhile(!_.isAfter(hi))
+          .map(m => f"$e1/p_month=${m.getYear}%04d-${m.getMonthValue}%02d")
+          .toSeq
+      case None => listPartDirs(e1)
+    }
+    (e0Dirs.filter(d => java.nio.file.Files.exists(
+        java.nio.file.Paths.get(d))),
+      e1Dirs.filter(d => java.nio.file.Files.exists(
+        java.nio.file.Paths.get(d))))
+  }
+
+  private def listPartDirs(root: String): Seq[String] = {
+    val p = java.nio.file.Paths.get(root)
+    if (!java.nio.file.Files.exists(p)) Seq.empty
+    else {
+      val s = java.nio.file.Files.list(p)
+      try {
+        val out = Seq.newBuilder[String]
+        s.forEach(q =>
+          if (java.nio.file.Files.isDirectory(q)) out += q.toString)
+        out.result().sorted
+      } finally s.close()
+    }
+  }
+
+  /** HIDDEN-PARTITIONING TRANSFORMS (VERDICT r12 "what's missing" #2)
+    * — Iceberg's transform partitioning composed with spec evolution:
+    *
+    *   1. EPOCH 0 (historical load, orders before 1998): written under
+    *      spec `bucket(8, o_custkey)` — dirs are `p_bucket=<h>`, the
+    *      raw o_custkey/o_orderdate stay IN the files (transform
+    *      partitioning derives dir values; it never drops columns).
+    *   2. EPOCH 1 (live appends, 1998+): the spec evolved to
+    *      `month(o_orderdate)` — dirs are `p_month=yyyy-MM`. Old
+    *      epoch-0 files are NOT rewritten (Iceberg spec evolution is
+    *      metadata-only); the table is the union of both epochs, each
+    *      pruned by its OWN spec.
+    *   3. QUERIES name only raw columns ([[ptPlan]]):
+    *      `bucket_lookup` (o_custkey = min key): epoch 0 prunes to 1
+    *      of 8 bucket dirs, epoch 1 keeps all month dirs (custkey is
+    *      not in its spec) with the residual filter on the scan;
+    *      `month_window` (12 months straddling the epoch boundary,
+    *      1997-07..1998-06): epoch 1 prunes to exactly the 6
+    *      in-window month dirs, epoch 0 keeps its 8 bucket dirs and
+    *      the residual date filter drops the out-of-window rows.
+    *
+    * At 100 TB this is the difference between "every query must spell
+    * the partition scheme" and "partitioning is a table property":
+    * the spec evolves without rewriting exabytes of history, old
+    * epochs keep pruning by their own transform, and the planner's
+    * cost is the partition-count-sized dir listing every manifest
+    * scan pays. PartitionTransformSpec pins the pruned dir sets and
+    * the full-scan-identical answers.
+    */
+  def partitionTransform(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ptDirCache.computeIfAbsent(sfDir, _ =>
+      graft.Scratch.dir("graft-ptrans-").toString)
+    val e0 = s"$dir/epoch0"
+    val e1 = s"$dir/epoch1"
+    val orders = Tables.load(spark, sfDir, "orders")
+    val cut = lit("1998-01-01").cast("timestamp")
+    orders.filter(col("o_orderdate") < cut)
+      .withColumn("p_bucket", ptBucket(col("o_custkey")))
+      .repartition(col("p_bucket"))
+      .write.mode("overwrite").partitionBy("p_bucket").parquet(e0)
+    orders.filter(col("o_orderdate") >= cut)
+      .withColumn("p_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .repartition(col("p_month"))
+      .write.mode("overwrite").partitionBy("p_month").parquet(e1)
+
+    val probe = orders.agg(min("o_custkey")).head().getLong(0)
+    val cols = orders.columns.map(col)
+
+    // Union-by-spec read: each epoch contributes only its planned
+    // dirs; selecting the raw columns drops the (differing) derived
+    // partition columns so the union is schema-aligned.
+    def readPlanned(plan: (Seq[String], Seq[String])): DataFrame = {
+      val (d0, d1) = plan
+      val r0 = if (d0.isEmpty) None
+        else Some(spark.read.option("basePath", e0).parquet(d0: _*)
+          .select(cols: _*))
+      val r1 = if (d1.isEmpty) None
+        else Some(spark.read.option("basePath", e1).parquet(d1: _*)
+          .select(cols: _*))
+      (r0, r1) match {
+        case (Some(a), Some(b)) => a.unionByName(b)
+        case (Some(a), None) => a
+        case (None, Some(b)) => b
+        case (None, None) => orders.limit(0)
+      }
+    }
+
+    val lookup = readPlanned(ptPlan(spark, sfDir, Some(probe), None))
+      .filter(col("o_custkey") === probe) // residual
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum("o_totalprice"), 2).as("revenue"))
+      .select(lit("bucket_lookup").as("step"), col("n_rows"), col("revenue"))
+    val (from, to) = ("1997-07-01", "1998-06-30")
+    val window = readPlanned(ptPlan(spark, sfDir, None, Some((from, to))))
+      .filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+        col("o_orderdate") < lit("1998-07-01").cast("timestamp")) // residual
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum("o_totalprice"), 2).as("revenue"))
+      .select(lit("month_window").as("step"), col("n_rows"), col("revenue"))
+    lookup.unionByName(window).orderBy("step")
+      .localCheckpoint(eager = true)
+  }
+
+  val partitionTransformOracle: String =
+    """WITH probe AS (SELECT min(o_custkey) AS k FROM orders)
+      |SELECT 'bucket_lookup' AS step, count(*) AS n_rows,
+      |  round(sum(o_totalprice), 2) AS revenue
+      |FROM orders, probe WHERE o_custkey = k
+      |UNION ALL
+      |SELECT 'month_window', count(*), round(sum(o_totalprice), 2)
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+      |  AND o_orderdate < TIMESTAMP '1998-07-01'
+      |ORDER BY step""".stripMargin
 
   // ------------------------------------------------- lifecycle
 
@@ -598,7 +870,7 @@ object MaintenanceQueries {
   def maintenanceLifecycle(spark: SparkSession, sfDir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     val wh = maintDirCache.computeIfAbsent(sfDir,
-      _ => Files.createTempDirectory("graft-maint-").toString)
+      _ => graft.Scratch.dir("graft-maint-").toString)
     val whPath = Paths.get(wh)
     if (Files.exists(whPath)) {
       Files.walk(whPath).sorted(java.util.Comparator.reverseOrder())
@@ -709,7 +981,7 @@ object MaintenanceQueries {
                                 sfDir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     val wh = binpackDirCache.computeIfAbsent(sfDir,
-      _ => Files.createTempDirectory("graft-binpack-").toString)
+      _ => graft.Scratch.dir("graft-binpack-").toString)
     val whPath = Paths.get(wh)
     if (Files.exists(whPath)) {
       Files.walk(whPath).sorted(java.util.Comparator.reverseOrder())
@@ -840,7 +1112,7 @@ object MaintenanceQueries {
   def pointLookup(spark: SparkSession, sfDir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     val wh = lookupDirCache.computeIfAbsent(sfDir,
-      _ => Files.createTempDirectory("graft-lkp-").toString)
+      _ => graft.Scratch.dir("graft-lkp-").toString)
     val whPath = Paths.get(wh)
     if (Files.exists(whPath)) {
       Files.walk(whPath).sorted(java.util.Comparator.reverseOrder())
@@ -895,8 +1167,8 @@ object MaintenanceQueries {
   def rebucket(spark: SparkSession, sfDir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     val (wh8, wh16) = rebucketDirCache.computeIfAbsent(sfDir,
-      _ => (Files.createTempDirectory("graft-rb8-").toString,
-        Files.createTempDirectory("graft-rb16-").toString))
+      _ => (graft.Scratch.dir("graft-rb8-").toString,
+        graft.Scratch.dir("graft-rb16-").toString))
     Seq(wh8, wh16).foreach { d =>
       val p = Paths.get(d)
       if (Files.exists(p))
@@ -1068,7 +1340,7 @@ object MaintenanceQueries {
   private[queries] def buildMor(spark: SparkSession, sfDir: String): String = {
     import java.nio.file.{Files, Paths}
     val dir = morDirCache.computeIfAbsent(sfDir,
-      _ => Files.createTempDirectory("graft-mor-").toString)
+      _ => graft.Scratch.dir("graft-mor-").toString)
     val dirPath = Paths.get(dir)
     if (Files.exists(dirPath)) {
       Files.walk(dirPath).sorted(java.util.Comparator.reverseOrder())
@@ -1163,7 +1435,7 @@ object MaintenanceQueries {
   def orphanVacuum(spark: SparkSession, sfDir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     val wh = orphanDirCache.computeIfAbsent(sfDir,
-      _ => Files.createTempDirectory("graft-gc-").toString)
+      _ => graft.Scratch.dir("graft-gc-").toString)
     val whPath = Paths.get(wh)
     Files.walk(whPath).sorted(java.util.Comparator.reverseOrder())
       .forEach(p => if (p != whPath) Files.deleteIfExists(p))
@@ -1250,7 +1522,7 @@ object MaintenanceQueries {
   def cloneRestore(spark: SparkSession, sfDir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     val wh = cloneDirCache.computeIfAbsent(sfDir,
-      _ => Files.createTempDirectory("graft-clone-").toString)
+      _ => graft.Scratch.dir("graft-clone-").toString)
     val whPath = Paths.get(wh)
     Files.walk(whPath).sorted(java.util.Comparator.reverseOrder())
       .forEach(p => if (p != whPath) Files.deleteIfExists(p))
@@ -1375,7 +1647,7 @@ object MaintenanceQueries {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     val wh = cloneVacDirCache.computeIfAbsent(sfDir,
-      _ => Files.createTempDirectory("graft-clvacq-").toString)
+      _ => graft.Scratch.dir("graft-clvacq-").toString)
     val whPath = Paths.get(wh)
     Files.walk(whPath).sorted(java.util.Comparator.reverseOrder())
       .forEach(p => if (p != whPath) Files.deleteIfExists(p))
@@ -1478,12 +1750,13 @@ object MaintenanceQueries {
     *
     * Scale: cost is O(affected buckets × retained versions) dir
     * rewrites (erased keys' co-resident rows), never a table rewrite;
-    * the key list itself is driver-side metadata.
+    * the erase set is a DataFrame anti-joined inside purgeKeys, so a
+    * bulk-erasure caller never funnels keys through the driver.
     */
   def purgeLifecycle(spark: SparkSession, sfDir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     val wh = purgeDirCache.computeIfAbsent(sfDir,
-      _ => Files.createTempDirectory("graft-purgeq-").toString)
+      _ => graft.Scratch.dir("graft-purgeq-").toString)
     val whPath = Paths.get(wh)
     Files.walk(whPath).sorted(java.util.Comparator.reverseOrder())
       .forEach(p => if (p != whPath) Files.deleteIfExists(p))
@@ -1499,9 +1772,11 @@ object MaintenanceQueries {
     val vHead = store.currentVersion(target)
 
     import spark.implicits._
+    // Bulk-erasure path: the erase set stays a DataFrame end to end
+    // (anti-/semi-joined inside purgeKeys) — no driver-side key list.
     val erase = Tables.load(spark, sfDir, "customer")
       .filter(col("c_custkey") % 10 === 3)
-      .select(col("c_custkey").cast("long")).as[Long].collect().toSeq
+      .select(col("c_custkey"))
     store.purgeKeys(spark, target, "c_custkey", erase)
 
     def summarize(df: DataFrame): (Long, Double, Boolean) = {
@@ -1573,7 +1848,7 @@ object MaintenanceQueries {
   def partitionEvolution(spark: SparkSession, sfDir: String): DataFrame = {
     import java.nio.file.Files
     val root = partEvolveDirCache.computeIfAbsent(sfDir,
-      _ => Files.createTempDirectory("graft-pe-").toString)
+      _ => graft.Scratch.dir("graft-pe-").toString)
     val (v1Dir, v2Dir) = (s"$root/v1", s"$root/v2")
     val o = Tables.load(spark, sfDir, "orders")
       .withColumn("p_year", year(col("o_orderdate")))
@@ -1641,7 +1916,7 @@ object MaintenanceQueries {
   def wapPublish(spark: SparkSession, sfDir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     val dir = wapDirCache.computeIfAbsent(sfDir,
-      _ => Files.createTempDirectory("graft-wap-").toString)
+      _ => graft.Scratch.dir("graft-wap-").toString)
     val dirPath = Paths.get(dir)
     if (Files.exists(dirPath)) {
       Files.walk(dirPath).sorted(java.util.Comparator.reverseOrder())
@@ -1730,7 +2005,7 @@ object MaintenanceQueries {
   def wapBranch(spark: SparkSession, sfDir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     val wh = wapBranchDirCache.computeIfAbsent(sfDir,
-      _ => Files.createTempDirectory("graft-wapbr-").toString)
+      _ => graft.Scratch.dir("graft-wapbr-").toString)
     val whPath = Paths.get(wh)
     if (Files.exists(whPath)) {
       Files.walk(whPath).sorted(java.util.Comparator.reverseOrder())
@@ -1851,7 +2126,7 @@ object MaintenanceQueries {
   def maintenanceRefs(spark: SparkSession, sfDir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     val wh = refsDirCache.computeIfAbsent(sfDir,
-      _ => Files.createTempDirectory("graft-refs-").toString)
+      _ => graft.Scratch.dir("graft-refs-").toString)
     val whPath = Paths.get(wh)
     if (Files.exists(whPath)) {
       Files.walk(whPath).sorted(java.util.Comparator.reverseOrder())
@@ -1917,7 +2192,7 @@ object MaintenanceQueries {
   def maintenanceRefsDiff(spark: SparkSession, sfDir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     val wh = refsDiffDirCache.computeIfAbsent(sfDir,
-      _ => Files.createTempDirectory("graft-refsdiff-").toString)
+      _ => graft.Scratch.dir("graft-refsdiff-").toString)
     val whPath = Paths.get(wh)
     if (Files.exists(whPath)) {
       Files.walk(whPath).sorted(java.util.Comparator.reverseOrder())
@@ -1995,7 +2270,7 @@ object MaintenanceQueries {
   def maintenanceSnapshots(spark: SparkSession, sfDir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     val wh = snapDirCache.computeIfAbsent(sfDir,
-      _ => Files.createTempDirectory("graft-snap-").toString)
+      _ => graft.Scratch.dir("graft-snap-").toString)
     val whPath = Paths.get(wh)
     if (Files.exists(whPath)) {
       Files.walk(whPath).sorted(java.util.Comparator.reverseOrder())
@@ -2055,6 +2330,8 @@ object MaintenanceQueries {
     "layout_zorder" -> layoutZorder,
     "layout_zonemap" -> layoutZonemap,
     "layout_zonemap_incremental" -> layoutZonemapIncremental,
+    "layout_bloom" -> layoutBloom,
+    "maintenance_partition_transform" -> partitionTransform,
     "maintenance_lifecycle" -> maintenanceLifecycle,
     "maintenance_rebucket" -> rebucket,
     "maintenance_partition_evolution" -> partitionEvolution,
@@ -2079,6 +2356,8 @@ object MaintenanceQueries {
     "layout_zorder" -> layoutZorderOracle,
     "layout_zonemap" -> layoutZonemapOracle,
     "layout_zonemap_incremental" -> layoutZonemapIncrementalOracle,
+    "layout_bloom" -> layoutBloomOracle,
+    "maintenance_partition_transform" -> partitionTransformOracle,
     "maintenance_lifecycle" -> maintenanceLifecycleOracle,
     "maintenance_rebucket" -> rebucketOracle,
     "maintenance_partition_evolution" -> partitionEvolutionOracle,

@@ -42,7 +42,7 @@ object OccQueries {
 
   def concurrentCommit(spark: SparkSession, sfDir: String): DataFrame = {
     val store = new StateStore(
-      Files.createTempDirectory("graft-occ-q-").toString, NBuckets)
+      graft.Scratch.dir("graft-occ-q-").toString, NBuckets)
     val target = "occ.customer"
     val init = withMeta(Tables.load(spark, sfDir, "customer")
       .select("c_custkey", "c_acctbal"))

@@ -35,7 +35,7 @@ object PipelineQueries {
 
   private def stageOnce(key: String)(write: String => Unit): String =
     stagedCache.computeIfAbsent(key, { _ =>
-      val dir = Files.createTempDirectory("graft-changelog-").toString
+      val dir = graft.Scratch.dir("graft-changelog-").toString
       write(dir)
       dir
     })
@@ -131,7 +131,7 @@ object PipelineQueries {
                           log: DataFrame, logKey: String,
                           target: String): Unit = {
     val logDir = stageLog(log, logKey)
-    val ckptDir = Files.createTempDirectory("graft-ckpt-")
+    val ckptDir = graft.Scratch.dir("graft-ckpt-")
     val cfg = PipelineConfig(
       changeLogDir = logDir,
       checkpointDir = ckptDir.toString,
@@ -162,7 +162,7 @@ object PipelineQueries {
   private def writeOrderedSlices(slices: Seq[DataFrame],
                                  dir: String): Unit =
     slices.zipWithIndex.foreach { case (df, i) =>
-      val tmp = Files.createTempDirectory("graft-slice-").toString
+      val tmp = graft.Scratch.dir("graft-slice-").toString
       df.coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = Files.list(java.nio.file.Paths.get(tmp))
         .toArray.map(_.toString).filter(_.endsWith(".parquet"))
@@ -228,11 +228,11 @@ object PipelineQueries {
   def pipelineWap(spark: SparkSession, sfDir: String): DataFrame = {
     CdcAdmin.enableCdc("commerce.customer", Seq("c_custkey"))
     val store = new StateStore(
-      Files.createTempDirectory("graft-warehouse-").toString, nBuckets = 8)
-    val quarantine = Files.createTempDirectory("graft-quarantine-").toString
+      graft.Scratch.dir("graft-warehouse-").toString, nBuckets = 8)
+    val quarantine = graft.Scratch.dir("graft-quarantine-").toString
     wapPipeDirCache.put(sfDir, (store.warehouse, quarantine))
     val logDir = stagePoisonedLog(spark, sfDir)
-    val ckptDir = Files.createTempDirectory("graft-ckpt-")
+    val ckptDir = graft.Scratch.dir("graft-ckpt-")
     val cfg = PipelineConfig(
       changeLogDir = logDir,
       checkpointDir = ckptDir.toString,
@@ -259,7 +259,7 @@ object PipelineQueries {
   def pipelineCustomer(spark: SparkSession, sfDir: String): DataFrame = {
     CdcAdmin.enableCdc("commerce.customer", Seq("c_custkey"))
     val store = new StateStore(
-      Files.createTempDirectory("graft-warehouse-").toString, nBuckets = 8)
+      graft.Scratch.dir("graft-warehouse-").toString, nBuckets = 8)
     runPipeline(spark, store, customerLog(spark, sfDir), s"$sfDir:customer",
       "cdc.commerce_customer")
     store.currentState(spark, "cdc.commerce_customer")
@@ -281,7 +281,7 @@ object PipelineQueries {
   def schemaEvolution(spark: SparkSession, sfDir: String): DataFrame = {
     CdcAdmin.enableCdc("commerce.customer", Seq("c_custkey"))
     val store = new StateStore(
-      Files.createTempDirectory("graft-warehouse-").toString, nBuckets = 8)
+      graft.Scratch.dir("graft-warehouse-").toString, nBuckets = 8)
     val base = Tables.load(spark, sfDir, "customer")
     runPipeline(spark, store,
       ChangeGen.changeLogIntPk(base, "c_custkey", "c_acctbal",
@@ -322,11 +322,11 @@ object PipelineQueries {
     CdcAdmin.enableCdc("commerce.customer", Seq("c_custkey"))
     CdcAdmin.enableCdc("commerce.supplier", Seq("s_suppkey"))
     val store = new StateStore(
-      Files.createTempDirectory("graft-warehouse-").toString, nBuckets = 8)
+      graft.Scratch.dir("graft-warehouse-").toString, nBuckets = 8)
     val cust = Tables.load(spark, sfDir, "customer")
     val supp = Tables.load(spark, sfDir, "supplier")
     val logDir = stageFanoutWire(spark, sfDir)
-    val ckptDir = Files.createTempDirectory("graft-ckpt-")
+    val ckptDir = graft.Scratch.dir("graft-ckpt-")
     val cfg = PipelineConfig(logDir, ckptDir.toString,
       includeTables = Seq("customer", "supplier"),
       triggerIntervalMs = None, maxFilesPerTrigger = 2)

@@ -113,7 +113,7 @@ object TxApplyMultiQueries {
 
   private def stageBatches(spark: SparkSession, sfDir: String): String =
     stagedCache.computeIfAbsent(sfDir, { _ =>
-      val dir = Files.createTempDirectory("graft-txmlog-").toString
+      val dir = graft.Scratch.dir("graft-txmlog-").toString
       val cust = logWithMarkers(spark, sfDir, Targets(0)).persist()
       val supp = logWithMarkers(spark, sfDir, Targets(1)).persist()
       val ev = col("op") =!= "t"
@@ -135,7 +135,7 @@ object TxApplyMultiQueries {
         w(c.filter((ts === 3000L && ((ev && !even) || mk)) || ts === 4000L))
           .unionAll(w(s.filter(ts === 3000L || ts === 4000L))))
       slices(cust, supp).zipWithIndex.foreach { case (df, i) =>
-        val tmp = Files.createTempDirectory("graft-txmslice-").toString
+        val tmp = graft.Scratch.dir("graft-txmslice-").toString
         df.coalesce(1).write.mode("overwrite").parquet(tmp)
         val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
           .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS"))
@@ -220,9 +220,9 @@ object TxApplyMultiQueries {
     val logDir = stageBatches(spark, sfDir)
     val (whDir, ckptDir, pendDir) =
       workDirCache.computeIfAbsent(sfDir, { _ =>
-        (Files.createTempDirectory("graft-txmwh-").toString,
-          Files.createTempDirectory("graft-txmckpt-").toString,
-          Files.createTempDirectory("graft-txmpend-").toString)
+        (graft.Scratch.dir("graft-txmwh-").toString,
+          graft.Scratch.dir("graft-txmckpt-").toString,
+          graft.Scratch.dir("graft-txmpend-").toString)
       })
     wipe(whDir); wipe(ckptDir); wipe(pendDir)
     val store = new StateStore(whDir, NBuckets)

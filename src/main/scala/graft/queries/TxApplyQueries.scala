@@ -80,7 +80,7 @@ object TxApplyQueries {
     */
   private def stageBatches(spark: SparkSession, sfDir: String): String =
     stagedCache.computeIfAbsent(sfDir, { _ =>
-      val dir = Files.createTempDirectory("graft-txlog-").toString
+      val dir = graft.Scratch.dir("graft-txlog-").toString
       val all = logWithMarkers(spark, sfDir).persist()
       val ev = col("op") =!= "t"
       val mk = col("op") === "t"
@@ -92,7 +92,7 @@ object TxApplyQueries {
         ((ts === 500L && mk) || ts === 2000L || (ts === 3000L && ev && even)),
         ((ts === 3000L && ((ev && !even) || mk)) || ts === 4000L))
       slices.zipWithIndex.foreach { case (pred, i) =>
-        val tmp = Files.createTempDirectory("graft-txslice-").toString
+        val tmp = graft.Scratch.dir("graft-txslice-").toString
         all.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
         val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
           .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS"))
@@ -173,9 +173,9 @@ object TxApplyQueries {
     val logDir = stageBatches(spark, sfDir)
     val (whDir, ckptDir, pendDir) =
       workDirCache.computeIfAbsent(sfDir, { _ =>
-        (Files.createTempDirectory("graft-txwh-").toString,
-          Files.createTempDirectory("graft-txckpt-").toString,
-          Files.createTempDirectory("graft-txpend-").toString)
+        (graft.Scratch.dir("graft-txwh-").toString,
+          graft.Scratch.dir("graft-txckpt-").toString,
+          graft.Scratch.dir("graft-txpend-").toString)
       })
     wipe(whDir); wipe(ckptDir); wipe(pendDir)
     val store = new StateStore(whDir, NBuckets)

@@ -49,7 +49,7 @@ class CloneVacuumSpec extends SparkTestBase {
 
   test("vacuum keeps clone-referenced dirs; detach releases them") {
     val store = new StateStore(
-      Files.createTempDirectory("graft-clvac-").toString, NBuckets)
+      graft.Scratch.dir("graft-clvac-").toString, NBuckets)
     val (src, dst) = ("clv.src", "clv.clone")
     commitWave(store, src, 1)
     commitWave(store, src, 2)
@@ -90,7 +90,7 @@ class CloneVacuumSpec extends SparkTestBase {
 
   test("a deleted clone stops pinning immediately") {
     val store = new StateStore(
-      Files.createTempDirectory("graft-clvac2-").toString, NBuckets)
+      graft.Scratch.dir("graft-clvac2-").toString, NBuckets)
     val (src, dst) = ("clv.src2", "clv.gone")
     commitWave(store, src, 1)
     val vAtClone = store.currentVersion(src)

@@ -39,7 +39,7 @@ class ConcurrentCommitSpec extends SparkTestBase {
     // occ-heartbeat thread (VERDICT r9 watch item on
     // cdc_schema_evolution's commit-path cost).
     val store = new StateStore(
-      Files.createTempDirectory("graft-plain-").toString, NBuckets)
+      graft.Scratch.dir("graft-plain-").toString, NBuckets)
     val target = "occ.plain"
     val d = java.nio.file.Paths.get(store.warehouse, "occ.plain")
     store.commit(spark, target, withMeta(
@@ -62,7 +62,7 @@ class ConcurrentCommitSpec extends SparkTestBase {
 
   test("two interleaved committers, disjoint keys: no lost updates") {
     val store = new StateStore(
-      Files.createTempDirectory("graft-occ-").toString, NBuckets)
+      graft.Scratch.dir("graft-occ-").toString, NBuckets)
     val target = "occ.counters"
     val init = withMeta(
       (0L until NKeys).map(k => (k, 0L)).toDF("k", "cnt"), ts = 0L)
@@ -119,7 +119,7 @@ class ConcurrentCommitSpec extends SparkTestBase {
     // the write, so the waiter below must WAIT for the publish instead
     // of stealing, and both commits land on distinct versions.
     val store = new StateStore(
-      Files.createTempDirectory("graft-occ3-").toString, NBuckets)
+      graft.Scratch.dir("graft-occ3-").toString, NBuckets)
     val target = "occ.slow"
     val init = withMeta(
       (0L until NKeys).map(k => (k, 0L)).toDF("k", "cnt"), ts = 0L)
@@ -160,7 +160,7 @@ class ConcurrentCommitSpec extends SparkTestBase {
 
   test("stale marker from a dead claimant is broken, not a deadlock") {
     val store = new StateStore(
-      Files.createTempDirectory("graft-occ2-").toString, NBuckets)
+      graft.Scratch.dir("graft-occ2-").toString, NBuckets)
     val target = "occ.stale"
     val init = withMeta(Seq((0L, 0L)).toDF("k", "cnt"), ts = 0L)
     // A 1-row table touches exactly one bucket — the manifest must

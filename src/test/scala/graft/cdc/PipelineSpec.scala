@@ -15,11 +15,11 @@ import org.apache.spark.sql.types.{LongType, StructType}
 class PipelineSpec extends SparkTestBase {
 
   private def freshStore() =
-    new StateStore(Files.createTempDirectory("pipe-wh-").toString, 8)
+    new StateStore(graft.Scratch.dir("pipe-wh-").toString, 8)
 
   private def run(store: StateStore, log: DataFrame,
-                  ckpt: String = Files.createTempDirectory("pipe-ck-").toString,
-                  logDir: String = Files.createTempDirectory("pipe-log-").toString)
+                  ckpt: String = graft.Scratch.dir("pipe-ck-").toString,
+                  logDir: String = graft.Scratch.dir("pipe-log-").toString)
   : String = {
     log.repartition(4).write.mode("append").parquet(logDir)
     val rowSchema = log.schema("after").dataType.asInstanceOf[StructType]
@@ -47,7 +47,7 @@ class PipelineSpec extends SparkTestBase {
   test("restart with same checkpoint is a no-op (A14 exactly-once)") {
     CdcAdmin.enableCdc("commerce.customer", Seq("c_custkey"))
     val store = freshStore()
-    val ckpt = Files.createTempDirectory("pipe-ck-").toString
+    val ckpt = graft.Scratch.dir("pipe-ck-").toString
     val logDir = run(store, customerLog, ckpt)
     val v1 = store.currentVersion("cdc.commerce_customer")
     // Same checkpoint, same files: offsets already committed, no new
@@ -102,13 +102,13 @@ class PipelineSpec extends SparkTestBase {
   test("ProcessingTime trigger ingests files as they arrive (A13 live mode)") {
     CdcAdmin.enableCdc("commerce.customer", Seq("c_custkey"))
     val store = freshStore()
-    val logDir = Files.createTempDirectory("pipe-live-").toString
+    val logDir = graft.Scratch.dir("pipe-live-").toString
     val target = "cdc.commerce_customer"
     val log = customerLog
     val rowSchema = log.schema("after").dataType
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     val cfg = PipelineConfig(logDir,
-      Files.createTempDirectory("pipe-live-ck-").toString,
+      graft.Scratch.dir("pipe-live-ck-").toString,
       includeTables = Seq("customer"),
       triggerIntervalMs = Some(500L), maxFilesPerTrigger = 10)
     val q = new Pipeline(store).start(spark, rowSchema, cfg)

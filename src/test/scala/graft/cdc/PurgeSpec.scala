@@ -34,7 +34,7 @@ class PurgeSpec extends SparkTestBase {
 
   test("purged keys vanish from head, history, and the files") {
     val store = new StateStore(
-      Files.createTempDirectory("graft-purge-").toString, NBuckets)
+      graft.Scratch.dir("graft-purge-").toString, NBuckets)
     val target = "p.t"
     commitWave(store, target, 1)
     commitWave(store, target, 2)
@@ -82,7 +82,7 @@ class PurgeSpec extends SparkTestBase {
     // manifests still referenced — silent data loss. The purge must
     // refuse until the clone compacts under its own directory.
     val store = new StateStore(
-      Files.createTempDirectory("graft-purge3-").toString, NBuckets)
+      graft.Scratch.dir("graft-purge3-").toString, NBuckets)
     val (src, dst) = ("p3.src", "p3.clone")
     commitWave(store, src, 1)
     store.cloneTable(src, dst)
@@ -122,7 +122,7 @@ class PurgeSpec extends SparkTestBase {
     // rows of the erased keys, so it could exceed the rows actually
     // visible at head.
     val store = new StateStore(
-      Files.createTempDirectory("graft-purge4-").toString, NBuckets)
+      graft.Scratch.dir("graft-purge4-").toString, NBuckets)
     val target = "p4.t"
     commitWave(store, target, 1)
     // Wave 2 tombstones key 5: at head, key 5 is a retained tombstone
@@ -152,7 +152,7 @@ class PurgeSpec extends SparkTestBase {
     // where the later optimistic commit's merge reads POST-purge state,
     // so the erased key cannot ride a merge back into a new version.
     val store = new StateStore(
-      Files.createTempDirectory("graft-purge5-").toString, NBuckets)
+      graft.Scratch.dir("graft-purge5-").toString, NBuckets)
     val target = "p5.t"
     store.commitOptimistic(spark, target) { _ =>
       (withMeta((0L until 20L).map(k => (k, k)).toDF("k", "v"), 1),
@@ -185,7 +185,7 @@ class PurgeSpec extends SparkTestBase {
 
   test("a live clone blocks purge; vacuum reclaims orphaned purge dirs") {
     val store = new StateStore(
-      Files.createTempDirectory("graft-purge2-").toString, NBuckets)
+      graft.Scratch.dir("graft-purge2-").toString, NBuckets)
     val (src, dst) = ("p.src", "p.clone")
     commitWave(store, src, 1)
     store.cloneTable(src, dst)

@@ -42,7 +42,7 @@ class RefsSpec extends SparkTestBase {
 
   test("tags are immutable, branches move, bad refs are refused") {
     val store = new StateStore(
-      Files.createTempDirectory("graft-refs-spec-").toString, NBuckets)
+      graft.Scratch.dir("graft-refs-spec-").toString, NBuckets)
     val t = "refs.t"
     store.commit(spark, t, wave(1), 0 until NBuckets)
     store.commit(spark, t, wave(2), 0 until NBuckets)
@@ -91,7 +91,7 @@ class RefsSpec extends SparkTestBase {
   test("a tag pins its version and its REACHED older dirs through " +
       "vacuum; dropping the tag releases them") {
     val store = new StateStore(
-      Files.createTempDirectory("graft-refs-spec2-").toString, NBuckets)
+      graft.Scratch.dir("graft-refs-spec2-").toString, NBuckets)
     val t = "refs.t2"
     // v0 writes all buckets; v1 rewrites ONE bucket (key 0's hash
     // bucket, full bucket contents with key 0 updated), so the tag at
@@ -124,7 +124,7 @@ class RefsSpec extends SparkTestBase {
   test("diffRefs prunes to manifest-changed buckets and classifies " +
       "insert/update/delete by value") {
     val store = new StateStore(
-      Files.createTempDirectory("graft-refs-spec3-").toString, NBuckets)
+      graft.Scratch.dir("graft-refs-spec3-").toString, NBuckets)
     val t = "refs.t3"
     store.commit(spark, t, wave(1), 0 until NBuckets)
     store.createRef(t, "base", 0, "tag")
@@ -170,7 +170,7 @@ class RefsSpec extends SparkTestBase {
     // row classifies as update (it gained a value), never as a crash
     // or a spurious insert/delete.
     val store = new StateStore(
-      Files.createTempDirectory("graft-refs-spec4-").toString, NBuckets)
+      graft.Scratch.dir("graft-refs-spec4-").toString, NBuckets)
     val t = "refs.t4"
     store.commit(spark, t, wave(1), 0 until NBuckets)
     store.createRef(t, "base", 0, "tag")
@@ -211,7 +211,7 @@ class RefsSpec extends SparkTestBase {
     val prop = Prop.forAll(gen) { case (upd, del, ins) =>
       caseNo += 1
       val store = new StateStore(
-        Files.createTempDirectory(s"graft-refs-prop-").toString, NBuckets)
+        graft.Scratch.dir(s"graft-refs-prop-").toString, NBuckets)
       val t = s"refs.prop$caseNo"
       store.commit(spark, t, wave(1, 0 until 30), 0 until NBuckets)
       store.createRef(t, "base", 0, "tag")

@@ -42,7 +42,7 @@ class WapBranchSpec extends SparkTestBase {
 
   test("staged branch is head-invisible, audit-readable, publishable") {
     val store = new StateStore(
-      Files.createTempDirectory("graft-wapbr-spec-").toString, NBuckets)
+      graft.Scratch.dir("graft-wapbr-spec-").toString, NBuckets)
     val t = "wap.t"
     store.commit(spark, t, wave(1), 0 until NBuckets)
     val staged = store.stageCommit(spark, t, wave(2), 0 until NBuckets)
@@ -64,7 +64,7 @@ class WapBranchSpec extends SparkTestBase {
   test("dropped branch reclaims files, hides from $snapshots, frees " +
       "the slot; committed versions refuse to drop") {
     val store = new StateStore(
-      Files.createTempDirectory("graft-wapbr-spec2-").toString, NBuckets)
+      graft.Scratch.dir("graft-wapbr-spec2-").toString, NBuckets)
     val t = "wap.t2"
     store.commit(spark, t, wave(1), 0 until NBuckets)
     val staged = store.stageCommit(spark, t, wave(2), 0 until NBuckets)

@@ -53,8 +53,8 @@ class WapGateSpec extends SparkTestBase {
     CdcAdmin.enableCdc("wapg.a", Seq("k"))
     CdcAdmin.enableCdc("wapg.b", Seq("k"))
     val store = new StateStore(
-      Files.createTempDirectory("graft-wapgate-").toString, 4)
-    val qdir = Files.createTempDirectory("graft-wapgate-q-").toString
+      graft.Scratch.dir("graft-wapgate-").toString, 4)
+    val qdir = graft.Scratch.dir("graft-wapgate-q-").toString
     val gate = WapGate(col("amount") < 0.0, qdir)
     val pipe = new Pipeline(store, Some(gate))
     val batch = routed(
@@ -76,7 +76,7 @@ class WapGateSpec extends SparkTestBase {
       "clean batches; a batch's own violation still drops") {
     CdcAdmin.enableCdc("wapg.pre", Seq("k"))
     val store = new StateStore(
-      Files.createTempDirectory("graft-wapgate2-").toString, 4)
+      graft.Scratch.dir("graft-wapgate2-").toString, 4)
     // v0 lands UNGATED with k=3 violating (amount -5) — e.g. written
     // before the expectation existed.
     new Pipeline(store).processBatch(routed(
@@ -84,7 +84,7 @@ class WapGateSpec extends SparkTestBase {
         k -> (if (k == 3L) -5.0 else k.toDouble)), ts = 100)), 0L)
     assert(store.currentVersion("cdc.wapg_pre") === 0)
 
-    val qdir = Files.createTempDirectory("graft-wapgate2-q-").toString
+    val qdir = graft.Scratch.dir("graft-wapgate2-q-").toString
     val gated = new Pipeline(store, Some(WapGate(col("amount") < 0.0, qdir)))
     // A clean batch over every key EXCEPT 3: its buckets include k=3's,
     // whose stored violating row sits in the post-merge slice — the

@@ -13,18 +13,18 @@ class WirePipelineSpec extends SparkTestBase {
   test("corrupt wire record fails the stream, never silent nulls (A15)") {
     CdcAdmin.enableCdc("commerce.customer", Seq("c_custkey"))
     val store = new StateStore(
-      Files.createTempDirectory("wire-wh-").toString, 4)
+      graft.Scratch.dir("wire-wh-").toString, 4)
     val base = Tables.load(spark, sf, "customer")
     val wire = Envelope.toWire(ChangeGen.changeLog(base,
       "c_custkey", "c_acctbal", "commerce", "customer"))
-    val logDir = Files.createTempDirectory("wire-log-")
+    val logDir = graft.Scratch.dir("wire-log-")
     wire.coalesce(1).write.mode("append").text(logDir.toString)
     // Append one corrupt line that still parses as valid metadata (so
     // it passes the include filter) but has a malformed row image.
     Files.writeString(logDir.resolve("corrupt.txt"),
       """{"op":"u","ts_ms":9,"seq":9,"source":{"schema":"commerce","table":"customer"},"after":{"c_custkey":"NOT_A_NUMBER_{"}}""" + "\n")
     val cfg = PipelineConfig(logDir.toString,
-      Files.createTempDirectory("wire-ck-").toString,
+      graft.Scratch.dir("wire-ck-").toString,
       includeTables = Seq("customer"), triggerIntervalMs = None,
       maxFilesPerTrigger = 10)
     val ex = intercept[StreamingQueryException] {
@@ -42,13 +42,13 @@ class WirePipelineSpec extends SparkTestBase {
   test("malformed transport JSON also fails the stream (A15 metadata layer)") {
     CdcAdmin.enableCdc("commerce.customer", Seq("c_custkey"))
     val store = new StateStore(
-      Files.createTempDirectory("wire-wh-").toString, 4)
+      graft.Scratch.dir("wire-wh-").toString, 4)
     val base = Tables.load(spark, sf, "customer")
-    val logDir = Files.createTempDirectory("wire-log-")
+    val logDir = graft.Scratch.dir("wire-log-")
     Files.writeString(logDir.resolve("garbage.txt"),
       """{"op":"u","ts_ms":""" + "\n")
     val cfg = PipelineConfig(logDir.toString,
-      Files.createTempDirectory("wire-ck-").toString,
+      graft.Scratch.dir("wire-ck-").toString,
       includeTables = Seq("customer"), triggerIntervalMs = None)
     intercept[StreamingQueryException] {
       new Pipeline(store).startWire(spark, cfg,
@@ -59,13 +59,13 @@ class WirePipelineSpec extends SparkTestBase {
   test("well-formed JSON without source metadata fails, not silently dropped") {
     CdcAdmin.enableCdc("commerce.customer", Seq("c_custkey"))
     val store = new StateStore(
-      Files.createTempDirectory("wire-wh-").toString, 4)
+      graft.Scratch.dir("wire-wh-").toString, 4)
     val base = Tables.load(spark, sf, "customer")
-    val logDir = Files.createTempDirectory("wire-log-")
+    val logDir = graft.Scratch.dir("wire-log-")
     Files.writeString(logDir.resolve("nosource.txt"),
       """{"op":"u","ts_ms":9,"seq":9}""" + "\n")
     val cfg = PipelineConfig(logDir.toString,
-      Files.createTempDirectory("wire-ck-").toString,
+      graft.Scratch.dir("wire-ck-").toString,
       includeTables = Seq("customer"), triggerIntervalMs = None)
     val ex = intercept[StreamingQueryException] {
       new Pipeline(store).startWire(spark, cfg,
@@ -81,7 +81,7 @@ class WirePipelineSpec extends SparkTestBase {
     CdcAdmin.enableCdc("commerce.customer", Seq("c_custkey"))
     CdcAdmin.enableCdc("commerce.supplier", Seq("s_suppkey"))
     val store = new StateStore(
-      Files.createTempDirectory("wire-wh-").toString, 4)
+      graft.Scratch.dir("wire-wh-").toString, 4)
     val cust = Tables.load(spark, sf, "customer")
     val supp = Tables.load(spark, sf, "supplier")
     val custLog = ChangeGen.changeLog(cust, "c_custkey", "c_acctbal",
@@ -89,10 +89,10 @@ class WirePipelineSpec extends SparkTestBase {
     val suppLog = ChangeGen.changeLog(supp, "s_suppkey", "s_acctbal",
       "commerce", "supplier")
     val wire = Envelope.toWire(custLog).unionAll(Envelope.toWire(suppLog))
-    val logDir = Files.createTempDirectory("wire-log-")
+    val logDir = graft.Scratch.dir("wire-log-")
     wire.repartition(4).write.mode("overwrite").text(logDir.toString)
     val cfg = PipelineConfig(logDir.toString,
-      Files.createTempDirectory("wire-ck-").toString,
+      graft.Scratch.dir("wire-ck-").toString,
       includeTables = Seq("customer", "supplier"),
       triggerIntervalMs = None, maxFilesPerTrigger = 1)
     new Pipeline(store).startWire(spark, cfg, Map(

@@ -21,7 +21,7 @@ class GraphOpsSpec extends SparkTestBase {
 
   test("triangles on a constructed graph: K3 + pendant counts exactly") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graphops").toString
+    val dir = graft.Scratch.dir("graphops").toString
     // Order 1 links {a,b,c} (a triangle); order 2 links {c,d} (a
     // pendant edge): a,b,c sit in exactly one triangle, d in none.
     Seq((1L, 10L), (1L, 20L), (1L, 30L), (2L, 30L), (2L, 40L))
@@ -87,7 +87,7 @@ class GraphOpsSpec extends SparkTestBase {
 
   test("pagerank on a star graph: hub outranks leaves, leaves tie") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graphops").toString
+    val dir = graft.Scratch.dir("graphops").toString
     // Orders {1: a,b}, {2: a,c} → edges a↔b, a↔c: 'a' is the hub.
     Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 30L))
       .toDF("l_orderkey", "l_suppkey")

@@ -10,6 +10,51 @@ import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
   */
 class LlmOpsSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
 
+  test("mixImportance: digest uniform matches a hand-computed md5, " +
+    "acceptance follows the pinned rule, and the target slice is " +
+    "preferentially kept") {
+    val scores = LlmOps.importanceScores(spark, sf)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Double]("lr6"), r.getAs[Double]("u"), r.getAs[Double]("p"),
+        r.getAs[Boolean]("keep")))
+    assert(scores.nonEmpty)
+
+    // (1) The uniform is EXACTLY the first 6 md5 hex digits of the
+    // doc_id string over 2^24 — hand-computed with MessageDigest, the
+    // cross-engine digest convention the oracle relies on.
+    def handU(docId: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(docId.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(6), 16).toDouble / 16777216.0
+    }
+    scores.take(20).foreach { case (id, _, _, u, _, _) =>
+      assert(math.abs(u - handU(id)) < 1e-12, s"u mismatch for doc $id")
+    }
+
+    // (2) Acceptance is the pinned deterministic rule — recomputed
+    // here from lr6 with plain scala math, no Spark expressions.
+    scores.foreach { case (id, _, lr6, u, p, keep) =>
+      val pHand = math.min(1.0, math.exp(100.0 * lr6))
+      assert(math.abs(p - pHand) < 1e-9, s"p mismatch for doc $id")
+      val keepHand =
+        BigDecimal(u).setScale(6, BigDecimal.RoundingMode.HALF_UP) <
+          BigDecimal(pHand).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      assert(keep == keepHand, s"acceptance mismatch for doc $id")
+    }
+
+    // (3) DSIR pressure: the target-domain slice keeps a strictly
+    // higher fraction than the rest of the corpus, and the resample
+    // is neither empty nor a no-op.
+    val (tgt, rest) = scores.partition(_._2 == "src3")
+    def rate(xs: Array[(Long, String, Double, Double, Double, Boolean)]) =
+      xs.count(_._6).toDouble / xs.length
+    assert(rate(tgt) > rate(rest),
+      s"target keep rate ${rate(tgt)} must exceed corpus ${rate(rest)}")
+    val kept = scores.count(_._6)
+    assert(kept > 0 && kept < scores.length)
+  }
+
   test("mmFeatures expression and mapPartitions decode paths agree exactly") {
     val expr = LlmOps.mmFeatures(spark, sf).collect()
     val part = LlmOps.mmFeaturesPartition(spark, sf).collect()
@@ -20,7 +65,7 @@ class LlmOpsSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
   test("mmFeatures twin agreement holds on multibyte text, not just " +
     "the ASCII fixture") {
     import org.apache.spark.sql.functions._
-    val dir = java.nio.file.Files.createTempDirectory("mm_mb").toString
+    val dir = graft.Scratch.dir("mm_mb").toString
     spark.sql(
       """SELECT * FROM VALUES
         |  (CAST(1 AS BIGINT), 'émile — œuvres 東京'),
@@ -50,7 +95,7 @@ class LlmOpsSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     // vectors in a small bucket. Stage it as a parquet dir so the
     // operator reads it like the fixture.
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("simjoin_cap").toString
+    val dir = graft.Scratch.dir("simjoin_cap").toString
     val big = (0 until 300).map { i =>
       (i.toLong, s"l${i % 3}", Array.fill(64)(0.5f + (i % 7) * 0.01f))
     }
@@ -70,7 +115,7 @@ class LlmOpsSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
   test("dedupEditdist: exact copy scores 0, one-char typo scores 1, " +
     "unrelated text never pairs") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("editdist").toString
+    val dir = graft.Scratch.dir("editdist").toString
     val base = ("alpha beta gamma delta epsilon zeta eta theta iota " +
       "kappa ") * 4
     val typo = base.replaceFirst("gamma", "gamba")
@@ -92,7 +137,7 @@ class LlmOpsSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
   test("bpeTrain learns hand-computable merges; ties break " +
     "lexicographically") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("bpe").toString
+    val dir = graft.Scratch.dir("bpe").toString
     // (z,x) and (z,y) tie at 3 → lexicographic order must pick zx
     // first; (a,b) trails at 2.
     Seq((0L, "zy zy zy zx zx zx ab ab"))
@@ -106,7 +151,7 @@ class LlmOpsSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
 
   test("bpeApply encodes with the learned merges in rank order") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("bpe_apply").toString
+    val dir = graft.Scratch.dir("bpe_apply").toString
     // Hand computation over the two-doc corpus: round 1 counts
     // (z,x):4 > (z,y):3 = (a,b):3 → zx; round 2 ties (a,b)/(z,y) and
     // lexicographic order picks ab; round 3 takes zy. Doc 1 exercises
@@ -142,7 +187,7 @@ class LlmOpsSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     // pair must disagree on a word-reordered document: bag-of-words
     // md5 identical, rolling hash different.
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("fp_perm").toString
+    val dir = graft.Scratch.dir("fp_perm").toString
     Seq(
       (1L, "alpha beta gamma delta epsilon", "en", 30L),
       (2L, "epsilon delta gamma beta alpha", "en", 30L))
@@ -162,7 +207,7 @@ class LlmOpsSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     // double ratios would not survive this check at the boundary.
     val a = LlmOps.textStats(spark, sf).collect()
     val docs = graft.Tables.load(spark, sf, "documents")
-    val dir = java.nio.file.Files.createTempDirectory("ts_repart").toString
+    val dir = graft.Scratch.dir("ts_repart").toString
     docs.repartition(7).write.mode("overwrite")
       .parquet(s"$dir/documents.parquet")
     val b = LlmOps.textStats(spark, dir).collect()
@@ -202,7 +247,7 @@ class LlmOpsSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     // (cos ~0.02, below it). The candidate graph is a pure path — the
     // adversarial depth case for label propagation; path halving must
     // still converge it well inside the round cap.
-    val dir = java.nio.file.Files.createTempDirectory("cc_chain").toString
+    val dir = graft.Scratch.dir("cc_chain").toString
     val n = 50
     val vecs = (0 until n).map { i =>
       val a = Array.fill(64)(0.01f)
@@ -225,7 +270,7 @@ class LlmOpsSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     // Every doc is below the 20-word floor, so stage 1 empties the
     // pipeline; the LSH stages must tolerate empty shingle/candidate
     // frames rather than assuming survivors exist.
-    val dir = java.nio.file.Files.createTempDirectory("curate_empty").toString
+    val dir = graft.Scratch.dir("curate_empty").toString
     Seq((1L, "en", "too short"), (2L, "de", "auch kurz"))
       .toDF("doc_id", "lang", "text")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
@@ -272,7 +317,7 @@ class LlmOpsSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
 
   test("curate's partitioned corpus prunes partitions on a lang filter") {
     import org.apache.spark.sql.functions._
-    val out = java.nio.file.Files.createTempDirectory("corpus_prune").toString
+    val out = graft.Scratch.dir("corpus_prune").toString
     LlmOps.curate(spark, sf).write.mode("overwrite")
       .partitionBy("lang").parquet(out)
     val plan = spark.read.parquet(out).filter(col("lang") === "en")

@@ -32,7 +32,7 @@ class ReliableComponentsSpec extends SparkTestBase {
   }
 
   test("reliable checkpoint mode matches localCheckpoint labels and rounds") {
-    val ckpt = java.nio.file.Files.createTempDirectory("cc_ckpt").toString
+    val ckpt = graft.Scratch.dir("cc_ckpt").toString
     spark.sparkContext.setCheckpointDir(ckpt)
     val (localLabels, localRounds) =
       LlmOps.propagateComponents(chainPairs, reliable = false)

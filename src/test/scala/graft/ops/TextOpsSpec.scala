@@ -11,7 +11,7 @@ class TextOpsSpec extends SparkTestBase {
 
   private def docsDir(rows: Seq[(Long, String)]): String = {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("textops").toString
+    val dir = graft.Scratch.dir("textops").toString
     rows.map { case (id, text) =>
       (id, text, "en", text.length.toLong)
     }.toDF("doc_id", "text", "lang", "n_chars")

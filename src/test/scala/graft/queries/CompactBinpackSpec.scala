@@ -32,7 +32,7 @@ class CompactBinpackSpec extends SparkTestBase {
   }
 
   test("file-count criterion packs a forced 3-file bucket to one file") {
-    val wh = Files.createTempDirectory("graft-binpack-spec-").toString
+    val wh = graft.Scratch.dir("graft-binpack-spec-").toString
     val store = new StateStore(wh, nBuckets = 4)
     val target = "t"
     def filesIn(entry: String): Long = {
@@ -90,7 +90,7 @@ class CompactBinpackSpec extends SparkTestBase {
       packAfter <- Gen.listOfN(4, Gen.oneOf(true, false))
     } yield (waves, packAfter)
     val prop = Prop.forAll(gen) { case (waves, packAfter) =>
-      val wh = Files.createTempDirectory("graft-binpack-prop-").toString
+      val wh = graft.Scratch.dir("graft-binpack-prop-").toString
       val store = new StateStore(wh, nBuckets = 4)
       val target = "t"
       var model = Map.empty[Long, (Double, Boolean)]

@@ -9,7 +9,7 @@ import graft.cdc.{ChangeGen, Envelope, MergeCommit, StateStore}
 class OrphanGcSpec extends SparkTestBase {
 
   test("a clean store has no orphans; GC preserves committed state") {
-    val wh = java.nio.file.Files.createTempDirectory("gc-spec-").toString
+    val wh = graft.Scratch.dir("gc-spec-").toString
     val store = new StateStore(wh, nBuckets = 4)
     val target = "t"
     val ev = Envelope.flatten(ChangeGen.changeLog(

@@ -30,7 +30,7 @@ class SnapshotsMetaSpec extends SparkTestBase {
     import graft.cdc.StateStore
     import spark.implicits._
     val store = new StateStore(
-      Files.createTempDirectory("graft-snapvac-").toString, 4)
+      graft.Scratch.dir("graft-snapvac-").toString, 4)
     val target = "meta.snapvac"
     def wave(ts: Long) = store.commit(spark, target,
       (0L until 40L).map(k => (k, ts * 1000 + k)).toDF("k", "v")

@@ -36,8 +36,7 @@ class WapSpec extends SparkTestBase {
   }
 
   test("majority-poisoned wave aborts and leaves base untouched") {
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft-wap-spec-").toString
+    val dir = graft.Scratch.dir("graft-wap-spec-").toString
     val base = Tables.load(spark, sf, "customer")
     val wave = base.filter(col("c_custkey") % 4 === 0)
       .withColumn("c_name", lit(null).cast("string")) // 100% violating

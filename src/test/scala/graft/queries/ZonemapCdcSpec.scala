@@ -15,8 +15,7 @@ class ZonemapCdcSpec extends SparkTestBase {
 
   test("refresh carries untouched entries, prunes correctly; the " +
       "stale map dangles on replaced files and misses late inserts") {
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft-zmi-spec-").toString
+    val dir = graft.Scratch.dir("graft-zmi-spec-").toString
     val laid = s"$dir/orders_by_year"
     MaintenanceQueries.zmiBuildLayout(spark, sf, laid)
     val statsV0 = MaintenanceQueries.zmiStats(spark, laid)
