@@ -48,23 +48,25 @@ object MergeCommit {
 
   /** Merge a metadata-carrying batch (the [[toBatchMeta]] shape — any
     * column subset that keeps the pk + metadata columns) into `table`.
-    * None when the batch is empty. With `persistSlices` both returned
-    * frames are persisted — the caller unpersists via
-    * [[Result.unpersist]].
+    * None when the batch is empty. With `persistSlices` the returned
+    * pre/post slices are persisted — the caller unpersists via
+    * [[Result.unpersist]]. `persistBatch` additionally persists the
+    * compacted batch itself — ONLY for callers that read
+    * [[Result.batchMeta]] back (the WAP gate's audit scope); the
+    * incremental maintainers that just consume pre/post slices must
+    * not pay a per-micro-batch caching pass for a frame they ignore.
     */
   def mergeBatchMeta(store: StateStore, table: String, batchMeta: DataFrame,
                      pkCols: Seq[String],
                      persistSlices: Boolean = false,
-                     stage: Boolean = false): Option[Result] = {
+                     stage: Boolean = false,
+                     persistBatch: Boolean = false): Option[Result] = {
     val spark = batchMeta.sparkSession
-    // With persistSlices the compacted batch is persisted too: it is
-    // read once for the affected-bucket set, once inside the merge, and
-    // (under a WAP gate) once more as the audit's key scope.
-    val batchMetaP = if (persistSlices) batchMeta.persist() else batchMeta
+    val batchMetaP = if (persistBatch) batchMeta.persist() else batchMeta
     val affected = batchMetaP.select(StateStore.BucketCol).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
     if (affected.isEmpty) {
-      if (persistSlices) batchMetaP.unpersist(blocking = false)
+      if (persistBatch) batchMetaP.unpersist(blocking = false)
       return None
     }
     val state =
@@ -91,9 +93,10 @@ object MergeCommit {
   def mergeFlattened(store: StateStore, table: String, slice: DataFrame,
                      pkCols: Seq[String],
                      persistSlices: Boolean = false,
-                     stage: Boolean = false): Option[Result] =
+                     stage: Boolean = false,
+                     persistBatch: Boolean = false): Option[Result] =
     mergeBatchMeta(store, table,
       toBatchMeta(Merge.compactKeepTombstones(slice, pkCols), pkCols,
         store.nBuckets),
-      pkCols, persistSlices, stage)
+      pkCols, persistSlices, stage, persistBatch)
 }

@@ -262,7 +262,8 @@ final class Pipeline(store: StateStore, gate: Option[WapGate] = None) {
         MergeCommit.mergeFlattened(store, target, slice, pk); ()
       case Some(g) =>
         MergeCommit.mergeFlattened(store, target, slice, pk,
-          persistSlices = true, stage = true).foreach { r =>
+          persistSlices = true, stage = true, persistBatch = true)
+          .foreach { r =>
           try {
             // Audit only rows this batch introduced or rewrote (semi-join
             // on the batch's keys): a violating row already committed

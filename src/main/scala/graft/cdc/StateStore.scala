@@ -827,15 +827,19 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
   }
 
   /** Bulk-erasure overload (VERDICT r12 "what's wrong" #4): the erase
-    * set arrives as a DataFrame and is joined against the affected
-    * dirs (anti-join for the rewrite, semi-join for the head audit
-    * count) instead of being collected into a driver-side `isin` list
-    * — a caller erasing millions of keys never funnels them through
-    * the driver. AQE broadcasts the key frame when it is small, so the
-    * GDPR-list case keeps its broadcast-hash plan.
+    * set arrives as a DataFrame and never has to funnel through the
+    * driver. ADAPTIVE execution: below `driverListThreshold` distinct
+    * keys (the GDPR-request shape) the keys collect into the same
+    * `isin` scan filter the Seq path always used — zero extra join
+    * jobs per rewritten dir; above it the erase set stays distributed
+    * and is anti-joined into each dir rewrite (semi-joined for the
+    * head audit count) — a caller erasing millions of keys pays a
+    * join, not a driver OOM. The threshold is a parameter so tests
+    * can force the join path at fixture scale.
     */
   def purgeKeys(spark: SparkSession, target: String, pkCol: String,
-                keysDf: org.apache.spark.sql.DataFrame): Long = {
+                keysDf: org.apache.spark.sql.DataFrame,
+                driverListThreshold: Long = 100000L): Long = {
     // A clone that detached (compacted + vacuumed its history) must
     // not block erasure — prune dead references before judging.
     pruneRefs(target)
@@ -848,13 +852,27 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
     // One distinct pass over the erase set, reused by the bucket scan,
     // every dir rewrite, and the head audit count.
     val keySet = keysDf.select(col(pkCol)).distinct().persist()
-    // Affected buckets by the same hash both merge sides use —
-    // bounded by nBuckets, metadata-sized however large the erase set.
-    val buckets = {
-      import spark.implicits._
-      keySet
-        .select(StateStore.bucketExpr(Seq(pkCol), nBuckets).as("b"))
-        .distinct().as[Int].collect().toSet
+    // ONE aggregate gets both the affected buckets (by the same hash
+    // both merge sides use — bounded by nBuckets, metadata-sized
+    // however large the erase set) and the key count that picks the
+    // execution strategy.
+    val (buckets, nKeys) = {
+      val r = keySet.agg(
+        collect_set(StateStore.bucketExpr(Seq(pkCol), nBuckets)).as("bs"),
+        count(lit(1)).as("n")).head()
+      (r.getSeq[Int](0).toSet, r.getLong(1))
+    }
+    val smallKeys: Option[Seq[Long]] =
+      if (nKeys <= driverListThreshold)
+        Some(keySet.collect().map(_.getAs[Number](0).longValue()).toSeq)
+      else None
+    def dropKeys(df: org.apache.spark.sql.DataFrame) = smallKeys match {
+      case Some(ks) => df.filter(!col(pkCol).isin(ks: _*))
+      case None => df.join(keySet, Seq(pkCol), "left_anti")
+    }
+    def onlyKeys(df: org.apache.spark.sql.DataFrame) = smallKeys match {
+      case Some(ks) => df.filter(col(pkCol).isin(ks: _*))
+      case None => df.join(keySet, Seq(pkCol), "left_semi")
     }
     val retained = (0 to cur)
       .filter(v => Files.exists(d.resolve(s"manifest-$v.tsv")))
@@ -889,8 +907,7 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
       val abs = d.resolve(p).toString
       val out = d.resolve(newDir)
       Files.createDirectories(out.getParent)
-      spark.read.parquet(abs)
-        .join(keySet, Seq(pkCol), "left_anti")
+      dropKeys(spark.read.parquet(abs))
         .write.mode("overwrite").parquet(out.toString)
       p -> newDir
     }.toMap
@@ -903,8 +920,7 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
       val headM = manifestAt(target, cur)
       erasedHead = headM.collect { case (b, p) if buckets(b) => p }
         .toSeq.distinct
-        .map(p => spark.read.parquet(d.resolve(p).toString)
-          .join(keySet, Seq(pkCol), "left_semi")
+        .map(p => onlyKeys(spark.read.parquet(d.resolve(p).toString))
           .filter(!col(DeletedCol)).count())
         .sum
       // Atomically re-point every retained manifest.

@@ -3608,6 +3608,110 @@ object LlmOps {
       |  round(sum(lr6), 3) AS lr_sum
       |FROM acc GROUP BY source ORDER BY source""".stripMargin
 
+  /** DSIR TOP-K SELECTION — [[mixImportance]]'s other mode: instead of
+    * probabilistic acceptance, take the importance-RANKED prefix of
+    * the corpus up to a token budget ("give me the best 25 % of
+    * tokens"), the form data teams actually specify budgets in.
+    *
+    * The naive spelling — a running token sum over `ORDER BY lr6
+    * DESC` — is a GLOBAL-order window: Spark executes it in a single
+    * partition, the one shape that cannot survive 100 TB. The
+    * scalable prefix is two-phase:
+    *
+    *   1. HISTOGRAM: docs bucket by quantized importance
+    *      (floor(lr6·1000) — bucketing is monotone in lr6, so bucket
+    *      order IS rank order); per-bucket token totals collect —
+    *      a few hundred rows, metadata-sized however large the corpus.
+    *   2. THRESHOLD: the driver walks buckets best-first, keeping
+    *      whole buckets while they fit the budget — a prefix over the
+    *      histogram, not the data. Only the single BOUNDARY bucket
+    *      needs intra-bucket resolution: a bucket-PARTITIONED window
+    *      (one partition's worth of data) computes the within-bucket
+    *      running sum and the cut lands at exactly the global-cumsum
+    *      answer — provably, since the within-bucket order (lr6 desc,
+    *      doc_id) extends the cross-bucket order to the same total
+    *      order the oracle's one big window uses.
+    *
+    * The budget is 25 % of corpus tokens, floored — pinned in both
+    * engines from the same rollup.
+    */
+  def mixImportanceTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nTok = t(spark, sfDir, "documents")
+      .select(col("doc_id"), size(words).cast("long").as("n_tok"))
+    val scored = importanceScores(spark, sfDir)
+      .select("doc_id", "source", "lr6")
+      .join(nTok, Seq("doc_id"))
+      .withColumn("bkt", floor(col("lr6") * 1000).cast("long"))
+      .localCheckpoint(eager = true) // scored twice below (histogram + cut)
+    val budget =
+      math.floor(0.25 * scored.agg(sum("n_tok")).head().getLong(0)).toLong
+    // Phase 1: metadata-sized histogram, best bucket first.
+    val hist = scored.groupBy("bkt").agg(sum("n_tok").as("btok"))
+      .collect().map(r => (r.getAs[Long]("bkt"), r.getAs[Long]("btok")))
+      .sortBy(-_._1)
+    // Phase 2: driver prefix over the histogram.
+    var rem = budget
+    val full = Seq.newBuilder[Long]
+    var boundary: Option[Long] = None
+    hist.foreach { case (b, btok) =>
+      if (boundary.isEmpty) {
+        if (btok <= rem) { full += b; rem -= btok }
+        else boundary = Some(b)
+      }
+    }
+    val fullSet = full.result()
+    val w = Window.partitionBy("bkt")
+      .orderBy(col("lr6").desc, col("doc_id"))
+    val keep = col("bkt").isin(fullSet: _*) ||
+      (boundary.fold(lit(false))(b => col("bkt") === b) &&
+        sum("n_tok").over(w) <= rem)
+    scored
+      .withColumn("keep", keep)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_total"),
+        sum(col("keep").cast("long")).as("n_sel"),
+        sum(when(col("keep"), col("n_tok")).otherwise(0L)).as("tok_sel"),
+        sum(when(col("keep"), col("doc_id")).otherwise(0L)).as("id_sum_sel"))
+      .orderBy("source")
+  }
+
+  val mixImportanceTopkOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tm
+      |  FROM documents
+      |), all_lm AS (SELECT tm, count(*) AS c_all FROM toks GROUP BY 1),
+      |n_all AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks),
+      |vocab AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM all_lm),
+      |tgt AS (SELECT tm, count(*) AS c_tgt FROM toks
+      |        WHERE source = 'src3' GROUP BY 1),
+      |n_tgt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks
+      |          WHERE source = 'src3'),
+      |lm AS (
+      |  SELECT a.tm,
+      |    ln((CAST(coalesce(t.c_tgt, 0) AS DOUBLE) + 1.0) / (n_tgt.n + vocab.v))
+      |      - ln(CAST(a.c_all AS DOUBLE) / n_all.n) AS lr
+      |  FROM all_lm a LEFT JOIN tgt t USING (tm), n_tgt, vocab, n_all
+      |), scored AS (
+      |  SELECT doc_id, source, round(avg(lr), 6) AS lr6,
+      |    count(*) AS n_tok
+      |  FROM toks JOIN lm USING (tm) GROUP BY 1, 2
+      |), tot AS (
+      |  SELECT CAST(floor(0.25 * sum(n_tok)) AS BIGINT) AS budget FROM scored
+      |), ranked AS (
+      |  SELECT *, CAST(sum(n_tok) OVER (ORDER BY lr6 DESC, doc_id) AS BIGINT)
+      |    AS cum
+      |  FROM scored
+      |)
+      |SELECT source, count(*) AS n_total,
+      |  CAST(sum(CASE WHEN cum <= budget THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_sel,
+      |  CAST(sum(CASE WHEN cum <= budget THEN n_tok ELSE 0 END) AS BIGINT)
+      |    AS tok_sel,
+      |  CAST(sum(CASE WHEN cum <= budget THEN doc_id ELSE 0 END) AS BIGINT)
+      |    AS id_sum_sel
+      |FROM ranked, tot GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** EXACT SUBSTRING-WINDOW dedup — the Lee-et-al-2022 "train-data
     * dedup at the substring level" family, Spark-shaped: a document is
     * flagged when a large fraction of its 8-token windows already
@@ -4948,6 +5052,7 @@ object LlmOps {
     "llm_text_repetition" -> textRepetition,
     "llm_mix_weighted" -> mixWeighted,
     "llm_mix_importance" -> mixImportance,
+    "llm_mix_importance_topk" -> mixImportanceTopk,
     "llm_dedup_substring" -> dedupSubstring,
     "llm_text_lm" -> textLm,
     "llm_text_bigram" -> textBigram,
@@ -5032,6 +5137,7 @@ object LlmOps {
     "llm_text_repetition" -> textRepetitionOracle,
     "llm_mix_weighted" -> mixWeightedOracle,
     "llm_mix_importance" -> mixImportanceOracle,
+    "llm_mix_importance_topk" -> mixImportanceTopkOracle,
     "llm_dedup_substring" -> dedupSubstringOracle,
     "llm_text_lm" -> textLmOracle,
     "llm_text_bigram" -> textBigramOracle,

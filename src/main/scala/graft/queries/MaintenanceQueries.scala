@@ -665,6 +665,128 @@ object MaintenanceQueries {
       |FROM orders, probe WHERE o_custkey = k
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------- bloom sidecar refresh under CDC
+
+  private val bloomIncDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The laid-out table dir for the incremental-bloom query (test
+    * hook). */
+  private[queries] def bloomIncLaidDir(sfDir: String): String =
+    s"${bloomIncDirCache.get(sfDir)}/orders_by_orderkey"
+
+  /** Data files currently in the laid dir (driver-side listing — the
+    * manifest walk every table format performs at commit). */
+  private[queries] def bloomDataFiles(laid: String): Seq[String] = {
+    val p = java.nio.file.Paths.get(laid)
+    val s = java.nio.file.Files.list(p)
+    try {
+      val out = Seq.newBuilder[String]
+      s.forEach(q => if (q.getFileName.toString.endsWith(".parquet"))
+        out += q.toUri.toString.stripSuffix("/"))
+      out.result().sorted
+    } finally s.close()
+  }
+
+  /** Per-file blooms for an explicit file list ONLY — the incremental
+    * refresh scan: the commit's new files, never the table. */
+  private[queries] def bloomSidecarFor(spark: SparkSession,
+      files: Seq[String]): Seq[(String, Array[Byte])] =
+    if (files.isEmpty) Seq.empty
+    else spark.read.parquet(files: _*)
+      .groupBy(col("_metadata.file_path").as("file"))
+      .agg(graft.functions.BloomFilters.bloomAgg(
+        col("o_custkey").cast("long"), 60000L, 1L << 20).as("bf"))
+      .collect()
+      .map(r => r.getAs[String]("file") -> r.getAs[Array[Byte]]("bf"))
+      .toSeq.sortBy(_._1)
+
+  /** The engineered append batch: the probe customer's orders re-keyed
+    * (+20M) and re-priced (+500.0) — late-arriving rows for exactly the
+    * key the point lookup will ask for, so a stale sidecar provably
+    * loses rows. */
+  private[queries] def bloomIncBatch(spark: SparkSession, sfDir: String,
+      probe: Long): DataFrame =
+    Tables.load(spark, sfDir, "orders")
+      .filter(col("o_custkey") === probe)
+      .withColumn("o_orderkey", col("o_orderkey") + 20000000L)
+      .withColumn("o_totalprice", col("o_totalprice") + 500.0)
+
+  /** BLOOM SIDECAR REFRESH UNDER CDC — the manifest-update analog
+    * [[layoutBloom]]'s one-shot build omits, completing the skipping
+    * family's symmetry with `layout_zonemap_incremental`: an append
+    * commit lands AFTER the sidecar build, and the sidecar is
+    * refreshed INCREMENTALLY before the lookup runs:
+    *
+    *   1. LAYOUT + SIDECAR v0: the [[layoutBloom]] recipe (8
+    *      orderkey-ranged files, per-file bloom over o_custkey).
+    *   2. APPEND COMMIT: the probe customer's orders re-keyed and
+    *      re-priced land as NEW files (blooms are append-only
+    *      structures — unlike min/max ranges an appended FILE never
+    *      invalidates an existing entry, so refresh is strictly
+    *      additive).
+    *   3. SIDECAR REFRESH: the manifest diff (file listing before vs
+    *      after) names the new files; blooms are computed for THOSE
+    *      FILES ONLY ([[bloomSidecarFor]]) and unioned with v0 —
+    *      refresh cost is O(new files), untouched entries carry over
+    *      unscanned.
+    *   4. LOOKUP: the point query consults the REFRESHED sidecar and
+    *      finds base + appended rows. BloomIndexSpec holds the
+    *      stale-sidecar counterexample: v0 has no entry for the new
+    *      files, so pruning with it silently DROPS the appended rows
+    *      — the failure mode that makes wiring the refresh into the
+    *      commit path non-optional.
+    *
+    * At 100 TB this is one bloom build per new file per commit — the
+    * same per-commit marginal cost Iceberg pays to write puffin blobs
+    * — and the sidecar stays exact forever because file-level blooms
+    * never go stale on append-only commits (rewrites drop the
+    * replaced files' entries by the same manifest diff).
+    */
+  def layoutBloomIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = bloomIncDirCache.computeIfAbsent(sfDir, _ =>
+      graft.Scratch.dir("graft-bloominc-").toString)
+    val laid = s"$dir/orders_by_orderkey"
+    Tables.load(spark, sfDir, "orders")
+      .repartitionByRange(8, col("o_orderkey"))
+      .write.mode("overwrite").parquet(laid)
+    val probe = Tables.load(spark, sfDir, "orders")
+      .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+      .filter(col("n") <= 2)
+      .agg(min("o_custkey")).head().getLong(0)
+    val sidecarV0 = bloomSidecar(spark, laid)
+    val before = bloomDataFiles(laid).toSet
+
+    bloomIncBatch(spark, sfDir, probe)
+      .repartition(1).write.mode("append").parquet(laid)
+
+    val newFiles = bloomDataFiles(laid).filterNot(before)
+    val sidecar = sidecarV0 ++ bloomSidecarFor(spark, newFiles)
+    val kept = bloomKeptFiles(sidecar, probe)
+    spark.read.parquet(kept: _*)
+      .filter(col("o_custkey") === probe) // residual
+      .groupBy(col("o_custkey").as("probe_key"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total_price"))
+      .orderBy("probe_key")
+      .localCheckpoint(eager = true)
+  }
+
+  val layoutBloomIncrementalOracle: String =
+    """WITH probe AS (
+      |  SELECT min(o_custkey) AS k FROM (
+      |    SELECT o_custkey FROM orders GROUP BY 1 HAVING count(*) <= 2) t
+      |), aug AS (
+      |  SELECT o_custkey, o_totalprice FROM orders
+      |  UNION ALL
+      |  SELECT o_custkey, o_totalprice + 500.0
+      |  FROM orders, probe WHERE o_custkey = k
+      |)
+      |SELECT o_custkey AS probe_key, count(*) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS total_price
+      |FROM aug, probe WHERE o_custkey = k
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --------------------------------- hidden-partitioning transforms
 
   private val ptDirCache =
@@ -2331,6 +2453,7 @@ object MaintenanceQueries {
     "layout_zonemap" -> layoutZonemap,
     "layout_zonemap_incremental" -> layoutZonemapIncremental,
     "layout_bloom" -> layoutBloom,
+    "layout_bloom_incremental" -> layoutBloomIncremental,
     "maintenance_partition_transform" -> partitionTransform,
     "maintenance_lifecycle" -> maintenanceLifecycle,
     "maintenance_rebucket" -> rebucket,
@@ -2357,6 +2480,7 @@ object MaintenanceQueries {
     "layout_zonemap" -> layoutZonemapOracle,
     "layout_zonemap_incremental" -> layoutZonemapIncrementalOracle,
     "layout_bloom" -> layoutBloomOracle,
+    "layout_bloom_incremental" -> layoutBloomIncrementalOracle,
     "maintenance_partition_transform" -> partitionTransformOracle,
     "maintenance_lifecycle" -> maintenanceLifecycleOracle,
     "maintenance_rebucket" -> rebucketOracle,

@@ -74,6 +74,36 @@ class PurgeSpec extends SparkTestBase {
     }
   }
 
+  test("DataFrame overload on the forced JOIN path equals the Seq " +
+      "path result exactly") {
+    // Two identical stores, one purged via the driver-list path, one
+    // via the distributed anti-/semi-join path (threshold 0 forces it
+    // at fixture scale); every retained version must agree key-set
+    // for key-set, and both must report the same erased-row count.
+    val target = "p.t"
+    val purged = Seq(3L, 17L, 20L)
+    def build(): StateStore = {
+      val st = new StateStore(
+        graft.Scratch.dir("graft-purge-df-").toString, NBuckets)
+      commitWave(st, target, 1)
+      commitWave(st, target, 2)
+      st
+    }
+    val seqStore = build()
+    val dfStore = build()
+    val erasedSeq = seqStore.purgeKeys(spark, target, "k", purged)
+    val erasedDf = dfStore.purgeKeys(spark, target, "k",
+      purged.toDF("k"), driverListThreshold = 0L)
+    assert(erasedSeq === erasedDf)
+    (0 to seqStore.currentVersion(target)).foreach { v =>
+      val a = seqStore.stateAt(spark, target, v)
+        .select("k", "v").as[(Long, Long)].collect().toSet
+      val b = dfStore.stateAt(spark, target, v)
+        .select("k", "v").as[(Long, Long)].collect().toSet
+      assert(a === b, s"version $v diverged between purge paths")
+    }
+  }
+
   test("purging an undetached shallow clone is refused; source intact") {
     // ADVICE r8 (high): a clone's manifest entries are relative paths
     // into the SOURCE ("../<src>/vK/_bucket=B"); before the guard,

@@ -55,6 +55,41 @@ class LlmOpsSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(kept > 0 && kept < scores.length)
   }
 
+  test("mixImportanceTopk: histogram-threshold selection equals the " +
+    "global token-budget cumsum, brute-forced") {
+    import org.apache.spark.sql.functions._
+    // Brute-force the oracle's semantics driver-side at spec scale:
+    // rank all docs by (lr6 desc, doc_id), walk the prefix to 25 % of
+    // tokens, and compare the per-source rollup.
+    val docsTok = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long")
+        .as("n_tok"))
+    val scored = LlmOps.importanceScores(spark, sf)
+      .select("doc_id", "source", "lr6")
+      .join(docsTok, Seq("doc_id"))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Double]("lr6"), r.getAs[Long]("n_tok")))
+    val budget = math.floor(0.25 * scored.map(_._4).sum).toLong
+    val ranked = scored.sortBy(d => (-d._3, d._1))
+    var cum = 0L
+    val keptIds = ranked.takeWhile { d => cum += d._4; cum <= budget }
+      .map(_._1).toSet
+    val expect = scored.groupBy(_._2).map { case (src, ds) =>
+      (src, ds.length.toLong, ds.count(d => keptIds(d._1)).toLong,
+        ds.filter(d => keptIds(d._1)).map(_._4).sum,
+        ds.filter(d => keptIds(d._1)).map(_._1).sum)
+    }.toSeq.sortBy(_._1)
+
+    val got = LlmOps.mixImportanceTopk(spark, sf)
+      .collect().map(r => (r.getAs[String]("source"),
+        r.getAs[Long]("n_total"), r.getAs[Long]("n_sel"),
+        r.getAs[Long]("tok_sel"), r.getAs[Long]("id_sum_sel"))).toSeq
+    assert(got == expect)
+    // The budget binds: the cut is neither empty nor the whole corpus.
+    val nSel = got.map(_._3).sum
+    assert(nSel > 0 && nSel < scored.length)
+  }
+
   test("mmFeatures expression and mapPartitions decode paths agree exactly") {
     val expr = LlmOps.mmFeatures(spark, sf).collect()
     val part = LlmOps.mmFeaturesPartition(spark, sf).collect()

@@ -58,4 +58,54 @@ class BloomIndexSpec extends SparkTestBase {
     assert(rangeKept.length == ranges.length,
       "fixture drifted: min/max pruning works here, bloom demo is moot")
   }
+
+  test("incremental refresh scans only the new files, carries v0 " +
+      "entries over, and the stale sidecar provably drops appended rows") {
+    val result = MaintenanceQueries.layoutBloomIncremental(spark, sf)
+      .collect()
+    assert(result.length == 1)
+    val laid = MaintenanceQueries.bloomIncLaidDir(sf)
+    val probe = result(0).getAs[Long]("probe_key")
+
+    // Reconstruct the refresh the query performed: v0 over the base 8
+    // files (the appended file is identifiable by its row content —
+    // appended orderkeys are shifted by +20M).
+    val files = MaintenanceQueries.bloomDataFiles(laid)
+    val appended = spark.read.parquet(laid)
+      .filter(col("o_orderkey") >= 20000000L)
+      .select(col("_metadata.file_path")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(appended.size == 1, s"expected 1 appended file, got $appended")
+    // Compare by file NAME: the listing's URI spelling and
+    // _metadata.file_path may differ in scheme normalization.
+    def name(p: String) = p.substring(p.lastIndexOf('/') + 1)
+    val appendedNames = appended.map(name)
+    val baseFiles = files.filterNot(f => appendedNames(name(f)))
+    assert(baseFiles.size == 8)
+
+    val v0 = MaintenanceQueries.bloomSidecarFor(spark, baseFiles)
+    val fresh = MaintenanceQueries.bloomSidecarFor(spark, appended.toSeq)
+
+    // Carry-over: the refreshed sidecar's base entries are v0's,
+    // bit for bit — the refresh never rescanned them.
+    val refreshed = v0 ++ fresh
+    v0.foreach { case (f, bytes) =>
+      val r = refreshed.find(_._1 == f).get._2
+      assert(java.util.Arrays.equals(bytes, r))
+    }
+
+    // Stale counterexample: v0 has no entry for the new file, so its
+    // kept set misses the appended rows — strictly fewer rows than
+    // the refreshed lookup, which equals the full scan.
+    val keptStale = MaintenanceQueries.bloomKeptFiles(v0, probe)
+    val keptFresh = MaintenanceQueries.bloomKeptFiles(refreshed, probe)
+    val nStale = spark.read.parquet(keptStale: _*)
+      .filter(col("o_custkey") === probe).count()
+    val nFull = spark.read.parquet(laid)
+      .filter(col("o_custkey") === probe).count()
+    assert(nStale < nFull, "stale sidecar must lose the appended rows")
+    assert(result(0).getAs[Long]("n_orders") == nFull)
+    assert(appended.subsetOf(keptFresh.toSet),
+      "refreshed sidecar must keep the appended file")
+  }
 }
