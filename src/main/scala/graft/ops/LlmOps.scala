@@ -3535,9 +3535,13 @@ object LlmOps {
     * rollup. Nothing in the plan holds more than vocabulary-sized
     * state, so the 100 TB cost is two token scans.
     */
-  /** Per-doc DSIR scores (test hook): (doc_id, source, lr6, u, p,
-    * keep) — the frame [[mixImportance]] rolls up. */
-  private[ops] def importanceScores(spark: SparkSession,
+  /** The trained DSIR model artifact: per-term log-likelihood ratio
+    * (tm, lr) of the Laplace-smoothed target LM vs the corpus MLE LM —
+    * vocab-sized, built once from the static corpus and broadcast
+    * wherever docs are scored (batch resample, top-k selection, and
+    * the streaming twin's per-micro-batch scorer).
+    */
+  private[ops] def importanceLm(spark: SparkSession,
       sfDir: String): DataFrame = {
     val toks = t(spark, sfDir, "documents")
       .select(col("doc_id"), col("source"), explode(words).as("tm"))
@@ -3548,14 +3552,25 @@ object LlmOps {
       .groupBy("tm").agg(count(lit(1)).as("c_tgt"))
     val nTgt = toks.filter(col("source") === "src3")
       .agg(count(lit(1)).cast("double").as("n_tgt"))
-    val lm = allLm.join(tgt, Seq("tm"), "left")
+    allLm.join(tgt, Seq("tm"), "left")
       .crossJoin(broadcast(nAll)).crossJoin(broadcast(vocab))
       .crossJoin(broadcast(nTgt))
       .select(col("tm"),
         (log((coalesce(col("c_tgt"), lit(0L)).cast("double") + 1.0) /
           (col("n_tgt") + col("v"))) -
           log(col("c_all").cast("double") / col("n_all"))).as("lr"))
-    val scored = toks.join(broadcast(lm), Seq("tm"))
+  }
+
+  /** Score an arbitrary documents frame against a trained [[importanceLm]]:
+    * (doc_id, source, lr6, u, p, keep). Per-doc deterministic — any
+    * slicing of the corpus (batch, micro-batch) computes the same
+    * verdicts.
+    */
+  private[ops] def importanceScore(docs: DataFrame,
+      lm: DataFrame): DataFrame = {
+    val scored = docs
+      .select(col("doc_id"), col("source"), explode(words).as("tm"))
+      .join(broadcast(lm), Seq("tm"))
       .groupBy("doc_id", "source")
       .agg(round(avg("lr"), 6).as("lr6"))
     val u = conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
@@ -3565,6 +3580,13 @@ object LlmOps {
       .withColumn("u", u).withColumn("p", p)
       .withColumn("keep", round(col("u"), 6) < round(col("p"), 6))
   }
+
+  /** Per-doc DSIR scores (test hook): (doc_id, source, lr6, u, p,
+    * keep) — the frame [[mixImportance]] rolls up. */
+  private[ops] def importanceScores(spark: SparkSession,
+      sfDir: String): DataFrame =
+    importanceScore(t(spark, sfDir, "documents"),
+      importanceLm(spark, sfDir))
 
   def mixImportance(spark: SparkSession, sfDir: String): DataFrame =
     importanceScores(spark, sfDir)

@@ -694,6 +694,98 @@ object StreamingOps {
       |  CAST(count(*) AS BIGINT) AS n_docs
       |FROM q GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** STREAMING DSIR SCORING — the "train offline, score the ingest
+    * stream" twin of [[LlmOps.mixImportance]] (the [[streamAnomaly]]
+    * pattern applied to corpus curation): the per-term log-ratio LM
+    * trains ONCE on the static corpus (vocab-sized, persisted so each
+    * trigger rebuilds its broadcast from the materialized model, the
+    * [[streamCurate]] discipline), and every micro-batch of ingested
+    * documents is scored batch-locally — explode, broadcast-join the
+    * model, per-doc rollup, deterministic digest acceptance — inside
+    * `foreachBatch`, with only the per-(source) accept counters
+    * crossing batch boundaries (a driver-side accumulator of
+    * |sources| rows per trigger; the per-doc frames never leave the
+    * executors).
+    *
+    * Per-doc scores are a pure function of (doc text, doc_id, model),
+    * so the drained totals are micro-batch-slicing-independent and
+    * equal the batch resample's rollup — which is exactly what the
+    * oracle checks. At 100 TB the model broadcast is the only shared
+    * state and the stream scales with ingest volume alone.
+    */
+  def streamImportance(spark: SparkSession, sfDir: String): DataFrame = {
+    val lm = LlmOps.importanceLm(spark, sfDir).persist()
+    lm.count() // materialize the model before the stream starts
+    val staged = stage(spark, sfDir, "documents")
+    val schema = Tables.load(spark, sfDir, "documents").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 2).parquet(staged)
+    val acc = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Long)]()
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = src.writeStream
+        .option("checkpointLocation",
+          graft.Scratch.dir("graft-imp-ckpt-").toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          LlmOps.importanceScore(batch, lm)
+            .groupBy("source")
+            .agg(count(lit(1)).as("n"),
+              sum(col("keep").cast("long")).as("k"),
+              sum(when(col("keep"), col("doc_id")).otherwise(0L)).as("ids"))
+            .collect().foreach { r =>
+              acc.merge(r.getString(0),
+                (r.getLong(1), r.getLong(2), r.getLong(3)),
+                (a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3))
+            }
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      lm.unpersist(blocking = false)
+    }
+    import scala.jdk.CollectionConverters._
+    val session = spark
+    import session.implicits._
+    acc.asScala.toSeq
+      .map { case (src0, (n, k, ids)) => (src0, n, k, ids) }
+      .toDF("source", "n_total", "n_kept", "id_sum_kept")
+      .orderBy("source")
+  }
+
+  val streamImportanceOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tm
+      |  FROM documents
+      |), all_lm AS (SELECT tm, count(*) AS c_all FROM toks GROUP BY 1),
+      |n_all AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks),
+      |vocab AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM all_lm),
+      |tgt AS (SELECT tm, count(*) AS c_tgt FROM toks
+      |        WHERE source = 'src3' GROUP BY 1),
+      |n_tgt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks
+      |          WHERE source = 'src3'),
+      |lm AS (
+      |  SELECT a.tm,
+      |    ln((CAST(coalesce(t.c_tgt, 0) AS DOUBLE) + 1.0) / (n_tgt.n + vocab.v))
+      |      - ln(CAST(a.c_all AS DOUBLE) / n_all.n) AS lr
+      |  FROM all_lm a LEFT JOIN tgt t USING (tm), n_tgt, vocab, n_all
+      |), scored AS (
+      |  SELECT doc_id, source, round(avg(lr), 6) AS lr6
+      |  FROM toks JOIN lm USING (tm) GROUP BY 1, 2
+      |), acc AS (
+      |  SELECT source, doc_id,
+      |    round(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+      |      AS BIGINT) / 16777216.0, 6)
+      |      < round(least(1.0, exp(100 * lr6)), 6) AS keep
+      |  FROM scored
+      |)
+      |SELECT source, count(*) AS n_total,
+      |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN keep THEN doc_id ELSE 0 END) AS BIGINT)
+      |    AS id_sum_kept
+      |FROM acc GROUP BY source ORDER BY source""".stripMargin
+
   /** Incremental NEAR-duplicate curation — the streaming twin of the
     * batch LSH pipeline ([[LlmOps.dedupMinhash]]): each micro-batch of
     * quality-passing documents folds its banded-MinHash signature
@@ -1386,6 +1478,7 @@ object StreamingOps {
     "stream_timer_periodic" -> streamTimerPeriodic,
     "stream_dedup_ttl" -> dedupTtl,
     "stream_anomaly" -> streamAnomaly,
+    "stream_importance" -> streamImportance,
     "stream_heavy_hitters" -> streamHeavyHitters,
     "stream_stateful" -> stateful,
     "stream_transform_state" -> transformState)
@@ -1409,6 +1502,7 @@ object StreamingOps {
     "stream_timer_periodic" -> streamTimerPeriodicOracle,
     "stream_dedup_ttl" -> dedupTtlOracle,
     "stream_anomaly" -> streamAnomalyOracle,
+    "stream_importance" -> streamImportanceOracle,
     "stream_heavy_hitters" -> streamHeavyHittersOracle,
     "stream_stateful" -> statefulOracle,
     "stream_transform_state" -> transformStateOracle)

@@ -274,6 +274,96 @@ object CatalogQueries {
       |FROM raw GROUP BY col_name, bucket, lo0, w
       |ORDER BY col_name, bucket""".stripMargin
 
+  /** DISTRIBUTION-DRIFT MONITOR (PSI) — the training-data freshness
+    * check every production corpus pipeline runs before a retrain:
+    * the Population Stability Index of `o_totalprice` between a
+    * reference population (1996 orders) and the current one (1997),
+    * over 10 equal-width bins anchored on the REFERENCE's own bounds
+    * (fixed-edge bins, not quantiles — quantile algorithms differ
+    * across engines, subtraction and floor do not). Counts are
+    * Laplace-smoothed (+1 per bin) so an empty bin contributes a
+    * finite term instead of ±inf, and every probability is derived
+    * then rounded per the publish-then-compare discipline.
+    *
+    * PSI reading: < 0.1 stable, 0.1–0.25 moderate shift, > 0.25
+    * population changed — the per-bin terms localize WHERE the mass
+    * moved, which is what makes the report actionable. The fixture's
+    * years are near-identically distributed (PSI 0.004), so the
+    * current population carries an ENGINEERED drift (the zonemap-
+    * incremental discipline): +50 % price on every third order —
+    * total PSI lands at ~0.1 with >80 % of it concentrated in the
+    * top bin, exactly the tail-inflation a pricing-pipeline bug
+    * produces and exactly what the per-bin report pinpoints.
+    *
+    * Scale: one metadata aggregate for the reference bounds, one
+    * binned conditional-count aggregate over a single scan of both
+    * populations (map-side combined, bin-cardinality output), and a
+    * broadcast of the 1-row totals — nothing holds more than
+    * |bins| rows however large the table.
+    */
+  def profileDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val nb = 10
+    val orders = Tables.load(spark, sfDir, "orders")
+    val b = orders.filter(year(col("o_orderdate")) === 1996)
+      .agg(min("o_totalprice").cast("double"),
+        max("o_totalprice").cast("double")).head()
+    val lo = b.getDouble(0)
+    val w = (b.getDouble(1) - lo) / nb
+    val price = when(col("o_orderkey") % 3 === 0 &&
+        year(col("o_orderdate")) === 1997,
+      col("o_totalprice") * 1.5).otherwise(col("o_totalprice"))
+    val binned = orders
+      .filter(year(col("o_orderdate")).isin(1996, 1997))
+      .select(
+        greatest(least(floor((price - lo) / w), lit(nb - 1)),
+          lit(0)).cast("int").as("bin"),
+        year(col("o_orderdate")).as("yr"))
+    val c = binned.groupBy("bin").agg(
+      sum(when(col("yr") === 1996, 1L).otherwise(0L)).as("n_ref"),
+      sum(when(col("yr") === 1997, 1L).otherwise(0L)).as("n_cur"))
+    val t = c.agg(sum("n_ref").cast("double").as("nr"),
+      sum("n_cur").cast("double").as("nc"))
+    val pRef = (col("n_ref") + 1) / (col("nr") + nb)
+    val pCur = (col("n_cur") + 1) / (col("nc") + nb)
+    c.crossJoin(broadcast(t))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        round(pRef, 6).as("p_ref"), round(pCur, 6).as("p_cur"),
+        round((pCur - pRef) * log(pCur / pRef), 6).as("psi_term"))
+      .orderBy("bin")
+  }
+
+  val profileDriftOracle: String =
+    """WITH b AS (
+      |  SELECT CAST(min(o_totalprice) AS DOUBLE) AS lo,
+      |         CAST(max(o_totalprice) AS DOUBLE) AS hi
+      |  FROM orders WHERE year(o_orderdate) = 1996
+      |), binned AS (
+      |  SELECT CAST(GREATEST(LEAST(FLOOR((
+      |      CASE WHEN o_orderkey % 3 = 0 AND year(o_orderdate) = 1997
+      |           THEN o_totalprice * 1.5 ELSE o_totalprice END
+      |      - lo) / ((hi - lo) / 10)), 9), 0) AS INT) AS bin,
+      |    year(o_orderdate) AS yr
+      |  FROM orders, b WHERE year(o_orderdate) IN (1996, 1997)
+      |), c AS (
+      |  SELECT bin,
+      |    CAST(sum(CASE WHEN yr = 1996 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_ref,
+      |    CAST(sum(CASE WHEN yr = 1997 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_cur
+      |  FROM binned GROUP BY 1
+      |), t AS (
+      |  SELECT CAST(sum(n_ref) AS DOUBLE) AS nr,
+      |         CAST(sum(n_cur) AS DOUBLE) AS nc
+      |  FROM c
+      |)
+      |SELECT bin, n_ref, n_cur,
+      |  ROUND((n_ref + 1) / (nr + 10), 6) AS p_ref,
+      |  ROUND((n_cur + 1) / (nc + 10), 6) AS p_cur,
+      |  ROUND(((n_cur + 1) / (nc + 10) - (n_ref + 1) / (nr + 10)) *
+      |    ln(((n_cur + 1) / (nc + 10)) / ((n_ref + 1) / (nr + 10))), 6)
+      |    AS psi_term
+      |FROM c, t ORDER BY bin""".stripMargin
+
   /** DATA-QUALITY EXPECTATIONS — the Delta CHECK-constraint /
     * Great-Expectations validation report as one operator: six rules
     * over `orders` (positivity, date range, key uniqueness, FK null
@@ -395,6 +485,7 @@ object CatalogQueries {
     "sink_formats" -> sinkFormats,
     "profile_table" -> profileTable,
     "profile_histogram" -> profileHistogram,
+    "profile_drift" -> profileDrift,
     "profile_skew" -> profileSkew,
     "profile_expectations" -> profileExpectations)
 
@@ -404,6 +495,7 @@ object CatalogQueries {
     "sink_formats" -> sinkFormatsOracle,
     "profile_table" -> profileTableOracle,
     "profile_histogram" -> profileHistogramOracle,
+    "profile_drift" -> profileDriftOracle,
     "profile_skew" -> profileSkewOracle,
     "profile_expectations" -> profileExpectationsOracle)
 }

@@ -19,6 +19,15 @@ class PlanSpec extends SparkTestBase {
   private def scanCount(p: String): Int =
     "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
 
+  test("llm_mix_importance_topk: no global-order window — the cut is " +
+    "bucket-partitioned, never an Exchange SinglePartition") {
+    val p = plan("llm_mix_importance_topk")
+    assert(p.contains("Window"), "boundary-bucket cut must be a window")
+    assert(!p.contains("Exchange SinglePartition"),
+      "a global-order window would serialize the corpus through one " +
+        "partition — the shape the histogram threshold exists to avoid")
+  }
+
   test("agg_q1: filter pushed to scan, pruned columns, partial+final agg") {
     val p = plan("agg_q1")
     assert(p.contains("PushedFilters"), "no pushdown block")

@@ -47,6 +47,16 @@ class BloomIndexSpec extends SparkTestBase {
     assert(result(0).getAs[Long]("n_orders") == full.getLong(0))
     assert(result(0).getAs[Double]("total_price") == full.getDouble(1))
 
+    // The residual predicate reaches the pruned scan as a pushed
+    // parquet filter — the kept files are row-group-skipped too.
+    val pruned = spark.read.parquet(kept: _*)
+      .filter(col("o_custkey") === probe)
+    val planStr = pruned.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(planStr.contains("PushedFilters") &&
+      planStr.contains("EqualTo(o_custkey"),
+      "residual o_custkey filter must push into the kept-files scan")
+
     // The motivation: min/max ranges on the unclustered column keep
     // every file — membership pruning is the only lever here.
     val ranges = spark.read.parquet(laid)
