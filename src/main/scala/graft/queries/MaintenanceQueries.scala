@@ -888,7 +888,10 @@ object MaintenanceQueries {
     * scan pays. PartitionTransformSpec pins the pruned dir sets and
     * the full-scan-identical answers.
     */
-  def partitionTransform(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Write both spec-epoch layouts (idempotent overwrite); shared by
+    * [[partitionTransform]] and [[partitionsMeta]]. */
+  private[queries] def ptBuildLayouts(spark: SparkSession,
+      sfDir: String): (String, String) = {
     val dir = ptDirCache.computeIfAbsent(sfDir, _ =>
       graft.Scratch.dir("graft-ptrans-").toString)
     val e0 = s"$dir/epoch0"
@@ -903,7 +906,12 @@ object MaintenanceQueries {
       .withColumn("p_month", date_format(col("o_orderdate"), "yyyy-MM"))
       .repartition(col("p_month"))
       .write.mode("overwrite").partitionBy("p_month").parquet(e1)
+    (e0, e1)
+  }
 
+  def partitionTransform(spark: SparkSession, sfDir: String): DataFrame = {
+    val (e0, e1) = ptBuildLayouts(spark, sfDir)
+    val orders = Tables.load(spark, sfDir, "orders")
     val probe = orders.agg(min("o_custkey")).head().getLong(0)
     val cols = orders.columns.map(col)
 
@@ -953,6 +961,43 @@ object MaintenanceQueries {
       |WHERE o_orderdate >= TIMESTAMP '1997-07-01'
       |  AND o_orderdate < TIMESTAMP '1998-07-01'
       |ORDER BY step""".stripMargin
+
+  /** `$partitions` METADATA TABLE over the transform layout — the
+    * Iceberg partitions-metadata analog beside `$snapshots`
+    * (maintenance_snapshots) and `$refs` (maintenance_refs): one row
+    * per partition SPEC with its live partition count and row count,
+    * answered from the layout's own directory listing (the manifest
+    * walk) plus parquet footer row counts — a spec-cardinality-sized
+    * report however large the table, the view an operator checks
+    * before deciding whether a spec epoch needs compaction or a
+    * transform change. The month-spec partition count is
+    * data-derived (distinct months in the epoch), so the oracle can
+    * recompute it; the bucket spec pins its fixed fan-out.
+    */
+  def partitionsMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    val (e0, e1) = ptBuildLayouts(spark, sfDir)
+    val session = spark
+    import session.implicits._
+    Seq(
+      ("bucket(8,o_custkey)", listPartDirs(e0).size,
+        spark.read.parquet(e0).count()),
+      ("month(o_orderdate)", listPartDirs(e1).size,
+        spark.read.parquet(e1).count()))
+      .toDF("spec", "n_partitions", "n_rows")
+      .orderBy("spec")
+      .localCheckpoint(eager = true)
+  }
+
+  val partitionsMetaOracle: String =
+    """SELECT 'bucket(8,o_custkey)' AS spec, 8 AS n_partitions,
+      |  count(*) AS n_rows
+      |FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+      |UNION ALL
+      |SELECT 'month(o_orderdate)',
+      |  CAST(count(DISTINCT strftime(o_orderdate, '%Y-%m')) AS INT),
+      |  count(*)
+      |FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+      |ORDER BY spec""".stripMargin
 
   // ------------------------------------------------- lifecycle
 
@@ -2455,6 +2500,7 @@ object MaintenanceQueries {
     "layout_bloom" -> layoutBloom,
     "layout_bloom_incremental" -> layoutBloomIncremental,
     "maintenance_partition_transform" -> partitionTransform,
+    "maintenance_partitions_meta" -> partitionsMeta,
     "maintenance_lifecycle" -> maintenanceLifecycle,
     "maintenance_rebucket" -> rebucket,
     "maintenance_partition_evolution" -> partitionEvolution,
@@ -2482,6 +2528,7 @@ object MaintenanceQueries {
     "layout_bloom" -> layoutBloomOracle,
     "layout_bloom_incremental" -> layoutBloomIncrementalOracle,
     "maintenance_partition_transform" -> partitionTransformOracle,
+    "maintenance_partitions_meta" -> partitionsMetaOracle,
     "maintenance_lifecycle" -> maintenanceLifecycleOracle,
     "maintenance_rebucket" -> rebucketOracle,
     "maintenance_partition_evolution" -> partitionEvolutionOracle,

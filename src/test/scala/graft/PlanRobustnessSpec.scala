@@ -22,7 +22,9 @@ class PlanRobustnessSpec extends SparkTestBase {
     "llm_sim_hnsw",      // layered beam walk: joins + window cuts
     "llm_sim_filtered",  // strategy census + pushdown path
     "maintenance_wap_branch", // stage/audit/publish over the store
-    "maintenance_refs_diff")  // full-outer state diff, bucket-pruned
+    "maintenance_refs_diff",  // full-outer state diff, bucket-pruned
+    "llm_mix_importance_topk", // histogram threshold + boundary window
+    "layout_bloom")           // sidecar consult + pruned scan
 
   test("results are invariant to broadcast strategy and partition count") {
     for (q <- probes) {
