@@ -76,6 +76,12 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
     * schema files) — no data file is opened, so the query is
     * O(versions × buckets) regardless of table size, exactly the
     * property Iceberg's metadata tables exist for.
+    *
+    * BREAKING CHANGE (round 12): `schema_changed` went from
+    * non-nullable to NULLABLE Boolean. A post-vacuum row whose prior
+    * schema file was reclaimed used to read as a spurious `true`; it
+    * now reads as `null` ("unknowable at this commit"). External
+    * callers doing `getBoolean(3)` must null-check first.
     */
   def snapshots(spark: SparkSession, target: String): DataFrame = {
     val cur = currentVersion(target)
@@ -960,6 +966,41 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
   def compactTable(spark: SparkSession, target: String): Int = {
     val all = rawState(spark, target)
     commit(spark, target, all, manifest(target).keys.toSeq.sorted)
+  }
+
+  /** Maintenance: SORT-ORDERED full rewrite — the `rewrite_data_files`
+    * SORT strategy where [[compactTable]] is binpack-without-order:
+    * rows are re-clustered by `sortCols` WITHIN each bucket before the
+    * rewrite, so when a bucket's data spans several files each file
+    * covers a contiguous `sortCols` range and min/max file statistics
+    * (the [[graft.queries.MaintenanceQueries.layoutZonemap]] sidecar,
+    * parquet footers, an Iceberg manifest) can prune range queries on
+    * the sort column INSIDE the hash-bucketed layout — the secondary
+    * dimension hash bucketing alone leaves unprunable.
+    *
+    * `maxRecordsPerFile` caps rows per written file (0 = engine
+    * default) — the knob that turns intra-bucket order into MULTIPLE
+    * tight-range files instead of one file whose min/max spans the
+    * bucket regardless of order. The sort is partition-local
+    * (`sortWithinPartitions` after a bucket repartition) — no global
+    * sort, no single-partition exchange, cost is one shuffle + local
+    * sorts exactly like the unsorted rewrite plus O(n log n) per
+    * partition. Runs through the normal commit path: readers never
+    * see a partial rewrite, and the sorted layout is just another
+    * version (time travel to the unsorted one still works).
+    */
+  def compactTableSorted(spark: SparkSession, target: String,
+                         sortCols: Seq[String],
+                         maxRecordsPerFile: Long = 0L): Int = {
+    val all = rawState(spark, target)
+    val sorted = all.repartition(col(BucketCol))
+      .sortWithinPartitions((col(BucketCol) +: sortCols.map(col)): _*)
+    val confKey = "spark.sql.files.maxRecordsPerFile"
+    val prev = spark.conf.get(confKey)
+    if (maxRecordsPerFile > 0)
+      spark.conf.set(confKey, maxRecordsPerFile.toString)
+    try commit(spark, target, sorted, manifest(target).keys.toSeq.sorted)
+    finally spark.conf.set(confKey, prev)
   }
 
   /** Maintenance: SELECTIVE bin-packed compaction (the

@@ -1260,6 +1260,98 @@ object MaintenanceQueries {
       |UNION ALL SELECT 'vacuumed', n, b, true FROM s4
       |ORDER BY step""".stripMargin
 
+  // ------------------------------------------- sort-ordered compaction
+
+  private val sortCompactDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The store warehouse dir for the sort-compaction query (test
+    * hook). */
+  private[queries] def sortCompactWh(sfDir: String): String =
+    sortCompactDirCache.get(sfDir)
+
+  private[queries] val SortCompactTarget = "cdc.commerce_customer_sc"
+
+  /** SORT-ORDERED COMPACTION (`rewrite_data_files` SORT strategy —
+    * the ordered member beside `maintenance_compact_binpack`'s
+    * binpack): after incremental commits, each hash bucket's rows sit
+    * in arrival order, so when a bucket spans several files every
+    * file's min/max(c_acctbal) covers essentially the whole range and
+    * a range query on the SECONDARY dimension prunes nothing inside
+    * the bucketed layout (the hash bucket serves key lookups; it
+    * cannot serve ranges). `StateStore.compactTableSorted` rewrites
+    * each bucket with rows re-clustered by c_acctbal and a
+    * max-records-per-file cap, so each file becomes a contiguous
+    * balance range — the footer/zonemap stats turn prunable.
+    *
+    * Steps (both oracle-checked against the post-wave formulas —
+    * compaction must be LAYOUT-only, byte-identical data):
+    *   `unsorted` — state after an arrival-order full rewrite;
+    *   `sorted`   — state after the sort-ordered rewrite.
+    * CompactSortSpec measures the layout effect the oracle can't see:
+    * per-file balance spans shrink ~4× (files-per-bucket quarters)
+    * and a narrow balance range keeps a strict file subset under
+    * min/max consult, where the unsorted layout keeps everything.
+    *
+    * At 100 TB: same shuffle as the unsorted rewrite plus local
+    * sorts — no global sort, no single-partition exchange — paid once
+    * per compaction to make every later range scan prunable; Iceberg
+    * tables carry the same trade as a persistent sort order.
+    */
+  def compactSortLifecycle(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val wh = sortCompactDirCache.computeIfAbsent(sfDir,
+      _ => graft.Scratch.dir("graft-sortcomp-").toString)
+    val whPath = Paths.get(wh)
+    if (Files.exists(whPath))
+      Files.walk(whPath).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => if (p != whPath) Files.deleteIfExists(p))
+    val store = new graft.cdc.StateStore(wh, nBuckets = 8)
+    val target = SortCompactTarget
+    val pk = Seq("c_custkey")
+    val cust = Tables.load(spark, sfDir, "customer")
+    def wave(df: DataFrame, ts: Long): Unit = {
+      graft.cdc.MergeCommit.mergeBatchMeta(store, target, df
+        .withColumn(graft.cdc.StateStore.TsCol, lit(ts))
+        .withColumn(graft.cdc.StateStore.SeqCol, col("c_custkey").cast("long"))
+        .withColumn(graft.cdc.StateStore.DeletedCol, lit(false))
+        .withColumn(graft.cdc.StateStore.BucketCol,
+          graft.cdc.StateStore.bucketExpr(pk, 8)), pk)
+      ()
+    }
+    wave(cust, 1000L)
+    wave(cust.filter(col("c_custkey") % 5 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 200.0), 2000L)
+    // ~4 files per bucket at any sf, so per-file ranges are visible.
+    val perFile = math.max(1L, cust.count() / (8L * 4L))
+    def summarize(step: String): DataFrame =
+      store.currentState(spark, target)
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(round(col("c_acctbal"), 2)), 2).as("bal_sum"))
+        .select(lit(step).as("step"), col("n_rows"), col("bal_sum"))
+    // Arrival-order rewrite first (the binpack baseline)…
+    store.compactTableSorted(spark, target, Nil, perFile)
+    val unsorted = summarize("unsorted")
+    // …then the sort-ordered rewrite.
+    store.compactTableSorted(spark, target, Seq("c_acctbal"), perFile)
+    unsorted.unionByName(summarize("sorted"))
+      .orderBy("step")
+      .localCheckpoint(eager = true)
+  }
+
+  val compactSortLifecycleOracle: String =
+    """WITH s AS (
+      |  SELECT c_custkey,
+      |    ROUND(c_acctbal + CASE WHEN c_custkey % 5 = 0 THEN 200.0
+      |                           ELSE 0.0 END, 2) AS bal
+      |  FROM customer
+      |)
+      |SELECT 'sorted' AS step, count(*) AS n_rows,
+      |  ROUND(sum(bal), 2) AS bal_sum FROM s
+      |UNION ALL
+      |SELECT 'unsorted', count(*), ROUND(sum(bal), 2) FROM s
+      |ORDER BY step""".stripMargin
+
   // ------------------------------------------------- point lookup
 
   private val lookupDirCache =
@@ -2509,6 +2601,7 @@ object MaintenanceQueries {
     "maintenance_clone_vacuum" -> cloneVacuum,
     "maintenance_purge" -> purgeLifecycle,
     "maintenance_compact_binpack" -> maintenanceCompactBinpack,
+    "maintenance_compact_sort" -> compactSortLifecycle,
     "cdc_point_lookup" -> pointLookup)
 
   def oracles: Map[String, String] = Map(
@@ -2537,5 +2630,6 @@ object MaintenanceQueries {
     "maintenance_clone_vacuum" -> cloneVacuumOracle,
     "maintenance_purge" -> purgeLifecycleOracle,
     "maintenance_compact_binpack" -> maintenanceCompactBinpackOracle,
+    "maintenance_compact_sort" -> compactSortLifecycleOracle,
     "cdc_point_lookup" -> pointLookupOracle)
 }
