@@ -19,6 +19,7 @@ object Prestage {
   def all(spark: SparkSession, sfDir: String): Unit = {
     ops.StreamingOps.prestage(spark, sfDir)
     ops.Relational.prestageDpp(spark, sfDir)
+    ops.Relational.prestageBucketed(spark, sfDir)
     queries.PipelineQueries.prestage(spark, sfDir)
     queries.TxApplyQueries.prestage(spark, sfDir)
     queries.TxApplyMultiQueries.prestage(spark, sfDir)

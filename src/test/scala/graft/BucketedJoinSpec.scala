@@ -57,4 +57,29 @@ class BucketedJoinSpec extends SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS b_customer")
     }
   }
+
+  test("join_bucketed's staged twins: the bare join stage has ZERO " +
+      "exchanges (the agg shuffle is the query's only one)") {
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = ops.Relational.bucketedJoinFrame(spark, sf)
+        .queryExecution.explainString(FormattedMode)
+      assert(!p.contains("Exchange"),
+        s"bucketed join stage must not shuffle either side, plan:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        "join must be a shuffle-class join fed by bucketed scans")
+      // The identical plain-parquet join shuffles BOTH sides — the
+      // cost the ingest-time bucketing retired.
+      val twin = Tables.load(spark, sf, "orders")
+        .join(Tables.load(spark, sf, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .queryExecution.explainString(FormattedMode)
+      val exchanges = "Exchange \\((\\d+)\\)".r
+        .findAllMatchIn(twin).map(_.group(1)).toSet.size
+      assert(exchanges >= 2,
+        s"plain-parquet twin should shuffle both sides, plan:\n$twin")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
 }
