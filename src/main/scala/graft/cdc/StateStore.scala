@@ -190,6 +190,35 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
       .drop(TsCol, SeqCol, DeletedCol, BucketCol)
   }
 
+  /** TIMESTAMP AS OF resolution (the Iceberg snapshot-at-timestamp
+    * lookup beside [[stateAt]]'s `VERSION AS OF`): the latest
+    * surviving version whose commit instant is <= `tsMillis`. The
+    * commit instant is the version's manifest-file mtime — the
+    * manifest write is the last step before the atomic pointer swap,
+    * so its mtime is the commit time without a second metadata
+    * channel, and manifests are written in version order so the
+    * resolution is monotone. Vacuum-reclaimed versions are skipped
+    * (their manifest is gone), exactly like [[snapshots]]; WAP-staged
+    * versions are invisible (they sit ABOVE the committed pointer
+    * until published). O(versions) metadata-only walk.
+    */
+  def versionAtTime(target: String, tsMillis: Long): Int = {
+    val vs = (0 to currentVersion(target)).filter { v =>
+      val m = dir(target).resolve(s"manifest-$v.tsv")
+      Files.exists(m) && Files.getLastModifiedTime(m).toMillis <= tsMillis
+    }
+    require(vs.nonEmpty,
+      s"no surviving version of $target committed at or before $tsMillis")
+    vs.max
+  }
+
+  /** TIME TRAVEL BY TIMESTAMP — `FOR SYSTEM_TIME AS OF <ts>`:
+    * [[versionAtTime]] composed with [[stateAt]].
+    */
+  def stateAtTime(spark: SparkSession, target: String,
+                  tsMillis: Long): DataFrame =
+    stateAt(spark, target, versionAtTime(target, tsMillis))
+
   /** Commit a merge result for the affected buckets as version N+1.
     * `merged` must contain exactly the affected buckets' rows (with
     * metadata + `_bucket`). One Spark job writes all affected buckets

@@ -1352,6 +1352,99 @@ object MaintenanceQueries {
       |SELECT 'unsorted', count(*), ROUND(sum(bal), 2) FROM s
       |ORDER BY step""".stripMargin
 
+  // --------------------------------------- timestamp-based time travel
+
+  private val ttTsDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long, Long)]()
+
+  /** The (warehouse, t1, t2) of the LAST [[timeTravelTs]] run for this
+    * sfDir (test hook for TimeTravelTsSpec's resolution asserts).
+    */
+  private[queries] def ttTsMarkers(sfDir: String): (String, Long, Long) =
+    ttTsDirCache.get(sfDir)
+
+  private[queries] val TtTsTarget = "cdc.commerce_supplier_tt"
+
+  /** TIME TRAVEL BY TIMESTAMP (`FOR SYSTEM_TIME AS OF <ts>` — the
+    * Iceberg snapshot-at-timestamp lookup beside
+    * `maintenance_lifecycle`'s `VERSION AS OF`): three committed waves
+    * with wall-clock markers captured strictly BETWEEN commits;
+    * `StateStore.stateAtTime(marker_i)` must resolve to wave i however
+    * many commits landed on top. Resolution is manifest-mtime-based
+    * (the manifest write is the last step before the atomic pointer
+    * swap, so its mtime is the commit instant — no second metadata
+    * channel) and an O(versions) metadata-only walk: no data file is
+    * opened until the resolved version's normal snapshot read. Steps:
+    *   `asof_t1` — state at the marker after wave 1 (base suppliers);
+    *   `asof_t2` — after wave 2 (+100.0 on suppkey%3=0);
+    *   `head`    — current state (wave 3 tombstones suppkey%7=0).
+    * The markers are wall-clock but the RESOLUTION is deterministic
+    * (each marker is captured after its commit returns and a few ms
+    * before the next manifest is written), so the oracle recomputes
+    * each wave's closed form. TimeTravelTsSpec pins the version
+    * mapping and the before-first-commit refusal.
+    */
+  def timeTravelTs(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val prior = ttTsDirCache.get(sfDir)
+    val wh = if (prior != null) prior._1
+      else graft.Scratch.dir("graft-ttts-").toString
+    val whPath = Paths.get(wh)
+    if (Files.exists(whPath))
+      Files.walk(whPath).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => if (p != whPath) Files.deleteIfExists(p))
+    val store = new graft.cdc.StateStore(wh, nBuckets = 8)
+    val target = TtTsTarget
+    val pk = Seq("s_suppkey")
+    val sup = Tables.load(spark, sfDir, "supplier")
+    def wave(df: DataFrame, ts: Long, deleted: Boolean): Unit = {
+      graft.cdc.MergeCommit.mergeBatchMeta(store, target, df
+        .withColumn(graft.cdc.StateStore.TsCol, lit(ts))
+        .withColumn(graft.cdc.StateStore.SeqCol, col("s_suppkey").cast("long"))
+        .withColumn(graft.cdc.StateStore.DeletedCol, lit(deleted))
+        .withColumn(graft.cdc.StateStore.BucketCol,
+          graft.cdc.StateStore.bucketExpr(pk, 8)), pk)
+      ()
+    }
+    // Markers sit a few ms clear of the surrounding manifest writes so
+    // millisecond mtime granularity cannot alias a marker to the NEXT
+    // commit.
+    wave(sup, 1000L, deleted = false)
+    Thread.sleep(5); val t1 = System.currentTimeMillis(); Thread.sleep(5)
+    wave(sup.filter(col("s_suppkey") % 3 === 0)
+      .withColumn("s_acctbal", col("s_acctbal") + 100.0), 2000L,
+      deleted = false)
+    Thread.sleep(5); val t2 = System.currentTimeMillis(); Thread.sleep(5)
+    wave(sup.filter(col("s_suppkey") % 7 === 0), 3000L, deleted = true)
+    ttTsDirCache.put(sfDir, (wh, t1, t2))
+
+    def summarize(step: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+        round(sum(round(col("s_acctbal"), 2)), 2).as("bal_sum"))
+        .select(lit(step).as("step"), col("n_rows"), col("bal_sum"))
+    summarize("asof_t1", store.stateAtTime(spark, target, t1))
+      .unionByName(summarize("asof_t2", store.stateAtTime(spark, target, t2)))
+      .unionByName(summarize("head", store.currentState(spark, target)))
+      .orderBy("step")
+      .localCheckpoint(eager = true)
+  }
+
+  val timeTravelTsOracle: String =
+    """WITH w2 AS (
+      |  SELECT s_suppkey,
+      |    CASE WHEN s_suppkey % 3 = 0 THEN s_acctbal + 100.0
+      |         ELSE s_acctbal END AS bal
+      |  FROM supplier
+      |)
+      |SELECT 'asof_t1' AS step, count(*) AS n_rows,
+      |  ROUND(sum(ROUND(s_acctbal, 2)), 2) AS bal_sum FROM supplier
+      |UNION ALL
+      |SELECT 'asof_t2', count(*), ROUND(sum(ROUND(bal, 2)), 2) FROM w2
+      |UNION ALL
+      |SELECT 'head', count(*), ROUND(sum(ROUND(bal, 2)), 2)
+      |FROM w2 WHERE s_suppkey % 7 <> 0
+      |ORDER BY step""".stripMargin
+
   // ------------------------------------------------- point lookup
 
   private val lookupDirCache =
@@ -2602,6 +2695,7 @@ object MaintenanceQueries {
     "maintenance_purge" -> purgeLifecycle,
     "maintenance_compact_binpack" -> maintenanceCompactBinpack,
     "maintenance_compact_sort" -> compactSortLifecycle,
+    "maintenance_time_travel_ts" -> timeTravelTs,
     "cdc_point_lookup" -> pointLookup)
 
   def oracles: Map[String, String] = Map(
@@ -2631,5 +2725,6 @@ object MaintenanceQueries {
     "maintenance_purge" -> purgeLifecycleOracle,
     "maintenance_compact_binpack" -> maintenanceCompactBinpackOracle,
     "maintenance_compact_sort" -> compactSortLifecycleOracle,
+    "maintenance_time_travel_ts" -> timeTravelTsOracle,
     "cdc_point_lookup" -> pointLookupOracle)
 }
