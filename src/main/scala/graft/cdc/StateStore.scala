@@ -219,6 +219,15 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
                   tsMillis: Long): DataFrame =
     stateAt(spark, target, versionAtTime(target, tsMillis))
 
+  /** RESTORE TO TIMESTAMP — the Delta `RESTORE TABLE ... TO TIMESTAMP
+    * AS OF` analog: [[versionAtTime]] composed with [[restore]].
+    * Metadata-only like [[restore]]; the restore itself commits a new
+    * version whose manifest mtime is the restore instant, so
+    * subsequent [[versionAtTime]] lookups stay monotone.
+    */
+  def restoreAtTime(target: String, tsMillis: Long): Int =
+    restore(target, versionAtTime(target, tsMillis))
+
   /** Commit a merge result for the affected buckets as version N+1.
     * `merged` must contain exactly the affected buckets' rows (with
     * metadata + `_bucket`). One Spark job writes all affected buckets

@@ -1445,6 +1445,76 @@ object MaintenanceQueries {
       |FROM w2 WHERE s_suppkey % 7 <> 0
       |ORDER BY step""".stripMargin
 
+  private val rbTsDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** ROLLBACK TO TIMESTAMP (`RESTORE TABLE ... TO TIMESTAMP AS OF` —
+    * the timestamp twin of `maintenance_clone_restore`'s
+    * restore-by-version, via [[graft.cdc.StateStore.restoreAtTime]]):
+    *
+    *  1. wave 1 commits the base suppliers; a wall-clock marker is
+    *     captured just after the commit returns;
+    *  2. wave 2 commits +100.0 on suppkey%3=0 — the mistake to undo;
+    *  3. `restoreAtTime(marker)` rolls back — resolution by manifest
+    *     mtime, restore itself a pointer-only new commit;
+    *  4. the pipeline CONTINUES on the rolled-back line: wave 3
+    *     tombstones suppkey%7=0.
+    *
+    * Steps: `rolled_back` — state at the restore version (must equal
+    * wave 1 exactly: the +100 wave is gone); `head` — current state
+    * (base minus %7, still no +100 — post-rollback commits build on
+    * the restored line, rolled-past versions stay time-travelable
+    * until vacuumed). RollbackTsSpec pins version arithmetic and that
+    * the restore wrote no data directory.
+    */
+  def rollbackTs(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val wh = rbTsDirCache.computeIfAbsent(sfDir,
+      _ => graft.Scratch.dir("graft-rbts-").toString)
+    val whPath = Paths.get(wh)
+    Files.walk(whPath).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => if (p != whPath) Files.deleteIfExists(p))
+    val store = new graft.cdc.StateStore(wh, nBuckets = 8)
+    val target = "cdc.commerce_supplier_rb"
+    val pk = Seq("s_suppkey")
+    val sup = Tables.load(spark, sfDir, "supplier")
+    def wave(df: DataFrame, ts: Long, deleted: Boolean): Unit = {
+      graft.cdc.MergeCommit.mergeBatchMeta(store, target, df
+        .withColumn(graft.cdc.StateStore.TsCol, lit(ts))
+        .withColumn(graft.cdc.StateStore.SeqCol, col("s_suppkey").cast("long"))
+        .withColumn(graft.cdc.StateStore.DeletedCol, lit(deleted))
+        .withColumn(graft.cdc.StateStore.BucketCol,
+          graft.cdc.StateStore.bucketExpr(pk, 8)), pk)
+      ()
+    }
+    wave(sup, 1000L, deleted = false)
+    Thread.sleep(5); val t1 = System.currentTimeMillis(); Thread.sleep(5)
+    wave(sup.filter(col("s_suppkey") % 3 === 0)
+      .withColumn("s_acctbal", col("s_acctbal") + 100.0), 2000L,
+      deleted = false)
+    val vRestored = store.restoreAtTime(target, t1)
+    wave(sup.filter(col("s_suppkey") % 7 === 0), 3000L, deleted = true)
+
+    def summarize(step: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+        round(sum(round(col("s_acctbal"), 2)), 2).as("bal_sum"))
+        .select(lit(step).as("step"), col("n_rows"), col("bal_sum"))
+    summarize("head", store.currentState(spark, target))
+      .unionByName(summarize("rolled_back",
+        store.stateAt(spark, target, vRestored)))
+      .orderBy("step")
+      .localCheckpoint(eager = true)
+  }
+
+  val rollbackTsOracle: String =
+    """SELECT 'head' AS step, count(*) AS n_rows,
+      |  ROUND(sum(ROUND(s_acctbal, 2)), 2) AS bal_sum
+      |FROM supplier WHERE s_suppkey % 7 <> 0
+      |UNION ALL
+      |SELECT 'rolled_back', count(*), ROUND(sum(ROUND(s_acctbal, 2)), 2)
+      |FROM supplier
+      |ORDER BY step""".stripMargin
+
   // ------------------------------------------------- point lookup
 
   private val lookupDirCache =
@@ -2696,6 +2766,7 @@ object MaintenanceQueries {
     "maintenance_compact_binpack" -> maintenanceCompactBinpack,
     "maintenance_compact_sort" -> compactSortLifecycle,
     "maintenance_time_travel_ts" -> timeTravelTs,
+    "maintenance_rollback_ts" -> rollbackTs,
     "cdc_point_lookup" -> pointLookup)
 
   def oracles: Map[String, String] = Map(
@@ -2726,5 +2797,6 @@ object MaintenanceQueries {
     "maintenance_compact_binpack" -> maintenanceCompactBinpackOracle,
     "maintenance_compact_sort" -> compactSortLifecycleOracle,
     "maintenance_time_travel_ts" -> timeTravelTsOracle,
+    "maintenance_rollback_ts" -> rollbackTsOracle,
     "cdc_point_lookup" -> pointLookupOracle)
 }
