@@ -428,9 +428,24 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
     * boundary compares widened/backfilled images, not raw bytes.
     */
   def diffRefs(spark: SparkSession, target: String, fromRef: String,
-               toRef: String, pkCols: Seq[String]): DataFrame = {
-    val vFrom = resolveRef(target, fromRef)
-    val vTo = resolveRef(target, toRef)
+               toRef: String, pkCols: Seq[String]): DataFrame =
+    diffVersions(spark, target, resolveRef(target, fromRef),
+      resolveRef(target, toRef), pkCols)
+
+  /** CHANGE DATA FEED between two timestamps — Delta's
+    * `table_changes(t, ts1, ts2)` / Iceberg's incremental read with
+    * `start/end-snapshot` resolved by instant: [[versionAtTime]] on
+    * both bounds, then the same bucket-pruned state diff as
+    * [[diffRefs]].
+    */
+  def diffTimes(spark: SparkSession, target: String, fromTs: Long,
+                toTs: Long, pkCols: Seq[String]): DataFrame =
+    diffVersions(spark, target, versionAtTime(target, fromTs),
+      versionAtTime(target, toTs), pkCols)
+
+  /** The version-addressed core of [[diffRefs]]/[[diffTimes]]. */
+  def diffVersions(spark: SparkSession, target: String, vFrom: Int,
+                   vTo: Int, pkCols: Seq[String]): DataFrame = {
     val changed = changedBucketsBetween(target, vFrom, vTo)
     def side(v: Int): DataFrame = {
       val m = manifestAt(target, v).view

@@ -1515,6 +1515,68 @@ object MaintenanceQueries {
       |FROM supplier
       |ORDER BY step""".stripMargin
 
+  private val tcTsDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** CHANGE DATA FEED BETWEEN TIMESTAMPS (`table_changes(t, ts1, ts2)`
+    * — the instant-addressed member beside `cdc_table_changes`'s
+    * log-derived CDF and `maintenance_refs_diff`'s ref-addressed one,
+    * via [[graft.cdc.StateStore.diffTimes]]): wave 1 commits the base
+    * suppliers, a marker is captured, wave 2 updates +100.0 on
+    * suppkey%3=0, wave 3 tombstones suppkey%7=0, and the feed asks
+    * "what changed since the marker" — %3∧¬%7 rows surface as updates
+    * carrying the after-image, %7 rows as deletes carrying the
+    * marker-time before-image, unchanged keys are dropped by value
+    * comparison. Cost is bucket-pruned (∝ changed data, never table
+    * size) exactly like `maintenance_refs_diff`; the timestamp bounds
+    * resolve through the manifest-mtime walk, so the whole feed is
+    * addressable without the caller ever learning version numbers.
+    * TableChangesTsSpec pins the between-markers window (wave 2 only:
+    * updates, zero deletes).
+    */
+  def tableChangesTs(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val wh = tcTsDirCache.computeIfAbsent(sfDir,
+      _ => graft.Scratch.dir("graft-tcts-").toString)
+    val whPath = Paths.get(wh)
+    Files.walk(whPath).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => if (p != whPath) Files.deleteIfExists(p))
+    val store = new graft.cdc.StateStore(wh, nBuckets = 8)
+    val target = "cdc.commerce_supplier_tc"
+    val pk = Seq("s_suppkey")
+    val sup = Tables.load(spark, sfDir, "supplier")
+    def wave(df: DataFrame, ts: Long, deleted: Boolean): Unit = {
+      graft.cdc.MergeCommit.mergeBatchMeta(store, target, df
+        .withColumn(graft.cdc.StateStore.TsCol, lit(ts))
+        .withColumn(graft.cdc.StateStore.SeqCol, col("s_suppkey").cast("long"))
+        .withColumn(graft.cdc.StateStore.DeletedCol, lit(deleted))
+        .withColumn(graft.cdc.StateStore.BucketCol,
+          graft.cdc.StateStore.bucketExpr(pk, 8)), pk)
+      ()
+    }
+    wave(sup, 1000L, deleted = false)
+    Thread.sleep(5); val t1 = System.currentTimeMillis(); Thread.sleep(5)
+    wave(sup.filter(col("s_suppkey") % 3 === 0)
+      .withColumn("s_acctbal", col("s_acctbal") + 100.0), 2000L,
+      deleted = false)
+    wave(sup.filter(col("s_suppkey") % 7 === 0), 3000L, deleted = true)
+
+    store.diffTimes(spark, target, t1, System.currentTimeMillis(), pk)
+      .select(col("s_suppkey"), round(col("s_acctbal"), 2).as("s_acctbal"),
+        col("change_type"))
+      .orderBy("s_suppkey")
+      .localCheckpoint(eager = true)
+  }
+
+  val tableChangesTsOracle: String =
+    """SELECT s_suppkey, ROUND(s_acctbal + 100.0, 2) AS s_acctbal,
+      |  'update' AS change_type
+      |FROM supplier WHERE s_suppkey % 3 = 0 AND s_suppkey % 7 <> 0
+      |UNION ALL
+      |SELECT s_suppkey, ROUND(s_acctbal, 2), 'delete'
+      |FROM supplier WHERE s_suppkey % 7 = 0
+      |ORDER BY s_suppkey""".stripMargin
+
   // ------------------------------------------------- point lookup
 
   private val lookupDirCache =
@@ -2767,6 +2829,7 @@ object MaintenanceQueries {
     "maintenance_compact_sort" -> compactSortLifecycle,
     "maintenance_time_travel_ts" -> timeTravelTs,
     "maintenance_rollback_ts" -> rollbackTs,
+    "cdc_table_changes_ts" -> tableChangesTs,
     "cdc_point_lookup" -> pointLookup)
 
   def oracles: Map[String, String] = Map(
@@ -2798,5 +2861,6 @@ object MaintenanceQueries {
     "maintenance_compact_sort" -> compactSortLifecycleOracle,
     "maintenance_time_travel_ts" -> timeTravelTsOracle,
     "maintenance_rollback_ts" -> rollbackTsOracle,
+    "cdc_table_changes_ts" -> tableChangesTsOracle,
     "cdc_point_lookup" -> pointLookupOracle)
 }
