@@ -228,6 +228,27 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
   def restoreAtTime(target: String, tsMillis: Long): Int =
     restore(target, versionAtTime(target, tsMillis))
 
+  /** EXPIRE SNAPSHOTS OLDER THAN — the Iceberg
+    * `expire_snapshots(older_than => ts)` analog: retention addressed
+    * by instant instead of version count. Resolves the first version
+    * whose commit instant (manifest mtime, as in [[versionAtTime]])
+    * is >= `tsMillis` and delegates to [[vacuum]], so every pinning
+    * rule carries over unchanged: the head version NEVER expires
+    * (even when every commit predates the horizon — Iceberg's rule
+    * too), named refs keep their version and every data dir its
+    * manifest reaches, and data dirs are reclaimed only when no
+    * retained manifest references them — expiry removes SNAPSHOTS;
+    * file GC stays reachability-driven.
+    */
+  def expireOlderThan(target: String, tsMillis: Long): Unit = {
+    val cur = currentVersion(target)
+    val firstKept = (0 to cur).find { v =>
+      val m = dir(target).resolve(s"manifest-$v.tsv")
+      Files.exists(m) && Files.getLastModifiedTime(m).toMillis >= tsMillis
+    }.getOrElse(cur)
+    vacuum(target, keepVersions = cur - firstKept + 1)
+  }
+
   /** Commit a merge result for the affected buckets as version N+1.
     * `merged` must contain exactly the affected buckets' rows (with
     * metadata + `_bucket`). One Spark job writes all affected buckets

@@ -1577,6 +1577,100 @@ object MaintenanceQueries {
       |FROM supplier WHERE s_suppkey % 7 = 0
       |ORDER BY s_suppkey""".stripMargin
 
+  private val expTsDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** EXPIRE SNAPSHOTS BY INSTANT (`expire_snapshots(older_than => ts)`
+    * — the retention member of the timestamp-addressing family, via
+    * [[graft.cdc.StateStore.expireOlderThan]]): wave 1 commits the
+    * base suppliers and is TAGGED `audit`; wave 2 updates +100.0 on
+    * suppkey%3=0; a horizon marker is captured; wave 3 tombstones
+    * suppkey%7=0; then everything older than the horizon expires.
+    * Steps prove the three retention rules at once:
+    *   `head`      — the post-expiry head reads wave 3's closed form
+    *                 and still resolves by timestamp;
+    *   `survivors` — exactly 2 manifests remain (head + the tag pin;
+    *                 the untagged wave-2 snapshot is gone), `ok`
+    *                 asserts wave 2's manifest was in fact deleted;
+    *   `tagged`    — the tag still reads wave 1 exactly: a named ref
+    *                 pins its version and every data dir its manifest
+    *                 reaches through expiry, however old.
+    * Expiry removes SNAPSHOTS; data-file GC stays reachability-driven
+    * (shared with [[graft.cdc.StateStore.vacuum]]), so a head manifest
+    * still reaching an old version's dirs keeps those dirs alive —
+    * the Iceberg semantic, and the reason `survivors` counts
+    * manifests, not directories. ExpireTsSpec pins the refusal of
+    * expired-history timestamps and head-never-expires.
+    */
+  def expireTs(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val wh = expTsDirCache.computeIfAbsent(sfDir,
+      _ => graft.Scratch.dir("graft-expts-").toString)
+    val whPath = Paths.get(wh)
+    Files.walk(whPath).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => if (p != whPath) Files.deleteIfExists(p))
+    val store = new graft.cdc.StateStore(wh, nBuckets = 8)
+    val target = "cdc.commerce_supplier_exp"
+    val pk = Seq("s_suppkey")
+    val sup = Tables.load(spark, sfDir, "supplier")
+    def wave(df: DataFrame, ts: Long, deleted: Boolean): Unit = {
+      graft.cdc.MergeCommit.mergeBatchMeta(store, target, df
+        .withColumn(graft.cdc.StateStore.TsCol, lit(ts))
+        .withColumn(graft.cdc.StateStore.SeqCol, col("s_suppkey").cast("long"))
+        .withColumn(graft.cdc.StateStore.DeletedCol, lit(deleted))
+        .withColumn(graft.cdc.StateStore.BucketCol,
+          graft.cdc.StateStore.bucketExpr(pk, 8)), pk)
+      ()
+    }
+    wave(sup, 1000L, deleted = false)
+    store.createRef(target, "audit", 0)
+    wave(sup.filter(col("s_suppkey") % 3 === 0)
+      .withColumn("s_acctbal", col("s_acctbal") + 100.0), 2000L,
+      deleted = false)
+    Thread.sleep(5); val horizon = System.currentTimeMillis(); Thread.sleep(5)
+    wave(sup.filter(col("s_suppkey") % 7 === 0), 3000L, deleted = true)
+    store.expireOlderThan(target, horizon)
+
+    val d = whPath.resolve(target)
+    val survivors = (0 to store.currentVersion(target))
+      .count(v => Files.exists(d.resolve(s"manifest-$v.tsv"))).toLong
+    val wave2Gone = !Files.exists(d.resolve("manifest-1.tsv"))
+    val headResolves = store.versionAtTime(target,
+      System.currentTimeMillis()) == store.currentVersion(target)
+
+    def summarize(step: String, df: DataFrame, ok: Boolean): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+        round(sum(round(col("s_acctbal"), 2)), 2).as("bal_sum"))
+        .select(lit(step).as("step"), col("n_rows"), col("bal_sum"),
+          lit(ok).as("ok"))
+    val metaRow = spark.range(1).select(lit("survivors").as("step"),
+      lit(survivors).as("n_rows"), lit(0.0).as("bal_sum"),
+      lit(wave2Gone).as("ok"))
+    summarize("head", store.currentState(spark, target), headResolves)
+      .unionByName(metaRow)
+      .unionByName(summarize("tagged",
+        store.stateAtRef(spark, target, "audit"), ok = true))
+      .orderBy("step")
+      .localCheckpoint(eager = true)
+  }
+
+  val expireTsOracle: String =
+    """WITH w2 AS (
+      |  SELECT s_suppkey,
+      |    CASE WHEN s_suppkey % 3 = 0 THEN s_acctbal + 100.0
+      |         ELSE s_acctbal END AS bal
+      |  FROM supplier
+      |)
+      |SELECT 'head' AS step, count(*) AS n_rows,
+      |  ROUND(sum(ROUND(bal, 2)), 2) AS bal_sum, TRUE AS ok
+      |FROM w2 WHERE s_suppkey % 7 <> 0
+      |UNION ALL
+      |SELECT 'survivors', CAST(2 AS BIGINT), 0.0, TRUE
+      |UNION ALL
+      |SELECT 'tagged', count(*), ROUND(sum(ROUND(s_acctbal, 2)), 2), TRUE
+      |FROM supplier
+      |ORDER BY step""".stripMargin
+
   // ------------------------------------------------- point lookup
 
   private val lookupDirCache =
@@ -2830,6 +2924,7 @@ object MaintenanceQueries {
     "maintenance_time_travel_ts" -> timeTravelTs,
     "maintenance_rollback_ts" -> rollbackTs,
     "cdc_table_changes_ts" -> tableChangesTs,
+    "maintenance_expire_ts" -> expireTs,
     "cdc_point_lookup" -> pointLookup)
 
   def oracles: Map[String, String] = Map(
@@ -2862,5 +2957,6 @@ object MaintenanceQueries {
     "maintenance_time_travel_ts" -> timeTravelTsOracle,
     "maintenance_rollback_ts" -> rollbackTsOracle,
     "cdc_table_changes_ts" -> tableChangesTsOracle,
+    "maintenance_expire_ts" -> expireTsOracle,
     "cdc_point_lookup" -> pointLookupOracle)
 }
