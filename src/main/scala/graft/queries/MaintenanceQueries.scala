@@ -1671,6 +1671,79 @@ object MaintenanceQueries {
       |FROM supplier
       |ORDER BY step""".stripMargin
 
+  private val filesDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** `$files` METADATA TABLE — the Iceberg `table$files` analog
+    * beside `$snapshots`/`$refs`/`$partitions`: per-bucket file count
+    * and record count for the CURRENT version, read from parquet
+    * FOOTERS only (`ParquetFileReader.getRecordCount` — the row-group
+    * metadata tail, KBs per file) — no data page is ever decoded, so
+    * the report costs O(files) metadata I/O however many terabytes
+    * the files hold. Iceberg serves the same stats straight from its
+    * manifests; footers are where a parquet layout keeps them, and
+    * either way the defining property holds: table-size-independent
+    * inspection. Footer counts include physical tombstone rows (the
+    * merge stores deletes as flagged rows until compaction) — this
+    * lifecycle commits a single insert-only wave so the footer
+    * arithmetic is oracle-checkable against the raw table.
+    *
+    * The store is built with an ORACLE-EXPRESSIBLE layout —
+    * `_bucket = s_suppkey % 8` instead of the default murmur hash
+    * (the bucket column is caller-supplied, any consistent assignment
+    * is a valid partitioning) — so DuckDB can recompute the per-bucket
+    * totals exactly. FilesMetaSpec pins footer-vs-data equality and
+    * the files-on-disk count.
+    */
+  def filesMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val wh = filesDirCache.computeIfAbsent(sfDir,
+      _ => graft.Scratch.dir("graft-files-").toString)
+    val whPath = Paths.get(wh)
+    Files.walk(whPath).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => if (p != whPath) Files.deleteIfExists(p))
+    val store = new graft.cdc.StateStore(wh, nBuckets = 8)
+    val target = "cdc.commerce_supplier_files"
+    val pk = Seq("s_suppkey")
+    graft.cdc.MergeCommit.mergeBatchMeta(store, target,
+      Tables.load(spark, sfDir, "supplier")
+        .withColumn(graft.cdc.StateStore.TsCol, lit(1000L))
+        .withColumn(graft.cdc.StateStore.SeqCol, col("s_suppkey"))
+        .withColumn(graft.cdc.StateStore.DeletedCol, lit(false))
+        .withColumn(graft.cdc.StateStore.BucketCol,
+          pmod(col("s_suppkey"), lit(8)).cast("int")), pk)
+
+    val conf = spark.sessionState.newHadoopConf()
+    val manifest = store.manifestAt(target, store.currentVersion(target))
+    val perFile = manifest.toSeq.flatMap { case (bucket, rel) =>
+      val d = whPath.resolve(target).resolve(rel)
+      val s = Files.list(d)
+      val files = try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.toList
+          .filter(_.toString.endsWith(".parquet"))
+      } finally s.close()
+      files.map { f =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f.toString), conf))
+        val n = try r.getRecordCount finally r.close()
+        (bucket, n)
+      }
+    }
+    import spark.implicits._
+    perFile.toDF("bucket", "records")
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_files"), sum("records").as("n_records"))
+      .orderBy("bucket")
+      .localCheckpoint(eager = true)
+  }
+
+  val filesMetaOracle: String =
+    """SELECT CAST(s_suppkey % 8 AS INTEGER) AS bucket,
+      |  CAST(1 AS BIGINT) AS n_files, count(*) AS n_records
+      |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------- point lookup
 
   private val lookupDirCache =
@@ -2925,6 +2998,7 @@ object MaintenanceQueries {
     "maintenance_rollback_ts" -> rollbackTs,
     "cdc_table_changes_ts" -> tableChangesTs,
     "maintenance_expire_ts" -> expireTs,
+    "maintenance_files_meta" -> filesMeta,
     "cdc_point_lookup" -> pointLookup)
 
   def oracles: Map[String, String] = Map(
@@ -2958,5 +3032,6 @@ object MaintenanceQueries {
     "maintenance_rollback_ts" -> rollbackTsOracle,
     "cdc_table_changes_ts" -> tableChangesTsOracle,
     "maintenance_expire_ts" -> expireTsOracle,
+    "maintenance_files_meta" -> filesMetaOracle,
     "cdc_point_lookup" -> pointLookupOracle)
 }
