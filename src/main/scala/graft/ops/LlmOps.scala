@@ -4450,6 +4450,49 @@ object LlmOps {
     * summary is the audit. The oracle computes the closed forms
     * (sum of copies, sum of copies·(copies+1)/2) without exploding.
     */
+  /** DETERMINISTIC EPOCH SHUFFLE — the training-order step between
+    * mixture assembly and shard writing: each epoch's order is the
+    * sort by `md5(epoch ':' doc_id)`, a seeded-hash shuffle with NO
+    * RNG state — reproducible across reruns, slicings, and engines
+    * (the oracle recomputes the identical order), yet epoch 1 and
+    * epoch 2 orders are statistically unrelated, which is the whole
+    * point of reshuffling between epochs. The shard assignment falls
+    * out of the same hash's first byte, so shard files can be written
+    * with `partitionBy` off this one frame — no second shuffle.
+    *
+    * Scale: one map-side hash per (epoch, doc) and ONE range-
+    * partitioned total sort — the exchange that IS the shuffle being
+    * computed; nothing else moves. No window, no global row-number,
+    * no driver state. LlmOpsSpec pins epoch-order decorrelation and
+    * shard balance.
+    */
+  def shuffleEpoch(spark: SparkSession, sfDir: String): DataFrame = {
+    val key = md5(concat(col("epoch").cast("string"), lit(":"),
+      col("doc_id").cast("string")))
+    t(spark, sfDir, "documents").select("doc_id")
+      .withColumn("epoch", explode(sequence(lit(1), lit(2))))
+      .withColumn("shuffle_key", key)
+      .withColumn("shard",
+        (conv(substring(col("shuffle_key"), 1, 2), 16, 10).cast("int") % 8)
+          .cast("int"))
+      .select(col("epoch"), col("shuffle_key"), col("doc_id"), col("shard"))
+      .orderBy("epoch", "shuffle_key")
+  }
+
+  val shuffleEpochOracle: String =
+    """WITH e AS (SELECT 1 AS epoch UNION ALL SELECT 2),
+      |d AS (
+      |  SELECT epoch,
+      |    md5(CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR))
+      |      AS shuffle_key,
+      |    doc_id
+      |  FROM documents, e
+      |)
+      |SELECT epoch, shuffle_key, doc_id,
+      |  CAST(('0x' || substring(shuffle_key, 1, 2))::BIGINT % 8 AS INTEGER)
+      |    AS shard
+      |FROM d ORDER BY epoch, shuffle_key""".stripMargin
+
   def mixEpochs(spark: SparkSession, sfDir: String): DataFrame = {
     val srcNum = substring(col("source"), 4, 10).cast("int")
     val whole = (lit(1) + floor((srcNum % 4) / 2)).cast("int")
@@ -5089,6 +5132,7 @@ object LlmOps {
     "llm_shard_balance" -> shardBalance,
     "llm_mix_temperature" -> mixTemperature,
     "llm_mix_epochs" -> mixEpochs,
+    "llm_shuffle_epoch" -> shuffleEpoch,
     "llm_text_quality_full" -> textQualityFull,
     "llm_decontaminate" -> decontaminate,
     "llm_decontaminate_bloom" -> decontaminateBloom,
@@ -5174,6 +5218,7 @@ object LlmOps {
     "llm_shard_balance" -> shardBalanceOracle,
     "llm_mix_temperature" -> mixTemperatureOracle,
     "llm_mix_epochs" -> mixEpochsOracle,
+    "llm_shuffle_epoch" -> shuffleEpochOracle,
     "llm_text_quality_full" -> textQualityFullOracle,
     "llm_decontaminate" -> decontaminateOracle,
     "llm_decontaminate_bloom" -> decontaminateBloomOracle,

@@ -301,6 +301,41 @@ object CatalogQueries {
     * broadcast of the 1-row totals — nothing holds more than
     * |bins| rows however large the table.
     */
+  /** K-ANONYMITY REPORT — the release-governance check a training-data
+    * pipeline runs before publishing a slice: over the quasi-identifier
+    * tuple (nation, market segment), how many equivalence classes fall
+    * below k=5 members and how many rows those classes expose. A
+    * below-k class means its rows are re-identifiable by the QI tuple
+    * alone — the set a `cdc_column_mask`-style generalization or a
+    * [[graft.cdc.StateStore.purgeKeys]] erasure must treat before
+    * release. One hash aggregate on the QI tuple; the report is
+    * class-cardinality-sized however large the table.
+    */
+  def kAnonymity(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = Tables.load(spark, sfDir, "customer")
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("n"))
+    g.agg(count(lit(1)).as("n_groups"),
+        sum(when(col("n") < 5, 1L).otherwise(0L)).as("n_violating_groups"),
+        sum(when(col("n") < 5, col("n")).otherwise(0L)).as("n_rows_at_risk"),
+        min(col("n")).as("min_group_size"))
+      .select(lit(5).as("k"), col("n_groups"), col("n_violating_groups"),
+        col("n_rows_at_risk"), col("min_group_size"))
+  }
+
+  val kAnonymityOracle: String =
+    """WITH g AS (
+      |  SELECT c_nationkey, c_mktsegment, count(*) AS n
+      |  FROM customer GROUP BY 1, 2
+      |)
+      |SELECT CAST(5 AS INTEGER) AS k, count(*) AS n_groups,
+      |  CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_violating_groups,
+      |  CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+      |    AS n_rows_at_risk,
+      |  CAST(min(n) AS BIGINT) AS min_group_size
+      |FROM g""".stripMargin
+
   def profileDrift(spark: SparkSession, sfDir: String): DataFrame = {
     val nb = 10
     val orders = Tables.load(spark, sfDir, "orders")
@@ -487,6 +522,7 @@ object CatalogQueries {
     "profile_histogram" -> profileHistogram,
     "profile_drift" -> profileDrift,
     "profile_skew" -> profileSkew,
+    "profile_k_anonymity" -> kAnonymity,
     "profile_expectations" -> profileExpectations)
 
   def oracles: Map[String, String] = Map(
@@ -497,5 +533,6 @@ object CatalogQueries {
     "profile_histogram" -> profileHistogramOracle,
     "profile_drift" -> profileDriftOracle,
     "profile_skew" -> profileSkewOracle,
+    "profile_k_anonymity" -> kAnonymityOracle,
     "profile_expectations" -> profileExpectationsOracle)
 }

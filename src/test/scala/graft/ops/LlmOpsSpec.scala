@@ -411,6 +411,37 @@ class LlmOpsSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       s"mean load ratio $mean drifted far from the uniform ideal")
   }
 
+  test("shuffle_epoch: epoch orders decorrelate; shards balance") {
+    val rows = LlmOps.shuffleEpoch(spark, sf).collect()
+    val byEpoch = rows.groupBy(_.getInt(0))
+    assert(byEpoch.keySet == Set(1, 2))
+    // Decorrelation: the first 20 docs of each epoch's order share
+    // almost nothing (expected overlap 20*20/n ~ 1 doc).
+    val top1 = byEpoch(1).take(20).map(_.getLong(2)).toSet
+    val top2 = byEpoch(2).take(20).map(_.getLong(2)).toSet
+    assert((top1 & top2).size < 6,
+      s"epoch orders must decorrelate, overlap ${(top1 & top2).size}")
+    // Shard balance: hash-prefix shards stay within 2x of uniform.
+    val perShard = byEpoch(1).groupBy(_.getInt(3)).map(_._2.length)
+    val mean = byEpoch(1).length.toDouble / 8
+    assert(perShard.max < 2 * mean && perShard.min > mean / 2,
+      s"shards must balance, got $perShard around mean $mean")
+    // Determinism: same hash, same order, run to run.
+    assert(LlmOps.shuffleEpoch(spark, sf).collect().map(_.getString(1))
+      .sameElements(rows.map(_.getString(1))))
+  }
+
+  test("k_anonymity: report matches a brute-force class census") {
+    val r = graft.queries.CatalogQueries.kAnonymity(spark, sf).head()
+    val classes = spark.read.parquet(s"$sf/customer.parquet")
+      .groupBy("c_nationkey", "c_mktsegment").count().collect()
+      .map(_.getLong(2))
+    assert(r.getLong(1) == classes.length.toLong)
+    assert(r.getLong(2) == classes.count(_ < 5).toLong)
+    assert(r.getLong(3) == classes.filter(_ < 5).sum)
+    assert(r.getLong(4) == classes.min)
+  }
+
   test("mix_temperature: both distributions normalize; boosts favor small sources") {
     val rows = LlmOps.mixTemperature(spark, sf).collect()
       .map(r => (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
