@@ -336,6 +336,48 @@ object CatalogQueries {
       |  CAST(min(n) AS BIGINT) AS min_group_size
       |FROM g""".stripMargin
 
+  /** L-DIVERSITY REPORT — [[kAnonymity]]'s companion check: a class
+    * can be large (k-anonymous) yet still leak if every member shares
+    * the same SENSITIVE value. Per quasi-identifier class, the number
+    * of distinct sensitive-value buckets (account balance coarsened to
+    * negative/mid/high); classes below l=3 expose their members'
+    * balance band by QI membership alone. Same shape as k-anonymity:
+    * one aggregate over the QI tuple (the distinct-count is a partial
+    * aggregate over (QI, bucket) first), class-cardinality-sized
+    * report.
+    */
+  def lDiversity(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = when(col("c_acctbal") < 0, "neg")
+      .when(col("c_acctbal") < 5000, "mid").otherwise("high")
+    val cls = Tables.load(spark, sfDir, "customer")
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(countDistinct(bucket).as("l"), count(lit(1)).as("n"))
+    cls.agg(count(lit(1)).as("n_groups"),
+        sum(when(col("l") < 3, 1L).otherwise(0L)).as("n_violating_groups"),
+        sum(when(col("l") < 3, col("n")).otherwise(0L)).as("n_rows_at_risk"),
+        min(col("l")).as("min_diversity"))
+      .select(lit(3).as("l_req"), col("n_groups"),
+        col("n_violating_groups"), col("n_rows_at_risk"),
+        col("min_diversity"))
+  }
+
+  val lDiversityOracle: String =
+    """WITH cls AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |    count(DISTINCT CASE WHEN c_acctbal < 0 THEN 'neg'
+      |                        WHEN c_acctbal < 5000 THEN 'mid'
+      |                        ELSE 'high' END) AS l,
+      |    count(*) AS n
+      |  FROM customer GROUP BY 1, 2
+      |)
+      |SELECT CAST(3 AS INTEGER) AS l_req, count(*) AS n_groups,
+      |  CAST(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_violating_groups,
+      |  CAST(sum(CASE WHEN l < 3 THEN n ELSE 0 END) AS BIGINT)
+      |    AS n_rows_at_risk,
+      |  CAST(min(l) AS BIGINT) AS min_diversity
+      |FROM cls""".stripMargin
+
   def profileDrift(spark: SparkSession, sfDir: String): DataFrame = {
     val nb = 10
     val orders = Tables.load(spark, sfDir, "orders")
@@ -523,6 +565,7 @@ object CatalogQueries {
     "profile_drift" -> profileDrift,
     "profile_skew" -> profileSkew,
     "profile_k_anonymity" -> kAnonymity,
+    "profile_l_diversity" -> lDiversity,
     "profile_expectations" -> profileExpectations)
 
   def oracles: Map[String, String] = Map(
@@ -534,5 +577,6 @@ object CatalogQueries {
     "profile_drift" -> profileDriftOracle,
     "profile_skew" -> profileSkewOracle,
     "profile_k_anonymity" -> kAnonymityOracle,
+    "profile_l_diversity" -> lDiversityOracle,
     "profile_expectations" -> profileExpectationsOracle)
 }

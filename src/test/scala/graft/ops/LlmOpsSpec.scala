@@ -442,6 +442,23 @@ class LlmOpsSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(r.getLong(4) == classes.min)
   }
 
+  test("l_diversity: report matches a brute-force diversity census") {
+    val r = graft.queries.CatalogQueries.lDiversity(spark, sf).head()
+    val cls = spark.read.parquet(s"$sf/customer.parquet").collect()
+      .groupBy(c => (c.getInt(2), c.getString(4)))
+      .toSeq.map { case (_, rows) =>
+        val ls = rows.map { c =>
+          val b = c.getDouble(3)
+          if (b < 0) "neg" else if (b < 5000) "mid" else "high"
+        }.distinct.length
+        (ls.toLong, rows.length.toLong)
+      }
+    assert(r.getLong(1) == cls.length.toLong)
+    assert(r.getLong(2) == cls.count(_._1 < 3).toLong)
+    assert(r.getLong(3) == cls.filter(_._1 < 3).map(_._2).sum)
+    assert(r.getLong(4) == cls.map(_._1).min)
+  }
+
   test("mix_temperature: both distributions normalize; boosts favor small sources") {
     val rows = LlmOps.mixTemperature(spark, sf).collect()
       .map(r => (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
