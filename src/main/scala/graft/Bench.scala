@@ -71,7 +71,19 @@ object Bench {
       try scala.io.Source.fromFile("/proc/loadavg").getLines()
         .next().split("\\s+")(0).toDouble
       catch { case _: Throwable => -1.0 }
+    // Aggregate cpu jiffies (total, steal) from /proc/stat: on this
+    // class of host the dominant noise is VM-level steal — CPU taken
+    // by the hypervisor with NO visible process, invisible to loadavg.
+    // The delta over the run makes a steal-contaminated record
+    // self-identifying the way load_start/load_end does for host load.
+    def cpuJiffies(): (Long, Long) =
+      try {
+        val f = scala.io.Source.fromFile("/proc/stat").getLines()
+          .next().trim.split("\\s+").drop(1).map(_.toLong)
+        (f.sum, if (f.length > 7) f(7) else 0L)
+      } catch { case _: Throwable => (-1L, 0L) }
     val loadStart = loadavg()
+    val (jifStart, stealStart) = cpuJiffies()
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>
@@ -140,9 +152,13 @@ object Bench {
     // pre-r13 class is self-identifying from the artifact alone.
     val scratchDirs = Scratch.count()
     val scratchMb = Scratch.bytes() / (1024 * 1024)
+    val (jifEnd, stealEnd) = cpuJiffies()
+    val stealPct =
+      if (jifStart < 0 || jifEnd <= jifStart) -1.0
+      else 100.0 * (stealEnd - stealStart) / (jifEnd - jifStart)
     val noiseJson =
       if (spreadVals.isEmpty) "{}"
-      else s"""{"runs":$runs,"median_spread":${fmt(spreadVals(spreadVals.size / 2))},"max_spread":${fmt(spreadVals.last)},"load_start":${fmt(loadStart)},"load_end":${fmt(loadEnd)},"cpus":$cpus,"scratch_dirs":$scratchDirs,"scratch_mb":$scratchMb}"""
+      else s"""{"runs":$runs,"median_spread":${fmt(spreadVals(spreadVals.size / 2))},"max_spread":${fmt(spreadVals.last)},"load_start":${fmt(loadStart)},"load_end":${fmt(loadEnd)},"steal_pct":${fmt(stealPct)},"cpus":$cpus,"scratch_dirs":$scratchDirs,"scratch_mb":$scratchMb}"""
     // median_total beside the min-based total: on a clean host the two
     // agree within ~10%; a median_total far above total is the signature
     // of a loaded host (the min stays honest, the median absorbs the
