@@ -28,6 +28,16 @@ class PlanSpec extends SparkTestBase {
         "partition — the shape the histogram threshold exists to avoid")
   }
 
+  test("llm_shuffle_epoch: the range sort is the ONLY exchange — the " +
+    "shuffle being computed, nothing else moves") {
+    val p = plan("llm_shuffle_epoch")
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected exactly one exchange, got $exchanges")
+    assert(p.contains("Arguments: rangepartitioning"),
+      "the one exchange must be the range sort, not a hash or " +
+        "single-partition collapse")
+  }
+
   test("agg_q1: filter pushed to scan, pruned columns, partial+final agg") {
     val p = plan("agg_q1")
     assert(p.contains("PushedFilters"), "no pushdown block")
