@@ -1744,6 +1744,64 @@ object MaintenanceQueries {
       |  CAST(1 AS BIGINT) AS n_files, count(*) AS n_records
       |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin
 
+  private val sdDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** SCHEMA EVOLUTION: COLUMN DROP (A11's third DDL beside widen and
+    * add-column, `cdc_schema_evolution`): the source drops `s_name`,
+    * so wave 2's envelopes simply stop carrying it. The merge's
+    * mutual alignment (Merge.scala `SchemaEvolution.align`) resolves
+    * a column MISSING from the batch as typed nulls — exactly the
+    * Iceberg/Delta logical-drop semantic when no column mapping
+    * exists: the table schema keeps the column (old rows still carry
+    * their values, physical removal is deferred to a rewrite), new
+    * images read NULL for it. Steps prove both halves: rows upserted
+    * after the drop read NULL `s_name` (and the new balance); rows
+    * untouched since wave 1 keep their original name — no rewrite of
+    * unaffected data ever happens, which is what makes a drop a
+    * metadata-only DDL at 100 TB. SchemaDropSpec pins that the
+    * committed schema is BYTE-STABLE across the drop wave (the
+    * evolution journal records nothing).
+    */
+  def schemaDrop(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val wh = sdDirCache.computeIfAbsent(sfDir,
+      _ => graft.Scratch.dir("graft-sdrop-").toString)
+    val whPath = Paths.get(wh)
+    Files.walk(whPath).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => if (p != whPath) Files.deleteIfExists(p))
+    val store = new graft.cdc.StateStore(wh, nBuckets = 8)
+    val target = "cdc.commerce_supplier_sd"
+    val pk = Seq("s_suppkey")
+    val sup = Tables.load(spark, sfDir, "supplier")
+    def wave(df: DataFrame, ts: Long): Unit = {
+      graft.cdc.MergeCommit.mergeBatchMeta(store, target, df
+        .withColumn(graft.cdc.StateStore.TsCol, lit(ts))
+        .withColumn(graft.cdc.StateStore.SeqCol, col("s_suppkey"))
+        .withColumn(graft.cdc.StateStore.DeletedCol, lit(false))
+        .withColumn(graft.cdc.StateStore.BucketCol,
+          graft.cdc.StateStore.bucketExpr(pk, 8)), pk)
+      ()
+    }
+    wave(sup, 1000L)
+    wave(sup.filter(col("s_suppkey") % 3 === 0).drop("s_name")
+      .withColumn("s_acctbal", col("s_acctbal") + 100.0), 2000L)
+
+    store.currentState(spark, target)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("s_name").isNull, 1L).otherwise(0L)).as("n_null_name"),
+        round(sum(round(col("s_acctbal"), 2)), 2).as("bal_sum"))
+      .localCheckpoint(eager = true)
+  }
+
+  val schemaDropOracle: String =
+    """SELECT count(*) AS n_rows,
+      |  CAST(sum(CASE WHEN s_suppkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_null_name,
+      |  ROUND(sum(ROUND(CASE WHEN s_suppkey % 3 = 0 THEN s_acctbal + 100.0
+      |                       ELSE s_acctbal END, 2)), 2) AS bal_sum
+      |FROM supplier""".stripMargin
+
   // ------------------------------------------------- point lookup
 
   private val lookupDirCache =
@@ -2999,6 +3057,7 @@ object MaintenanceQueries {
     "cdc_table_changes_ts" -> tableChangesTs,
     "maintenance_expire_ts" -> expireTs,
     "maintenance_files_meta" -> filesMeta,
+    "cdc_schema_drop" -> schemaDrop,
     "cdc_point_lookup" -> pointLookup)
 
   def oracles: Map[String, String] = Map(
@@ -3033,5 +3092,6 @@ object MaintenanceQueries {
     "cdc_table_changes_ts" -> tableChangesTsOracle,
     "maintenance_expire_ts" -> expireTsOracle,
     "maintenance_files_meta" -> filesMetaOracle,
+    "cdc_schema_drop" -> schemaDropOracle,
     "cdc_point_lookup" -> pointLookupOracle)
 }
