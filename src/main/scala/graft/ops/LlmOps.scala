@@ -4493,6 +4493,40 @@ object LlmOps {
       |    AS shard
       |FROM d ORDER BY epoch, shuffle_key""".stripMargin
 
+  /** TRAINING-SHARD MANIFEST — the reproducibility artifact written
+    * beside the shards [[shuffleEpoch]] cuts: per shard, document
+    * count, character mass, and an order-independent checksum (sum of
+    * doc_ids), so a retrained run — or another engine — can verify it
+    * is reading byte-for-byte the same shard composition before
+    * spending GPU-hours on it. One hash aggregate keyed by the shard,
+    * shard-cardinality-sized output; the checksum is commutative so
+    * the aggregate stays map-side-combinable.
+    */
+  def shardManifest(spark: SparkSession, sfDir: String): DataFrame = {
+    val key = md5(concat(lit("1:"), col("doc_id").cast("string")))
+    t(spark, sfDir, "documents")
+      .withColumn("shard",
+        (conv(substring(key, 1, 2), 16, 10).cast("int") % 8).cast("int"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("n_chars"),
+        sum("doc_id").as("checksum"))
+      .orderBy("shard")
+  }
+
+  val shardManifestOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, n_chars,
+      |    CAST(('0x' || substring(
+      |      md5('1:' || CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT % 8
+      |      AS INTEGER) AS shard
+      |  FROM documents
+      |)
+      |SELECT shard, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+      |  CAST(sum(doc_id) AS BIGINT) AS checksum
+      |FROM d GROUP BY shard ORDER BY shard""".stripMargin
+
   def mixEpochs(spark: SparkSession, sfDir: String): DataFrame = {
     val srcNum = substring(col("source"), 4, 10).cast("int")
     val whole = (lit(1) + floor((srcNum % 4) / 2)).cast("int")
@@ -5133,6 +5167,7 @@ object LlmOps {
     "llm_mix_temperature" -> mixTemperature,
     "llm_mix_epochs" -> mixEpochs,
     "llm_shuffle_epoch" -> shuffleEpoch,
+    "llm_shard_manifest" -> shardManifest,
     "llm_text_quality_full" -> textQualityFull,
     "llm_decontaminate" -> decontaminate,
     "llm_decontaminate_bloom" -> decontaminateBloom,
@@ -5219,6 +5254,7 @@ object LlmOps {
     "llm_mix_temperature" -> mixTemperatureOracle,
     "llm_mix_epochs" -> mixEpochsOracle,
     "llm_shuffle_epoch" -> shuffleEpochOracle,
+    "llm_shard_manifest" -> shardManifestOracle,
     "llm_text_quality_full" -> textQualityFullOracle,
     "llm_decontaminate" -> decontaminateOracle,
     "llm_decontaminate_bloom" -> decontaminateBloomOracle,

