@@ -713,6 +713,56 @@ object StreamingOps {
     * oracle checks. At 100 TB the model broadcast is the only shared
     * state and the stream scales with ingest volume alone.
     */
+  /** Streaming SHARD MANIFEST — [[LlmOps.shardManifest]] maintained
+    * incrementally as the corpus arrives: each micro-batch computes
+    * its own per-shard (docs, chars, checksum) triple batch-locally
+    * and folds it into running counters — the commutative checksum
+    * (sum of doc_ids) is exactly what makes this fold order- and
+    * slicing-independent, so the drained totals equal the batch
+    * manifest bit-for-bit however the files were micro-batched. Only
+    * the shard-cardinality counter map crosses batch boundaries;
+    * nothing is reprocessed.
+    */
+  def streamShardManifest(spark: SparkSession, sfDir: String): DataFrame = {
+    val staged = stage(spark, sfDir, "documents")
+    val schema = Tables.load(spark, sfDir, "documents").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 2).parquet(staged)
+    val acc =
+      new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, Long)]()
+    val key = md5(concat(lit("1:"), col("doc_id").cast("string")))
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = src.writeStream
+        .option("checkpointLocation",
+          graft.Scratch.dir("graft-shard-ckpt-").toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch
+            .withColumn("shard",
+              (conv(substring(key, 1, 2), 16, 10).cast("int") % 8)
+                .cast("int"))
+            .groupBy("shard")
+            .agg(count(lit(1)).as("n"),
+              sum("n_chars").as("c"), sum("doc_id").as("ck"))
+            .collect().foreach { r =>
+              acc.merge(r.getInt(0),
+                (r.getLong(1), r.getLong(2), r.getLong(3)),
+                (a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3))
+            }
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    import scala.jdk.CollectionConverters._
+    val session = spark
+    import session.implicits._
+    acc.asScala.toSeq
+      .map { case (s, (n, c, ck)) => (s, n, c, ck) }
+      .toDF("shard", "n_docs", "n_chars", "checksum")
+      .orderBy("shard")
+  }
+
   def streamImportance(spark: SparkSession, sfDir: String): DataFrame = {
     val lm = LlmOps.importanceLm(spark, sfDir).persist()
     lm.count() // materialize the model before the stream starts
@@ -1479,6 +1529,7 @@ object StreamingOps {
     "stream_dedup_ttl" -> dedupTtl,
     "stream_anomaly" -> streamAnomaly,
     "stream_importance" -> streamImportance,
+    "stream_shard_manifest" -> streamShardManifest,
     "stream_heavy_hitters" -> streamHeavyHitters,
     "stream_stateful" -> stateful,
     "stream_transform_state" -> transformState)
@@ -1503,6 +1554,7 @@ object StreamingOps {
     "stream_dedup_ttl" -> dedupTtlOracle,
     "stream_anomaly" -> streamAnomalyOracle,
     "stream_importance" -> streamImportanceOracle,
+    "stream_shard_manifest" -> LlmOps.shardManifestOracle,
     "stream_heavy_hitters" -> streamHeavyHittersOracle,
     "stream_stateful" -> statefulOracle,
     "stream_transform_state" -> transformStateOracle)

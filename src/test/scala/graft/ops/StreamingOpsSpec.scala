@@ -152,4 +152,14 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(streamed === batch,
       "micro-batch slicing must not change the exact-regime sketch")
   }
+
+  test("stream_shard_manifest: drained counters equal the batch " +
+    "manifest bit-for-bit") {
+    val streamed = StreamingOps.streamShardManifest(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val batch = LlmOps.shardManifest(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(streamed.sameElements(batch),
+      "the commutative fold must be slicing-independent")
+  }
 }
