@@ -80,7 +80,11 @@ object Bench {
       try {
         val f = scala.io.Source.fromFile("/proc/stat").getLines()
           .next().trim.split("\\s+").drop(1).map(_.toLong)
-        (f.sum, if (f.length > 7) f(7) else 0L)
+        // Only user..steal (first 8 fields): the kernel already folds
+        // guest/guest_nice into user/nice, so summing all 10 would
+        // double-count guest time and deflate steal_pct on exactly the
+        // VM hosts the metric exists for (ADVICE r13).
+        (f.take(8).sum, if (f.length > 7) f(7) else 0L)
       } catch { case _: Throwable => (-1L, 0L) }
     val loadStart = loadavg()
     val (jifStart, stealStart) = cpuJiffies()
@@ -168,7 +172,16 @@ object Bench {
       "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f",
         Double.box(v))
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","median_total":${fmt(medianTotal)},"queries":$qs,"medians":$medJson,"errors":$errJson,"noise":$noiseJson,"sf":"$sfDir"}""")
+    // Per-query spread map (VERDICT r13 #2): the global median/max
+    // spread says how dirty the RUN was, but a reader triaging one
+    // suspicious row needs that row's own max/min ratio to tell a
+    // load-contaminated sample from a real regression without a
+    // re-time. Published on the full line only (the compact tail line
+    // stays windows-safe).
+    val spreadJson = spreads.toSeq.sortBy(_._1).map { case (k, v) =>
+      "\"" + k + "\":" + fmt(v)
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","median_total":${fmt(medianTotal)},"queries":$qs,"medians":$medJson,"spreads":$spreadJson,"errors":$errJson,"noise":$noiseJson,"sf":"$sfDir"}""")
     // The harness that records this output keeps only the LAST ~2000
     // chars of the log; with 100+ registered queries the full line above
     // overflows that window and its head (the parseable "{"metric"

@@ -112,6 +112,21 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
     rows.toDF("version", "n_buckets", "rewritten_buckets", "schema_changed")
   }
 
+  /** METADATA TABLE — the Iceberg `$history` analog beside
+    * [[snapshots]]: one row per SURVIVING version with its persisted
+    * commit instant ([[commitTimeOf]]) and whether it is the current
+    * head. Metadata-only (manifest existence + the commits sidecar);
+    * vacuum-expired versions are omitted exactly like [[snapshots]].
+    */
+  def history(spark: SparkSession, target: String): DataFrame = {
+    val cur = currentVersion(target)
+    val rows = (0 to cur)
+      .filter(v => Files.exists(dir(target).resolve(s"manifest-$v.tsv")))
+      .map(v => (v, commitTimeOf(target, v), v == cur))
+    import spark.implicits._
+    rows.toDF("version", "committed_at", "is_current")
+  }
+
   /** Raw state (with merge metadata) for the given buckets only — the
     * partition-pruned read path used by merges. Bucket dirs from
     * different versions are read per version group (each with its own
@@ -190,22 +205,77 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
       .drop(TsCol, SeqCol, DeletedCol, BucketCol)
   }
 
+  /** COMMIT INSTANT of a version: the millisecond timestamp recorded in
+    * the append-only `commits.jsonl` sidecar at metadata-write time —
+    * the Iceberg snapshot `timestamp-ms` / Delta commitInfo analog.
+    * Persisted IN metadata, not inferred from file mtimes (ADVICE r13,
+    * medium): [[purgeKeys]] atomically REWRITES every retained manifest,
+    * which resets their mtimes to the purge instant — an mtime-derived
+    * instant would mis-resolve all historical timestamps after any
+    * purge and break monotonicity. The sidecar survives purge untouched
+    * because purge rewrites data-pointer files only.
+    *
+    * Instants are stamped strictly monotone (max(now, last+1)), so two
+    * commits inside one wall-clock millisecond — or on a filesystem
+    * with coarse timestamp granularity — still resolve distinctly.
+    * The last line wins per version: a dropped-then-restaged WAP
+    * version's stale line is superseded by the re-stage's append.
+    * Manifest mtime remains the fallback for stores written before the
+    * sidecar existed.
+    */
+  def commitTimeOf(target: String, version: Int): Long = {
+    val f = dir(target).resolve(CommitsFile)
+    val recorded: Option[Long] =
+      if (!Files.exists(f)) None
+      else {
+        val pat = s"""\\{"version":$version,"ts":(\\d+)\\}""".r
+        Files.readAllLines(f).asScala.reverseIterator.collectFirst {
+          case pat(ts) => ts.toLong
+        }
+      }
+    recorded.getOrElse {
+      val m = dir(target).resolve(s"manifest-$version.tsv")
+      require(Files.exists(m),
+        s"no commit record or manifest for version $version of $target")
+      Files.getLastModifiedTime(m).toMillis
+    }
+  }
+
+  /** Stamp version `next`'s commit instant into `commits.jsonl`:
+    * strictly greater than every instant already recorded, so
+    * resolution is monotone by construction regardless of clock or
+    * filesystem granularity.
+    */
+  private def recordCommitTime(target: String, next: Int): Long = {
+    val f = dir(target).resolve(CommitsFile)
+    val last: Long =
+      if (!Files.exists(f)) Long.MinValue
+      else {
+        val pat = """"ts":(\d+)\}""".r.unanchored
+        Files.readAllLines(f).asScala.foldLeft(Long.MinValue) { (mx, line) =>
+          line match { case pat(ts) => math.max(mx, ts.toLong); case _ => mx }
+        }
+      }
+    val ts = math.max(System.currentTimeMillis(), last + 1)
+    Files.writeString(f, s"""{"version":$next,"ts":$ts}""" + "\n",
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    ts
+  }
+
   /** TIMESTAMP AS OF resolution (the Iceberg snapshot-at-timestamp
     * lookup beside [[stateAt]]'s `VERSION AS OF`): the latest
-    * surviving version whose commit instant is <= `tsMillis`. The
-    * commit instant is the version's manifest-file mtime — the
-    * manifest write is the last step before the atomic pointer swap,
-    * so its mtime is the commit time without a second metadata
-    * channel, and manifests are written in version order so the
-    * resolution is monotone. Vacuum-reclaimed versions are skipped
-    * (their manifest is gone), exactly like [[snapshots]]; WAP-staged
-    * versions are invisible (they sit ABOVE the committed pointer
-    * until published). O(versions) metadata-only walk.
+    * surviving version whose commit instant ([[commitTimeOf]] — the
+    * persisted `commits.jsonl` record) is <= `tsMillis`.
+    * Vacuum-reclaimed versions are skipped (their manifest is gone),
+    * exactly like [[snapshots]]; WAP-staged versions are invisible
+    * (they sit ABOVE the committed pointer until published).
+    * O(versions) metadata-only walk.
     */
   def versionAtTime(target: String, tsMillis: Long): Int = {
     val vs = (0 to currentVersion(target)).filter { v =>
-      val m = dir(target).resolve(s"manifest-$v.tsv")
-      Files.exists(m) && Files.getLastModifiedTime(m).toMillis <= tsMillis
+      Files.exists(dir(target).resolve(s"manifest-$v.tsv")) &&
+        commitTimeOf(target, v) <= tsMillis
     }
     require(vs.nonEmpty,
       s"no surviving version of $target committed at or before $tsMillis")
@@ -231,7 +301,7 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
   /** EXPIRE SNAPSHOTS OLDER THAN — the Iceberg
     * `expire_snapshots(older_than => ts)` analog: retention addressed
     * by instant instead of version count. Resolves the first version
-    * whose commit instant (manifest mtime, as in [[versionAtTime]])
+    * whose commit instant ([[commitTimeOf]], as in [[versionAtTime]])
     * is >= `tsMillis` and delegates to [[vacuum]], so every pinning
     * rule carries over unchanged: the head version NEVER expires
     * (even when every commit predates the horizon — Iceberg's rule
@@ -243,8 +313,8 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
   def expireOlderThan(target: String, tsMillis: Long): Unit = {
     val cur = currentVersion(target)
     val firstKept = (0 to cur).find { v =>
-      val m = dir(target).resolve(s"manifest-$v.tsv")
-      Files.exists(m) && Files.getLastModifiedTime(m).toMillis >= tsMillis
+      Files.exists(dir(target).resolve(s"manifest-$v.tsv")) &&
+        commitTimeOf(target, v) >= tsMillis
     }.getOrElse(cur)
     vacuum(target, keepVersions = cur - firstKept + 1)
   }
@@ -547,6 +617,8 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
         s"""{"version":$next,"schema":$schemaJson}""" + "\n",
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
+    recordCommitTime(target, next)
+    ()
   }
 
   /** Atomic `_VERSION` swap: readers see the old or the new version,
@@ -734,6 +806,7 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
     Files.writeString(d.resolve("schema-0.json"), schemaJson)
     Files.writeString(d.resolve("schema-history.jsonl"),
       s"""{"version":0,"schema":$schemaJson}""" + "\n")
+    recordCommitTime(dst, 0)
     val tmp = d.resolve("_VERSION.tmp")
     Files.writeString(tmp, "0")
     Files.move(tmp, d.resolve(VersionFile),
@@ -847,6 +920,10 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
         s"""{"version":$next,"schema":$schemaJson}""" + "\n",
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
+    // The restore's own commit instant — the copied manifest must NOT
+    // inherit the restored-to version's instant, or resolution would
+    // lose monotonicity (Delta stamps RESTORE commits the same way).
+    recordCommitTime(target, next)
     if (currentVersion(target) != prev)
       throw new IllegalStateException(
         s"single-writer invariant violated on $target: version moved " +
@@ -930,8 +1007,11 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
     val cur = currentVersion(target)
     require(cur >= 0, s"$target does not exist")
     // One distinct pass over the erase set, reused by the bucket scan,
-    // every dir rewrite, and the head audit count.
+    // every dir rewrite, and the head audit count. Unpersisted in the
+    // finally below — a failed dir rewrite must not leak the cached
+    // frame in a long-lived session (ADVICE r13).
     val keySet = keysDf.select(col(pkCol)).distinct().persist()
+    try {
     // ONE aggregate gets both the affected buckets (by the same hash
     // both merge sides use — bounded by nBuckets, metadata-sized
     // however large the erase set) and the key count that picks the
@@ -1026,8 +1106,8 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
             .forEach(q => Files.deleteIfExists(q))
       }
     }
-    keySet.unpersist(blocking = false)
     erasedHead
+    } finally keySet.unpersist(blocking = false)
   }
 
   /** Maintenance: rewrite the WHOLE table into one fresh version (the
@@ -1236,6 +1316,7 @@ object StateStore {
   val VersionFile = "_VERSION"
   val RefsFile = "refs.jsonl"
   val NamedRefsFile = "named-refs.jsonl"
+  val CommitsFile = "commits.jsonl"
 
   /** Deterministic PK → bucket assignment (xxhash64, the engine-wide
     * content hash). The same expression computes batch-side and

@@ -728,8 +728,13 @@ object StreamingOps {
     val schema = Tables.load(spark, sfDir, "documents").schema
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 2).parquet(staged)
-    val acc =
-      new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, Long)]()
+    // Keyed by batchId and OVERWRITTEN per slot (ADVICE r13):
+    // foreachBatch is at-least-once, so a retried micro-batch must
+    // replace its own prior contribution, not re-merge it additively —
+    // the same replay discipline the pipeline's quarantine slots use.
+    // Totals are folded across slots only at drain.
+    val acc = new java.util.concurrent.ConcurrentHashMap[
+      Long, Map[Int, (Long, Long, Long)]]()
     val key = md5(concat(lit("1:"), col("doc_id").cast("string")))
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
@@ -737,19 +742,18 @@ object StreamingOps {
       val q = src.writeStream
         .option("checkpointLocation",
           graft.Scratch.dir("graft-shard-ckpt-").toString)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          acc.put(batchId, batch
             .withColumn("shard",
               (conv(substring(key, 1, 2), 16, 10).cast("int") % 8)
                 .cast("int"))
             .groupBy("shard")
             .agg(count(lit(1)).as("n"),
               sum("n_chars").as("c"), sum("doc_id").as("ck"))
-            .collect().foreach { r =>
-              acc.merge(r.getInt(0),
-                (r.getLong(1), r.getLong(2), r.getLong(3)),
-                (a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3))
-            }
+            .collect()
+            .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2),
+              r.getLong(3))).toMap)
+          ()
         }
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
@@ -757,8 +761,12 @@ object StreamingOps {
     import scala.jdk.CollectionConverters._
     val session = spark
     import session.implicits._
-    acc.asScala.toSeq
-      .map { case (s, (n, c, ck)) => (s, n, c, ck) }
+    acc.asScala.values.flatten
+      .groupBy(_._1).toSeq
+      .map { case (s, grp) =>
+        val vs = grp.map(_._2)
+        (s, vs.map(_._1).sum, vs.map(_._2).sum, vs.map(_._3).sum)
+      }
       .toDF("shard", "n_docs", "n_chars", "checksum")
       .orderBy("shard")
   }
@@ -770,24 +778,27 @@ object StreamingOps {
     val schema = Tables.load(spark, sfDir, "documents").schema
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 2).parquet(staged)
-    val acc = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Long)]()
+    // batchId-keyed overwrite slots, as in [[streamShardManifest]]
+    // (ADVICE r13): a replayed micro-batch replaces its contribution
+    // instead of double-counting it.
+    val acc = new java.util.concurrent.ConcurrentHashMap[
+      Long, Map[String, (Long, Long, Long)]]()
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
       val q = src.writeStream
         .option("checkpointLocation",
           graft.Scratch.dir("graft-imp-ckpt-").toString)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          LlmOps.importanceScore(batch, lm)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          acc.put(batchId, LlmOps.importanceScore(batch, lm)
             .groupBy("source")
             .agg(count(lit(1)).as("n"),
               sum(col("keep").cast("long")).as("k"),
               sum(when(col("keep"), col("doc_id")).otherwise(0L)).as("ids"))
-            .collect().foreach { r =>
-              acc.merge(r.getString(0),
-                (r.getLong(1), r.getLong(2), r.getLong(3)),
-                (a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3))
-            }
+            .collect()
+            .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+              r.getLong(3))).toMap)
+          ()
         }
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
@@ -798,8 +809,12 @@ object StreamingOps {
     import scala.jdk.CollectionConverters._
     val session = spark
     import session.implicits._
-    acc.asScala.toSeq
-      .map { case (src0, (n, k, ids)) => (src0, n, k, ids) }
+    acc.asScala.values.flatten
+      .groupBy(_._1).toSeq
+      .map { case (src0, grp) =>
+        val vs = grp.map(_._2)
+        (src0, vs.map(_._1).sum, vs.map(_._2).sum, vs.map(_._3).sum)
+      }
       .toDF("source", "n_total", "n_kept", "id_sum_kept")
       .orderBy("source")
   }

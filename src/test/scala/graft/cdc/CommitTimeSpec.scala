@@ -1,0 +1,90 @@
+package graft.cdc
+
+import graft.SparkTestBase
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** Persisted commit instants (`commits.jsonl` — ADVICE r13, medium):
+  * timestamp resolution must survive maintenance that rewrites
+  * manifest FILES. [[StateStore.purgeKeys]] atomically rewrites every
+  * retained manifest (resetting their mtimes to the purge instant), so
+  * an mtime-derived instant would mis-resolve all historical markers
+  * after any purge; the sidecar instant must not move. Also pins
+  * strict monotonicity (two metadata-only commits in the same
+  * millisecond still resolve distinctly) and the restore stamping its
+  * OWN instant rather than inheriting the restored-to version's.
+  */
+class CommitTimeSpec extends SparkTestBase {
+
+  private def freshStore(tag: String): (StateStore, String) = {
+    val wh = graft.Scratch.dir(s"graft-$tag-").toString
+    (new StateStore(wh, nBuckets = 4), s"cdc.${tag}_t")
+  }
+
+  private def wave(store: StateStore, target: String,
+                   df: org.apache.spark.sql.DataFrame, ts: Long,
+                   deleted: Boolean = false): Unit = {
+    val pk = Seq("s_suppkey")
+    MergeCommit.mergeBatchMeta(store, target, df
+      .withColumn(StateStore.TsCol, lit(ts))
+      .withColumn(StateStore.SeqCol, col("s_suppkey").cast("long"))
+      .withColumn(StateStore.DeletedCol, lit(deleted))
+      .withColumn(StateStore.BucketCol, StateStore.bucketExpr(pk, 4)), pk)
+    ()
+  }
+
+  test("purge rewrites every manifest but historical markers still " +
+      "resolve; instants stay strictly monotone") {
+    val (store, target) = freshStore("ctime")
+    val sup = Tables.load(spark, sf, "supplier")
+    wave(store, target, sup, 1000L)                                    // v0
+    wave(store, target, sup.filter(col("s_suppkey") % 3 === 0)
+      .withColumn("s_acctbal", col("s_acctbal") + 100.0), 2000L)       // v1
+    wave(store, target, sup.filter(col("s_suppkey") % 5 === 0)
+      .withColumn("s_acctbal", col("s_acctbal") + 200.0), 3000L)       // v2
+
+    val instants = (0 to 2).map(v => store.commitTimeOf(target, v))
+    assert(instants == instants.sorted && instants.distinct == instants,
+      s"commit instants must be strictly monotone, got $instants")
+    val t1 = instants(0)
+    assert(store.versionAtTime(target, t1) == 0)
+
+    // The erasure rewrites EVERY retained manifest (fresh mtimes).
+    val erased = store.purgeKeys(spark, target, "s_suppkey",
+      Seq(0L, 15L, 30L))
+    assert(erased > 0)
+
+    // Resolution is unchanged: the marker still names v0, the instants
+    // did not move, and monotonicity survives the rewrite.
+    assert(store.versionAtTime(target, t1) == 0,
+      "a pre-purge marker must still resolve to its version " +
+        "(mtime-derived resolution broke here: every manifest's mtime " +
+        "is now the purge instant)")
+    assert((0 to 2).map(v => store.commitTimeOf(target, v)) == instants,
+      "purge must not move any commit instant")
+    // ...and the purged state at the marker no longer holds the keys.
+    assert(store.stateAtTime(spark, target, t1)
+      .filter(col("s_suppkey").isin(0L, 15L, 30L)).count() == 0L,
+      "erasure applies to every retained snapshot, markers included")
+  }
+
+  test("metadata-only commits in the same millisecond resolve " +
+      "distinctly; restore stamps its own instant") {
+    val (store, target) = freshStore("ctime2")
+    val sup = Tables.load(spark, sf, "supplier").limit(20)
+    wave(store, target, sup, 1000L)                                    // v0
+    wave(store, target, sup.withColumn("s_acctbal",
+      col("s_acctbal") + 1.0), 2000L)                                  // v1
+    // Two pointer-only restores back-to-back — far sub-millisecond
+    // apart on any filesystem; the monotone stamp keeps them distinct.
+    val v2 = store.restore(target, 0)
+    val v3 = store.restore(target, 1)
+    val ts = (0 to 3).map(v => store.commitTimeOf(target, v))
+    assert(ts == ts.sorted && ts.distinct == ts,
+      s"same-millisecond restores must still stamp distinct instants: $ts")
+    assert(store.versionAtTime(target, store.commitTimeOf(target, v2)) == v2)
+    assert(store.versionAtTime(target, store.commitTimeOf(target, v3)) == v3)
+    // The restore's instant is its OWN commit time, not v0's/v1's.
+    assert(ts(2) > ts(1) && ts(3) > ts(2))
+  }
+}

@@ -57,6 +57,31 @@ class BloomIndexSpec extends SparkTestBase {
       planStr.contains("EqualTo(o_custkey"),
       "residual o_custkey filter must push into the kept-files scan")
 
+    // PERSISTED posture (VERDICT r13 #2): the sidecar is a real
+    // on-disk artifact, the distributed consult over it agrees with a
+    // driver-side rebuild exactly, and a repeat invocation is a pure
+    // lookup — the artifact bytes are never rewritten.
+    val blobDir = java.nio.file.Paths.get(
+      MaintenanceQueries.bloomSidecarRoot(laid), "v0")
+    assert(java.nio.file.Files.exists(blobDir),
+      "sidecar must persist beside the data as a versioned artifact")
+    val keptPersisted =
+      MaintenanceQueries.bloomKeptFilesPersisted(spark, laid, probe)
+    assert(keptPersisted.sorted == kept.sorted,
+      "persisted consult must equal the driver-side rebuild")
+    val mtimeBefore = java.nio.file.Files.walk(blobDir)
+      .sorted().toArray.map(p =>
+        java.nio.file.Files.getLastModifiedTime(
+          p.asInstanceOf[java.nio.file.Path]).toMillis).toSeq
+    val again = MaintenanceQueries.layoutBloom(spark, sf).collect()
+    assert(again.toSeq == result.toSeq)
+    val mtimeAfter = java.nio.file.Files.walk(blobDir)
+      .sorted().toArray.map(p =>
+        java.nio.file.Files.getLastModifiedTime(
+          p.asInstanceOf[java.nio.file.Path]).toMillis).toSeq
+    assert(mtimeAfter == mtimeBefore,
+      "a repeat lookup must not rebuild the artifact")
+
     // The motivation: min/max ranges on the unclustered column keep
     // every file — membership pruning is the only lever here.
     val ranges = spark.read.parquet(laid)
