@@ -52,9 +52,28 @@ object MergeCommit {
                      pkCols: Seq[String],
                      persistSlices: Boolean = false,
                      stage: Boolean = false): Option[Result] = {
-    val spark = batchMeta.sparkSession
     val affected = batchMeta.select(StateStore.BucketCol).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
+    mergeBatchMetaAffected(store, table, batchMeta, pkCols, affected,
+      persistSlices, stage)
+  }
+
+  /** The merge body once the affected buckets are known. Callers that
+    * can compute `affected` from a CHEAPER frame than the compacted
+    * batch (the flattened paths below use the raw slice — the bucket
+    * set is invariant under latest-per-key compaction, and a
+    * bucket-projection distinct is a scan + map-side partial agg,
+    * not the compaction's `groupBy`+`max_by` shuffle) avoid paying
+    * the compaction twice per micro-batch: once for the bucket
+    * collect and again inside the merge job.
+    */
+  private def mergeBatchMetaAffected(store: StateStore, table: String,
+                                     batchMeta: DataFrame,
+                                     pkCols: Seq[String],
+                                     affected: Seq[Int],
+                                     persistSlices: Boolean,
+                                     stage: Boolean): Option[Result] = {
+    val spark = batchMeta.sparkSession
     if (affected.isEmpty) return None
     val state =
       if (store.exists(table)) store.readBuckets(spark, table, affected)
@@ -72,6 +91,17 @@ object MergeCommit {
     Some(Result(stateAligned, merged, v))
   }
 
+  /** Affected buckets straight off a flattened slice: same hash
+    * expression as [[toBatchMeta]] over the `row.*` key columns, so
+    * the set equals the compacted frame's by construction — without
+    * running the compaction.
+    */
+  private def affectedBuckets(slice: DataFrame, pkCols: Seq[String],
+                              nBuckets: Int): Seq[Int] =
+    slice.select(StateStore.bucketExpr(pkCols.map(c => s"row.$c"),
+        nBuckets).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+
   /** Compact + merge a flattened slice ([[Envelope.flatten]] output).
     * With `stage = true` the merge lands as an UNPUBLISHED branch
     * version ([[StateStore.stageCommit]]) for a write-audit-publish
@@ -81,10 +111,11 @@ object MergeCommit {
                      pkCols: Seq[String],
                      persistSlices: Boolean = false,
                      stage: Boolean = false): Option[Result] =
-    mergeBatchMeta(store, table,
+    mergeBatchMetaAffected(store, table,
       toBatchMeta(Merge.compactKeepTombstones(slice, pkCols), pkCols,
         store.nBuckets),
-      pkCols, persistSlices, stage)
+      pkCols, affectedBuckets(slice, pkCols, store.nBuckets),
+      persistSlices, stage)
 
   /** Audit-scope tag for [[mergeGatedFlattened]]: batch rows carry
     * `true`, state rows surface `null` through schema alignment, and
@@ -127,8 +158,7 @@ object MergeCommit {
       pkCols, store.nBuckets)
       .withColumn(GateCol, lit(true))
     val spark = batchMeta.sparkSession
-    val affected = batchMeta.select(StateStore.BucketCol).distinct()
-      .collect().map(_.getInt(0)).toSeq.sorted
+    val affected = affectedBuckets(slice, pkCols, store.nBuckets)
     if (affected.isEmpty) return None
     val state =
       if (store.exists(table)) store.readBuckets(spark, table, affected)

@@ -5099,9 +5099,81 @@ object LlmOps {
       |FROM k JOIN g USING (n_bytes, payload_md5)
       |WHERE k.doc_id <> g.kept_for ORDER BY dropped""".stripMargin
 
+  // ------------------------------------------- repetition quality rules
+
+  /** REPETITION-QUALITY RULES (the Gopher/MassiveText repetition
+    * filters — Rae et al. 2021 §A1.1 — beside the length/TTR gates
+    * [[qualityPred]] applies): per document, the fraction of 2-grams
+    * that are duplicates (`1 - distinct/total`) and the fraction
+    * claimed by the single most frequent 2-gram; documents where
+    * either exceeds 6 % are flagged as repetitive boilerplate (looped
+    * templates, keyword stuffing — the pathology these rules exist to
+    * cut from web corpora). Published as a per-source census so the
+    * report names WHERE the boilerplate concentrates.
+    *
+    * Scale: bigrams are built SCAN-LOCALLY (`zip_with` over two
+    * shifted `slice`s of the token array — no window, unlike the
+    * oracle's `lead`, so no per-doc sort or shuffle before the
+    * aggregate), then one (doc, bigram) hash aggregate, a per-doc
+    * rollup, and a source-cardinality rollup — every stage map-side
+    * combinable, nothing driver-sized. Single-token documents have no
+    * bigrams and drop out identically in both engines.
+    */
+  def qualityRepetition(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val arr = split(col("text"), " ")
+    val bigrams = zip_with(
+      slice(arr, lit(1), size(arr) - 1),
+      slice(arr, lit(2), size(arr) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    val bgc = docs
+      .select(col("doc_id"), col("source"), explode(bigrams).as("b"))
+      .groupBy("doc_id", "source", "b")
+      .agg(count(lit(1)).as("c"))
+    val perDoc = bgc.groupBy("doc_id", "source")
+      .agg(round((sum("c") - count(lit(1))).cast("double") / sum("c"), 6)
+          .as("dup_frac"),
+        round(max("c").cast("double") / sum("c"), 6).as("top_frac"))
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg("dup_frac"), 6).as("avg_dup_frac"),
+        round(avg("top_frac"), 6).as("avg_top_frac"),
+        sum(when(col("dup_frac") > 0.06 || col("top_frac") > 0.06, 1L)
+          .otherwise(0L)).as("n_flagged"))
+      .orderBy("source")
+  }
+
+  val qualityRepetitionOracle: String =
+    """WITH t0 AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS arr
+      |  FROM documents
+      |), toks AS (
+      |  SELECT doc_id, source, generate_subscripts(arr, 1) AS i,
+      |    unnest(arr) AS tm
+      |  FROM t0
+      |), bg AS (
+      |  SELECT doc_id, source,
+      |    tm || ' ' || lead(tm) OVER (PARTITION BY doc_id ORDER BY i) AS b
+      |  FROM toks QUALIFY b IS NOT NULL
+      |), bgc AS (
+      |  SELECT doc_id, source, b, count(*) AS c FROM bg GROUP BY 1, 2, 3
+      |), per_doc AS (
+      |  SELECT doc_id, source,
+      |    round(CAST(sum(c) - count(*) AS DOUBLE) / sum(c), 6) AS dup_frac,
+      |    round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_frac
+      |  FROM bgc GROUP BY 1, 2
+      |)
+      |SELECT source, count(*) AS n_docs,
+      |  round(avg(dup_frac), 6) AS avg_dup_frac,
+      |  round(avg(top_frac), 6) AS avg_top_frac,
+      |  CAST(sum(CASE WHEN dup_frac > 0.06 OR top_frac > 0.06
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+      |FROM per_doc GROUP BY source ORDER BY source""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_quality_repetition" -> qualityRepetition,
     "llm_dedup_exact" -> dedupExact,
     "llm_dedup_normalized" -> dedupNormalized,
     "llm_source_stats" -> sourceStats,
@@ -5189,6 +5261,7 @@ object LlmOps {
     "llm_sim_graph_recall" -> simGraphRecall)
 
   def oracles: Map[String, String] = Map(
+    "llm_quality_repetition" -> qualityRepetitionOracle,
     "llm_dedup_exact" -> dedupExactOracle,
     "llm_dedup_normalized" -> dedupNormalizedOracle,
     "llm_source_stats" -> sourceStatsOracle,
