@@ -38,6 +38,18 @@ class PlanSpec extends SparkTestBase {
         "single-partition collapse")
   }
 
+  test("llm_quality_repetition: bigrams are scan-local — no Window, " +
+    "and every aggregate is partial+final") {
+    val p = plan("llm_quality_repetition")
+    assert(!p.contains("Window"),
+      "bigram construction must be the zip_with projection, not the " +
+        "oracle's lead() window — a window would sort every document's " +
+        "tokens through a per-doc shuffle before the first aggregate")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "the (doc,bigram), per-doc, and per-source rollups must all " +
+        "partial-aggregate map-side")
+  }
+
   test("agg_q1: filter pushed to scan, pruned columns, partial+final agg") {
     val p = plan("agg_q1")
     assert(p.contains("PushedFilters"), "no pushdown block")
