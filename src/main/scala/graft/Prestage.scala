@@ -29,5 +29,6 @@ object Prestage {
     queries.JoinCdcQueries.prestage(spark, sfDir)
     queries.PqCdcQueries.prestage(spark, sfDir)
     queries.Scd2CdcQueries.prestage(spark, sfDir)
+    queries.MaintenanceQueries.prestage(spark, sfDir)
   }
 }

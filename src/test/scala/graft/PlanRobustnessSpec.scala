@@ -24,7 +24,11 @@ class PlanRobustnessSpec extends SparkTestBase {
     "maintenance_wap_branch", // stage/audit/publish over the store
     "maintenance_refs_diff",  // full-outer state diff, bucket-pruned
     "llm_mix_importance_topk", // histogram threshold + boundary window
-    "layout_bloom")           // sidecar consult + pruned scan
+    "layout_bloom",           // persisted-sidecar consult + pruned scan
+    "cdc_merge_mor_position", // (file,pos) anti joins + compaction fold
+    "profile_t_closeness",    // per-class TVD: join order + broadcast q
+    "llm_quality_repetition", // scan-local bigrams + 3-level rollup
+    "cdc_pipeline_wap")       // observe-audited staged commits
 
   test("results are invariant to broadcast strategy and partition count") {
     for (q <- probes) {
