@@ -75,8 +75,10 @@ final case class PipelineConfig(
   *    set, so duplicate delivery cannot change state).
   *  - A15 fail-fast: events for tables without a [[CdcAdmin]]
   *    registration abort the query (errors.tolerance=none).
-  *  - A17 single writer: targets are merged sequentially inside the
-  *    micro-batch thread; nothing else writes the store.
+  *  - A17 single writer: one merge per TARGET per micro-batch and
+  *    nothing else writes the store — distinct targets are disjoint
+  *    table dirs, so their merges run concurrently without touching
+  *    the invariant.
   */
 /** WAP gate for the pipeline's micro-batch commit path: `violation`
   * is a predicate over post-merge state rows. A micro-batch that
@@ -197,24 +199,35 @@ final class Pipeline(store: StateStore, gate: Option[WapGate] = None) {
               col("meta.source.table").as("t"))
             .distinct().collect()
             .map(r => (r.getString(0), r.getString(1))).sortBy(p => p._1 + p._2)
-          tables.foreach { case (s, t) =>
+          // Same per-target concurrency as [[processBatch]]:
+          // registration and schema lookups fail-fast for EVERY table
+          // first, then the independent per-table merges run as
+          // concurrent Spark actions.
+          val withMeta = tables.map { case (s, t) =>
             val fqn = s"$s.$t"
             val pk = CdcAdmin.pkOf(fqn).getOrElse(
               throw new IllegalStateException(
                 s"A15 fail-fast: CDC not enabled for $fqn"))
             val rowSchema = rowSchemas.getOrElse(fqn,
               throw new IllegalStateException(s"no row schema for $fqn"))
-            val slice = batch
-              .filter(col("meta.source.schema") === s &&
-                col("meta.source.table") === t)
-              .select("value")
-            val parsed = Envelope.fromWire(slice, rowSchema)
-            val routed = Routing.route(Envelope.flatten(parsed),
-              cfg.routePattern)
-            val target = cfg.routePattern
-              .replace("{schema}", s).replace("{table}", t)
-            mergeTarget(target, pk, routed, batchId)
+            (s, t, pk, rowSchema)
           }
+          val ec = scala.concurrent.ExecutionContext.global
+          withMeta.map { case (s, t, pk, rowSchema) =>
+            scala.concurrent.Future {
+              val slice = batch
+                .filter(col("meta.source.schema") === s &&
+                  col("meta.source.table") === t)
+                .select("value")
+              val parsed = Envelope.fromWire(slice, rowSchema)
+              val routed = Routing.route(Envelope.flatten(parsed),
+                cfg.routePattern)
+              val target = cfg.routePattern
+                .replace("{schema}", s).replace("{table}", t)
+              mergeTarget(target, pk, routed, batchId)
+            }(ec)
+          }.foreach(f => scala.concurrent.Await.result(f,
+            scala.concurrent.duration.Duration.Inf))
         } finally batch.unpersist()
       }
     cfg.triggerIntervalMs match {
@@ -224,7 +237,14 @@ final class Pipeline(store: StateStore, gate: Option[WapGate] = None) {
   }
 
   /** One micro-batch: route fan-out, then one ordered merge + commit
-    * per distinct target (A17: sequential, deterministic order).
+    * per distinct target. Distinct targets are DIFFERENT store tables
+    * (disjoint dirs — A17's single-writer invariant is per table and
+    * holds trivially across them), so their merges run as CONCURRENT
+    * Spark actions: on a real cluster the scheduler interleaves their
+    * stages across executors instead of idling through each target's
+    * small commit write; each target's commit stays atomic and
+    * per-batch-deterministic. Fail-fast (A15) still aborts the whole
+    * micro-batch: Await rethrows the first registration failure.
     * The distinct-target collect is metadata-sized — bounded by the
     * number of captured tables, never by data volume.
     */
@@ -237,13 +257,21 @@ final class Pipeline(store: StateStore, gate: Option[WapGate] = None) {
         .distinct().collect()
         .map(r => (r.getString(0), s"${r.getString(1)}.${r.getString(2)}"))
         .sortBy(_._1)
-      targets.foreach { case (target, tableFqn) =>
+      // Registration is checked for EVERY target before any merge
+      // starts: fail-fast must not let an earlier target commit while
+      // a later one aborts the batch.
+      val withPk = targets.map { case (target, tableFqn) =>
         val pk = CdcAdmin.pkOf(tableFqn).getOrElse(throw new IllegalStateException(
           s"A15 fail-fast: CDC not enabled for $tableFqn " +
             "(call CdcAdmin.enableCdc(table, pkCols) first)"))
+        (target, pk)
+      }
+      val ec = scala.concurrent.ExecutionContext.global
+      withPk.map { case (target, pk) => scala.concurrent.Future {
         mergeTarget(target, pk,
           batch.filter(col("_cdc_target") === target), batchId)
-      }
+      }(ec) }.foreach(f => scala.concurrent.Await.result(f,
+        scala.concurrent.duration.Duration.Inf))
     } finally batch.unpersist()
   }
 

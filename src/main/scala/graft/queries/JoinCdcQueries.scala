@@ -133,11 +133,20 @@ object JoinCdcQueries {
       Seq("o_orderkey", "o_custkey", "o_totalprice"), "o_orderkey").persist()
     val live = !col(StateStore.DeletedCol)
     try {
+      // The two base merges write DIFFERENT store tables (disjoint
+      // dirs, single-writer per table holds trivially), so they run as
+      // CONCURRENT Spark actions: on a real cluster the scheduler
+      // interleaves their stages across executors instead of leaving
+      // them idle during each other's small commit writes — the same
+      // reason multi-sink jobs use FAIR scheduling. The customer merge
+      // is awaited before the view recompute (its first reader).
       // No slice reader downstream for the customer merge — persisting
       // its pre/post frames would cache both full-table states during
       // the commit write for nothing (the ords merge persists because
       // the index repair consumes its slices).
-      MergeCommit.mergeBatchMeta(store, CustTable, custB, Seq("c_custkey"))
+      val custF = scala.concurrent.Future {
+        MergeCommit.mergeBatchMeta(store, CustTable, custB, Seq("c_custkey"))
+      }(scala.concurrent.ExecutionContext.global)
       val ordSlices = MergeCommit.mergeBatchMeta(store, OrdTable, ordB,
         Seq("o_orderkey"), persistSlices = true)
 
@@ -167,6 +176,11 @@ object JoinCdcQueries {
           Seq("c_custkey", "o_orderkey"))
         slices.unpersist()
       }
+
+      // The view recompute below reads the customer state — join the
+      // concurrent merge before its first reader.
+      scala.concurrent.Await.result(custF,
+        scala.concurrent.duration.Duration.Inf)
 
       // Affected view keys: evented orders ∪ index hits of evented
       // customers — the index read is bucket-pruned by the customers'

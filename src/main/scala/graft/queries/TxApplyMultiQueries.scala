@@ -186,7 +186,13 @@ object TxApplyMultiQueries {
       }
       val completeRows = all
         .join(broadcast(complete), col("m.ts_ms") === col("ts_ms"))
-      Targets.foreach { t =>
+      // Each target writes its OWN store table (disjoint dirs —
+      // single-writer per table holds trivially), so the per-table
+      // applies run as CONCURRENT Spark actions; the atomic commit
+      // point stays per table, and the transaction boundary is already
+      // enforced above by the completeness gate, not by apply order.
+      val ec = scala.concurrent.ExecutionContext.global
+      val applies = Targets.map { t => scala.concurrent.Future {
         val toApply = Envelope.fromWire(
           completeRows.filter(col("m.op") =!= "t" &&
             col("m.source.table") === t.fixture).select("value"),
@@ -198,7 +204,9 @@ object TxApplyMultiQueries {
           MergeCommit.mergeBatchMeta(store, t.table, meta, Seq(t.pk))
             .foreach(_.unpersist())
         } finally compacted.unpersist(blocking = false)
-      }
+      }(ec) }
+      applies.foreach(f => scala.concurrent.Await.result(f,
+        scala.concurrent.duration.Duration.Inf))
       // Raw-wire holdback: incomplete transactions' rows (events AND
       // markers) wait as opaque strings.
       val rest = all.join(broadcast(complete),
