@@ -1060,17 +1060,25 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
       m.collect { case (b, p) if buckets(b) => p }
     }.distinct
     // Rewrite each dir once: same rows minus the keys, new location.
+    // Output dirs are DISJOINT, so the rewrites run as concurrent
+    // Spark actions (the "parallelizes per dir" claim above, made
+    // real): executors stay busy across the many small per-dir jobs
+    // instead of draining one at a time.
+    val ec = scala.concurrent.ExecutionContext.global
     val rewritten: Map[String, String] = affectedDirs.map { p =>
-      val bucket = p.substring(p.lastIndexOf('=') + 1).toInt
-      val srcVer = p.split("/")(0)
-      val newDir = s"purge-$srcVer/$BucketCol=$bucket"
-      val abs = d.resolve(p).toString
-      val out = d.resolve(newDir)
-      Files.createDirectories(out.getParent)
-      dropKeys(spark.read.parquet(abs))
-        .write.mode("overwrite").parquet(out.toString)
-      p -> newDir
-    }.toMap
+      scala.concurrent.Future {
+        val bucket = p.substring(p.lastIndexOf('=') + 1).toInt
+        val srcVer = p.split("/")(0)
+        val newDir = s"purge-$srcVer/$BucketCol=$bucket"
+        val abs = d.resolve(p).toString
+        val out = d.resolve(newDir)
+        Files.createDirectories(out.getParent)
+        dropKeys(spark.read.parquet(abs))
+          .write.mode("overwrite").parquet(out.toString)
+        p -> newDir
+      }(ec)
+    }.map(f => scala.concurrent.Await.result(f,
+      scala.concurrent.duration.Duration.Inf)).toMap
     var erasedHead = 0L
     if (rewritten.nonEmpty) {
       // Head-version erased-row count, for the caller's audit record.
@@ -1080,8 +1088,12 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
       val headM = manifestAt(target, cur)
       erasedHead = headM.collect { case (b, p) if buckets(b) => p }
         .toSeq.distinct
-        .map(p => onlyKeys(spark.read.parquet(d.resolve(p).toString))
-          .filter(!col(DeletedCol)).count())
+        .map(p => scala.concurrent.Future {
+          onlyKeys(spark.read.parquet(d.resolve(p).toString))
+            .filter(!col(DeletedCol)).count()
+        }(ec))
+        .map(f => scala.concurrent.Await.result(f,
+          scala.concurrent.duration.Duration.Inf))
         .sum
       // Atomically re-point every retained manifest.
       perVersion.foreach { case (v, m) =>

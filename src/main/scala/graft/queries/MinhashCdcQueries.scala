@@ -158,7 +158,13 @@ object MinhashCdcQueries {
     */
   private def processCurateBatch(store: StateStore,
                                  batch: DataFrame): Unit = {
-    MergeCommit.mergeFlattened(store, "cur.docs", batch, Seq("doc_id"))
+    // Two DIFFERENT derived tables off one slice — disjoint dirs, so
+    // the merges run as concurrent Spark actions (the per-table
+    // single-writer invariant holds trivially).
+    val ec = scala.concurrent.ExecutionContext.global
+    val docsF = scala.concurrent.Future {
+      MergeCommit.mergeFlattened(store, "cur.docs", batch, Seq("doc_id"))
+    }(ec)
     val sigged = batch.withColumn("row",
       struct(col("row.doc_id").as("doc_id"),
         graft.functions.BandedMinHash.bandedMinhash(
@@ -167,6 +173,8 @@ object MinhashCdcQueries {
           .cast("array<string>").as("ms")))
     MergeCommit.mergeFlattened(store, "cur.signatures", sigged,
       Seq("doc_id"))
+    scala.concurrent.Await.result(docsF,
+      scala.concurrent.duration.Duration.Inf)
     ()
   }
 
