@@ -1457,7 +1457,12 @@ object LlmOps {
     hnswWith(spark, sfDir) { (walk, scored) =>
       val exact = scored.orderBy(col("cos").desc, col("vec_id"))
         .limit(10).select("vec_id")
-      Seq(10, 16, 24).map { w =>
+      // The three beam widths are independent read-only walks over the
+      // shared persisted graph; each walk runs a per-hop checkpoint
+      // chain, so running the widths CONCURRENTLY overlaps ~15 small
+      // sequential jobs into three parallel chains.
+      val ec = scala.concurrent.ExecutionContext.global
+      Seq(10, 16, 24).map { w => scala.concurrent.Future {
         exact.join(
             walk(w).orderBy(col("cos").desc, col("vec_id")).limit(10)
               .select("vec_id"),
@@ -1465,8 +1470,11 @@ object LlmOps {
           .agg(count(lit(1)).as("hits"))
           .select(lit(w).as("beam"), col("hits"),
             round(col("hits").cast("double") / 10, 2).as("recall"))
-      }.reduce(_ unionAll _).orderBy("beam")
-        .localCheckpoint(true) // materialize before the graph unpersists
+          .localCheckpoint(true) // materialize inside the future
+      }(ec) }
+        .map(f => scala.concurrent.Await.result(f,
+          scala.concurrent.duration.Duration.Inf))
+        .reduce(_ unionAll _).orderBy("beam")
     }
 
   val simHnswCurveOracle: String = {
