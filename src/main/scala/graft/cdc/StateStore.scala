@@ -1268,7 +1268,23 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
     * old, so expiring source history can never strand a clone; dead
     * references are pruned first so they never pin history.
     */
-  def vacuum(target: String, keepVersions: Int = 1): Unit = {
+  /** The vacuum DECISION for every surviving version, without
+    * executing it — the Delta `VACUUM ... DRY RUN` / Iceberg
+    * expire-with-dry-run analog, and the exact plan [[vacuum]]
+    * executes (one code path: vacuum deletes precisely the rows this
+    * returns as `expire`). Actions:
+    *   - `keep-head`           the current version never expires;
+    *   - `keep-retained`       inside the retention window;
+    *   - `keep-ref-pinned`     a named tag/branch pins the version;
+    *   - `keep-dir-referenced` outside retention, but a retained or
+    *                           clone manifest still reaches into its
+    *                           data dir;
+    *   - `expire`              manifest, schema and data dir go.
+    * Metadata-only; dead clone back-references are pruned first so
+    * they never pin the plan.
+    */
+  def vacuumPlan(target: String,
+                 keepVersions: Int = 1): Seq[(Int, String)] = {
     val d = dir(target)
     val cur = currentVersion(target)
     val keepFrom = math.max(0, cur - keepVersions + 1)
@@ -1286,18 +1302,36 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
       .filter(v => Files.exists(d.resolve(s"manifest-$v.tsv")))
       .flatMap(v => manifestAt(target, v).values.map(_.split("/")(0))).toSet ++
       cloneReferencedDirs(target)
-    val deletable = (0 until keepFrom)
-      .filterNot(refVersions)
-      .filterNot(v => referenced(s"v$v"))
-    deletable.foreach { v =>
-      Files.deleteIfExists(d.resolve(s"manifest-$v.tsv"))
-      Files.deleteIfExists(d.resolve(s"schema-$v.json"))
-      val dataDir = d.resolve(s"v$v")
-      if (Files.exists(dataDir)) {
-        Files.walk(dataDir).sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.deleteIfExists(p))
+    (0 to cur)
+      .filter(v => Files.exists(d.resolve(s"manifest-$v.tsv")))
+      .map { v =>
+        val action =
+          if (v == cur) "keep-head"
+          else if (v >= keepFrom) "keep-retained"
+          else if (refVersions(v)) "keep-ref-pinned"
+          else if (referenced(s"v$v")) "keep-dir-referenced"
+          else "expire"
+        (v, action)
       }
-    }
+  }
+
+  def vacuum(target: String, keepVersions: Int = 1): Unit = {
+    val d = dir(target)
+    val cur = currentVersion(target)
+    val keepFrom = math.max(0, cur - keepVersions + 1)
+    vacuumPlan(target, keepVersions)
+      .collect { case (v, "expire") => v }
+      .foreach { v =>
+        Files.deleteIfExists(d.resolve(s"manifest-$v.tsv"))
+        Files.deleteIfExists(d.resolve(s"schema-$v.json"))
+        val dataDir = d.resolve(s"v$v")
+        if (Files.exists(dataDir)) {
+          Files.walk(dataDir).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.deleteIfExists(p))
+        }
+      }
+    val refVersions = namedRefs(target).map(_._3).toSet
+    val pinned = (keepFrom to cur).toSet ++ refVersions
     // Purge-rewrite dirs ([[purgeKeys]]) live outside the v<N>
     // numbering; reclaim any that no retained manifest (nor live
     // clone) references anymore.

@@ -3183,10 +3183,78 @@ object MaintenanceQueries {
       |UNION ALL SELECT 3, TRUE, TRUE
       |ORDER BY version""".stripMargin
 
+  private val vacPlanDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** VACUUM DRY RUN (`VACUUM ... DRY RUN` / Iceberg expire dry-run —
+    * the plan-before-execute surface of the retention family, via
+    * [[graft.cdc.StateStore.vacuumPlan]]): four full-coverage waves
+    * commit, v0 is tagged `audit`, and the plan for keepVersions=2
+    * must name every retention rule at once — v0 `keep-ref-pinned`
+    * (the tag), v1 `expire` (outside retention, nothing pins it),
+    * v2 `keep-retained`, v3 `keep-head`. The vacuum then EXECUTES and
+    * `outcome_ok` checks per version that exactly the planned
+    * expirations happened (manifest gone iff the plan said expire) —
+    * plan and execution share one code path by construction
+    * ([[graft.cdc.StateStore.vacuum]] deletes precisely the plan's
+    * `expire` rows), and this query pins that they never drift.
+    * Metadata-only: the plan opens no data file at any table size.
+    */
+  def vacuumPlanQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val wh = vacPlanDirCache.computeIfAbsent(sfDir,
+      _ => graft.Scratch.dir("graft-vacplan-").toString)
+    val whPath = Paths.get(wh)
+    Files.walk(whPath).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => if (p != whPath) Files.deleteIfExists(p))
+    val store = new graft.cdc.StateStore(wh, nBuckets = 8)
+    val target = "cdc.commerce_supplier_vp"
+    val pk = Seq("s_suppkey")
+    val sup = Tables.load(spark, sfDir, "supplier")
+    // Full-table waves: every version rewrites every bucket, so dir
+    // reachability is deterministic at any scale factor (a modular
+    // wave could leave old dirs referenced at small sf and not at
+    // large, making the plan sf-dependent).
+    def wave(delta: Double, ts: Long): Unit = {
+      graft.cdc.MergeCommit.mergeBatchMeta(store, target, sup
+        .withColumn("s_acctbal", col("s_acctbal") + delta)
+        .withColumn(graft.cdc.StateStore.TsCol, lit(ts))
+        .withColumn(graft.cdc.StateStore.SeqCol, col("s_suppkey").cast("long"))
+        .withColumn(graft.cdc.StateStore.DeletedCol, lit(false))
+        .withColumn(graft.cdc.StateStore.BucketCol,
+          graft.cdc.StateStore.bucketExpr(pk, 8)), pk)
+      ()
+    }
+    wave(0.0, 1000L)   // v0
+    store.createRef(target, "audit", 0)
+    wave(100.0, 2000L) // v1
+    wave(200.0, 3000L) // v2
+    wave(300.0, 4000L) // v3
+    val plan = store.vacuumPlan(target, keepVersions = 2)
+    store.vacuum(target, keepVersions = 2)
+    val outcomes = plan.map { case (v, action) =>
+      val manifestSurvives = Files.exists(
+        whPath.resolve(target).resolve(s"manifest-$v.tsv"))
+      (v, action, manifestSurvives == (action != "expire"))
+    }
+    val session = spark
+    import session.implicits._
+    outcomes.toDF("version", "action", "outcome_ok").orderBy("version")
+      .localCheckpoint(eager = true)
+  }
+
+  val vacuumPlanOracle: String =
+    """SELECT 0 AS version, 'keep-ref-pinned' AS action, TRUE AS outcome_ok
+      |UNION ALL SELECT 1, 'expire', TRUE
+      |UNION ALL SELECT 2, 'keep-retained', TRUE
+      |UNION ALL SELECT 3, 'keep-head', TRUE
+      |ORDER BY version""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "maintenance_wap" -> wapPublish,
     "maintenance_wap_branch" -> wapBranch,
     "maintenance_history" -> maintenanceHistory,
+    "maintenance_vacuum_plan" -> vacuumPlanQ,
     "maintenance_refs" -> maintenanceRefs,
     "maintenance_refs_diff" -> maintenanceRefsDiff,
     "maintenance_snapshots" -> maintenanceSnapshots,
@@ -3226,6 +3294,7 @@ object MaintenanceQueries {
     "maintenance_refs_diff" -> maintenanceRefsDiffOracle,
     "maintenance_snapshots" -> maintenanceSnapshotsOracle,
     "maintenance_history" -> maintenanceHistoryOracle,
+    "maintenance_vacuum_plan" -> vacuumPlanOracle,
     "cdc_scd2" -> scd2Oracle,
     "cdc_scd2_asof" -> scd2AsofOracle,
     "cdc_table_changes" -> tableChangesOracle,
