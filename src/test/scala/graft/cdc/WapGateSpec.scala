@@ -72,6 +72,40 @@ class WapGateSpec extends SparkTestBase {
       s"each target keeps its own full envelope slice, got $slices")
   }
 
+  test("a gated batch that evolves the schema (new column) publishes " +
+      "cleanly; the audit tag never reaches the committed schema") {
+    CdcAdmin.enableCdc("wapg.evo", Seq("k"))
+    val store = new StateStore(
+      graft.Scratch.dir("graft-wapgate3-").toString, 4)
+    val qdir = graft.Scratch.dir("graft-wapgate3-q-").toString
+    val gated = new Pipeline(store, Some(WapGate(col("amount") < 0.0, qdir)))
+    gated.processBatch(routed(
+      events("evo", (0L until 6L).map(k => k -> k.toDouble), ts = 100)), 0L)
+    assert(store.currentVersion("cdc.wapg_evo") === 0)
+
+    // Second gated batch carries an EXTRA column — A11 add-column
+    // through the gated merge path.
+    val rows = (0L until 6L).map(k => (k, k + 10.0, s"note$k"))
+    val base = rows.toDF("k", "amount", "note")
+    val image = struct(col("k"), col("amount"), col("note"))
+    val ev = base.select(
+      when(lit(false), image).as("before"), image.as("after"),
+      lit(Envelope.OpUpdate).as("op"), lit(200L).as("ts_ms"),
+      col("k").as("seq"),
+      struct(lit("wapg").as("schema"), lit("evo").as("table")).as("source"))
+    gated.processBatch(routed(ev), 1L)
+    assert(store.currentVersion("cdc.wapg_evo") === 1,
+      "a clean evolving batch must publish")
+    val schema = store.schemaOf("cdc.wapg_evo")
+    assert(schema.fieldNames.contains("note"),
+      "the evolved column must reach the committed schema")
+    assert(!schema.fieldNames.exists(_.contains("_gate_batch")),
+      "the audit tag must never leak into the committed schema")
+    val state = store.currentState(spark, "cdc.wapg_evo")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(state(3L) === "note3")
+  }
+
   test("a violating row committed BEFORE the gate does not block later " +
       "clean batches; a batch's own violation still drops") {
     CdcAdmin.enableCdc("wapg.pre", Seq("k"))
