@@ -205,10 +205,9 @@ object TxApplyMultiQueries {
             .foreach(_.unpersist())
         } finally compacted.unpersist(blocking = false)
       }(ec) }
-      applies.foreach(f => scala.concurrent.Await.result(f,
-        scala.concurrent.duration.Duration.Inf))
       // Raw-wire holdback: incomplete transactions' rows (events AND
-      // markers) wait as opaque strings.
+      // markers) wait as opaque strings — written concurrently with
+      // the per-table applies (disjoint locations).
       val rest = all.join(broadcast(complete),
           all("m.ts_ms") === complete("ts_ms"), "left_anti")
         .select("value")
@@ -217,6 +216,8 @@ object TxApplyMultiQueries {
       wipe(pendingPath.toString)
       Files.deleteIfExists(pendingPath)
       Files.move(tmp, pendingPath, StandardCopyOption.ATOMIC_MOVE)
+      applies.foreach(f => scala.concurrent.Await.result(f,
+        scala.concurrent.duration.Duration.Inf))
     } finally all.unpersist(blocking = false)
   }
 

@@ -145,14 +145,19 @@ object TxApplyQueries {
       val completeRows = all.join(broadcast(complete), Seq("ts_ms"))
       val toApply = Envelope.flatten(
         completeRows.filter(col("op") =!= "t"))
-      val compacted = Merge.compactKeepTombstones(toApply,
-        Seq("c_custkey")).persist()
-      try {
-        val meta = MergeCommit.toBatchMeta(compacted, Seq("c_custkey"),
-          NBuckets)
-        MergeCommit.mergeBatchMeta(store, TargetTable, meta,
-          Seq("c_custkey")).foreach(_.unpersist())
-      } finally compacted.unpersist(blocking = false)
+      // The apply (store table) and the holdback rewrite (pending dir)
+      // write DISJOINT locations off the same persisted frame — run
+      // them as concurrent Spark actions.
+      val applyF = scala.concurrent.Future {
+        val compacted = Merge.compactKeepTombstones(toApply,
+          Seq("c_custkey")).persist()
+        try {
+          val meta = MergeCommit.toBatchMeta(compacted, Seq("c_custkey"),
+            NBuckets)
+          MergeCommit.mergeBatchMeta(store, TargetTable, meta,
+            Seq("c_custkey")).foreach(_.unpersist())
+        } finally compacted.unpersist(blocking = false)
+      }(scala.concurrent.ExecutionContext.global)
       // Held-back rewrite: everything NOT in a complete transaction
       // (events and markers) waits for the next batch.
       val rest = all.join(broadcast(complete), Seq("ts_ms"), "left_anti")
@@ -162,6 +167,8 @@ object TxApplyQueries {
       wipe(pendingPath.toString)
       Files.deleteIfExists(pendingPath)
       Files.move(tmp, pendingPath, StandardCopyOption.ATOMIC_MOVE)
+      scala.concurrent.Await.result(applyF,
+        scala.concurrent.duration.Duration.Inf)
     } finally all.unpersist(blocking = false)
   }
 
