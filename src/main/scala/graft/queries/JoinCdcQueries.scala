@@ -150,41 +150,15 @@ object JoinCdcQueries {
       val ordSlices = MergeCommit.mergeBatchMeta(store, OrdTable, ordB,
         Seq("o_orderkey"), persistSlices = true)
 
-      // Secondary-index repair for the evented order keys: live entries
-      // upserted under the winner's (ts, seq); entries whose (custkey,
-      // orderkey) no longer holds (move or delete) tombstoned under the
-      // SAME new (ts, seq), so replays telescope.
-      ordSlices.foreach { slices =>
-        val (oldOrd, newOrd) = (slices.preSlice, slices.postSlice)
-        val entry = (df: DataFrame) => df.filter(live)
-          .select(col("o_custkey").as("c_custkey"), col("o_orderkey"))
-        val newLive = newOrd.filter(live).select(
-          col("o_custkey").as("c_custkey"), col("o_orderkey"),
-          col(StateStore.TsCol), col(StateStore.SeqCol))
-        val gone = entry(oldOrd)
-          .join(newLive.select("c_custkey", "o_orderkey"),
-            Seq("c_custkey", "o_orderkey"), "left_anti")
-          .join(newOrd.select(col("o_orderkey"), col(StateStore.TsCol),
-            col(StateStore.SeqCol)), Seq("o_orderkey"))
-        val idxBatch = newLive
-          .withColumn(StateStore.DeletedCol, lit(false))
-          .unionByName(gone.withColumn(StateStore.DeletedCol, lit(true)))
-          .withColumn(StateStore.BucketCol,
-            StateStore.bucketExpr(Seq("c_custkey"), NBuckets))
-        // Same: nothing reads the index merge's slices.
-        MergeCommit.mergeBatchMeta(store, IdxTable, idxBatch,
-          Seq("c_custkey", "o_orderkey"))
-        slices.unpersist()
-      }
-
-      // The view recompute below reads the customer state — join the
-      // concurrent merge before its first reader.
-      scala.concurrent.Await.result(custF,
-        scala.concurrent.duration.Duration.Inf)
-
-      // Affected view keys: evented orders ∪ index hits of evented
-      // customers — the index read is bucket-pruned by the customers'
-      // hash buckets, never an orders-table scan.
+      // Affected view keys, resolved from the PRE-repair index state:
+      // the index only changes for orders evented in THIS batch, and
+      // those keys are already in the ordB term of the union — so
+      // pre-repair and post-repair index hits yield the same affected
+      // set, and reading the pre-state lets the index repair below run
+      // CONCURRENTLY with the whole view recompute (readBuckets
+      // resolves the manifest eagerly here, and committed version
+      // dirs are immutable, so the concurrent index commit can never
+      // change what this read returns).
       val custKeys = custB.select("c_custkey").distinct()
       val idxHits =
         if (store.exists(IdxTable)) {
@@ -193,6 +167,41 @@ object JoinCdcQueries {
             .join(custKeys, Seq("c_custkey"), "left_semi")
             .select("o_orderkey")
         } else custKeys.select(lit(0L).as("o_orderkey")).limit(0)
+
+      // Secondary-index repair for the evented order keys: live entries
+      // upserted under the winner's (ts, seq); entries whose (custkey,
+      // orderkey) no longer holds (move or delete) tombstoned under the
+      // SAME new (ts, seq), so replays telescope. Runs concurrently
+      // with the view phase (the view never reads the index table).
+      val idxF = scala.concurrent.Future {
+        ordSlices.foreach { slices =>
+          val (oldOrd, newOrd) = (slices.preSlice, slices.postSlice)
+          val entry = (df: DataFrame) => df.filter(live)
+            .select(col("o_custkey").as("c_custkey"), col("o_orderkey"))
+          val newLive = newOrd.filter(live).select(
+            col("o_custkey").as("c_custkey"), col("o_orderkey"),
+            col(StateStore.TsCol), col(StateStore.SeqCol))
+          val gone = entry(oldOrd)
+            .join(newLive.select("c_custkey", "o_orderkey"),
+              Seq("c_custkey", "o_orderkey"), "left_anti")
+            .join(newOrd.select(col("o_orderkey"), col(StateStore.TsCol),
+              col(StateStore.SeqCol)), Seq("o_orderkey"))
+          val idxBatch = newLive
+            .withColumn(StateStore.DeletedCol, lit(false))
+            .unionByName(gone.withColumn(StateStore.DeletedCol, lit(true)))
+            .withColumn(StateStore.BucketCol,
+              StateStore.bucketExpr(Seq("c_custkey"), NBuckets))
+          // Same: nothing reads the index merge's slices.
+          MergeCommit.mergeBatchMeta(store, IdxTable, idxBatch,
+            Seq("c_custkey", "o_orderkey"))
+          slices.unpersist()
+        }
+      }(scala.concurrent.ExecutionContext.global)
+
+      // The view recompute below reads the customer state — join the
+      // concurrent merge before its first reader.
+      scala.concurrent.Await.result(custF,
+        scala.concurrent.duration.Duration.Inf)
       val affectedOk = ordB.select("o_orderkey").union(idxHits)
         .distinct().persist()
       val okBuckets = bucketIdsOf(affectedOk, Seq("o_orderkey"))
@@ -233,6 +242,10 @@ object JoinCdcQueries {
         ordSlice.unpersist(blocking = false)
       }
       affectedOk.unpersist(blocking = false)
+      // The index repair must land before the batch completes (the
+      // NEXT batch's affected-key resolution reads it).
+      scala.concurrent.Await.result(idxF,
+        scala.concurrent.duration.Duration.Inf)
     } finally {
       custB.unpersist(blocking = false)
       ordB.unpersist(blocking = false)
