@@ -5127,29 +5127,35 @@ object LlmOps {
     * combinable, nothing driver-sized. Single-token documents have no
     * bigrams and drop out identically in both engines.
     */
-  def qualityRepetition(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.load(spark, sfDir, "documents")
+  /** Per-doc repetition scores over any documents frame — shared by
+    * the batch census and its streaming twin (scores are doc-local, so
+    * a micro-batch scores exactly like the corpus).
+    */
+  private[graft] def qualityRepetitionPerDoc(docs: DataFrame): DataFrame = {
     val arr = split(col("text"), " ")
     val bigrams = zip_with(
       slice(arr, lit(1), size(arr) - 1),
       slice(arr, lit(2), size(arr) - 1),
       (a, b) => concat(a, lit(" "), b))
-    val bgc = docs
+    docs
       .select(col("doc_id"), col("source"), explode(bigrams).as("b"))
       .groupBy("doc_id", "source", "b")
       .agg(count(lit(1)).as("c"))
-    val perDoc = bgc.groupBy("doc_id", "source")
+      .groupBy("doc_id", "source")
       .agg(round((sum("c") - count(lit(1))).cast("double") / sum("c"), 6)
           .as("dup_frac"),
         round(max("c").cast("double") / sum("c"), 6).as("top_frac"))
-    perDoc.groupBy("source")
+  }
+
+  def qualityRepetition(spark: SparkSession, sfDir: String): DataFrame =
+    qualityRepetitionPerDoc(Tables.load(spark, sfDir, "documents"))
+      .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         round(avg("dup_frac"), 6).as("avg_dup_frac"),
         round(avg("top_frac"), 6).as("avg_top_frac"),
         sum(when(col("dup_frac") > 0.06 || col("top_frac") > 0.06, 1L)
           .otherwise(0L)).as("n_flagged"))
       .orderBy("source")
-  }
 
   val qualityRepetitionOracle: String =
     """WITH t0 AS (

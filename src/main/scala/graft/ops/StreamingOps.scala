@@ -771,6 +771,66 @@ object StreamingOps {
       .orderBy("shard")
   }
 
+  /** Streaming REPETITION-QUALITY census — the ingest-time twin of
+    * [[LlmOps.qualityRepetition]] (the Gopher repetition rules run as
+    * documents ARRIVE, the posture a crawl pipeline needs: boilerplate
+    * is flagged before it ever lands in the corpus). Per-doc scores
+    * are doc-local, so each micro-batch scores batch-locally with the
+    * SAME shared per-doc recipe; only per-source (n, Σdup, Σtop,
+    * flagged) counters cross batch boundaries — batchId-keyed
+    * overwrite slots, replay-idempotent like every accumulator here —
+    * and the drained rollup equals the batch census (sums and counts
+    * are slicing-independent; the averages are their exact quotient).
+    */
+  def streamQualityRepetition(spark: SparkSession,
+                              sfDir: String): DataFrame = {
+    val staged = stage(spark, sfDir, "documents")
+    val schema = Tables.load(spark, sfDir, "documents").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 2).parquet(staged)
+    val acc = new java.util.concurrent.ConcurrentHashMap[
+      Long, Map[String, (Long, Double, Double, Long)]]()
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = src.writeStream
+        .option("checkpointLocation",
+          graft.Scratch.dir("graft-rep-ckpt-").toString)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          acc.put(batchId, LlmOps.qualityRepetitionPerDoc(batch)
+            .groupBy("source")
+            .agg(count(lit(1)).as("n"),
+              sum("dup_frac").as("sd"), sum("top_frac").as("st"),
+              sum(when(col("dup_frac") > 0.06 || col("top_frac") > 0.06,
+                1L).otherwise(0L)).as("fl"))
+            .collect()
+            .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+              r.getDouble(3), r.getLong(4))).toMap)
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    import scala.jdk.CollectionConverters._
+    val session = spark
+    import session.implicits._
+    acc.asScala.values.flatten
+      .groupBy(_._1).toSeq
+      .map { case (src0, grp) =>
+        val vs = grp.map(_._2)
+        (src0, vs.map(_._1).sum, vs.map(_._2).sum, vs.map(_._3).sum,
+          vs.map(_._4).sum)
+      }
+      .toDF("source", "n_docs", "sd", "st", "n_flagged")
+      // Final division + rounding in Spark expressions, not driver
+      // math: round() semantics must match the batch census / oracle.
+      .select(col("source"), col("n_docs"),
+        round(col("sd") / col("n_docs"), 6).as("avg_dup_frac"),
+        round(col("st") / col("n_docs"), 6).as("avg_top_frac"),
+        col("n_flagged"))
+      .orderBy("source")
+  }
+
   def streamImportance(spark: SparkSession, sfDir: String): DataFrame = {
     val lm = LlmOps.importanceLm(spark, sfDir).persist()
     lm.count() // materialize the model before the stream starts
@@ -1545,6 +1605,7 @@ object StreamingOps {
     "stream_anomaly" -> streamAnomaly,
     "stream_importance" -> streamImportance,
     "stream_shard_manifest" -> streamShardManifest,
+    "stream_quality_repetition" -> streamQualityRepetition,
     "stream_heavy_hitters" -> streamHeavyHitters,
     "stream_stateful" -> stateful,
     "stream_transform_state" -> transformState)
@@ -1570,6 +1631,7 @@ object StreamingOps {
     "stream_anomaly" -> streamAnomalyOracle,
     "stream_importance" -> streamImportanceOracle,
     "stream_shard_manifest" -> LlmOps.shardManifestOracle,
+    "stream_quality_repetition" -> LlmOps.qualityRepetitionOracle,
     "stream_heavy_hitters" -> streamHeavyHittersOracle,
     "stream_stateful" -> statefulOracle,
     "stream_transform_state" -> transformStateOracle)
