@@ -281,8 +281,18 @@ object MinhashCdcQueries {
     * a per-event view cannot.
     */
   def curateDelta(spark: SparkSession, sfDir: String): DataFrame = {
-    val before = graft.ops.LlmOps.curate(spark, sfDir).select("doc_id")
+    // The before-set (batch curate over the pre-change corpus) and the
+    // after-set (the incremental maintainer's drain) are independent
+    // computations — materialize the before-set concurrently with the
+    // drain instead of folding its whole assembly into the final join
+    // action.
+    val beforeF = scala.concurrent.Future {
+      graft.ops.LlmOps.curate(spark, sfDir).select("doc_id")
+        .localCheckpoint(true)
+    }(scala.concurrent.ExecutionContext.global)
     val after = curateIncremental(spark, sfDir).select("doc_id")
+    val before = scala.concurrent.Await.result(beforeF,
+      scala.concurrent.duration.Duration.Inf)
     val entered = after.join(before, Seq("doc_id"), "left_anti")
       .withColumn("change", lit("entered"))
     val left = before.join(after, Seq("doc_id"), "left_anti")
