@@ -248,13 +248,18 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
     */
   private def recordCommitTime(target: String, next: Int): Long = {
     val f = dir(target).resolve(CommitsFile)
+    // Appends are strictly monotone by construction, so the LAST line
+    // carries the running maximum — no full-file fold. (The read is
+    // still O(file); a deployment with very deep histories would keep
+    // the tail offset in the version pointer, the same compaction
+    // pressure Iceberg's metadata.json answers with rewrites.)
     val last: Long =
       if (!Files.exists(f)) Long.MinValue
       else {
         val pat = """"ts":(\d+)\}""".r.unanchored
-        Files.readAllLines(f).asScala.foldLeft(Long.MinValue) { (mx, line) =>
-          line match { case pat(ts) => math.max(mx, ts.toLong); case _ => mx }
-        }
+        Files.readAllLines(f).asScala.reverseIterator.collectFirst {
+          case pat(ts) => ts.toLong
+        }.getOrElse(Long.MinValue)
       }
     val ts = math.max(System.currentTimeMillis(), last + 1)
     Files.writeString(f, s"""{"version":$next,"ts":$ts}""" + "\n",
