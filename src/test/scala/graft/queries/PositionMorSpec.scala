@@ -48,6 +48,15 @@ class PositionMorSpec extends SparkTestBase {
       .select("c_acctbal").head().getDouble(0)
     assert(math.abs(probe.getDouble(1) - (baseBal + 100.0)) < 1e-9)
 
+    // Scale shape: the change-volume-sized sidecar broadcasts into the
+    // anti join (Iceberg's reader does the same per file group) — the
+    // big data side never shuffles for the mask.
+    live.collect()
+    val planStr = live.queryExecution.executedPlan.toString
+    assert(planStr.contains("BroadcastHashJoin") &&
+      planStr.contains("LeftAnti"),
+      s"sidecar mask must be a broadcast anti join:\n${planStr.take(600)}")
+
     // Fold equivalence: the masked read and the compacted rewrite are
     // the same logical table, row for row.
     val morRows = live.select("c_custkey", "c_acctbal")
