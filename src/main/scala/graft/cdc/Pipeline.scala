@@ -212,9 +212,12 @@ final class Pipeline(store: StateStore, gate: Option[WapGate] = None) {
               throw new IllegalStateException(s"no row schema for $fqn"))
             (s, t, pk, rowSchema)
           }
-          val ec = scala.concurrent.ExecutionContext.global
-          withMeta.map { case (s, t, pk, rowSchema) =>
-            scala.concurrent.Future {
+          // Par: blocking-marked futures (wide fan-outs must not starve
+          // the CPU-sized global pool) joined ALL-before-rethrow (a
+          // foreachBatch retry must never race a stray in-flight merge
+          // on the same target — A17).
+          graft.Par.awaitAll(withMeta.toSeq.map { case (s, t, pk, rowSchema) =>
+            graft.Par.future {
               val slice = batch
                 .filter(col("meta.source.schema") === s &&
                   col("meta.source.table") === t)
@@ -225,9 +228,9 @@ final class Pipeline(store: StateStore, gate: Option[WapGate] = None) {
               val target = cfg.routePattern
                 .replace("{schema}", s).replace("{table}", t)
               mergeTarget(target, pk, routed, batchId)
-            }(ec)
-          }.foreach(f => scala.concurrent.Await.result(f,
-            scala.concurrent.duration.Duration.Inf))
+            }
+          })
+          ()
         } finally batch.unpersist()
       }
     cfg.triggerIntervalMs match {
@@ -266,12 +269,15 @@ final class Pipeline(store: StateStore, gate: Option[WapGate] = None) {
             "(call CdcAdmin.enableCdc(table, pkCols) first)"))
         (target, pk)
       }
-      val ec = scala.concurrent.ExecutionContext.global
-      withPk.map { case (target, pk) => scala.concurrent.Future {
-        mergeTarget(target, pk,
-          batch.filter(col("_cdc_target") === target), batchId)
-      }(ec) }.foreach(f => scala.concurrent.Await.result(f,
-        scala.concurrent.duration.Duration.Inf))
+      // Par: blocking futures, joined ALL-before-rethrow (see the JSON
+      // twin above — a batch retry must never race a stray merge).
+      graft.Par.awaitAll(withPk.toSeq.map { case (target, pk) =>
+        graft.Par.future {
+          mergeTarget(target, pk,
+            batch.filter(col("_cdc_target") === target), batchId)
+        }
+      })
+      ()
     } finally batch.unpersist()
   }
 

@@ -120,9 +120,10 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
     */
   def history(spark: SparkSession, target: String): DataFrame = {
     val cur = currentVersion(target)
+    val times = commitTimes(target) // one sidecar parse for all rows
     val rows = (0 to cur)
       .filter(v => Files.exists(dir(target).resolve(s"manifest-$v.tsv")))
-      .map(v => (v, commitTimeOf(target, v), v == cur))
+      .map(v => (v, resolveCommitTime(target, times, v), v == cur))
     import spark.implicits._
     rows.toDF("version", "committed_at", "is_current")
   }
@@ -223,23 +224,44 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
     * Manifest mtime remains the fallback for stores written before the
     * sidecar existed.
     */
-  def commitTimeOf(target: String, version: Int): Long = {
+  def commitTimeOf(target: String, version: Int): Long =
+    resolveCommitTime(target, commitTimes(target), version)
+
+  /** ONE parse of the commits sidecar: version → instant, LAST line
+    * winning per version (a dropped-then-restaged WAP version's stale
+    * line is superseded by the re-stage's append). Every multi-version
+    * resolution ([[history]], [[versionAtTime]], [[expireOlderThan]])
+    * goes through one call of this instead of per-version whole-file
+    * reads — O(sidecar) once, not O(versions × sidecar), which on a
+    * 100k-commit table is the difference between a metadata lookup and
+    * a quadratic file walk (ADVICE r14).
+    */
+  private def commitTimes(target: String): Map[Int, Long] = {
     val f = dir(target).resolve(CommitsFile)
-    val recorded: Option[Long] =
-      if (!Files.exists(f)) None
-      else {
-        val pat = s"""\\{"version":$version,"ts":(\\d+)\\}""".r
-        Files.readAllLines(f).asScala.reverseIterator.collectFirst {
-          case pat(ts) => ts.toLong
-        }
+    if (!Files.exists(f)) Map.empty
+    else {
+      val pat = """\{"version":(\d+),"ts":(\d+)\}""".r
+      val m = scala.collection.mutable.Map.empty[Int, Long]
+      Files.readAllLines(f).asScala.foreach {
+        case pat(v, ts) => m(v.toInt) = ts.toLong
+        case _ => ()
       }
-    recorded.getOrElse {
+      m.toMap
+    }
+  }
+
+  /** A version's instant off a pre-parsed [[commitTimes]] map, with
+    * the manifest-mtime fallback for stores written before the sidecar
+    * existed.
+    */
+  private def resolveCommitTime(target: String, times: Map[Int, Long],
+                                version: Int): Long =
+    times.getOrElse(version, {
       val m = dir(target).resolve(s"manifest-$version.tsv")
       require(Files.exists(m),
         s"no commit record or manifest for version $version of $target")
       Files.getLastModifiedTime(m).toMillis
-    }
-  }
+    })
 
   /** Stamp version `next`'s commit instant into `commits.jsonl`:
     * strictly greater than every instant already recorded, so
@@ -278,9 +300,10 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
     * O(versions) metadata-only walk.
     */
   def versionAtTime(target: String, tsMillis: Long): Int = {
+    val times = commitTimes(target) // one sidecar parse for the walk
     val vs = (0 to currentVersion(target)).filter { v =>
       Files.exists(dir(target).resolve(s"manifest-$v.tsv")) &&
-        commitTimeOf(target, v) <= tsMillis
+        resolveCommitTime(target, times, v) <= tsMillis
     }
     require(vs.nonEmpty,
       s"no surviving version of $target committed at or before $tsMillis")
@@ -315,12 +338,36 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
     * retained manifest references them — expiry removes SNAPSHOTS;
     * file GC stays reachability-driven.
     */
-  def expireOlderThan(target: String, tsMillis: Long): Unit = {
+  def expireOlderThan(target: String, tsMillis: Long): Unit =
+    expireSnapshots(target, olderThan = Some(tsMillis))
+
+  /** EXPIRE SNAPSHOTS — the full Iceberg `expire_snapshots(older_than
+    * => ts, retain_last => n)` surface. Iceberg's composition rule:
+    * `older_than` proposes versions for expiry, `retain_last` ALWAYS
+    * retains the most recent N regardless — i.e. whichever constraint
+    * keeps MORE versions wins. With only `retain_last` the horizon is
+    * "everything" (expire all but the newest N); with only
+    * `older_than` it degenerates to [[expireOlderThan]]'s behavior.
+    * Delegates to [[vacuum]], so every pinning rule carries over: the
+    * head never expires, named refs keep their versions, and data dirs
+    * are reclaimed only when unreachable — expiry removes SNAPSHOTS;
+    * file GC stays reachability-driven.
+    */
+  def expireSnapshots(target: String, olderThan: Option[Long] = None,
+                      retainLast: Option[Int] = None): Unit = {
+    require(olderThan.nonEmpty || retainLast.nonEmpty,
+      "expireSnapshots needs older_than and/or retain_last")
     val cur = currentVersion(target)
-    val firstKept = (0 to cur).find { v =>
-      Files.exists(dir(target).resolve(s"manifest-$v.tsv")) &&
-        commitTimeOf(target, v) >= tsMillis
-    }.getOrElse(cur)
+    val times = commitTimes(target) // one sidecar parse for the walk
+    val firstKeptByTime = olderThan.map { ts =>
+      (0 to cur).find { v =>
+        Files.exists(dir(target).resolve(s"manifest-$v.tsv")) &&
+          resolveCommitTime(target, times, v) >= ts
+      }.getOrElse(cur)
+    }.getOrElse(cur) // retain_last only: propose all but head
+    val firstKeptByCount = retainLast.map(n => cur - n + 1).getOrElse(cur)
+    // Stricter-retention wins: the SMALLER first-kept keeps more.
+    val firstKept = math.min(firstKeptByTime, firstKeptByCount)
     vacuum(target, keepVersions = cur - firstKept + 1)
   }
 
@@ -604,7 +651,7 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
     */
   private def writeMetadata(target: String, merged: DataFrame,
                             affected: Seq[Int], prev: Int,
-                            next: Int): Unit = {
+                            next: Int, stampTime: Boolean = true): Unit = {
     val d = dir(target)
     val prevManifest = manifest(target)
     val nextManifest = prevManifest ++
@@ -622,7 +669,10 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
         s"""{"version":$next,"schema":$schemaJson}""" + "\n",
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
-    recordCommitTime(target, next)
+    // The OCC path defers the stamp until after its claim is
+    // re-verified (ADVICE r14, low): a stale-claim loser that appends
+    // AFTER the thief would win last-line-wins with a bogus instant.
+    if (stampTime) recordCommitTime(target, next)
     ()
   }
 
@@ -733,7 +783,8 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
           writing = false
           beat.interrupt()
         }
-        writeMetadata(target, merged, affected, prev, next)
+        writeMetadata(target, merged, affected, prev, next,
+          stampTime = false)
         // Final guard (ADVICE r8, medium): the claim is only still ours
         // if the pointer hasn't moved AND the marker still carries our
         // token. A thief that stole a (genuinely stale — heartbeat
@@ -744,6 +795,12 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
           (try Files.readString(marker) == token
            catch { case _: Throwable => false })
         if (stillOurs) {
+          // Stamp the commit instant only now, INSIDE the verified
+          // claim (ADVICE r14, low): stamping in writeMetadata let a
+          // stale-claim loser append its line after the thief's, so
+          // last-line-wins handed the committed version the loser's
+          // instant and broke the sidecar's running-maximum invariant.
+          recordCommitTime(target, next)
           swapPointer(target, next)
           return next
         }
@@ -1069,9 +1126,8 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
     // Spark actions (the "parallelizes per dir" claim above, made
     // real): executors stay busy across the many small per-dir jobs
     // instead of draining one at a time.
-    val ec = scala.concurrent.ExecutionContext.global
-    val rewritten: Map[String, String] = affectedDirs.map { p =>
-      scala.concurrent.Future {
+    val rewritten: Map[String, String] = graft.Par.run(affectedDirs.map {
+      p => () =>
         val bucket = p.substring(p.lastIndexOf('=') + 1).toInt
         val srcVer = p.split("/")(0)
         val newDir = s"purge-$srcVer/$BucketCol=$bucket"
@@ -1081,9 +1137,7 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
         dropKeys(spark.read.parquet(abs))
           .write.mode("overwrite").parquet(out.toString)
         p -> newDir
-      }(ec)
-    }.map(f => scala.concurrent.Await.result(f,
-      scala.concurrent.duration.Duration.Inf)).toMap
+    }).toMap
     var erasedHead = 0L
     if (rewritten.nonEmpty) {
       // Head-version erased-row count, for the caller's audit record.
@@ -1091,14 +1145,12 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
       // erased keys are also removed, but counting them would let the
       // audit number exceed the rows actually visible at head.
       val headM = manifestAt(target, cur)
-      erasedHead = headM.collect { case (b, p) if buckets(b) => p }
-        .toSeq.distinct
-        .map(p => scala.concurrent.Future {
-          onlyKeys(spark.read.parquet(d.resolve(p).toString))
-            .filter(!col(DeletedCol)).count()
-        }(ec))
-        .map(f => scala.concurrent.Await.result(f,
-          scala.concurrent.duration.Duration.Inf))
+      erasedHead = graft.Par.run(
+        headM.collect { case (b, p) if buckets(b) => p }
+          .toSeq.distinct
+          .map(p => () =>
+            onlyKeys(spark.read.parquet(d.resolve(p).toString))
+              .filter(!col(DeletedCol)).count()))
         .sum
       // Atomically re-point every retained manifest.
       perVersion.foreach { case (v, m) =>

@@ -144,9 +144,9 @@ object JoinCdcQueries {
       // its pre/post frames would cache both full-table states during
       // the commit write for nothing (the ords merge persists because
       // the index repair consumes its slices).
-      val custF = scala.concurrent.Future {
+      val custF = graft.Par.future {
         MergeCommit.mergeBatchMeta(store, CustTable, custB, Seq("c_custkey"))
-      }(scala.concurrent.ExecutionContext.global)
+      }
       val ordSlices = MergeCommit.mergeBatchMeta(store, OrdTable, ordB,
         Seq("o_orderkey"), persistSlices = true)
 
@@ -173,7 +173,7 @@ object JoinCdcQueries {
       // orderkey) no longer holds (move or delete) tombstoned under the
       // SAME new (ts, seq), so replays telescope. Runs concurrently
       // with the view phase (the view never reads the index table).
-      val idxF = scala.concurrent.Future {
+      val idxF = graft.Par.future {
         ordSlices.foreach { slices =>
           val (oldOrd, newOrd) = (slices.preSlice, slices.postSlice)
           val entry = (df: DataFrame) => df.filter(live)
@@ -191,29 +191,52 @@ object JoinCdcQueries {
             .unionByName(gone.withColumn(StateStore.DeletedCol, lit(true)))
             .withColumn(StateStore.BucketCol,
               StateStore.bucketExpr(Seq("c_custkey"), NBuckets))
-          // Same: nothing reads the index merge's slices.
+          // Same: nothing reads the index merge's slices. (postSlice
+          // is ALSO consumed by the concurrent view recompute below —
+          // the shared unpersist happens after both phases join.)
           MergeCommit.mergeBatchMeta(store, IdxTable, idxBatch,
             Seq("c_custkey", "o_orderkey"))
-          slices.unpersist()
         }
-      }(scala.concurrent.ExecutionContext.global)
+      }
 
       // The view recompute below reads the customer state — join the
       // concurrent merge before its first reader.
-      scala.concurrent.Await.result(custF,
-        scala.concurrent.duration.Duration.Inf)
+      graft.Par.await(custF)
       val affectedOk = ordB.select("o_orderkey").union(idxHits)
         .distinct().persist()
       val okBuckets = bucketIdsOf(affectedOk, Seq("o_orderkey"))
       if (okBuckets.nonEmpty) {
         // Recompute affected rows from the two committed states: the
-        // orders read prunes to the affected keys' buckets, the
-        // customer read to the buckets of the custkeys those orders
-        // reference. Inner join: a dangling FK yields no view row.
-        val ordSlice = store.readBuckets(spark, OrdTable, okBuckets)
-          .filter(live)
+        // customer read prunes to the buckets of the custkeys the
+        // affected orders reference. Inner join: a dangling FK yields
+        // no view row.
+        //
+        // The ORDERS side never re-reads buckets the merge just wrote:
+        // `ordSlices.postSlice` — persisted anyway for the index
+        // repair — IS the committed content of every bucket the batch
+        // touched (the merged frame handed to the commit), so only the
+        // idxHits-only buckets (orders referencing evented customers
+        // without being evented themselves, landing OUTSIDE the
+        // batch's bucket set) pay a store read. At scale that turns
+        // the view phase's orders scan from |affected buckets| into
+        // |FK-fan-in-only buckets| — zero when a batch only updates
+        // orders.
+        val ordBuckets = ordB.select(StateStore.BucketCol)
+          .distinct().collect().map(_.getInt(0)).toSet
+        val extraBuckets = okBuckets.filterNot(ordBuckets)
+        val ordCols = (df: DataFrame) => df.filter(live)
           .join(affectedOk, Seq("o_orderkey"), "left_semi")
-          .select("o_orderkey", "o_custkey", "o_totalprice").persist()
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        val ordSlice = (ordSlices.map(s => ordCols(s.postSlice)).toSeq ++
+          (if (extraBuckets.nonEmpty)
+            Seq(ordCols(store.readBuckets(spark, OrdTable, extraBuckets)))
+          else Seq.empty))
+          .reduceOption(_ unionByName _)
+          .getOrElse(spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType.fromDDL(
+              "o_orderkey bigint, o_custkey bigint, o_totalprice double")))
+          .persist()
         val ckBuckets = bucketIdsOf(
           ordSlice.select(col("o_custkey").as("c_custkey")), Seq("c_custkey"))
         val custSlice =
@@ -243,9 +266,11 @@ object JoinCdcQueries {
       }
       affectedOk.unpersist(blocking = false)
       // The index repair must land before the batch completes (the
-      // NEXT batch's affected-key resolution reads it).
-      scala.concurrent.Await.result(idxF,
-        scala.concurrent.duration.Duration.Inf)
+      // NEXT batch's affected-key resolution reads it). The slices
+      // unpersist only after BOTH consumers (index repair + view
+      // recompute) are done with postSlice.
+      graft.Par.await(idxF)
+      ordSlices.foreach(_.unpersist())
     } finally {
       custB.unpersist(blocking = false)
       ordB.unpersist(blocking = false)

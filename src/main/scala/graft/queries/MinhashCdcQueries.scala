@@ -161,10 +161,9 @@ object MinhashCdcQueries {
     // Two DIFFERENT derived tables off one slice — disjoint dirs, so
     // the merges run as concurrent Spark actions (the per-table
     // single-writer invariant holds trivially).
-    val ec = scala.concurrent.ExecutionContext.global
-    val docsF = scala.concurrent.Future {
+    val docsF = graft.Par.future {
       MergeCommit.mergeFlattened(store, "cur.docs", batch, Seq("doc_id"))
-    }(ec)
+    }
     val sigged = batch.withColumn("row",
       struct(col("row.doc_id").as("doc_id"),
         graft.functions.BandedMinHash.bandedMinhash(
@@ -173,8 +172,7 @@ object MinhashCdcQueries {
           .cast("array<string>").as("ms")))
     MergeCommit.mergeFlattened(store, "cur.signatures", sigged,
       Seq("doc_id"))
-    scala.concurrent.Await.result(docsF,
-      scala.concurrent.duration.Duration.Inf)
+    graft.Par.await(docsF)
     ()
   }
 
@@ -286,13 +284,12 @@ object MinhashCdcQueries {
     // computations — materialize the before-set concurrently with the
     // drain instead of folding its whole assembly into the final join
     // action.
-    val beforeF = scala.concurrent.Future {
+    val beforeF = graft.Par.future {
       graft.ops.LlmOps.curate(spark, sfDir).select("doc_id")
         .localCheckpoint(true)
-    }(scala.concurrent.ExecutionContext.global)
+    }
     val after = curateIncremental(spark, sfDir).select("doc_id")
-    val before = scala.concurrent.Await.result(beforeF,
-      scala.concurrent.duration.Duration.Inf)
+    val before = graft.Par.await(beforeF)
     val entered = after.join(before, Seq("doc_id"), "left_anti")
       .withColumn("change", lit("entered"))
     val left = before.join(after, Seq("doc_id"), "left_anti")

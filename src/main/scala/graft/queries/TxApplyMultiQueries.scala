@@ -191,8 +191,7 @@ object TxApplyMultiQueries {
       // applies run as CONCURRENT Spark actions; the atomic commit
       // point stays per table, and the transaction boundary is already
       // enforced above by the completeness gate, not by apply order.
-      val ec = scala.concurrent.ExecutionContext.global
-      val applies = Targets.map { t => scala.concurrent.Future {
+      val applies = Targets.map { t => graft.Par.future {
         val toApply = Envelope.fromWire(
           completeRows.filter(col("m.op") =!= "t" &&
             col("m.source.table") === t.fixture).select("value"),
@@ -204,20 +203,24 @@ object TxApplyMultiQueries {
           MergeCommit.mergeBatchMeta(store, t.table, meta, Seq(t.pk))
             .foreach(_.unpersist())
         } finally compacted.unpersist(blocking = false)
-      }(ec) }
+      } }
       // Raw-wire holdback: incomplete transactions' rows (events AND
-      // markers) wait as opaque strings — written concurrently with
-      // the per-table applies (disjoint locations).
+      // markers) wait as opaque strings — only the TEMP-path write
+      // overlaps the applies; the pending dir (the sole durable copy
+      // of complete transactions' events until every per-table apply
+      // commits) is wiped and atomically replaced ONLY after ALL
+      // applies succeeded. Par.awaitAll also joins every apply before
+      // rethrowing a failure, so a crash/retry never races stray
+      // in-flight table writers (A17).
       val rest = all.join(broadcast(complete),
           all("m.ts_ms") === complete("ts_ms"), "left_anti")
         .select("value")
       val tmp = Paths.get(pendingDir, "rows_next")
       rest.write.mode("overwrite").parquet(tmp.toString)
+      graft.Par.awaitAll(applies) // all applies durable — retire holdback
       wipe(pendingPath.toString)
       Files.deleteIfExists(pendingPath)
       Files.move(tmp, pendingPath, StandardCopyOption.ATOMIC_MOVE)
-      applies.foreach(f => scala.concurrent.Await.result(f,
-        scala.concurrent.duration.Duration.Inf))
     } finally all.unpersist(blocking = false)
   }
 

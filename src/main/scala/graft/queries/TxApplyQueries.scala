@@ -147,8 +147,15 @@ object TxApplyQueries {
         completeRows.filter(col("op") =!= "t"))
       // The apply (store table) and the holdback rewrite (pending dir)
       // write DISJOINT locations off the same persisted frame — run
-      // them as concurrent Spark actions.
-      val applyF = scala.concurrent.Future {
+      // them as concurrent Spark actions. Only the `rest` parquet
+      // write to the TEMP path overlaps the apply: the pending dir —
+      // the sole durable copy of complete transactions' events until
+      // the apply commits — is wiped and atomically replaced ONLY
+      // after the apply future has succeeded. (The reverse order would
+      // lose those events permanently if the apply failed or the
+      // process crashed in the window; the old sequential
+      // apply-then-rewrite only ever risked an idempotent re-apply.)
+      val applyF = graft.Par.future {
         val compacted = Merge.compactKeepTombstones(toApply,
           Seq("c_custkey")).persist()
         try {
@@ -157,18 +164,17 @@ object TxApplyQueries {
           MergeCommit.mergeBatchMeta(store, TargetTable, meta,
             Seq("c_custkey")).foreach(_.unpersist())
         } finally compacted.unpersist(blocking = false)
-      }(scala.concurrent.ExecutionContext.global)
+      }
       // Held-back rewrite: everything NOT in a complete transaction
       // (events and markers) waits for the next batch.
       val rest = all.join(broadcast(complete), Seq("ts_ms"), "left_anti")
         .select("before", "after", "op", "ts_ms", "seq", "source")
       val tmp = Paths.get(pendingDir, "rows_next")
       rest.write.mode("overwrite").parquet(tmp.toString)
+      graft.Par.await(applyF) // apply durable — NOW retire the holdback
       wipe(pendingPath.toString)
       Files.deleteIfExists(pendingPath)
       Files.move(tmp, pendingPath, StandardCopyOption.ATOMIC_MOVE)
-      scala.concurrent.Await.result(applyF,
-        scala.concurrent.duration.Duration.Inf)
     } finally all.unpersist(blocking = false)
   }
 
