@@ -1461,8 +1461,7 @@ object LlmOps {
       // shared persisted graph; each walk runs a per-hop checkpoint
       // chain, so running the widths CONCURRENTLY overlaps ~15 small
       // sequential jobs into three parallel chains.
-      val ec = scala.concurrent.ExecutionContext.global
-      Seq(10, 16, 24).map { w => scala.concurrent.Future {
+      graft.Par.run(Seq(10, 16, 24).map { w => () =>
         exact.join(
             walk(w).orderBy(col("cos").desc, col("vec_id")).limit(10)
               .select("vec_id"),
@@ -1471,9 +1470,7 @@ object LlmOps {
           .select(lit(w).as("beam"), col("hits"),
             round(col("hits").cast("double") / 10, 2).as("recall"))
           .localCheckpoint(true) // materialize inside the future
-      }(ec) }
-        .map(f => scala.concurrent.Await.result(f,
-          scala.concurrent.duration.Duration.Inf))
+      })
         .reduce(_ unionAll _).orderBy("beam")
     }
 
@@ -2524,6 +2521,150 @@ object LlmOps {
       |FROM exact JOIN approx_rr USING (vec_id)
       |ORDER BY method""".stripMargin
 
+  /** MAXIMAL MARGINAL RELEVANCE re-rank (Carbonell & Goldstein, SIGIR
+    * '98) — the diversity member of the similarity family: pure-cosine
+    * top-k hands a RAG consumer redundant near-duplicates; MMR greedily
+    * selects k=10 from the sketch-stage top-50 candidates, each step
+    * taking the candidate maximizing
+    * `λ·cos(probe,c) − (1−λ)·max_{s∈selected} cos(c,s)` with λ=0.7 and
+    * deterministic ties on (score DESC, vec_id ASC); the first pick has
+    * no selected set, so its score is λ·cos alone (pure relevance).
+    *
+    * Scale story: the corpus-sized work stays distributed — the
+    * candidate pool is the same TakeOrderedAndProject sketch scan as
+    * [[simRerank]], and the pool's pairwise-cosine matrix is one 50×50
+    * broadcast self-join of the codegen'd [[graft.functions.CosineSim]]
+    * kernel. Only the pool (50 rows) and its matrix (2,450 pairs) reach
+    * the driver — metadata-sized literal work, exactly like the PQ
+    * codebooks — where the greedy loop is O(k·|pool|) lookups over
+    * numbers both engines computed through already-hash-matching
+    * kernels. The only driver-side arithmetic is the score fold; its
+    * 6-dp round mirrors DuckDB's `ROUND(DOUBLE,6)` (half away from
+    * zero on the scaled double) so the oracle's unrolled greedy CTEs
+    * re-derive the selection bit-for-bit.
+    */
+  def simMmr(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = t(spark, sfDir, "embeddings")
+    val probe = emb.filter(col("vec_id") === 0)
+      .select(vecD(col("embedding")).as("probe"))
+    val sketchCos = round(cosine(
+      slice(vecD(col("embedding")), 1, 32), slice(col("probe"), 1, 32)), 6)
+    val cands = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), col("label"),
+        vecD(col("embedding")).as("v"), col("probe"),
+        sketchCos.as("scos"))
+      .orderBy(col("scos").desc, col("vec_id"))
+      .limit(50)
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("v"), col("probe")), 6).as("cos"), col("v"))
+      .localCheckpoint(eager = true) // 50 rows; don't re-run the scan
+    val rel = cands.select("vec_id", "label", "cos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    val sim = cands.select(col("vec_id").as("i"), col("v").as("va"))
+      .crossJoin(cands.select(col("vec_id").as("j"), col("v").as("vb")))
+      .filter(col("i") =!= col("j"))
+      .select(col("i"), col("j"),
+        round(cosine(col("va"), col("vb")), 6).as("sim"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    import spark.implicits._
+    mmrGreedy(rel, sim, k = 10)
+      .toDF("rank", "vec_id", "label", "cos", "mmr")
+      .orderBy("rank")
+  }
+
+  /** The greedy MMR selection over a metadata-sized candidate pool:
+    * `rel` = (id, label, relevance-cosine), `sim` = pairwise cosines
+    * keyed both ways. Returns (rank, id, label, cos, mmr-score).
+    * Factored out so the spec can pin a hand-computed selection where
+    * MMR inverts the pure-cosine order.
+    */
+  private[ops] def mmrGreedy(rel: Seq[(Long, Int, Double)],
+                             sim: Map[(Long, Long), Double],
+                             k: Int): Seq[(Int, Long, Int, Double, Double)] = {
+    // DuckDB ROUND(DOUBLE, 6): std::round(x·10⁶)/10⁶, half away from
+    // zero on the scaled double — mirrored exactly (NOT BigDecimal
+    // half-up, which rounds the shortest decimal representation and
+    // can disagree one ulp from the binary value's rounding).
+    def r6(x: Double): Double = {
+      val scaled = x * 1e6
+      (if (scaled >= 0) math.floor(scaled + 0.5)
+       else math.ceil(scaled - 0.5)) / 1e6
+    }
+    val pool = scala.collection.mutable.LinkedHashMap(
+      rel.map(r => r._1 -> (r._2, r._3)): _*)
+    val picked =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Int, Double, Double)]
+    while (picked.size < k && pool.nonEmpty) {
+      val scored = pool.toSeq.map { case (id, (lab, cos)) =>
+        val score =
+          if (picked.isEmpty) r6(0.7 * cos)
+          else r6(0.7 * cos -
+            0.3 * picked.iterator.map(p => sim((id, p._2))).max)
+        (id, lab, cos, score)
+      }
+      val best = scored.minBy { case (id, _, _, s) => (-s, id) }
+      picked += ((picked.size + 1, best._1, best._2, best._3, best._4))
+      pool.remove(best._1)
+    }
+    picked.toSeq
+  }
+
+  val simMmrOracle: String = {
+    val base =
+      """WITH probe AS (
+        |  SELECT embedding::DOUBLE[] AS p FROM embeddings WHERE vec_id = 0
+        |), cand AS MATERIALIZED (
+        |  SELECT vec_id, label,
+        |    ROUND(list_dot_product(embedding::DOUBLE[], p) /
+        |      (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+        |       sqrt(list_dot_product(p, p))), 6) AS cos,
+        |    embedding::DOUBLE[] AS v
+        |  FROM embeddings, probe WHERE vec_id <> 0
+        |  ORDER BY ROUND(
+        |    list_dot_product((embedding::DOUBLE[])[1:32], p[1:32]) /
+        |    (sqrt(list_dot_product((embedding::DOUBLE[])[1:32],
+        |                           (embedding::DOUBLE[])[1:32])) *
+        |     sqrt(list_dot_product(p[1:32], p[1:32]))), 6) DESC, vec_id
+        |  LIMIT 50
+        |), pair AS MATERIALIZED (
+        |  SELECT a.vec_id AS i, b.vec_id AS j,
+        |    ROUND(list_dot_product(a.v, b.v) /
+        |      (sqrt(list_dot_product(a.v, a.v)) *
+        |       sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+        |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+        |), s1 AS MATERIALIZED (
+        |  SELECT vec_id, ROUND(0.7 * cos, 6) AS mmr FROM cand
+        |  ORDER BY ROUND(0.7 * cos, 6) DESC, vec_id LIMIT 1
+        |), sel1 AS MATERIALIZED (SELECT vec_id FROM s1)""".stripMargin
+    val steps = (2 to 10).map { n =>
+      s""",
+         |s$n AS MATERIALIZED (
+         |  SELECT c.vec_id, ROUND(0.7 * c.cos - 0.3 * (
+         |      SELECT max(p.sim) FROM pair p
+         |      WHERE p.i = c.vec_id
+         |        AND p.j IN (SELECT vec_id FROM sel${n - 1})), 6) AS mmr
+         |  FROM cand c
+         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${n - 1})
+         |  ORDER BY mmr DESC, c.vec_id LIMIT 1
+         |),
+         |sel$n AS MATERIALIZED (
+         |  SELECT vec_id FROM sel${n - 1} UNION ALL SELECT vec_id FROM s$n
+         |)""".stripMargin
+    }.mkString
+    val ranks = (1 to 10).map(n =>
+      s"SELECT $n AS rank, vec_id, mmr FROM s$n")
+      .mkString("\n  UNION ALL ")
+    base + steps +
+      s"""
+         |SELECT r.rank, r.vec_id, c.label, c.cos, r.mmr
+         |FROM (
+         |  $ranks
+         |) r JOIN cand c USING (vec_id)
+         |ORDER BY rank""".stripMargin
+  }
+
   /** Sign-bit (binary) quantization: each 64-dim float vector packs to
     * ONE bigint — bit i set iff coordinate i+1 is non-negative. The
     * 1-bit-per-dimension point of the quantization family (int8 =
@@ -3028,6 +3169,100 @@ object LlmOps {
       |  count(*) AS n_terms
       |FROM tf JOIN df USING (term), n
       |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+
+  /** BM25 ranked retrieval (Robertson/Spärck Jones; the Lucene
+    * `+1`-inside-the-log IDF variant so scores never go negative) —
+    * the end-to-end ranked-retrieval member the tf/tf-idf/inverted-
+    * index family builds toward: score every document against a fixed
+    * 3-term query with k1=1.2, b=0.75 (the standard constants, inlined
+    * as literals) and emit the top-20.
+    *
+    *   score(d) = Σ_t ln((N−df+0.5)/(df+0.5) + 1) ·
+    *              tf·(k1+1) / (tf + k1·(1−b + b·|d|/avgdl))
+    *
+    * Plan shape = two scans and nothing else: pass 1 is ONE corpus
+    * aggregate producing every global the scorer needs (N, Σ|d|, and
+    * per-term df via `array_contains` conditional counts — all exact
+    * INTEGERS, so avgdl = Σ|d|/N is one IEEE division both engines
+    * compute bit-identically; never cross-engine `avg()`, whose
+    * partial-sum order is engine-dependent); pass 2 computes tf per
+    * query term SCAN-LOCALLY (`filter(words, _ === term)` — no
+    * explode, no per-(doc,term) shuffle, no join back to a length
+    * table) and folds the closed-form score per row against the
+    * broadcast stats. The only exchange in the whole plan is the
+    * 1-row broadcast; the cut is TakeOrderedAndProject (PlanSpec pins
+    * both). At 100 TB: pass 1 is a map-side-combined scan, pass 2
+    * streams — per-query cost is two scans however wide the corpus,
+    * and a deployment serving many queries hoists pass 1 into the
+    * stored stats every search engine keeps.
+    */
+  def rankBm25(spark: SparkSession, sfDir: String): DataFrame = {
+    val queryTerms = Seq("data", "table", "row")
+    val docs = t(spark, sfDir, "documents")
+    val statAggs = Seq(
+      count(lit(1)).as("n"),
+      sum(size(words)).cast("long").as("sdl")) ++
+      queryTerms.zipWithIndex.map { case (q, i) =>
+        count(when(array_contains(words, q), 1)).as(s"df${i + 1}") }
+    val stats = docs.agg(statAggs.head, statAggs.tail: _*)
+    val tfCols = Seq(col("doc_id"), size(words).as("dl")) ++
+      queryTerms.zipWithIndex.map { case (q, i) =>
+        size(filter(words, w => w === q)).as(s"tf${i + 1}") }
+    val avgdl = col("sdl").cast("double") / col("n").cast("double")
+    def termScore(i: Int): Column = {
+      val tf = col(s"tf$i").cast("double")
+      val df = col(s"df$i").cast("double")
+      val idf = log((col("n").cast("double") - df + 0.5) / (df + 0.5) + 1.0)
+      idf * (tf * 2.2) /
+        (tf + lit(1.2) * (lit(0.25) + lit(0.75) *
+          (col("dl").cast("double") / avgdl)))
+    }
+    val nHit = (1 to queryTerms.size).map(i =>
+      when(col(s"tf$i") > 0, 1).otherwise(0)).reduce(_ + _)
+    docs.select(tfCols: _*)
+      .crossJoin(broadcast(stats))
+      .filter((1 to queryTerms.size).map(i => col(s"tf$i")).reduce(_ + _) > 0)
+      .select(col("doc_id"), nHit.as("n_hit"),
+        round((1 to queryTerms.size).map(termScore).reduce(_ + _), 6)
+          .as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val rankBm25Oracle: String = {
+    val terms = Seq("data", "table", "row")
+    val dfs = terms.zipWithIndex.map { case (q, i) =>
+      s"""    count(*) FILTER (WHERE list_contains(string_split(text, ' '),
+         |      '$q')) AS df${i + 1}""".stripMargin }.mkString(",\n")
+    val tfs = terms.zipWithIndex.map { case (q, i) =>
+      s"""    len(list_filter(string_split(text, ' '),
+         |      w -> w = '$q')) AS tf${i + 1}""".stripMargin }.mkString(",\n")
+    def termScore(i: Int): String =
+      s"""ln((CAST(n AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5) /
+         |      (CAST(df$i AS DOUBLE) + 0.5) + 1.0) *
+         |    (CAST(tf$i AS DOUBLE) * 2.2) /
+         |    (CAST(tf$i AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+         |      (CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) /
+         |       CAST(n AS DOUBLE)))))""".stripMargin
+    s"""WITH stats AS (
+       |  SELECT count(*) AS n,
+       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sdl,
+       |$dfs
+       |  FROM documents
+       |), tf AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+       |$tfs
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |  (tf1 > 0)::INT + (tf2 > 0)::INT + (tf3 > 0)::INT AS n_hit,
+       |  ROUND(${termScore(1)} +
+       |    ${termScore(2)} +
+       |    ${termScore(3)}, 6) AS score
+       |FROM tf, stats
+       |WHERE tf1 + tf2 + tf3 > 0
+       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+  }
 
   /** Token counting, whitespace AND BPE-ish: the pre-training budget
     * estimate every corpus decision hangs on. `n_ws_tokens` is the
@@ -5216,6 +5451,7 @@ object LlmOps {
     "llm_sim_lsh_recall" -> simLshRecall,
     "llm_sim_rerank" -> simRerank,
     "llm_sim_rerank_recall" -> simRerankRecall,
+    "llm_sim_mmr" -> simMmr,
     "llm_sim_binary" -> simBinary,
     "llm_sim_binary_recall" -> simBinaryRecall,
     "llm_sim_filtered" -> simFiltered,
@@ -5229,6 +5465,7 @@ object LlmOps {
     "llm_text_rollhash" -> textRollhash,
     "llm_text_termfreq" -> textTermFreq,
     "llm_text_tfidf" -> textTfidf,
+    "llm_rank_bm25" -> rankBm25,
     "llm_text_quality_route" -> textQualityRoute,
     "llm_text_langid" -> textLangId,
     "llm_text_vocab" -> textVocab,
@@ -5304,6 +5541,7 @@ object LlmOps {
     "llm_sim_lsh_recall" -> simLshRecallOracle,
     "llm_sim_rerank" -> simRerankOracle,
     "llm_sim_rerank_recall" -> simRerankRecallOracle,
+    "llm_sim_mmr" -> simMmrOracle,
     "llm_sim_binary" -> simBinaryOracle,
     "llm_sim_binary_recall" -> simBinaryRecallOracle,
     "llm_sim_filtered" -> simFilteredOracle,
@@ -5317,6 +5555,7 @@ object LlmOps {
     "llm_text_rollhash" -> textRollhashOracle,
     "llm_text_termfreq" -> textTermFreqOracle,
     "llm_text_tfidf" -> textTfidfOracle,
+    "llm_rank_bm25" -> rankBm25Oracle,
     "llm_text_quality_route" -> textQualityRouteOracle,
     "llm_text_langid" -> textLangIdOracle,
     "llm_text_vocab" -> textVocabOracle,

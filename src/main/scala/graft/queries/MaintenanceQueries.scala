@@ -1767,6 +1767,100 @@ object MaintenanceQueries {
       |FROM supplier
       |ORDER BY step""".stripMargin
 
+  private val expRetainDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** EXPIRE SNAPSHOTS WITH `retain_last` (`expire_snapshots(older_than
+    * => ts, retain_last => n)` — completing the Iceberg expiry surface
+    * beside [[expireTs]], via [[graft.cdc.StateStore.expireSnapshots]]):
+    * four FULL-IMAGE waves commit (base → all +100 → all +200 → all
+    * +300 with %7 tombstoned), then a horizon at "now" proposes
+    * expiring EVERYTHING — and `retain_last => 2` overrides it for the
+    * newest two snapshots (Iceberg's composition rule: whichever
+    * constraint retains more wins). Full-image waves are deliberate:
+    * every wave rewrites every present bucket at every sf, so the
+    * retained manifests reference ONLY their own version dirs and the
+    * expiry arithmetic is scale-independent (a partial wave would
+    * leave old dirs reachable from the head, and reachability-driven
+    * GC — correctly — keeps a referenced version's manifest alive;
+    * that interplay is [[expireTs]]'s demo, not this one's). Steps:
+    *   `head`      — the post-expiry head still reads wave 4's closed
+    *                 form and resolves by timestamp;
+    *   `retained`  — v2 survived PURELY by count — its instant is
+    *                 behind the horizon — and still time-travels
+    *                 exactly;
+    *   `survivors` — exactly 2 manifests remain; `ok` asserts v0 and
+    *                 v1 (outside retain_last, behind the horizon) are
+    *                 in fact gone.
+    * The stricter-retention interplay in the other direction (time
+    * keeping what count proposed) is pinned in ExpireTsSpec.
+    */
+  def expireRetain(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val wh = expRetainDirCache.computeIfAbsent(sfDir,
+      _ => graft.Scratch.dir("graft-expret-").toString)
+    val whPath = Paths.get(wh)
+    Files.walk(whPath).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => if (p != whPath) Files.deleteIfExists(p))
+    val store = new graft.cdc.StateStore(wh, nBuckets = 8)
+    val target = "cdc.commerce_supplier_ret"
+    val pk = Seq("s_suppkey")
+    val sup = Tables.load(spark, sfDir, "supplier")
+    def wave(df: DataFrame, ts: Long, deleted: Column): Unit = {
+      graft.cdc.MergeCommit.mergeBatchMeta(store, target, df
+        .withColumn(graft.cdc.StateStore.TsCol, lit(ts))
+        .withColumn(graft.cdc.StateStore.SeqCol, col("s_suppkey").cast("long"))
+        .withColumn(graft.cdc.StateStore.DeletedCol, deleted)
+        .withColumn(graft.cdc.StateStore.BucketCol,
+          graft.cdc.StateStore.bucketExpr(pk, 8)), pk)
+      ()
+    }
+    wave(sup, 1000L, lit(false))                                      // v0
+    wave(sup.withColumn("s_acctbal", col("s_acctbal") + 100.0),
+      2000L, lit(false))                                              // v1
+    wave(sup.withColumn("s_acctbal", col("s_acctbal") + 200.0),
+      3000L, lit(false))                                              // v2
+    wave(sup.withColumn("s_acctbal", col("s_acctbal") + 300.0),
+      4000L, col("s_suppkey") % 7 === 0)                              // v3
+    store.expireSnapshots(target,
+      olderThan = Some(System.currentTimeMillis()), retainLast = Some(2))
+
+    val d = whPath.resolve(target)
+    val survivors = (0 to store.currentVersion(target))
+      .count(v => Files.exists(d.resolve(s"manifest-$v.tsv"))).toLong
+    val oldGone = !Files.exists(d.resolve("manifest-0.tsv")) &&
+      !Files.exists(d.resolve("manifest-1.tsv"))
+    val headResolves = store.versionAtTime(target,
+      System.currentTimeMillis()) == store.currentVersion(target)
+
+    def summarize(step: String, df: DataFrame, ok: Boolean): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+        round(sum(round(col("s_acctbal"), 2)), 2).as("bal_sum"))
+        .select(lit(step).as("step"), col("n_rows"), col("bal_sum"),
+          lit(ok).as("ok"))
+    val metaRow = spark.range(1).select(lit("survivors").as("step"),
+      lit(survivors).as("n_rows"), lit(0.0).as("bal_sum"),
+      lit(oldGone).as("ok"))
+    summarize("head", store.currentState(spark, target), headResolves)
+      .unionByName(summarize("retained", store.stateAt(spark, target, 2),
+        ok = true))
+      .unionByName(metaRow)
+      .orderBy("step")
+      .localCheckpoint(eager = true)
+  }
+
+  val expireRetainOracle: String =
+    """SELECT 'head' AS step, count(*) AS n_rows,
+      |  ROUND(sum(ROUND(s_acctbal + 300.0, 2)), 2) AS bal_sum, TRUE AS ok
+      |FROM supplier WHERE s_suppkey % 7 <> 0
+      |UNION ALL
+      |SELECT 'retained', count(*),
+      |  ROUND(sum(ROUND(s_acctbal + 200.0, 2)), 2), TRUE
+      |FROM supplier
+      |UNION ALL
+      |SELECT 'survivors', CAST(2 AS BIGINT), 0.0, TRUE
+      |ORDER BY step""".stripMargin
+
   private val filesDirCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -3283,6 +3377,7 @@ object MaintenanceQueries {
     "maintenance_rollback_ts" -> rollbackTs,
     "cdc_table_changes_ts" -> tableChangesTs,
     "maintenance_expire_ts" -> expireTs,
+    "maintenance_expire_retain" -> expireRetain,
     "maintenance_files_meta" -> filesMeta,
     "cdc_schema_drop" -> schemaDrop,
     "cdc_point_lookup" -> pointLookup)
@@ -3320,6 +3415,7 @@ object MaintenanceQueries {
     "maintenance_rollback_ts" -> rollbackTsOracle,
     "cdc_table_changes_ts" -> tableChangesTsOracle,
     "maintenance_expire_ts" -> expireTsOracle,
+    "maintenance_expire_retain" -> expireRetainOracle,
     "maintenance_files_meta" -> filesMetaOracle,
     "cdc_schema_drop" -> schemaDropOracle,
     "cdc_point_lookup" -> pointLookupOracle)

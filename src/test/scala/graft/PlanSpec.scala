@@ -50,6 +50,26 @@ class PlanSpec extends SparkTestBase {
         "partial-aggregate map-side")
   }
 
+  test("llm_rank_bm25: two scans only, scan-local tf (no explode), " +
+    "1-row stats broadcast, TakeOrderedAndProject cut") {
+    val p = plan("llm_rank_bm25")
+    assert(scanCount(p) == 2,
+      "pass 1 (corpus stats) + pass 2 (score) — a third scan means tf " +
+        "or dl grew a join back to the corpus")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the top-20 cut must never be a global Sort+Exchange")
+    assert(!p.contains("Exchange hashpartitioning") &&
+      !p.contains("Exchange rangepartitioning"),
+      "nothing data-sized may shuffle: tf is scan-local, the score is " +
+        "a per-row closed form against broadcast stats")
+    assert(p.contains("BroadcastExchange"),
+      "the 1-row stats must reach the scorer as a broadcast")
+    assert(!p.contains("Generate"),
+      "tf must be the filter() higher-order function, not explode — " +
+        "explode would multiply the scan by tokens-per-doc and force a " +
+        "per-(doc,term) aggregate")
+  }
+
   test("agg_q1: filter pushed to scan, pruned columns, partial+final agg") {
     val p = plan("agg_q1")
     assert(p.contains("PushedFilters"), "no pushdown block")

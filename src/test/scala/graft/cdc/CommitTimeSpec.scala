@@ -87,4 +87,36 @@ class CommitTimeSpec extends SparkTestBase {
     // The restore's instant is its OWN commit time, not v0's/v1's.
     assert(ts(2) > ts(1) && ts(3) > ts(2))
   }
+
+  test("deep history resolves in one sidecar parse: $history / " +
+      "versionAtTime over 100 versions match per-version commitTimeOf") {
+    val (store, target) = freshStore("ctimedeep")
+    val sup = Tables.load(spark, sf, "supplier").limit(10)
+    wave(store, target, sup, 1000L)                                    // v0
+    wave(store, target, sup.withColumn("s_acctbal",
+      col("s_acctbal") + 1.0), 2000L)                                  // v1
+    // Pointer-only restores are full commits (manifest + sidecar line)
+    // at metadata cost — a 100-deep history in milliseconds. The
+    // multi-version resolvers (history/versionAtTime/expireSnapshots)
+    // parse commits.jsonl ONCE per call (ADVICE r14: per-version
+    // whole-file reads made them O(versions × sidecar)); this pins
+    // their results against the per-version single lookups, and the
+    // wall-clock stays trivially flat because the walk is linear.
+    val deep = (2 to 99).map(v => store.restore(target, v % 2))
+    assert(deep.last == 99 && store.currentVersion(target) == 99)
+    val hist = store.history(spark, target)
+      .orderBy("version").collect()
+    assert(hist.length == 100)
+    hist.foreach { r =>
+      assert(r.getLong(1) == store.commitTimeOf(target, r.getInt(0)),
+        s"history instant for v${r.getInt(0)} diverged from commitTimeOf")
+    }
+    val instants = hist.map(_.getLong(1))
+    assert(instants.sameElements(instants.sorted) &&
+      instants.distinct.length == 100, "100 strictly monotone instants")
+    // Spot resolution across the whole range off the one-parse path.
+    Seq(0, 1, 37, 63, 98, 99).foreach { v =>
+      assert(store.versionAtTime(target, store.commitTimeOf(target, v)) == v)
+    }
+  }
 }

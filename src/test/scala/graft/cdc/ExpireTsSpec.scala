@@ -54,4 +54,53 @@ class ExpireTsSpec extends SparkTestBase {
     assert(store.stateAtRef(spark, target, "audit").count() == sup.count(),
       "the tag still reads wave 1 after both expiries")
   }
+
+  test("retain_last keeps the newest N; combined with older_than the " +
+      "stricter retention wins (Iceberg's composition rule)") {
+    val wh = graft.Scratch.dir("graft-retain-spec-").toString
+    val store = new StateStore(wh, nBuckets = 4)
+    val target = "cdc.retain_spec"
+    val pk = Seq("s_suppkey")
+    val sup = Tables.load(spark, sf, "supplier").limit(30)
+    def wave(delta: Double, ts: Long): Unit = {
+      MergeCommit.mergeBatchMeta(store, target, sup
+        .withColumn("s_acctbal", col("s_acctbal") + delta)
+        .withColumn(StateStore.TsCol, lit(ts))
+        .withColumn(StateStore.SeqCol, col("s_suppkey").cast("long"))
+        .withColumn(StateStore.DeletedCol, lit(false))
+        .withColumn(StateStore.BucketCol, StateStore.bucketExpr(pk, 4)), pk)
+      ()
+    }
+    (0 to 4).foreach(i => wave(i * 10.0, 1000L + i))    // v0..v4
+    val d = Paths.get(wh).resolve(target)
+    val horizon = System.currentTimeMillis() // every commit is older
+
+    // retain_last=3 with a horizon proposing EVERYTHING: the count
+    // constraint keeps more, so v2..v4 survive and v0..v1 expire.
+    store.expireSnapshots(target, olderThan = Some(horizon),
+      retainLast = Some(3))
+    assert((0 to 1).forall(v => !Files.exists(d.resolve(s"manifest-$v.tsv"))),
+      "v0,v1 are past both constraints and must expire")
+    assert((2 to 4).forall(v => Files.exists(d.resolve(s"manifest-$v.tsv"))),
+      "retain_last=3 must keep v2..v4 even though the horizon proposes them")
+
+    // Now the other direction: retain_last=1 proposes v2,v3 too, but a
+    // horizon at v3's instant keeps v3 (and the head) — time is the
+    // stricter retention here.
+    val t3 = store.commitTimeOf(target, 3)
+    store.expireSnapshots(target, olderThan = Some(t3),
+      retainLast = Some(1))
+    assert(!Files.exists(d.resolve("manifest-2.tsv")),
+      "v2 is behind the horizon AND outside retain_last — expires")
+    assert(Files.exists(d.resolve("manifest-3.tsv")),
+      "v3's instant >= older_than: the time constraint keeps it " +
+        "even though retain_last=1 proposed it")
+    assert(Files.exists(d.resolve("manifest-4.tsv")), "head never expires")
+
+    // retain_last alone (no horizon): everything but the newest N goes.
+    store.expireSnapshots(target, retainLast = Some(1))
+    assert(!Files.exists(d.resolve("manifest-3.tsv")) &&
+      Files.exists(d.resolve("manifest-4.tsv")),
+      "retain_last without older_than expires all but the newest N")
+  }
 }
