@@ -297,6 +297,237 @@ object MaintenanceQueries {
        |  min(l_suppkey) AS sk_min, max(l_suppkey) AS sk_max
        |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  // --------------------------------------- incremental z-order upkeep
+
+  private val ziDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The laid-out z-ordered table dir for a given sfDir (test hook). */
+  private[queries] def ziLaidDir(sfDir: String): String =
+    s"${ziDirCache.get(sfDir)}/lineitem_z"
+
+  private[queries] final case class ZBounds(pkLo: Long, pkHi: Long,
+                                            skLo: Long, skHi: Long)
+
+  /** FIXED quantizer reference bounds, from the base table — the same
+    * fixed-edge discipline as profile_drift: recomputing bounds from
+    * the mutated layout would silently re-scale every historical
+    * z-value and the audit would compare apples to oranges.
+    */
+  private[queries] def ziBounds(spark: SparkSession,
+                                sfDir: String): ZBounds = {
+    val r = Tables.load(spark, sfDir, "lineitem")
+      .agg(min("l_partkey"), max("l_partkey"),
+        min("l_suppkey"), max("l_suppkey")).head
+    ZBounds(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+  }
+
+  private def ziQuant(x: Column, lo: Long, hi: Long): Column =
+    floor((x - lit(lo)) * lit(256.0) / lit(hi - lo + 1L)).cast("long")
+
+  /** qx/qy/zval off the stored key columns ([[layoutZorder]]'s exact
+    * 16-term interleave, against the FIXED bounds). */
+  private def ziWithZ(df: DataFrame, b: ZBounds): DataFrame = {
+    val zval = (0 until 8).map { i =>
+      shiftleft(shiftright(col("qx"), i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(
+          shiftleft(shiftright(col("qy"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+    df.withColumn("qx", ziQuant(col("l_partkey"), b.pkLo, b.pkHi))
+      .withColumn("qy", ziQuant(col("l_suppkey"), b.skLo, b.skHi))
+      .withColumn("zval", zval)
+  }
+
+  private def ziWindow = org.apache.spark.sql.expressions.Window
+    .partitionBy("zb").orderBy("zval", "l_orderkey", "l_linenumber")
+
+  /** Step 1 — BUILD the z-clustered layout: 16 z-bucket file GROUPS
+    * (`zb` = zval≫12), each cut into 8 rank-chunk FILES (`zf` =
+    * ntile(8) in total (zval, key) order — SQL-NTILE arithmetic, so
+    * the chunk boundaries are engine-reproducible, unlike physical
+    * `maxRecordsPerFile` splits). Every leaf's footer min/max is tight
+    * on BOTH dimensions — the state `layout_zorder` reports on.
+    */
+  private[queries] def ziBuild(spark: SparkSession, sfDir: String,
+                               laid: String, b: ZBounds): Unit =
+    ziWithZ(Tables.load(spark, sfDir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"), b)
+      .withColumn("zb", shiftright(col("zval"), 12).cast("int"))
+      .withColumn("zf", ntile(8).over(ziWindow))
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "zb", "zf")
+      .write.mode("overwrite").partitionBy("zb", "zf").parquet(laid)
+
+  /** Step 2 — the CDC wave that DEGRADES locality: in z-groups 3 and 7
+    * only, orders divisible by 5 get their supplier reassigned to the
+    * mirror position (`sk_lo + sk_hi − sk` — a guaranteed top-bit flip
+    * of qy, so every updated row now z-belongs elsewhere). Applied IN
+    * PLACE (dynamic overwrite of the two groups' leaves, placement
+    * unchanged) — exactly what a MERGE does to a sorted layout: values
+    * move, files don't, footer spans balloon.
+    */
+  private[queries] def ziWave(spark: SparkSession, laid: String,
+                              b: ZBounds): Unit =
+    spark.read.parquet(laid).filter(col("zb").isin(3, 7))
+      .withColumn("l_suppkey",
+        when(col("l_orderkey") % 5 === 0,
+          lit(b.skLo + b.skHi) - col("l_suppkey"))
+          .otherwise(col("l_suppkey")))
+      .localCheckpoint(eager = true) // read-your-own-write guard
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("zb", "zf").parquet(laid)
+
+  /** Step 3 — the DEGRADATION AUDIT: per z-group, how many stored rows
+    * no longer z-belong to it (recomputed zval≫12 ≠ stored group).
+    * One pruned scan of key columns, 16 rows out — the metadata-sized
+    * health check a table service would run after every commit wave.
+    */
+  private[queries] def ziAudit(spark: SparkSession, laid: String,
+                               b: ZBounds): DataFrame =
+    ziWithZ(spark.read.parquet(laid), b)
+      .groupBy("zb")
+      .agg(count(lit(1)).as("n_rows"),
+        count(when(shiftright(col("zval"), 12).cast("int") =!= col("zb"), 1))
+          .as("n_misplaced"))
+
+  /** Step 4 — INCREMENTAL RE-CLUSTER of the degraded groups ONLY: the
+    * `rewrite_data_files(strategy => 'sort')` move — re-rank the
+    * group's rows by their CURRENT zval and re-cut the 8 leaf chunks,
+    * dynamic-overwriting just those groups. Rows stay in their group
+    * (Iceberg's rewrite is within-partition too — cross-group
+    * re-assignment is the full OPTIMIZE, not maintenance); the win is
+    * that the displaced rows collapse into the tail chunks instead of
+    * smearing every leaf's span. Untouched groups carry over
+    * BYTE-IDENTICAL (ZorderIncSpec checksums them).
+    */
+  private[queries] def ziRewrite(spark: SparkSession, laid: String,
+                                 b: ZBounds, degraded: Seq[Int]): Unit =
+    if (degraded.nonEmpty) {
+      ziWithZ(spark.read.parquet(laid)
+          .filter(col("zb").isin(degraded: _*)), b)
+        .withColumn("zf", ntile(8).over(ziWindow))
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "zb", "zf")
+        .localCheckpoint(eager = true)
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("zb", "zf").parquet(laid)
+    }
+
+  /** INCREMENTAL Z-ORDER MAINTENANCE (VERDICT r14 stretch #8 —
+    * `layout_zonemap` got its `_incremental` twin in r9; this is
+    * `layout_zorder`'s): build → degrade → audit → re-cluster ONLY the
+    * degraded groups, then report per group the row count, the
+    * misplaced count the audit saw, the action taken, and the
+    * post-maintenance average per-leaf span on both z dimensions —
+    * carried-over groups keep their original tight spans, rewritten
+    * groups recover tight spans for 7 of 8 leaves (the mirror-flipped
+    * rows pool in the tail chunk instead of widening every footer).
+    *
+    * 100 TB posture: the audit is one pruned scan emitting one row per
+    * file group; the rewrite cost is O(degraded groups), never a full
+    * re-sort; the report reads the PHYSICAL post-maintenance layout
+    * (leaf spans recomputed from stored keys), so what the oracle
+    * checks is what the files actually hold. Every boundary (group =
+    * zval≫12, leaf = NTILE(8) in total (zval, key) order) is
+    * engine-reproducible arithmetic, which is what makes the whole
+    * lifecycle oracle-checkable end to end.
+    */
+  def layoutZorderIncremental(spark: SparkSession,
+                              sfDir: String): DataFrame = {
+    val dir = ziDirCache.computeIfAbsent(sfDir, _ =>
+      graft.Scratch.dir("graft-zi-").toString)
+    val laid = s"$dir/lineitem_z"
+    val b = ziBounds(spark, sfDir)
+    ziBuild(spark, sfDir, laid, b)
+    ziWave(spark, laid, b)
+    val audit = ziAudit(spark, laid, b).collect() // 16 rows, metadata
+    val degraded = audit.filter(_.getLong(2) > 0L)
+      .map(_.getInt(0)).toSeq.sorted
+    ziRewrite(spark, laid, b, degraded)
+    import spark.implicits._
+    val auditDf = audit.map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .toSeq.toDF("zb", "n_rows", "n_misplaced")
+    val leafSpans = ziWithZ(spark.read.parquet(laid), b)
+      .groupBy("zb", "zf")
+      .agg((max("qx") - min("qx")).as("qx_span"),
+        (max("qy") - min("qy")).as("qy_span"))
+    leafSpans.groupBy("zb")
+      .agg(round(avg("qx_span"), 4).as("avg_qx_span"),
+        round(avg("qy_span"), 4).as("avg_qy_span"))
+      .join(auditDf, Seq("zb"))
+      .withColumn("action", when(col("n_misplaced") > 0, lit("rewrite"))
+        .otherwise(lit("carry-over")))
+      .select(col("zb"), col("n_rows"), col("n_misplaced"), col("action"),
+        col("avg_qx_span"), col("avg_qy_span"))
+      .orderBy("zb")
+      .localCheckpoint(eager = true)
+  }
+
+  val layoutZorderIncrementalOracle: String = {
+    def quant(x: String, lo: String, hi: String): String =
+      s"CAST(floor(($x - $lo) * 256.0 / ($hi - $lo + 1)) AS BIGINT)"
+    s"""WITH s AS (
+       |  SELECT min(l_partkey) AS pk_lo, max(l_partkey) AS pk_hi,
+       |         min(l_suppkey) AS sk_lo, max(l_suppkey) AS sk_hi
+       |  FROM lineitem
+       |), q AS (
+       |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       |    sk_lo, sk_hi, pk_lo, pk_hi,
+       |    ${quant("l_partkey", "pk_lo", "pk_hi")} AS qx,
+       |    ${quant("l_suppkey", "sk_lo", "sk_hi")} AS qy
+       |  FROM lineitem, s
+       |), z AS (
+       |  SELECT *, (${zTermsSql("qx", "qy")}) AS zval FROM q
+       |), f AS (
+       |  SELECT *, CAST(zval >> 12 AS INT) AS zb FROM z
+       |), r AS (
+       |  SELECT *, ntile(8) OVER (PARTITION BY zb
+       |    ORDER BY zval, l_orderkey, l_linenumber) AS zf
+       |  FROM f
+       |), wv AS (
+       |  SELECT l_orderkey, l_linenumber, l_partkey,
+       |    CASE WHEN zb IN (3, 7) AND l_orderkey % 5 = 0
+       |         THEN sk_lo + sk_hi - l_suppkey ELSE l_suppkey
+       |    END AS l_suppkey,
+       |    zb, zf, pk_lo, pk_hi, sk_lo, sk_hi
+       |  FROM r
+       |), z2 AS (
+       |  SELECT l_orderkey, l_linenumber, zb, zf, qx, qy,
+       |    (${zTermsSql("qx", "qy")}) AS zval
+       |  FROM (
+       |    SELECT *,
+       |      ${quant("l_partkey", "pk_lo", "pk_hi")} AS qx,
+       |      ${quant("l_suppkey", "sk_lo", "sk_hi")} AS qy
+       |    FROM wv
+       |  )
+       |), audit AS (
+       |  SELECT zb, count(*) AS n_rows,
+       |    count(*) FILTER (WHERE CAST(zval >> 12 AS INT) <> zb)
+       |      AS n_misplaced
+       |  FROM z2 GROUP BY zb
+       |), fin AS (
+       |  SELECT z2.zb,
+       |    CASE WHEN a.n_misplaced > 0
+       |         THEN ntile(8) OVER (PARTITION BY z2.zb
+       |           ORDER BY z2.zval, z2.l_orderkey, z2.l_linenumber)
+       |         ELSE z2.zf END AS zf,
+       |    qx, qy
+       |  FROM z2 JOIN audit a ON z2.zb = a.zb
+       |), leaf AS (
+       |  SELECT zb, zf, max(qx) - min(qx) AS qx_span,
+       |    max(qy) - min(qy) AS qy_span
+       |  FROM fin GROUP BY zb, zf
+       |)
+       |SELECT a.zb, a.n_rows, a.n_misplaced,
+       |  CASE WHEN a.n_misplaced > 0 THEN 'rewrite'
+       |       ELSE 'carry-over' END AS action,
+       |  ROUND(avg(qx_span), 4) AS avg_qx_span,
+       |  ROUND(avg(qy_span), 4) AS avg_qy_span
+       |FROM leaf JOIN audit a ON leaf.zb = a.zb
+       |GROUP BY a.zb, a.n_rows, a.n_misplaced
+       |ORDER BY a.zb""".stripMargin
+  }
+
   // ------------------------------------------------- zone-map skipping
 
   private val zonemapDirCache =
@@ -3360,6 +3591,7 @@ object MaintenanceQueries {
     "layout_zorder" -> layoutZorder,
     "layout_zonemap" -> layoutZonemap,
     "layout_zonemap_incremental" -> layoutZonemapIncremental,
+    "layout_zorder_incremental" -> layoutZorderIncremental,
     "layout_bloom" -> layoutBloom,
     "layout_bloom_incremental" -> layoutBloomIncremental,
     "maintenance_partition_transform" -> partitionTransform,
@@ -3398,6 +3630,7 @@ object MaintenanceQueries {
     "layout_zorder" -> layoutZorderOracle,
     "layout_zonemap" -> layoutZonemapOracle,
     "layout_zonemap_incremental" -> layoutZonemapIncrementalOracle,
+    "layout_zorder_incremental" -> layoutZorderIncrementalOracle,
     "layout_bloom" -> layoutBloomOracle,
     "layout_bloom_incremental" -> layoutBloomIncrementalOracle,
     "maintenance_partition_transform" -> partitionTransformOracle,
