@@ -659,6 +659,66 @@ object CatalogQueries {
       |    AS qty_kept
       |FROM lineitem""".stripMargin
 
+  /** DIFFERENTIAL-PRIVACY count release — the RELEASE member of the
+    * governance suite: k-anonymity/l-diversity/t-closeness DIAGNOSE
+    * re-identification risk in a table as stored; the Laplace
+    * mechanism is how a published aggregate BOUNDS it. Per-nation
+    * customer counts with Laplace(Δf/ε) noise: ε=0.5, sensitivity
+    * Δf=1 (a unit counting query — one person changes one count by at
+    * most 1), scale b = Δf/ε = 2.0. The draw is the real inverse-CDF
+    * Laplace transform `−b·sign(u−½)·ln(1−2|u−½|)`; its uniform is
+    * SEEDED from md5(n_name) (the DSIR digest-uniform trick — first 6
+    * hex nibbles / 2²⁴, +0.5 in the numerator so u ∈ (0,1) strictly
+    * and the log never sees 0) so the release is reproducible and
+    * oracle-checkable; a deployment swaps the digest for a CSPRNG
+    * draw and nothing else changes. `exact_count` is published beside
+    * `dp_count` as the demo's calibration instrument (|noise| has
+    * median b·ln2 ≈ 1.39 here) — a real release drops it.
+    *
+    * Scale: one broadcast dim join + one hash aggregate; the noise is
+    * a per-GROUP scalar expression on the aggregated frame — O(groups)
+    * extra work however large the fact side, and the whole report is
+    * group-cardinality-sized like its three governance siblings.
+    */
+  def dpCount(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.load(spark, sfDir, "customer")
+    val nation = Tables.load(spark, sfDir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    val counts = cust.join(broadcast(nation),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("exact_count"))
+    val u = (conv(substring(md5(col("n_name")), 1, 6), 16, 10)
+      .cast("double") + lit(0.5)) / lit(16777216.0)
+    val centered = u - lit(0.5)
+    val sgn = when(centered >= 0, lit(1.0)).otherwise(lit(-1.0))
+    val noise = lit(-2.0) * sgn *
+      log(lit(1.0) - lit(2.0) * abs(centered))
+    counts
+      .select(col("n_name"), col("exact_count"),
+        round(col("exact_count") + noise, 4).as("dp_count"),
+        lit(0.5).as("epsilon"))
+      .orderBy("n_name")
+  }
+
+  val dpCountOracle: String =
+    """WITH counts AS (
+      |  SELECT n_name, count(*) AS exact_count
+      |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY n_name
+      |), seeded AS (
+      |  SELECT n_name, exact_count,
+      |    (CAST(('0x' || substr(md5(n_name), 1, 6)) AS BIGINT)::DOUBLE
+      |      + 0.5) / 16777216.0 AS u
+      |  FROM counts
+      |)
+      |SELECT n_name, exact_count,
+      |  ROUND(exact_count + -2.0 *
+      |    (CASE WHEN u - 0.5 >= 0 THEN 1.0 ELSE -1.0 END) *
+      |    ln(1.0 - 2.0 * abs(u - 0.5)), 4) AS dp_count,
+      |  CAST(0.5 AS DOUBLE) AS epsilon
+      |FROM seeded ORDER BY n_name""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "catalog_ddl" -> catalogDdl,
     "profile_observe" -> profileObserve,
@@ -670,6 +730,7 @@ object CatalogQueries {
     "profile_k_anonymity" -> kAnonymity,
     "profile_l_diversity" -> lDiversity,
     "profile_t_closeness" -> tCloseness,
+    "profile_dp_count" -> dpCount,
     "profile_expectations" -> profileExpectations)
 
   def oracles: Map[String, String] = Map(
@@ -683,5 +744,6 @@ object CatalogQueries {
     "profile_k_anonymity" -> kAnonymityOracle,
     "profile_l_diversity" -> lDiversityOracle,
     "profile_t_closeness" -> tClosenessOracle,
+    "profile_dp_count" -> dpCountOracle,
     "profile_expectations" -> profileExpectationsOracle)
 }
