@@ -42,6 +42,7 @@ object SparkEntry {
       graft.queries.MinhashCdcQueries.queries ++
       graft.queries.PqCdcQueries.queries ++
       graft.queries.AggCdcQueries.queries ++
+      graft.queries.Bm25CdcQueries.queries ++
       graft.queries.JoinCdcQueries.queries ++
       graft.queries.Scd2CdcQueries.queries ++
       graft.queries.TxApplyQueries.queries ++
@@ -70,6 +71,7 @@ object SparkEntry {
       graft.queries.MinhashCdcQueries.oracles ++
       graft.queries.PqCdcQueries.oracles ++
       graft.queries.AggCdcQueries.oracles ++
+      graft.queries.Bm25CdcQueries.oracles ++
       graft.queries.JoinCdcQueries.oracles ++
       graft.queries.Scd2CdcQueries.oracles ++
       graft.queries.TxApplyQueries.oracles ++

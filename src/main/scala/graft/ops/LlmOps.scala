@@ -3196,18 +3196,29 @@ object LlmOps {
     * and a deployment serving many queries hoists pass 1 into the
     * stored stats every search engine keeps.
     */
-  def rankBm25(spark: SparkSession, sfDir: String): DataFrame = {
-    val queryTerms = Seq("data", "table", "row")
-    val docs = t(spark, sfDir, "documents")
-    val statAggs = Seq(
-      count(lit(1)).as("n"),
-      sum(size(words)).cast("long").as("sdl")) ++
-      queryTerms.zipWithIndex.map { case (q, i) =>
-        count(when(array_contains(words, q), 1)).as(s"df${i + 1}") }
-    val stats = docs.agg(statAggs.head, statAggs.tail: _*)
-    val tfCols = Seq(col("doc_id"), size(words).as("dl")) ++
-      queryTerms.zipWithIndex.map { case (q, i) =>
-        size(filter(words, w => w === q)).as(s"tf${i + 1}") }
+  /** The fixed 3-term query the BM25 family scores against. */
+  private[graft] val bm25Terms: Seq[String] = Seq("data", "table", "row")
+
+  /** Per-doc BM25 features off a `text` column, SCAN-LOCAL: document
+    * length and one `filter()`-HOF term frequency per query term —
+    * shared by the batch query and the CDC maintainer (which computes
+    * them on batch rows only, never a corpus rescan).
+    */
+  private[graft] def bm25Features(df: DataFrame): DataFrame =
+    bm25Terms.zipWithIndex.foldLeft(df.withColumn("dl", size(words))) {
+      case (d, (q, i)) =>
+        d.withColumn(s"tf${i + 1}", size(filter(words, w => w === q)))
+    }
+
+  /** BM25 top-20 off a FEATURE frame (doc_id, dl, tf1..3) and a 1-row
+    * stats frame (n, sdl, df1..3 — exact integers; avgdl = sdl/n is
+    * one IEEE division both engines compute identically): the scoring
+    * closed form per row against the broadcast stats, cut by
+    * TakeOrderedAndProject. Shared by [[rankBm25]] (features inline
+    * off the scan) and the CDC-maintained index (features read from
+    * maintained state).
+    */
+  private[graft] def bm25TopK(feat: DataFrame, stats: DataFrame): DataFrame = {
     val avgdl = col("sdl").cast("double") / col("n").cast("double")
     def termScore(i: Int): Column = {
       val tf = col(s"tf$i").cast("double")
@@ -3217,24 +3228,45 @@ object LlmOps {
         (tf + lit(1.2) * (lit(0.25) + lit(0.75) *
           (col("dl").cast("double") / avgdl)))
     }
-    val nHit = (1 to queryTerms.size).map(i =>
-      when(col(s"tf$i") > 0, 1).otherwise(0)).reduce(_ + _)
-    docs.select(tfCols: _*)
-      .crossJoin(broadcast(stats))
-      .filter((1 to queryTerms.size).map(i => col(s"tf$i")).reduce(_ + _) > 0)
+    val nHit = bm25Terms.indices.map(i =>
+      when(col(s"tf${i + 1}") > 0, 1).otherwise(0)).reduce(_ + _)
+    feat.crossJoin(broadcast(stats))
+      .filter(bm25Terms.indices.map(i => col(s"tf${i + 1}")).reduce(_ + _) > 0)
       .select(col("doc_id"), nHit.as("n_hit"),
-        round((1 to queryTerms.size).map(termScore).reduce(_ + _), 6)
+        round(bm25Terms.indices.map(i => termScore(i + 1)).reduce(_ + _), 6)
           .as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(20)
   }
 
-  val rankBm25Oracle: String = {
-    val terms = Seq("data", "table", "row")
-    val dfs = terms.zipWithIndex.map { case (q, i) =>
+  /** The corpus-stats aggregate (pass 1): N, Σ|d|, per-term df — all
+    * exact integers. */
+  private[graft] def bm25Stats(docs: DataFrame): DataFrame = {
+    val aggs = Seq(
+      count(lit(1)).as("n"),
+      sum(size(words)).cast("long").as("sdl")) ++
+      bm25Terms.zipWithIndex.map { case (q, i) =>
+        count(when(array_contains(words, q), 1)).as(s"df${i + 1}") }
+    docs.agg(aggs.head, aggs.tail: _*)
+  }
+
+  def rankBm25(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    bm25TopK(
+      bm25Features(docs).select("doc_id", "dl", "tf1", "tf2", "tf3"),
+      bm25Stats(docs))
+  }
+
+  /** The full BM25 ranking SQL over a docs relation `rel` (exposing
+    * doc_id, text) — shared by the batch oracle and the CDC-maintained
+    * twin's (which prepends its post-change corpus CTE and points
+    * `rel` at it). IEEE order mirrors [[bm25TopK]] cast for cast.
+    */
+  private[graft] def bm25BodySql(rel: String): String = {
+    val dfs = bm25Terms.zipWithIndex.map { case (q, i) =>
       s"""    count(*) FILTER (WHERE list_contains(string_split(text, ' '),
          |      '$q')) AS df${i + 1}""".stripMargin }.mkString(",\n")
-    val tfs = terms.zipWithIndex.map { case (q, i) =>
+    val tfs = bm25Terms.zipWithIndex.map { case (q, i) =>
       s"""    len(list_filter(string_split(text, ' '),
          |      w -> w = '$q')) AS tf${i + 1}""".stripMargin }.mkString(",\n")
     def termScore(i: Int): String =
@@ -3244,15 +3276,15 @@ object LlmOps {
          |    (CAST(tf$i AS DOUBLE) + 1.2 * (0.25 + 0.75 *
          |      (CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) /
          |       CAST(n AS DOUBLE)))))""".stripMargin
-    s"""WITH stats AS (
+    s"""stats AS (
        |  SELECT count(*) AS n,
        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sdl,
        |$dfs
-       |  FROM documents
+       |  FROM $rel
        |), tf AS (
        |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
        |$tfs
-       |  FROM documents
+       |  FROM $rel
        |)
        |SELECT doc_id,
        |  (tf1 > 0)::INT + (tf2 > 0)::INT + (tf3 > 0)::INT AS n_hit,
@@ -3263,6 +3295,8 @@ object LlmOps {
        |WHERE tf1 + tf2 + tf3 > 0
        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
   }
+
+  val rankBm25Oracle: String = "WITH " + bm25BodySql("documents")
 
   /** Token counting, whitespace AND BPE-ish: the pre-training budget
     * estimate every corpus decision hangs on. `n_ws_tokens` is the

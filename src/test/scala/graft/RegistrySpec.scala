@@ -34,6 +34,8 @@ class RegistrySpec extends AnyFunSuite {
         queries.TxApplyMultiQueries.oracles),
       ("OutboxQueries", queries.OutboxQueries.queries,
         queries.OutboxQueries.oracles),
+      ("Bm25CdcQueries", queries.Bm25CdcQueries.queries,
+        queries.Bm25CdcQueries.oracles),
       ("MinhashCdcQueries", queries.MinhashCdcQueries.queries,
         queries.MinhashCdcQueries.oracles),
       ("OccQueries", queries.OccQueries.queries, queries.OccQueries.oracles),
