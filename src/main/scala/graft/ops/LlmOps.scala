@@ -2543,7 +2543,13 @@ object LlmOps {
     * zero on the scaled double) so the oracle's unrolled greedy CTEs
     * re-derive the selection bit-for-bit.
     */
-  def simMmr(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The MMR candidate literals: top-50 sketch candidates with their
+    * exact relevance cosine, and the pool's pairwise-cosine matrix —
+    * both computed IN Spark, collected once (metadata-sized, PQ-
+    * codebook style), shared by [[simMmr]] and [[simMmrCurve]].
+    */
+  private def mmrInputs(spark: SparkSession, sfDir: String)
+      : (Seq[(Long, Int, Double)], Map[(Long, Long), Double]) = {
     val emb = t(spark, sfDir, "embeddings")
     val probe = emb.filter(col("vec_id") === 0)
       .select(vecD(col("embedding")).as("probe"))
@@ -2568,6 +2574,11 @@ object LlmOps {
         round(cosine(col("va"), col("vb")), 6).as("sim"))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    (rel, sim)
+  }
+
+  def simMmr(spark: SparkSession, sfDir: String): DataFrame = {
+    val (rel, sim) = mmrInputs(spark, sfDir)
     import spark.implicits._
     mmrGreedy(rel, sim, k = 10)
       .toDF("rank", "vec_id", "label", "cos", "mmr")
@@ -2582,7 +2593,10 @@ object LlmOps {
     */
   private[ops] def mmrGreedy(rel: Seq[(Long, Int, Double)],
                              sim: Map[(Long, Long), Double],
-                             k: Int): Seq[(Int, Long, Int, Double, Double)] = {
+                             k: Int,
+                             lam: Double = 0.7,
+                             pen: Double = 0.3)
+      : Seq[(Int, Long, Int, Double, Double)] = {
     // DuckDB ROUND(DOUBLE, 6): std::round(x·10⁶)/10⁶, half away from
     // zero on the scaled double — mirrored exactly (NOT BigDecimal
     // half-up, which rounds the shortest decimal representation and
@@ -2597,11 +2611,13 @@ object LlmOps {
     val picked =
       scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Int, Double, Double)]
     while (picked.size < k && pool.nonEmpty) {
+      // lam/pen arrive as separate exact literals — (1 − λ) computed
+      // in double would not equal the SQL-side decimal literal.
       val scored = pool.toSeq.map { case (id, (lab, cos)) =>
         val score =
-          if (picked.isEmpty) r6(0.7 * cos)
-          else r6(0.7 * cos -
-            0.3 * picked.iterator.map(p => sim((id, p._2))).max)
+          if (picked.isEmpty) r6(lam * cos)
+          else r6(lam * cos -
+            pen * picked.iterator.map(p => sim((id, p._2))).max)
         (id, lab, cos, score)
       }
       val best = scored.minBy { case (id, _, _, s) => (-s, id) }
@@ -2611,8 +2627,11 @@ object LlmOps {
     picked.toSeq
   }
 
-  val simMmrOracle: String = {
-    val base =
+  /** Shared pool SQL for the MMR oracles: probe + top-50 candidate
+    * pool + its pairwise-cosine matrix, all MATERIALIZED (inlined CTEs
+    * would re-expand exponentially through the greedy chain).
+    */
+  private def mmrPoolSql: String =
       """WITH probe AS (
         |  SELECT embedding::DOUBLE[] AS p FROM embeddings WHERE vec_id = 0
         |), cand AS MATERIALIZED (
@@ -2634,35 +2653,100 @@ object LlmOps {
         |      (sqrt(list_dot_product(a.v, a.v)) *
         |       sqrt(list_dot_product(b.v, b.v))), 6) AS sim
         |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
-        |), s1 AS MATERIALIZED (
-        |  SELECT vec_id, ROUND(0.7 * cos, 6) AS mmr FROM cand
-        |  ORDER BY ROUND(0.7 * cos, 6) DESC, vec_id LIMIT 1
-        |), sel1 AS MATERIALIZED (SELECT vec_id FROM s1)""".stripMargin
+        |)""".stripMargin
+
+  /** One greedy MMR chain (s/sel steps 1..10) for the given λ/penalty
+    * literals, CTE names prefixed by `tag` so several chains share one
+    * pool. The literals arrive as STRINGS so both engines parse the
+    * exact same decimal (computing 1−λ in double would not).
+    */
+  private def mmrChainSql(tag: String, lam: String, pen: String): String = {
+    val first =
+      s""", s${tag}1 AS MATERIALIZED (
+         |  SELECT vec_id, ROUND($lam * cos, 6) AS mmr FROM cand
+         |  ORDER BY ROUND($lam * cos, 6) DESC, vec_id LIMIT 1
+         |), sel${tag}1 AS MATERIALIZED (SELECT vec_id FROM s${tag}1)""".stripMargin
     val steps = (2 to 10).map { n =>
       s""",
-         |s$n AS MATERIALIZED (
-         |  SELECT c.vec_id, ROUND(0.7 * c.cos - 0.3 * (
+         |s$tag$n AS MATERIALIZED (
+         |  SELECT c.vec_id, ROUND($lam * c.cos - $pen * (
          |      SELECT max(p.sim) FROM pair p
          |      WHERE p.i = c.vec_id
-         |        AND p.j IN (SELECT vec_id FROM sel${n - 1})), 6) AS mmr
+         |        AND p.j IN (SELECT vec_id FROM sel$tag${n - 1})), 6) AS mmr
          |  FROM cand c
-         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${n - 1})
+         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel$tag${n - 1})
          |  ORDER BY mmr DESC, c.vec_id LIMIT 1
          |),
-         |sel$n AS MATERIALIZED (
-         |  SELECT vec_id FROM sel${n - 1} UNION ALL SELECT vec_id FROM s$n
+         |sel$tag$n AS MATERIALIZED (
+         |  SELECT vec_id FROM sel$tag${n - 1} UNION ALL SELECT vec_id FROM s$tag$n
          |)""".stripMargin
     }.mkString
+    first + steps
+  }
+
+  val simMmrOracle: String = {
+    val base = mmrPoolSql + mmrChainSql("", "0.7", "0.3")
     val ranks = (1 to 10).map(n =>
       s"SELECT $n AS rank, vec_id, mmr FROM s$n")
       .mkString("\n  UNION ALL ")
-    base + steps +
+    base +
       s"""
          |SELECT r.rank, r.vec_id, c.label, c.cos, r.mmr
          |FROM (
          |  $ranks
          |) r JOIN cand c USING (vec_id)
          |ORDER BY rank""".stripMargin
+  }
+
+  /** The λ CALIBRATION CURVE for [[simMmr]] — the published-tradeoff
+    * discipline the ANN family's recall curves established
+    * (`llm_sim_hnsw_curve`, `llm_sim_filtered_curve`), applied to the
+    * diversity knob: for λ ∈ {1.0, 0.7, 0.4} run the same greedy over
+    * the SAME candidate literals (one Spark pass, three driver loops)
+    * and publish, per λ, the selected set's average relevance cosine
+    * and its average pairwise cosine (redundancy). λ=1.0 is pure
+    * relevance — the highest avg_cos attainable and the redundancy
+    * ceiling; lowering λ trades relevance for novelty, and the curve
+    * is how a consumer picks the knee instead of trusting a default.
+    * λ and (1−λ) travel as separate exact decimal literals — the
+    * subtraction computed in double would not equal the SQL decimal.
+    */
+  def simMmrCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    val (rel, sim) = mmrInputs(spark, sfDir)
+    // DuckDB ROUND(DOUBLE, 4) mirror (see r6 in [[mmrGreedy]]).
+    def r4(x: Double): Double = {
+      val s = x * 1e4
+      (if (s >= 0) math.floor(s + 0.5) else math.ceil(s - 0.5)) / 1e4
+    }
+    val rows = Seq((1.0, 0.0), (0.7, 0.3), (0.4, 0.6)).map {
+      case (lam, pen) =>
+        val picked = mmrGreedy(rel, sim, k = 10, lam, pen)
+        val ids = picked.map(_._2)
+        val avgCos = r4(picked.map(_._4).sum / 10.0)
+        val pairSims = for { a <- ids; b <- ids if a < b } yield sim((a, b))
+        (lam, avgCos, r4(pairSims.sum / pairSims.size))
+    }
+    import spark.implicits._
+    rows.toDF("lambda", "avg_cos", "avg_pairwise_sim")
+      .orderBy(col("lambda").desc)
+  }
+
+  val simMmrCurveOracle: String = {
+    val chains = Seq(("a", "1.0", "0.0"), ("b", "0.7", "0.3"),
+      ("c", "0.4", "0.6"))
+    def row(tag: String, lam: String): String =
+      s"""SELECT CAST($lam AS DOUBLE) AS lambda,
+         |  (SELECT ROUND(avg(cos), 4) FROM cand
+         |   WHERE vec_id IN (SELECT vec_id FROM sel${tag}10)) AS avg_cos,
+         |  (SELECT ROUND(avg(p.sim), 4) FROM pair p
+         |   WHERE p.i IN (SELECT vec_id FROM sel${tag}10)
+         |     AND p.j IN (SELECT vec_id FROM sel${tag}10)
+         |     AND p.i < p.j) AS avg_pairwise_sim""".stripMargin
+    mmrPoolSql +
+      chains.map { case (t, l, p) => mmrChainSql(t, l, p) }.mkString +
+      "\n" + chains.map { case (t, l, _) => row(t, l) }
+        .mkString("\nUNION ALL\n") +
+      "\nORDER BY lambda DESC"
   }
 
   /** Sign-bit (binary) quantization: each 64-dim float vector packs to
@@ -5486,6 +5570,7 @@ object LlmOps {
     "llm_sim_rerank" -> simRerank,
     "llm_sim_rerank_recall" -> simRerankRecall,
     "llm_sim_mmr" -> simMmr,
+    "llm_sim_mmr_curve" -> simMmrCurve,
     "llm_sim_binary" -> simBinary,
     "llm_sim_binary_recall" -> simBinaryRecall,
     "llm_sim_filtered" -> simFiltered,
@@ -5576,6 +5661,7 @@ object LlmOps {
     "llm_sim_rerank" -> simRerankOracle,
     "llm_sim_rerank_recall" -> simRerankRecallOracle,
     "llm_sim_mmr" -> simMmrOracle,
+    "llm_sim_mmr_curve" -> simMmrCurveOracle,
     "llm_sim_binary" -> simBinaryOracle,
     "llm_sim_binary_recall" -> simBinaryRecallOracle,
     "llm_sim_filtered" -> simFilteredOracle,

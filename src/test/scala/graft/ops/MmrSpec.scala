@@ -40,6 +40,20 @@ class MmrSpec extends SparkTestBase {
     assert(picked.map(_._2) == Seq(4L, 7L, 9L))
   }
 
+  test("lambda curve: pure relevance tops avg_cos, and lowering " +
+      "lambda trades relevance for diversity monotonically") {
+    val rows = LlmOps.simMmrCurve(spark, sf).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq == Seq(1.0, 0.7, 0.4))
+    // λ=1.0 selects the max-cos set — its avg_cos is the attainable
+    // ceiling (a guarantee, not a fixture accident).
+    assert(rows.head._2 == rows.map(_._2).max)
+    assert(rows.map(_._2).toSeq == rows.map(_._2).sorted.reverse.toSeq,
+      "avg relevance must not increase as lambda drops")
+    assert(rows.map(_._3).toSeq == rows.map(_._3).sorted.reverse.toSeq,
+      "redundancy (avg pairwise sim) must not increase as lambda drops")
+  }
+
   test("fixture output: 10 distinct picks, rank 1 is the relevance " +
       "top, every pick comes from the 50-candidate pool") {
     val out = LlmOps.simMmr(spark, sf).collect()
