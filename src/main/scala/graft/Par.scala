@@ -2,7 +2,7 @@ package graft
 
 import scala.concurrent.{Await, ExecutionContext, Future, blocking}
 import scala.concurrent.duration.Duration
-import scala.util.{Failure, Try}
+import scala.util.Try
 
 /** Concurrent INDEPENDENT Spark actions off one driver.
   *
@@ -37,8 +37,9 @@ object Par {
     * failure in argument order. Returns the results in order.
     */
   def awaitAll[T](futures: Seq[Future[T]]): Seq[T] = {
+    // Try-join EVERY future first; only then surface results — the
+    // first .get on a Failure rethrows it in argument order.
     val joined = futures.map(f => Try(Await.result(f, Duration.Inf)))
-    joined.collectFirst { case Failure(e) => throw e }
     joined.map(_.get)
   }
 

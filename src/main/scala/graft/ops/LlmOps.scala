@@ -2718,13 +2718,23 @@ object LlmOps {
       val s = x * 1e4
       (if (s >= 0) math.floor(s + 0.5) else math.ceil(s - 0.5)) / 1e4
     }
+    // The averaged values are 6-dp rounded, i.e. exact multiples of
+    // 1e-6 — so recover the integer micros FIRST and sum THOSE (exact,
+    // order-independent long arithmetic), then divide once. A plain
+    // double sum would be partial-sum-order-dependent and could round
+    // differently from the oracle's aggregate — the same cross-engine
+    // channel the BM25 stats avoid with integer Σ|d|.
+    def micros(x: Double): Long = math.round(x * 1e6)
     val rows = Seq((1.0, 0.0), (0.7, 0.3), (0.4, 0.6)).map {
       case (lam, pen) =>
         val picked = mmrGreedy(rel, sim, k = 10, lam, pen)
         val ids = picked.map(_._2)
-        val avgCos = r4(picked.map(_._4).sum / 10.0)
+        val avgCos = r4(
+          picked.map(p => micros(p._4)).sum.toDouble / 10000000.0)
         val pairSims = for { a <- ids; b <- ids if a < b } yield sim((a, b))
-        (lam, avgCos, r4(pairSims.sum / pairSims.size))
+        val avgSim = r4(
+          pairSims.map(micros).sum.toDouble / (pairSims.size * 1000000.0))
+        (lam, avgCos, avgSim)
     }
     import spark.implicits._
     rows.toDF("lambda", "avg_cos", "avg_pairwise_sim")
@@ -2734,11 +2744,17 @@ object LlmOps {
   val simMmrCurveOracle: String = {
     val chains = Seq(("a", "1.0", "0.0"), ("b", "0.7", "0.3"),
       ("c", "0.4", "0.6"))
+    // Integer-micros averaging (see simMmrCurve): the 6-dp values are
+    // exact multiples of 1e-6, so SUM over their recovered integer
+    // micros is order-independent and the single division is the same
+    // IEEE op both engines compute — never a cross-engine avg().
     def row(tag: String, lam: String): String =
       s"""SELECT CAST($lam AS DOUBLE) AS lambda,
-         |  (SELECT ROUND(avg(cos), 4) FROM cand
+         |  (SELECT ROUND(CAST(SUM(CAST(round(cos * 1000000) AS BIGINT))
+         |     AS DOUBLE) / 10000000.0, 4) FROM cand
          |   WHERE vec_id IN (SELECT vec_id FROM sel${tag}10)) AS avg_cos,
-         |  (SELECT ROUND(avg(p.sim), 4) FROM pair p
+         |  (SELECT ROUND(CAST(SUM(CAST(round(p.sim * 1000000) AS BIGINT))
+         |     AS DOUBLE) / 45000000.0, 4) FROM pair p
          |   WHERE p.i IN (SELECT vec_id FROM sel${tag}10)
          |     AND p.j IN (SELECT vec_id FROM sel${tag}10)
          |     AND p.i < p.j) AS avg_pairwise_sim""".stripMargin

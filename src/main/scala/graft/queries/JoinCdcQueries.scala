@@ -227,15 +227,15 @@ object JoinCdcQueries {
         val ordCols = (df: DataFrame) => df.filter(live)
           .join(affectedOk, Seq("o_orderkey"), "left_semi")
           .select("o_orderkey", "o_custkey", "o_totalprice")
+        // Non-empty by construction: okBuckets non-empty means ordB or
+        // idxHits contributed keys — ordB non-empty ⇒ ordSlices is
+        // Some; ordB empty ⇒ ordBuckets empty ⇒ extraBuckets ==
+        // okBuckets (non-empty).
         val ordSlice = (ordSlices.map(s => ordCols(s.postSlice)).toSeq ++
           (if (extraBuckets.nonEmpty)
             Seq(ordCols(store.readBuckets(spark, OrdTable, extraBuckets)))
           else Seq.empty))
-          .reduceOption(_ unionByName _)
-          .getOrElse(spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            StructType.fromDDL(
-              "o_orderkey bigint, o_custkey bigint, o_totalprice double")))
+          .reduce(_ unionByName _)
           .persist()
         val ckBuckets = bucketIdsOf(
           ordSlice.select(col("o_custkey").as("c_custkey")), Seq("c_custkey"))

@@ -302,10 +302,6 @@ object MaintenanceQueries {
   private val ziDirCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** The laid-out z-ordered table dir for a given sfDir (test hook). */
-  private[queries] def ziLaidDir(sfDir: String): String =
-    s"${ziDirCache.get(sfDir)}/lineitem_z"
-
   private[queries] final case class ZBounds(pkLo: Long, pkHi: Long,
                                             skLo: Long, skHi: Long)
 

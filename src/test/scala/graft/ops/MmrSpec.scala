@@ -61,12 +61,14 @@ class MmrSpec extends SparkTestBase {
     val ids = out.map(_.getLong(1))
     assert(ids.distinct.length == 10)
     val byRank = out.sortBy(_.getInt(0))
-    // Rank 1 is pure relevance: the max cos in the pool.
+    // Rank 1 is pure relevance: the max cos in the pool, and its score
+    // is exactly the λ·cos definition (no penalty on the first pick).
+    // (No "first score dominates all" claim: later penalties can be
+    // NEGATIVE if a pick's pairwise cosines to the selected set are —
+    // the guarantee is the definition, not global dominance.)
     val maxCos = out.map(_.getDouble(3)).max
     assert(byRank.head.getDouble(3) == maxCos)
-    // MMR scores are non-increasing ONLY per-step against the running
-    // set, not globally — but the first score must dominate all
-    // (λ·cos of the best is ≥ any λ·cos − penalty).
-    assert(byRank.head.getDouble(4) == out.map(_.getDouble(4)).max)
+    assert(math.abs(byRank.head.getDouble(4) -
+      math.floor(0.7 * maxCos * 1e6 + 0.5) / 1e6) < 1e-12)
   }
 }
