@@ -237,8 +237,22 @@ object JoinCdcQueries {
           else Seq.empty))
           .reduce(_ unionByName _)
           .persist()
-        val ckBuckets = bucketIdsOf(
-          ordSlice.select(col("o_custkey").as("c_custkey")), Seq("c_custkey"))
+        // Customer buckets WITHOUT materializing ordSlice first: every
+        // custkey an affected order references is either (a) the
+        // post-merge custkey of a batch-evented order — in postSlice —
+        // or (b) for an idxHits-only order, the evented customer its
+        // pre-repair index entry named (the order wasn't evented, so
+        // its committed custkey is the index's c, and c ∈ custKeys by
+        // idxHits' semi-join). A superset is safe — the inner join
+        // drops customers nothing references — and it takes the
+        // ordSlice materialization off the custSlice read's critical
+        // path: ordSlice now materializes once, inside the view
+        // commit, instead of twice per batch.
+        val ckKeyFrames = ordSlices.map(s => s.postSlice.filter(live)
+            .join(affectedOk, Seq("o_orderkey"), "left_semi")
+            .select(col("o_custkey").as("c_custkey"))).toSeq :+ custKeys
+        val ckBuckets = bucketIdsOf(ckKeyFrames.reduce(_ unionByName _),
+          Seq("c_custkey"))
         val custSlice =
           if (store.exists(CustTable) && ckBuckets.nonEmpty)
             store.readBuckets(spark, CustTable, ckBuckets).filter(live)
