@@ -2,10 +2,6 @@ package graft.queries
 
 import java.nio.file.Files
 
-import scala.concurrent.{Await, Future}
-import scala.concurrent.ExecutionContext.Implicits.global
-import scala.concurrent.duration._
-
 import graft.Tables
 import graft.cdc.StateStore
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -61,10 +57,13 @@ object OccQueries {
         (merged, 0 until NBuckets)
       }
 
-    val a = Future { (1 to Rounds).foreach(_ => adjust(0, 50.0)) }
-    val b = Future { (1 to Rounds).foreach(_ => adjust(1, 5.0)) }
-    Await.result(a, 5.minutes)
-    Await.result(b, 5.minutes)
+    // Par: blocking-marked futures joined ALL-before-rethrow — if one
+    // committer fails, the sibling must not still be committing when
+    // the caller unwinds (the same stray-writer discipline as the
+    // pipeline fan-outs, even though contention is the POINT here).
+    val a = graft.Par.future { (1 to Rounds).foreach(_ => adjust(0, 50.0)) }
+    val b = graft.Par.future { (1 to Rounds).foreach(_ => adjust(1, 5.0)) }
+    graft.Par.awaitAll(Seq(a, b))
     require(store.currentVersion(target) == 2 * Rounds,
       "each committer round must allocate exactly one version")
 
