@@ -3398,6 +3398,60 @@ object LlmOps {
 
   val rankBm25Oracle: String = "WITH " + bm25BodySql("documents")
 
+  /** RECIPROCAL RANK FUSION (Cormack, Clarke & Buettcher, SIGIR '09) —
+    * the hybrid-retrieval combiner every two-ranker search deployment
+    * runs: each ranker contributes `1/(k + rank)` with the standard
+    * k=60, absent documents contribute 0, and the fused top-10 is cut
+    * on the summed score. Fused here: [[rankBm25]]'s top-20 and
+    * [[textTfidf]]'s top-10 over the same 3-term query — two lexical
+    * rankers with genuinely different orderings (BM25's length
+    * normalization demotes the long documents raw tf·idf rewards), so
+    * the fusion visibly re-ranks. The operator is ranker-agnostic:
+    * swap either leg for the ANN/MMR list when corpus and embedding
+    * ids share a key and nothing else changes.
+    *
+    * Scale: both legs end in TakeOrderedAndProject, so the fusion
+    * joins two ≤k-row frames — driver-light, corpus-free; ranks are
+    * re-derived with an explicit (score DESC, doc_id) row_number so
+    * both engines number ties identically, and `1/(60+rank)` on
+    * integer ranks is one exact IEEE division per leg.
+    */
+  def rankFuseRrf(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id"))
+    val rb = rankBm25(spark, sfDir)
+      .select(col("doc_id"), row_number().over(w).as("r_bm25"))
+    val rt = textTfidf(spark, sfDir)
+      .select(col("doc_id"), row_number().over(w).as("r_tfidf"))
+    rb.join(rt, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("r_bm25"), col("r_tfidf"),
+        round(
+          coalesce(lit(1.0) / (lit(60) + col("r_bm25")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("r_tfidf")), lit(0.0)), 6)
+          .as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  val rankFuseRrfOracle: String =
+    s"""WITH bm AS (
+       |WITH ${bm25BodySql("documents")}
+       |), tfr AS (
+       |$textTfidfOracle
+       |), rb AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
+       |    AS r FROM bm
+       |), rt AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
+       |    AS r FROM tfr
+       |)
+       |SELECT COALESCE(rb.doc_id, rt.doc_id) AS doc_id,
+       |  rb.r AS r_bm25, rt.r AS r_tfidf,
+       |  ROUND(COALESCE(CAST(1.0 AS DOUBLE) / (60 + rb.r), 0.0) +
+       |        COALESCE(CAST(1.0 AS DOUBLE) / (60 + rt.r), 0.0), 6) AS rrf
+       |FROM rb FULL OUTER JOIN rt ON rb.doc_id = rt.doc_id
+       |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+
   /** Token counting, whitespace AND BPE-ish: the pre-training budget
     * estimate every corpus decision hangs on. `n_ws_tokens` is the
     * whitespace split; `n_bpe_tokens` counts matches of the GPT-style
@@ -5601,6 +5655,7 @@ object LlmOps {
     "llm_text_termfreq" -> textTermFreq,
     "llm_text_tfidf" -> textTfidf,
     "llm_rank_bm25" -> rankBm25,
+    "llm_rank_fuse" -> rankFuseRrf,
     "llm_text_quality_route" -> textQualityRoute,
     "llm_text_langid" -> textLangId,
     "llm_text_vocab" -> textVocab,
@@ -5692,6 +5747,7 @@ object LlmOps {
     "llm_text_termfreq" -> textTermFreqOracle,
     "llm_text_tfidf" -> textTfidfOracle,
     "llm_rank_bm25" -> rankBm25Oracle,
+    "llm_rank_fuse" -> rankFuseRrfOracle,
     "llm_text_quality_route" -> textQualityRouteOracle,
     "llm_text_langid" -> textLangIdOracle,
     "llm_text_vocab" -> textVocabOracle,
