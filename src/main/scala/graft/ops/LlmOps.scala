@@ -3416,41 +3416,103 @@ object LlmOps {
     * both engines number ties identically, and `1/(60+rank)` on
     * integer ranks is one exact IEEE division per leg.
     */
-  def rankFuseRrf(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The k=60 RRF fold over two (doc_id, score) leg frames: rank each
+    * leg with an explicit (score DESC, doc_id) row_number (both
+    * engines number ties identically), full-outer join, sum the
+    * `1/(60+rank)` contributions (absent leg = 0), cut the top-10.
+    * Shared by [[rankFuseRrf]] (two lexical legs) and [[rankHybrid]]
+    * (lexical + vector).
+    */
+  private def rrfFuse(a: DataFrame, aCol: String,
+                      b: DataFrame, bCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("score").desc, col("doc_id"))
-    val rb = rankBm25(spark, sfDir)
-      .select(col("doc_id"), row_number().over(w).as("r_bm25"))
-    val rt = textTfidf(spark, sfDir)
-      .select(col("doc_id"), row_number().over(w).as("r_tfidf"))
-    rb.join(rt, Seq("doc_id"), "full_outer")
-      .select(col("doc_id"), col("r_bm25"), col("r_tfidf"),
+    val ra = a.select(col("doc_id"), row_number().over(w).as(aCol))
+    val rb = b.select(col("doc_id"), row_number().over(w).as(bCol))
+    ra.join(rb, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col(aCol), col(bCol),
         round(
-          coalesce(lit(1.0) / (lit(60) + col("r_bm25")), lit(0.0)) +
-            coalesce(lit(1.0) / (lit(60) + col("r_tfidf")), lit(0.0)), 6)
+          coalesce(lit(1.0) / (lit(60) + col(aCol)), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col(bCol)), lit(0.0)), 6)
           .as("rrf"))
       .orderBy(col("rrf").desc, col("doc_id"))
       .limit(10)
   }
 
-  val rankFuseRrfOracle: String =
-    s"""WITH bm AS (
-       |WITH ${bm25BodySql("documents")}
-       |), tfr AS (
-       |$textTfidfOracle
-       |), rb AS (
+  /** The fuse stage in SQL, expecting the legs as CTEs `la` and `lb`
+    * (each exposing doc_id, score). Mirrors [[rrfFuse]] op for op. */
+  private def rrfFuseSql(aCol: String, bCol: String): String =
+    s"""rb AS (
        |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
-       |    AS r FROM bm
+       |    AS r FROM la
        |), rt AS (
        |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
-       |    AS r FROM tfr
+       |    AS r FROM lb
        |)
        |SELECT COALESCE(rb.doc_id, rt.doc_id) AS doc_id,
-       |  rb.r AS r_bm25, rt.r AS r_tfidf,
+       |  rb.r AS $aCol, rt.r AS $bCol,
        |  ROUND(COALESCE(CAST(1.0 AS DOUBLE) / (60 + rb.r), 0.0) +
        |        COALESCE(CAST(1.0 AS DOUBLE) / (60 + rt.r), 0.0), 6) AS rrf
        |FROM rb FULL OUTER JOIN rt ON rb.doc_id = rt.doc_id
        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+
+  def rankFuseRrf(spark: SparkSession, sfDir: String): DataFrame =
+    rrfFuse(
+      rankBm25(spark, sfDir).select("doc_id", "score"), "r_bm25",
+      textTfidf(spark, sfDir).select("doc_id", "score"), "r_tfidf")
+
+  val rankFuseRrfOracle: String =
+    s"""WITH la AS (
+       |WITH ${bm25BodySql("documents")}
+       |), lb AS (
+       |$textTfidfOracle
+       |),
+       |${rrfFuseSql("r_bm25", "r_tfidf")}""".stripMargin
+
+  /** HYBRID LEXICAL + VECTOR RETRIEVAL — the flagship hybrid-search
+    * shape (Elasticsearch/Vespa's "hybrid query"): the fixture's
+    * embeddings are keyed 1:1 to document ids (vec_id = doc_id; at
+    * sf0.1 only a prefix of the corpus is embedded — realistic partial
+    * coverage RRF handles natively: unembedded documents can only
+    * enter through the lexical leg). The lexical leg is [[rankBm25]]'s
+    * top-20 for the fixed 3-term query; the vector leg is the exact
+    * cosine top-20 against the probe embedding (vec_id 0, the ANN
+    * family's probe convention — swap in any `llm_sim_*` index for
+    * the exact scan at scale); [[rrfFuse]] combines them. The point
+    * over either leg alone: documents that SAY the query terms AND
+    * MEAN what the probe means rise; one-leg-only hits are demoted by
+    * the missing contribution.
+    */
+  def rankHybrid(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = t(spark, sfDir, "embeddings")
+    val probe = emb.filter(col("vec_id") === 0)
+      .select(vecD(col("embedding")).as("probe"))
+    val vecLeg = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id").as("doc_id"),
+        round(cosine(vecD(col("embedding")), col("probe")), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+    rrfFuse(
+      rankBm25(spark, sfDir).select("doc_id", "score"), "r_lex",
+      vecLeg, "r_vec")
+  }
+
+  val rankHybridOracle: String =
+    s"""WITH la AS (
+       |WITH ${bm25BodySql("documents")}
+       |), lb AS (
+       |  SELECT vec_id AS doc_id,
+       |    ROUND(list_dot_product(embedding::DOUBLE[], p) /
+       |      (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+       |       sqrt(list_dot_product(p, p))), 6) AS score
+       |  FROM embeddings,
+       |    (SELECT embedding::DOUBLE[] AS p FROM embeddings
+       |     WHERE vec_id = 0) probe
+       |  WHERE vec_id <> 0
+       |  ORDER BY score DESC, vec_id LIMIT 20
+       |),
+       |${rrfFuseSql("r_lex", "r_vec")}""".stripMargin
 
   /** Token counting, whitespace AND BPE-ish: the pre-training budget
     * estimate every corpus decision hangs on. `n_ws_tokens` is the
@@ -5656,6 +5718,7 @@ object LlmOps {
     "llm_text_tfidf" -> textTfidf,
     "llm_rank_bm25" -> rankBm25,
     "llm_rank_fuse" -> rankFuseRrf,
+    "llm_rank_hybrid" -> rankHybrid,
     "llm_text_quality_route" -> textQualityRoute,
     "llm_text_langid" -> textLangId,
     "llm_text_vocab" -> textVocab,
@@ -5748,6 +5811,7 @@ object LlmOps {
     "llm_text_tfidf" -> textTfidfOracle,
     "llm_rank_bm25" -> rankBm25Oracle,
     "llm_rank_fuse" -> rankFuseRrfOracle,
+    "llm_rank_hybrid" -> rankHybridOracle,
     "llm_text_quality_route" -> textQualityRouteOracle,
     "llm_text_langid" -> textLangIdOracle,
     "llm_text_vocab" -> textVocabOracle,

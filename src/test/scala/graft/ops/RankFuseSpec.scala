@@ -36,4 +36,26 @@ class RankFuseSpec extends SparkTestBase {
         "a two-leg doc loses only to a single-leg doc with a " +
           "dominatingly better rank")
   }
+
+  test("hybrid lexical+vector: the score identity holds and any " +
+      "consensus doc outranks every one-leg-only doc") {
+    val out = LlmOps.rankHybrid(spark, sf).collect()
+    assert(out.length == 10)
+    out.foreach { r =>
+      val rl = Option(r.get(1)).map(_.asInstanceOf[Int])
+      val rv = Option(r.get(2)).map(_.asInstanceOf[Int])
+      val expected = rl.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        rv.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      assert(r.getDouble(3) ==
+        math.floor(expected * 1e6 + 0.5) / 1e6)
+    }
+    // RRF arithmetic guarantee with both legs cut at 20:
+    // worst consensus = 1/80 + 1/80 = 0.025 > best single = 1/61.
+    val both = out.filter(r => r.get(1) != null && r.get(2) != null)
+    val single = out.filter(r => r.get(1) == null || r.get(2) == null)
+    if (both.nonEmpty && single.nonEmpty)
+      assert(both.map(_.getDouble(3)).min > single.map(_.getDouble(3)).max,
+        "with k=60 and 20-deep legs, saying AND meaning the query " +
+          "always beats either alone")
+  }
 }
