@@ -18,6 +18,7 @@ import org.apache.spark.sql.SparkSession
 object Prestage {
   def all(spark: SparkSession, sfDir: String): Unit = {
     ops.StreamingOps.prestage(spark, sfDir)
+    ops.LlmOps.prestage(spark, sfDir)
     ops.Relational.prestageDpp(spark, sfDir)
     ops.Relational.prestageBucketed(spark, sfDir)
     queries.PipelineQueries.prestage(spark, sfDir)
