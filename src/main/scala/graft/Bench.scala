@@ -202,8 +202,23 @@ object Bench {
     val topSpreads = top15.map { case (k, _) =>
       "\"" + k + "\":" + fmt(spreads.getOrElse(k, -1.0))
     }.mkString("{", ",", "}")
+    // The compact line must be the LAST bytes this process writes
+    // (VERDICT r15 #1: a state-store unload stack trace logged DURING
+    // spark.stop() landed AFTER the metrics and pushed both JSON lines
+    // out of the driver's ~2000-char tail window — parsed:null for the
+    // third round running, each time via a different post-metrics
+    // writer). Order of operations: stop every active streaming query
+    // (their state-store providers are the noisy unloaders), silence
+    // ALL logging (the run is over; anything a shutdown thread would
+    // log now is noise by definition), stop the session inside a
+    // swallow-all try, and only THEN print + flush the compact line.
+    spark.streams.active.foreach { q =>
+      try q.stop() catch { case _: Throwable => () }
+    }
+    try spark.sparkContext.setLogLevel("OFF") catch { case _: Throwable => () }
+    try spark.stop() catch { case _: Throwable => () }
     println(s"""{"metric":"total","value":$total,"unit":"sec","median_total":${fmt(medianTotal)},"n_queries":${results.size},"n_errors":${errors.size},"queries":$topQs,"spreads":$topSpreads,"noise":$noiseJson,"sf":"$sfDir"}""")
-    spark.stop()
+    System.out.flush()
     if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -35,20 +35,41 @@ object Par {
 
   /** Join EVERY future (none left in flight), then rethrow the first
     * failure in argument order. Returns the results in order.
+    *
+    * `timeout` bounds the TOTAL join (default Inf — right for the
+    * pipeline fan-outs, whose merges must never be abandoned mid
+    * commit). Demos that deliberately provoke contention (the OCC
+    * committers) pass a bound so a livelocked claim loop fails the one
+    * query after N minutes instead of hanging the whole bench /
+    * correctness run forever (ADVICE r15). The deadline is shared
+    * across the sequence: each Await gets the REMAINING time, so the
+    * bound is on the fan-out, not per-future.
     */
-  def awaitAll[T](futures: Seq[Future[T]]): Seq[T] = {
+  def awaitAll[T](futures: Seq[Future[T]],
+                  timeout: Duration = Duration.Inf): Seq[T] = {
     // Try-join EVERY future first; only then surface results — the
     // first .get on a Failure rethrows it in argument order.
-    val joined = futures.map(f => Try(Await.result(f, Duration.Inf)))
+    val deadline = timeout match {
+      case f: scala.concurrent.duration.FiniteDuration => Some(f.fromNow)
+      case _ => None
+    }
+    val joined = futures.map { f =>
+      // Clamp at Zero once the deadline passed: a negative Await
+      // duration is rejected; Zero polls and times out immediately.
+      val left = deadline.map(d => d.timeLeft max Duration.Zero)
+      Try(Await.result(f, left.getOrElse(Duration.Inf)))
+    }
     joined.map(_.get)
   }
 
   /** Await a single future (symmetry helper for mixed call sites). */
-  def await[T](f: Future[T]): T = Await.result(f, Duration.Inf)
+  def await[T](f: Future[T], timeout: Duration = Duration.Inf): T =
+    Await.result(f, timeout)
 
   /** Run the thunks as concurrent blocking Spark actions; join all,
     * rethrow the first failure, return results in order.
     */
-  def run[T](thunks: Seq[() => T]): Seq[T] =
-    awaitAll(thunks.map(t => future(t())))
+  def run[T](thunks: Seq[() => T],
+             timeout: Duration = Duration.Inf): Seq[T] =
+    awaitAll(thunks.map(t => future(t())), timeout)
 }

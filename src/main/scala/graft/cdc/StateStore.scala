@@ -357,6 +357,11 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
                       retainLast: Option[Int] = None): Unit = {
     require(olderThan.nonEmpty || retainLast.nonEmpty,
       "expireSnapshots needs older_than and/or retain_last")
+    // retain_last < 1 would "retain" nothing — an invalid ask under
+    // the head-never-expires rule, so reject it explicitly rather than
+    // let it degenerate to keep-only-head (ADVICE r15).
+    require(retainLast.forall(_ >= 1),
+      s"retain_last must be >= 1, got ${retainLast.get}")
     val cur = currentVersion(target)
     val times = commitTimes(target) // one sidecar parse for the walk
     val firstKeptByTime = olderThan.map { ts =>
@@ -365,7 +370,11 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
           resolveCommitTime(target, times, v) >= ts
       }.getOrElse(cur)
     }.getOrElse(cur) // retain_last only: propose all but head
-    val firstKeptByCount = retainLast.map(n => cur - n + 1).getOrElse(cur)
+    // Clamp to 0: retain_last larger than the version count keeps
+    // everything (firstKept = 0), never a negative index that would
+    // ask vacuum for more versions than exist (ADVICE r15).
+    val firstKeptByCount =
+      retainLast.map(n => math.max(0, cur - n + 1)).getOrElse(cur)
     // Stricter-retention wins: the SMALLER first-kept keeps more.
     val firstKept = math.min(firstKeptByTime, firstKeptByCount)
     vacuum(target, keepVersions = cur - firstKept + 1)

@@ -2603,8 +2603,14 @@ object LlmOps {
     // can disagree one ulp from the binary value's rounding).
     def r6(x: Double): Double = {
       val scaled = x * 1e6
-      (if (scaled >= 0) math.floor(scaled + 0.5)
-       else math.ceil(scaled - 0.5)) / 1e6
+      val r = (if (scaled >= 0) math.floor(scaled + 0.5)
+               else math.ceil(scaled - 0.5)) / 1e6
+      // Normalize -0.0 (ceil of a tiny negative) to +0.0: the greedy
+      // tie-break below orders by (-score, id) under Scala's
+      // TotalOrdering where -0.0 < 0.0, while the DuckDB oracle's
+      // ORDER BY treats them equal and falls through to vec_id — a
+      // sign-of-zero selection divergence without this (ADVICE r15).
+      if (r == 0.0) 0.0 else r
     }
     val pool = scala.collection.mutable.LinkedHashMap(
       rel.map(r => r._1 -> (r._2, r._3)): _*)
@@ -5695,10 +5701,245 @@ object LlmOps {
       |           THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
       |FROM per_doc GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------- PII scrub
+
+  // Regex classes for the C4/RefinedWeb-style PII pass. Spelled in the
+  // subset both engines' dialects (Java regex / RE2) agree on: ASCII
+  // classes, bounded repetition, `\b` word boundaries — no lookaround
+  // (RE2 has none), no unicode classes.
+  private val piiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val piiPhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  private val piiIpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII detection + scrub (`llm_pii_scrub`) — the curation stage
+    * between quality filtering and dedup that every public-corpus
+    * pipeline (C4, RefinedWeb) runs: detect regex classes (emails,
+    * phone numbers, IP addresses), census the hits, and rewrite the
+    * corpus with placeholder tokens.
+    *
+    * The synthetic fixture is digit-free, so the PII is PLANTED
+    * deterministically on BOTH sides (the [[profile_t_closeness]]
+    * engineering pattern): docs with doc_id%7==0 gain a doc-dependent
+    * email, %11==0 a phone, %13==0 two IPs (doc 0 gets all three —
+    * the compound case). Digit-free base text means zero false
+    * positives, so the counts are exact by construction and any
+    * detector/redactor divergence turns the row red.
+    *
+    * Scale story: everything per-row scan-local (`regexp_extract_all`
+    * census + a 3-stage `regexp_replace` chain, all codegen'd), then
+    * ONE groupBy on the 20-value `source` key — the only shuffle, and
+    * it carries per-doc counts plus a 24-bit digest of the scrubbed
+    * text, never the text itself. `n_residual` re-runs the combined
+    * detector on the SCRUBBED text and must be 0: the redaction is
+    * audited by the same oracle row that publishes the census.
+    * `scrub_checksum` is the order-independent LONG sum of the first
+    * 6 md5 hex digits of each scrubbed doc (the DSIR digest trick), so
+    * the hash gate verifies every redacted byte corpus-wide without
+    * shipping a text column.
+    */
+  def piiScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val planted = concat(col("text"),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" contact user"), id, lit("@example.com for access")))
+        .otherwise(""),
+      when(col("doc_id") % 11 === 0, lit(" or call 415-555-0142 today"))
+        .otherwise(""),
+      when(col("doc_id") % 13 === 0,
+        lit(" served from 10.2.33.4 and 192.168.0.177")).otherwise(""))
+    def hits(c: Column, re: String): Column =
+      size(regexp_extract_all(c, lit(re), lit(0)))
+    val scrubbed =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(planted, piiEmailRe, "<EMAIL>"),
+          piiPhoneRe, "<PHONE>"),
+        piiIpRe, "<IP>")
+    val anyRe = s"($piiEmailRe)|($piiPhoneRe)|($piiIpRe)"
+    t(spark, sfDir, "documents")
+      .select(col("source"),
+        hits(planted, piiEmailRe).as("e"),
+        hits(planted, piiPhoneRe).as("p"),
+        hits(planted, piiIpRe).as("i"),
+        hits(scrubbed, anyRe).as("resid"),
+        conv(substring(md5(scrubbed), 1, 6), 16, 10).cast("long").as("ck"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("e") + col("p") + col("i") > 0, 1L).otherwise(0L))
+          .as("docs_with_pii"),
+        sum(col("e").cast("long")).as("n_email"),
+        sum(col("p").cast("long")).as("n_phone"),
+        sum(col("i").cast("long")).as("n_ip"),
+        sum(col("resid").cast("long")).as("n_residual"),
+        sum("ck").as("scrub_checksum"))
+      .orderBy("source")
+  }
+
+  val piiScrubOracle: String =
+    s"""WITH planted AS (
+      |  SELECT doc_id, source,
+      |    text
+      |    || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || doc_id
+      |            || '@example.com for access' ELSE '' END
+      |    || CASE WHEN doc_id % 11 = 0
+      |            THEN ' or call 415-555-0142 today' ELSE '' END
+      |    || CASE WHEN doc_id % 13 = 0
+      |            THEN ' served from 10.2.33.4 and 192.168.0.177'
+      |            ELSE '' END AS t
+      |  FROM documents
+      |), scrub AS (
+      |  SELECT source,
+      |    len(regexp_extract_all(t, '$piiEmailRe')) AS e,
+      |    len(regexp_extract_all(t, '$piiPhoneRe')) AS p,
+      |    len(regexp_extract_all(t, '$piiIpRe')) AS i,
+      |    regexp_replace(regexp_replace(regexp_replace(t,
+      |      '$piiEmailRe', '<EMAIL>', 'g'),
+      |      '$piiPhoneRe', '<PHONE>', 'g'),
+      |      '$piiIpRe', '<IP>', 'g') AS scrubbed
+      |  FROM planted
+      |)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN e + p + i > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS docs_with_pii,
+      |  CAST(sum(e) AS BIGINT) AS n_email,
+      |  CAST(sum(p) AS BIGINT) AS n_phone,
+      |  CAST(sum(i) AS BIGINT) AS n_ip,
+      |  CAST(sum(len(regexp_extract_all(scrubbed,
+      |    '($piiEmailRe)|($piiPhoneRe)|($piiIpRe)'))) AS BIGINT)
+      |    AS n_residual,
+      |  CAST(sum(('0x' || substr(md5(scrubbed), 1, 6))::BIGINT) AS BIGINT)
+      |    AS scrub_checksum
+      |FROM scrub GROUP BY source ORDER BY source""".stripMargin
+
+  // ------------------------------------------ line-level boilerplate dedup
+
+  /** Line-level corpus dedup (`llm_dedup_lines`) — the C4 boilerplate
+    * rule: a LINE that recurs across more than N distinct documents
+    * corpus-wide (cookie banners, "all rights reserved" footers,
+    * newsletter calls-to-action) is dropped from EVERY document, and
+    * each document is reassembled from its surviving lines. This is
+    * the one dedup-family member that REWRITES documents rather than
+    * detecting/dropping whole docs or reporting chunk ratios.
+    *
+    * The fixture's texts are single-line, so the boilerplate is
+    * PLANTED on both sides: doc_id%4==0 gains a header line, %3==0 a
+    * footer, %5==2 a cookie banner — each recurs in ~a quarter/third/
+    * fifth of the corpus (far above the threshold at every sf), while
+    * body lines recur in at most the handful of planted exact-dup
+    * docs (below it). Threshold N=10 distinct docs.
+    *
+    * Scale story (the dedup-family discipline): the census shuffle
+    * carries (line-digest, doc_id) ONLY — text never crosses the wire
+    * to count recurrence. The frequent set (boilerplate vocabulary —
+    * tiny by definition: a line must recur in >N docs to enter) comes
+    * back as a BROADCAST anti-join side, so marking lines is
+    * shuffle-free. Text crosses the wire exactly once, in the per-doc
+    * reassembly groupBy (unavoidable in any corpus rewrite); the
+    * reassembly is a doc-local `sort_array` + `array_join`, never a
+    * global-order window. The final census is a 20-key source rollup
+    * shipping counts + a 24-bit digest of each rebuilt doc.
+    */
+  def dedupLines(spark: SparkSession, sfDir: String): DataFrame = {
+    val minDocs = 10 // a line in MORE than this many distinct docs is boilerplate
+    val header = "subscribe to our newsletter for updates"
+    val footer = "all rights reserved contact the webmaster"
+    val banner = "click here to accept cookies"
+    val docs = t(spark, sfDir, "documents").select(
+      col("doc_id"), col("source"),
+      concat(
+        when(col("doc_id") % 4 === 0, lit(header + "\n")).otherwise(""),
+        col("text"),
+        when(col("doc_id") % 3 === 0, lit("\n" + footer)).otherwise(""),
+        when(col("doc_id") % 5 === 2, lit("\n" + banner)).otherwise(""))
+        .as("t"))
+    val lines = docs.select(col("doc_id"), col("source"),
+      posexplode(split(col("t"), "\n")).as(Seq("pos", "line")))
+    // Census: (digest, doc_id) pairs only — the line text stays where
+    // it was scanned. countDistinct guards against a line repeating
+    // WITHIN one doc inflating its corpus recurrence.
+    val frequent = lines
+      .groupBy(md5(col("line")).as("d"))
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") > minDocs)
+      .select("d")
+    val perDoc = lines
+      .join(broadcast(frequent), md5(col("line")) === col("d"), "left")
+      .withColumn("boiler", col("d").isNotNull)
+      .groupBy("doc_id", "source")
+      .agg(
+        sum(when(col("boiler"), 1L).otherwise(0L)).as("removed"),
+        sum(when(col("boiler"), length(col("line")).cast("long"))
+          .otherwise(0L)).as("chars_removed"),
+        // collect_list skips the NULL structs the `when` leaves for
+        // boilerplate rows; sort_array orders by pos (first struct
+        // field) so reassembly is deterministic and doc-local.
+        array_join(transform(
+          sort_array(collect_list(
+            when(!col("boiler"), struct(col("pos"), col("line"))))),
+          s => s.getField("line")), "\n").as("rebuilt"))
+    perDoc
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("removed") > 0, 1L).otherwise(0L)).as("docs_touched"),
+        sum("removed").as("lines_removed"),
+        sum("chars_removed").as("chars_removed"),
+        sum(conv(substring(md5(col("rebuilt")), 1, 6), 16, 10).cast("long"))
+          .as("rebuilt_checksum"))
+      .orderBy("source")
+  }
+
+  val dedupLinesOracle: String =
+    """WITH t0 AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN doc_id % 4 = 0
+      |         THEN 'subscribe to our newsletter for updates' || chr(10)
+      |         ELSE '' END
+      |    || text
+      |    || CASE WHEN doc_id % 3 = 0
+      |            THEN chr(10) || 'all rights reserved contact the webmaster'
+      |            ELSE '' END
+      |    || CASE WHEN doc_id % 5 = 2
+      |            THEN chr(10) || 'click here to accept cookies'
+      |            ELSE '' END AS t
+      |  FROM documents
+      |), arrs AS (
+      |  SELECT doc_id, source, string_split(t, chr(10)) AS arr FROM t0
+      |), lines AS (
+      |  SELECT doc_id, source, generate_subscripts(arr, 1) AS pos,
+      |    unnest(arr) AS line
+      |  FROM arrs
+      |), freq AS (
+      |  SELECT md5(line) AS d FROM lines
+      |  GROUP BY 1 HAVING count(DISTINCT doc_id) > 10
+      |), marked AS (
+      |  SELECT l.doc_id, l.source, l.pos, l.line,
+      |    (f.d IS NOT NULL) AS boiler
+      |  FROM lines l LEFT JOIN freq f ON md5(l.line) = f.d
+      |), per_doc AS (
+      |  SELECT doc_id, source,
+      |    CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS removed,
+      |    CAST(sum(CASE WHEN boiler THEN len(line) ELSE 0 END) AS BIGINT)
+      |      AS chars_removed,
+      |    coalesce(string_agg(CASE WHEN NOT boiler THEN line END,
+      |      chr(10) ORDER BY pos), '') AS rebuilt
+      |  FROM marked GROUP BY 1, 2
+      |)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN removed > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS docs_touched,
+      |  CAST(sum(removed) AS BIGINT) AS lines_removed,
+      |  CAST(sum(chars_removed) AS BIGINT) AS chars_removed,
+      |  CAST(sum(('0x' || substr(md5(rebuilt), 1, 6))::BIGINT) AS BIGINT)
+      |    AS rebuilt_checksum
+      |FROM per_doc GROUP BY source ORDER BY source""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_quality_repetition" -> qualityRepetition,
+    "llm_pii_scrub" -> piiScrub,
+    "llm_dedup_lines" -> dedupLines,
     "llm_dedup_exact" -> dedupExact,
     "llm_dedup_normalized" -> dedupNormalized,
     "llm_source_stats" -> sourceStats,
@@ -5792,6 +6033,8 @@ object LlmOps {
 
   def oracles: Map[String, String] = Map(
     "llm_quality_repetition" -> qualityRepetitionOracle,
+    "llm_pii_scrub" -> piiScrubOracle,
+    "llm_dedup_lines" -> dedupLinesOracle,
     "llm_dedup_exact" -> dedupExactOracle,
     "llm_dedup_normalized" -> dedupNormalizedOracle,
     "llm_source_stats" -> sourceStatsOracle,

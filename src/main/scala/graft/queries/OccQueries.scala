@@ -63,7 +63,11 @@ object OccQueries {
     // pipeline fan-outs, even though contention is the POINT here).
     val a = graft.Par.future { (1 to Rounds).foreach(_ => adjust(0, 50.0)) }
     val b = graft.Par.future { (1 to Rounds).foreach(_ => adjust(1, 5.0)) }
-    graft.Par.awaitAll(Seq(a, b))
+    // Bounded join (ADVICE r15): this demo deliberately provokes claim
+    // contention; a livelocked claim loop should fail THIS query after
+    // 5 minutes, not hang the whole bench/correctness run forever.
+    graft.Par.awaitAll(Seq(a, b),
+      scala.concurrent.duration.Duration(5, "min"))
     require(store.currentVersion(target) == 2 * Rounds,
       "each committer round must allocate exactly one version")
 

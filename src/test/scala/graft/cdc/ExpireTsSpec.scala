@@ -103,4 +103,41 @@ class ExpireTsSpec extends SparkTestBase {
       Files.exists(d.resolve("manifest-4.tsv")),
       "retain_last without older_than expires all but the newest N")
   }
+
+  test("retain_last contract edges: n > versions keeps everything, " +
+      "n < 1 is rejected (ADVICE r15 clamp)") {
+    val wh = graft.Scratch.dir("graft-retain-edge-spec-").toString
+    val store = new StateStore(wh, nBuckets = 4)
+    val target = "cdc.retain_edge_spec"
+    val pk = Seq("s_suppkey")
+    val sup = Tables.load(spark, sf, "supplier").limit(10)
+    def wave(delta: Double, ts: Long): Unit = {
+      MergeCommit.mergeBatchMeta(store, target, sup
+        .withColumn("s_acctbal", col("s_acctbal") + delta)
+        .withColumn(StateStore.TsCol, lit(ts))
+        .withColumn(StateStore.SeqCol, col("s_suppkey").cast("long"))
+        .withColumn(StateStore.DeletedCol, lit(false))
+        .withColumn(StateStore.BucketCol, StateStore.bucketExpr(pk, 4)), pk)
+      ()
+    }
+    (0 to 2).foreach(i => wave(i * 10.0, 1000L + i))    // v0..v2
+    val d = Paths.get(wh).resolve(target)
+
+    // n far above the version count: firstKeptByCount clamps to 0, so
+    // the expiry keeps every snapshot instead of handing vacuum a
+    // negative first-kept / oversized keepVersions.
+    store.expireSnapshots(target, retainLast = Some(100))
+    assert((0 to 2).forall(v => Files.exists(d.resolve(s"manifest-$v.tsv"))),
+      "retain_last > versions must keep every snapshot")
+    assert(store.currentVersion(target) == 2)
+
+    // n < 1 "retains nothing" — contradicts head-never-expires; the
+    // contract rejects it rather than silently keeping only the head.
+    intercept[IllegalArgumentException] {
+      store.expireSnapshots(target, retainLast = Some(0))
+    }
+    intercept[IllegalArgumentException] {
+      store.expireSnapshots(target, retainLast = Some(-3))
+    }
+  }
 }
