@@ -54,6 +54,76 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
       .asInstanceOf[StructType]
   }
 
+  /** COLUMN RENAMES journaled at versions <= `version`, in commit
+    * order — the read-time name mapping that makes [[renameColumn]] a
+    * metadata-only DDL. Iceberg keeps renames free via field ids; a
+    * name-based store gets the same effect by journaling the mapping
+    * in the A6 schema history and applying it when FILES written
+    * under the old name are read at a schema that post-dates the
+    * rename. Ordered application composes chains (a→b at v5, b→c at
+    * v9) naturally; the version cutoff keeps time travel honest —
+    * reading AT a pre-rename version surfaces the old name, because
+    * that is what its committed schema says.
+    */
+  def columnRenames(target: String, version: Int): Seq[(String, String)] = {
+    val f = dir(target).resolve("schema-history.jsonl")
+    if (!Files.exists(f)) Seq.empty
+    else {
+      val pat =
+        """\{"version":(\d+),"rename":\{"from":"([^"]+)","to":"([^"]+)"\}.*""".r
+      Files.readAllLines(f).asScala.toSeq.collect {
+        case pat(v, from, to) if v.toInt <= version => (from, to)
+      }
+    }
+  }
+
+  /** RENAME COLUMN — A11's fourth DDL beside widen / add / drop, and
+    * the one a name-aligned merge gets WRONG without help: plain
+    * `unionByName` reads a rename as drop+add and nulls every
+    * pre-rename value. This commits a new version whose schema carries
+    * the new name, whose manifest is a byte-identical carry-over of
+    * the head's (ZERO data files touched — the Iceberg metadata-only
+    * rename semantic), and whose A6 journal line records the mapping
+    * that [[columnRenames]] serves to every reader. Single-writer like
+    * [[commit]]. Reintroducing a renamed-away name is rejected at the
+    * next commit ([[writeMetadata]]): the name mapping is what keeps
+    * old files readable, and a new column under the old name would
+    * make their bytes ambiguous.
+    */
+  def renameColumn(target: String, from: String, to: String): Int = {
+    require(exists(target), s"$target does not exist")
+    require(!Seq(TsCol, SeqCol, DeletedCol, BucketCol)
+      .exists(c => c.equalsIgnoreCase(from) || c.equalsIgnoreCase(to)),
+      "cannot rename merge-metadata columns")
+    val prev = currentVersion(target)
+    val next = prev + 1
+    val schema = schemaOf(target)
+    require(schema.fieldNames.exists(_.equalsIgnoreCase(from)),
+      s"$target has no column $from")
+    require(!schema.fieldNames.exists(_.equalsIgnoreCase(to)),
+      s"$target already has a column $to")
+    val renamed = StructType(schema.map(f =>
+      if (f.name.equalsIgnoreCase(from)) f.copy(name = to) else f))
+    val d = dir(target)
+    // Manifest carry-over: every bucket keeps pointing at the files it
+    // already points at — the rename never opens, reads, or rewrites a
+    // data file, which is what makes it a free DDL at 100 TB.
+    val lines = manifest(target).toSeq.sortBy(_._1)
+      .map { case (b, p) => s"$b\t$p" }.mkString("\n")
+    Files.writeString(d.resolve(s"manifest-$next.tsv"), lines)
+    Files.writeString(d.resolve(s"schema-$next.json"), renamed.json)
+    Files.writeString(d.resolve("schema-history.jsonl"),
+      s"""{"version":$next,"rename":{"from":"$from","to":"$to"},"schema":${renamed.json}}""" + "\n",
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    recordCommitTime(target, next)
+    if (currentVersion(target) != prev)
+      throw new IllegalStateException(
+        s"single-writer invariant violated on $target during rename")
+    swapPointer(target, next)
+    next
+  }
+
   def manifest(target: String): Map[Int, String] =
     manifestAt(target, currentVersion(target))
 
@@ -139,7 +209,7 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
                   buckets: Seq[Int]): DataFrame = {
     val m = manifest(target)
     readManifestEntries(spark, target, m.view.filterKeys(buckets.contains).toMap,
-      schemaOf(target))
+      schemaOf(target), columnRenames(target, currentVersion(target)))
   }
 
   /** Shared read path for any manifest subset: bucket dirs from
@@ -150,7 +220,9 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
     */
   private def readManifestEntries(spark: SparkSession, target: String,
                                   m: Map[Int, String],
-                                  schema: StructType): DataFrame = {
+                                  schema: StructType,
+                                  renames: Seq[(String, String)] = Seq.empty)
+      : DataFrame = {
     if (m.isEmpty) return emptyState(spark, target)
     // Group by the bucket dir's PARENT path (not just the leading
     // component): a shallow clone's manifest entries reach into the
@@ -163,7 +235,17 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
       val base = dir(target).resolve(verDir).toString
       val paths = bs.map(b => dir(target).resolve(m(b)).toString)
       val df = spark.read.option("basePath", base).parquet(paths: _*)
-      SchemaEvolution.alignTo(df, schema)
+      // Name mapping FIRST ([[columnRenames]]): files written before a
+      // rename carry the old name; applied in journal order the chain
+      // lands every historical name on its current one, and a mapping
+      // whose old name is absent (file post-dates that rename) is a
+      // no-op. Only then does alignTo widen/backfill — without the
+      // mapping it would read a renamed column as drop+add and null
+      // every pre-rename value.
+      val mapped = renames.foldLeft(df) { case (acc, (from, to)) =>
+        acc.withColumnRenamed(from, to)
+      }
+      SchemaEvolution.alignTo(mapped, schema)
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
@@ -201,7 +283,8 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
     val schema = DataType.fromJson(
       Files.readString(dir(target).resolve(s"schema-$version.json")))
       .asInstanceOf[StructType]
-    readManifestEntries(spark, target, m, schema)
+    readManifestEntries(spark, target, m, schema,
+      columnRenames(target, version))
       .filter(!col(DeletedCol))
       .drop(TsCol, SeqCol, DeletedCol, BucketCol)
   }
@@ -605,7 +688,8 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
       val schema = DataType.fromJson(
         Files.readString(dir(target).resolve(s"schema-$v.json")))
         .asInstanceOf[StructType]
-      readManifestEntries(spark, target, m, schema)
+      readManifestEntries(spark, target, m, schema,
+        columnRenames(target, v))
         .filter(!col(DeletedCol))
         .drop(TsCol, SeqCol, DeletedCol, BucketCol)
     }
@@ -662,13 +746,27 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
                             affected: Seq[Int], prev: Int,
                             next: Int, stampTime: Boolean = true): Unit = {
     val d = dir(target)
+    val schemaJson = merged.drop(BucketCol).schema.json
+    // Renamed-away names may never come back ([[renameColumn]]): the
+    // read-time mapping unconditionally lands old-name file bytes on
+    // the new name, so a NEW column under a retired name would have
+    // its values silently captured by the mapping. Fail BEFORE any
+    // metadata is written — the caller must pick a fresh name.
+    val retired = columnRenames(target, next).map(_._1.toLowerCase).toSet
+    if (retired.nonEmpty) {
+      val clash = merged.drop(BucketCol).schema.fieldNames
+        .filter(f => retired.contains(f.toLowerCase))
+      require(clash.isEmpty,
+        s"column name(s) ${clash.mkString(",")} were renamed away on " +
+          s"$target and cannot be reintroduced (name-mapped reads would " +
+          "capture them)")
+    }
     val prevManifest = manifest(target)
     val nextManifest = prevManifest ++
       affected.map(b => b -> s"v$next/$BucketCol=$b").toMap
     val lines = nextManifest.toSeq.sortBy(_._1)
       .map { case (b, p) => s"$b\t$p" }.mkString("\n")
     Files.writeString(d.resolve(s"manifest-$next.tsv"), lines)
-    val schemaJson = merged.drop(BucketCol).schema.json
     Files.writeString(d.resolve(s"schema-$next.json"), schemaJson)
     // A6 — schema-history journal: one line per schema change.
     val changed = prev < 0 ||

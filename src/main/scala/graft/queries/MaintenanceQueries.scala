@@ -2219,6 +2219,72 @@ object MaintenanceQueries {
       |                       ELSE s_acctbal END, 2)), 2) AS bal_sum
       |FROM supplier""".stripMargin
 
+  private val srDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** SCHEMA EVOLUTION: COLUMN RENAME (A11's fourth DDL;
+    * `StateStore.renameColumn`) — the Iceberg metadata-only rename,
+    * name-mapped. Wave 1 commits the full supplier image under
+    * `s_name`; the rename re-labels it `supplier_name` WITHOUT
+    * touching a data file (the new version's manifest is a carry-over
+    * of the old one — SchemaRenameSpec pins the file set byte-
+    * identical); wave 2's post-rename source then upserts a subset
+    * under the NEW name. The read-time name mapping journaled in the
+    * A6 schema history is what makes this work: without it, the
+    * merge's name-based alignment reads the rename as drop+add and
+    * NULLs every pre-rename value. The query proves both halves:
+    * `n_null_name` is 0 (pre-rename rows KEPT their names under the
+    * new column) and `name_checksum` digests every current name —
+    * untouched rows' wave-1 values and upserted rows' ' v2' suffixes
+    * both hash-checked against the oracle.
+    */
+  def schemaRename(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val wh = srDirCache.computeIfAbsent(sfDir,
+      _ => graft.Scratch.dir("graft-srename-").toString)
+    val whPath = Paths.get(wh)
+    Files.walk(whPath).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => if (p != whPath) Files.deleteIfExists(p))
+    val store = new graft.cdc.StateStore(wh, nBuckets = 8)
+    val target = "cdc.commerce_supplier_sr"
+    val pk = Seq("s_suppkey")
+    val sup = Tables.load(spark, sfDir, "supplier")
+    def wave(df: DataFrame, ts: Long): Unit = {
+      graft.cdc.MergeCommit.mergeBatchMeta(store, target, df
+        .withColumn(graft.cdc.StateStore.TsCol, lit(ts))
+        .withColumn(graft.cdc.StateStore.SeqCol, col("s_suppkey"))
+        .withColumn(graft.cdc.StateStore.DeletedCol, lit(false))
+        .withColumn(graft.cdc.StateStore.BucketCol,
+          graft.cdc.StateStore.bucketExpr(pk, 8)), pk)
+      ()
+    }
+    wave(sup, 1000L)
+    store.renameColumn(target, "s_name", "supplier_name")
+    wave(sup.filter(col("s_suppkey") % 3 === 0)
+      .withColumn("s_name", concat(col("s_name"), lit(" v2")))
+      .withColumn("s_acctbal", col("s_acctbal") + 100.0)
+      .withColumnRenamed("s_name", "supplier_name"), 2000L)
+
+    store.currentState(spark, target)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("supplier_name").isNull, 1L).otherwise(0L))
+          .as("n_null_name"),
+        sum(conv(substring(md5(col("supplier_name")), 1, 6), 16, 10)
+          .cast("long")).as("name_checksum"),
+        round(sum(round(col("s_acctbal"), 2)), 2).as("bal_sum"))
+      .localCheckpoint(eager = true)
+  }
+
+  val schemaRenameOracle: String =
+    """SELECT count(*) AS n_rows,
+      |  CAST(0 AS BIGINT) AS n_null_name,
+      |  CAST(sum(('0x' || substr(md5(CASE WHEN s_suppkey % 3 = 0
+      |         THEN s_name || ' v2' ELSE s_name END), 1, 6))::BIGINT)
+      |    AS BIGINT) AS name_checksum,
+      |  ROUND(sum(ROUND(CASE WHEN s_suppkey % 3 = 0 THEN s_acctbal + 100.0
+      |                       ELSE s_acctbal END, 2)), 2) AS bal_sum
+      |FROM supplier""".stripMargin
+
   // ------------------------------------------------- point lookup
 
   private val lookupDirCache =
@@ -3608,6 +3674,7 @@ object MaintenanceQueries {
     "maintenance_expire_retain" -> expireRetain,
     "maintenance_files_meta" -> filesMeta,
     "cdc_schema_drop" -> schemaDrop,
+    "cdc_schema_rename" -> schemaRename,
     "cdc_point_lookup" -> pointLookup)
 
   def oracles: Map[String, String] = Map(
@@ -3647,5 +3714,6 @@ object MaintenanceQueries {
     "maintenance_expire_retain" -> expireRetainOracle,
     "maintenance_files_meta" -> filesMetaOracle,
     "cdc_schema_drop" -> schemaDropOracle,
+    "cdc_schema_rename" -> schemaRenameOracle,
     "cdc_point_lookup" -> pointLookupOracle)
 }
