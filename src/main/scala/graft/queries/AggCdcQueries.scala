@@ -36,6 +36,7 @@ object AggCdcQueries {
   private val NBuckets = 8
   private val StateTable = "agg.state"
   private val SummaryTable = "agg.summary"
+  private val MetaTable = "agg.meta"
 
   /** Per-row contribution to the balance total, in integer cents. */
   private def centsExpr(bal: Column): Column =
@@ -79,61 +80,111 @@ object AggCdcQueries {
   /** One micro-batch: ordered merge into `agg.state` (the shared
     * [[MergeCommit]] recipe), then the summary delta pass over the
     * returned (pre, post) state slices.
+    *
+    * TORN-BATCH RECOVERY (ADVICE r15, the [[Bm25CdcQueries]] pattern):
+    * state merge and summary commit are separate atomic commits; a
+    * crash between them leaves the summary one batch behind, and the
+    * retry's re-merge telescopes a ZERO delta (preSlice == postSlice),
+    * freezing the divergence in. The summary is multi-row, so the
+    * version stamp lives in a dedicated 1-row `agg.meta` table
+    * committed LAST each batch, recording the (state, summary)
+    * versions the pair reflects. Any stamp mismatch at batch start —
+    * whichever of the three commits the crash fell between — routes
+    * the batch through [[rebuildSummary]] instead of the delta.
     */
-  private def processBatch(store: StateStore, batch: DataFrame): Unit = {
+  private[queries] def processBatch(store: StateStore,
+                                    batch: DataFrame): Unit =
+    processBatchImpl(store, batch, crashAfter = 2)
+
+  /** CRASH INJECTION for the spec: `crashAfter` = how many of the
+    * batch's commits run (0 after state merge, 1 after summary).
+    */
+  private[queries] def processBatchCrashing(store: StateStore,
+      batch: DataFrame, crashAfter: Int): Unit =
+    processBatchImpl(store, batch, crashAfter)
+
+  private def processBatchImpl(store: StateStore, batch: DataFrame,
+                               crashAfter: Int): Unit = {
     val spark = batch.sparkSession
     val compacted = Merge.compactKeepTombstones(batch, Seq("c_custkey")).persist()
     try {
       val batchMeta = MergeCommit.toBatchMeta(compacted, Seq("c_custkey"),
         NBuckets)
+      val preStateV = store.currentVersion(StateTable).toLong
+      val preSumV = store.currentVersion(SummaryTable).toLong
       val result = MergeCommit.mergeBatchMeta(store, StateTable, batchMeta,
         Seq("c_custkey"), persistSlices = true)
         .getOrElse(return)
+      if (crashAfter < 1) { result.unpersist(); return }
       val stateAligned = result.preSlice
       val merged = result.postSlice
 
-      // Summary deltas: −(old stored contribution) + (new stored
-      // winner), restricted to this batch's keys. A stale event that
-      // loses the merge yields old == new → the pair cancels exactly
-      // (long cents, no epsilon); a group move subtracts from the old
-      // nation and adds to the new one.
-      val keys = batchMeta.select("c_custkey").distinct()
-      def contributions(state: DataFrame, sign: Int) =
-        state.join(keys, Seq("c_custkey"), "left_semi")
-          .filter(!col(StateStore.DeletedCol))
-          .select(col("c_nationkey"), lit(sign.toLong).as("dn"),
-            (centsExpr(col("c_acctbal")) * sign).as("dc"))
-      val deltas = contributions(stateAligned, -1)
-        .unionAll(contributions(merged, +1))
-        .groupBy("c_nationkey")
-        .agg(sum("dn").as("dn"), sum("dc").as("dc"))
-        .withColumn(StateStore.BucketCol,
-          StateStore.bucketExpr(Seq("c_nationkey"), NBuckets))
-        .persist()
-      val sumAffected = deltas.select(StateStore.BucketCol).distinct()
-        .collect().map(_.getInt(0)).toSeq.sorted
-      if (sumAffected.nonEmpty) {
-        val sumState =
-          if (store.exists(SummaryTable))
-            store.readBuckets(spark, SummaryTable, sumAffected)
-          else spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            StructType.fromDDL(
-              "c_nationkey int, n bigint, cents bigint, _bucket int"))
-        // Additive upsert (no ordering metadata — long deltas commute).
-        val next = sumState.join(deltas.drop(StateStore.BucketCol),
-            Seq("c_nationkey"), "full_outer")
-          .select(col("c_nationkey"),
-            (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
-              .as("n"),
-            (coalesce(col("cents"), lit(0L)) + coalesce(col("dc"), lit(0L)))
-              .as("cents"))
+      val consistent =
+        if (store.exists(MetaTable)) {
+          val m = store.currentState(spark, MetaTable)
+            .select("state_v", "summary_v").head()
+          m.getLong(0) == preStateV && m.getLong(1) == preSumV
+        } else preStateV < 0 // meta absent only pre-bootstrap
+
+      if (consistent) {
+        // Summary deltas: −(old stored contribution) + (new stored
+        // winner), restricted to this batch's keys. A stale event that
+        // loses the merge yields old == new → the pair cancels exactly
+        // (long cents, no epsilon); a group move subtracts from the old
+        // nation and adds to the new one.
+        val keys = batchMeta.select("c_custkey").distinct()
+        def contributions(state: DataFrame, sign: Int) =
+          state.join(keys, Seq("c_custkey"), "left_semi")
+            .filter(!col(StateStore.DeletedCol))
+            .select(col("c_nationkey"), lit(sign.toLong).as("dn"),
+              (centsExpr(col("c_acctbal")) * sign).as("dc"))
+        val deltas = contributions(stateAligned, -1)
+          .unionAll(contributions(merged, +1))
+          .groupBy("c_nationkey")
+          .agg(sum("dn").as("dn"), sum("dc").as("dc"))
           .withColumn(StateStore.BucketCol,
             StateStore.bucketExpr(Seq("c_nationkey"), NBuckets))
-        store.commit(spark, SummaryTable, next, sumAffected)
+          .persist()
+        val sumAffected = deltas.select(StateStore.BucketCol).distinct()
+          .collect().map(_.getInt(0)).toSeq.sorted
+        if (sumAffected.nonEmpty) {
+          val sumState =
+            if (store.exists(SummaryTable))
+              store.readBuckets(spark, SummaryTable, sumAffected)
+            else spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              StructType.fromDDL(
+                "c_nationkey int, n bigint, cents bigint, _bucket int"))
+          // Additive upsert (no ordering metadata — long deltas commute).
+          val next = sumState.join(deltas.drop(StateStore.BucketCol),
+              Seq("c_nationkey"), "full_outer")
+            .select(col("c_nationkey"),
+              (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+                .as("n"),
+              (coalesce(col("cents"), lit(0L)) + coalesce(col("dc"), lit(0L)))
+                .as("cents"))
+            .withColumn(StateStore.BucketCol,
+              StateStore.bucketExpr(Seq("c_nationkey"), NBuckets))
+          store.commit(spark, SummaryTable, next, sumAffected)
+        }
+        deltas.unpersist(blocking = false)
+      } else {
+        // Torn batch: recompute the summary from merged state.
+        rebuildSummary(spark, store)
       }
-      deltas.unpersist(blocking = false)
       result.unpersist()
+      if (crashAfter < 2) return
+      // The version stamp, committed LAST: records which (state,
+      // summary) versions the pair reflects — the atomicity witness.
+      import spark.implicits._
+      val meta = Seq((0, store.currentVersion(StateTable).toLong,
+          store.currentVersion(SummaryTable).toLong))
+        .toDF("meta_id", "state_v", "summary_v")
+        .withColumn(StateStore.TsCol, lit(0L))
+        .withColumn(StateStore.SeqCol, lit(0L))
+        .withColumn(StateStore.DeletedCol, lit(false))
+        .withColumn(StateStore.BucketCol, lit(0))
+      store.commit(spark, MetaTable, meta, Seq(0))
     } finally compacted.unpersist(blocking = false)
   }
 
@@ -184,7 +235,11 @@ object AggCdcQueries {
       .persist()
     val affected = rebuilt.select(StateStore.BucketCol).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
-    val orphaned = store.manifest(SummaryTable).keySet -- affected.toSet
+    // Summary may not exist yet (torn-batch recovery reaching here
+    // after a crash before the FIRST summary commit).
+    val orphaned = (if (store.exists(SummaryTable))
+        store.manifest(SummaryTable).keySet
+      else Set.empty[Int]) -- affected.toSet
     require(orphaned.isEmpty,
       s"summary rebuild would orphan stale buckets $orphaned (every " +
         "nation hashing there emptied); vacuum/compact instead")

@@ -23,6 +23,61 @@ class AggCdcSpec extends SparkTestBase {
       "telescoping long-cents deltas must not depend on log slicing")
   }
 
+  test("torn batch recovers on retry for BOTH crash points (after " +
+      "state commit; after summary commit) via the meta-stamp mismatch") {
+    val store = AggCdcQueries.runMaintenance(spark, sf, 2)
+    def img(nation: org.apache.spark.sql.Column,
+            bal: org.apache.spark.sql.Column) =
+      struct(col("c_custkey").cast("long").as("c_custkey"),
+        nation.cast("int").as("c_nationkey"),
+        bal.cast("double").as("c_acctbal"))
+    def wave(m: Int, delta: Double, ts: Long) = graft.cdc.Envelope.flatten(
+      Tables.load(spark, sf, "customer")
+        .filter(col("c_custkey") % m === 1).select(
+          img(col("c_nationkey"), col("c_acctbal")).as("before"),
+          img(col("c_nationkey"), col("c_acctbal") + delta).as("after"),
+          lit(graft.cdc.Envelope.OpUpdate).as("op"), lit(ts).as("ts_ms"),
+          col("c_custkey").cast("long").as("seq"),
+          struct(lit("commerce").as("schema"),
+            lit("account").as("table")).as("source")))
+    // Non-mutating consistency probe: the maintained summary vs an
+    // independent recompute off agg.state (NOT rebuildSummary, whose
+    // commit would itself perturb the version stamps under test).
+    def consistent(): Boolean = {
+      val maintained = AggCdcQueries.readSummary(spark, store).collect()
+        .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      val expected = store.currentState(spark, "agg.state")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("c_acctbal") * 100).cast("long")).as("cents"))
+        .select(col("c_nationkey"), col("n"),
+          round(col("cents") / 100.0, 2).as("sum_bal"))
+        .collect()
+        .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      maintained == expected
+    }
+
+    // Crash point 1: state committed, summary + meta not.
+    val b1 = wave(11, 50.0, 9000L)
+    AggCdcQueries.processBatchCrashing(store, b1, crashAfter = 0)
+    assert(!consistent(), "torn batch must leave the summary stale")
+    AggCdcQueries.processBatch(store, b1) // the streaming retry
+    assert(consistent(),
+      "retry must detect the stamp mismatch and rebuild the summary")
+
+    // Crash point 2: state + summary committed, meta stamp not.
+    val b2 = wave(13, -30.0, 9500L)
+    AggCdcQueries.processBatchCrashing(store, b2, crashAfter = 1)
+    AggCdcQueries.processBatch(store, b2) // the retry re-applies safely
+    assert(consistent(),
+      "a missing stamp alone must also route through the rebuild, " +
+        "never double-apply the delta")
+
+    // And the delta path works again after recovery.
+    AggCdcQueries.processBatch(store, wave(17, 10.0, 9900L))
+    assert(consistent(), "post-recovery batches telescope correctly")
+  }
+
   test("delta-maintained summary equals a from-scratch rebuild, and " +
       "group totals cover every surviving key once") {
     val store = AggCdcQueries.runMaintenance(spark, sf, 2)

@@ -38,6 +38,51 @@ class Bm25CdcSpec extends SparkTestBase {
       "stats must telescope identically across slicings")
   }
 
+  test("torn batch (docs committed, stats not) recovers on the retry: " +
+      "stats rebuilt from the index instead of freezing the zero delta") {
+    val store = Bm25CdcQueries.runMaintenance(spark, sf, 2)
+    val (s0, r0) = Bm25CdcQueries.statsAndRebuild(spark, store)
+    assert(s0 == r0, "healthy drain: stats == rebuild")
+
+    // A late wave, crashed between the two commits: the docs merge
+    // lands, the stats commit never runs.
+    val base = graft.Tables.load(spark, sf, "documents")
+    def img(text: org.apache.spark.sql.Column) =
+      struct(col("doc_id").cast("long").as("doc_id"),
+        text.cast("string").as("text"))
+    val wave = base.filter(col("doc_id") % 11 === 1).select(
+      img(col("text")).as("before"),
+      img(lit("fresh update data table")).as("after"),
+      lit(graft.cdc.Envelope.OpUpdate).as("op"), lit(9000L).as("ts_ms"),
+      col("doc_id").cast("long").as("seq"),
+      struct(lit("corpus").as("schema"),
+        lit("documents").as("table")).as("source"))
+    val batch = graft.cdc.Envelope.flatten(wave)
+    Bm25CdcQueries.mergeWithoutStats(store, batch)
+    val (s1, r1) = Bm25CdcQueries.statsAndRebuild(spark, store)
+    assert(s1 != r1, "the torn batch must leave stats stale (the bug)")
+
+    // The streaming RETRY re-processes the SAME batch: the re-merge
+    // telescopes a zero delta (events already in state), but the
+    // docs_v stamp mismatch routes recovery through the rebuild.
+    Bm25CdcQueries.processBatch(store, batch)
+    val (s2, r2) = Bm25CdcQueries.statsAndRebuild(spark, store)
+    assert(s2 == r2,
+      s"retry must rebuild stats from the index: $s2 vs $r2")
+
+    // And the pipeline continues healthily on the delta path after.
+    val wave2 = base.filter(col("doc_id") % 13 === 1).select(
+      img(col("text")).as("before"),
+      img(lit("row data row")).as("after"),
+      lit(graft.cdc.Envelope.OpUpdate).as("op"), lit(9500L).as("ts_ms"),
+      col("doc_id").cast("long").as("seq"),
+      struct(lit("corpus").as("schema"),
+        lit("documents").as("table")).as("source"))
+    Bm25CdcQueries.processBatch(store, graft.cdc.Envelope.flatten(wave2))
+    val (s3, r3) = Bm25CdcQueries.statsAndRebuild(spark, store)
+    assert(s3 == r3, "post-recovery batches telescope correctly again")
+  }
+
   test("served ranking equals the batch scorer over the post-change " +
       "corpus") {
     val docs2 = graft.Tables.load(spark, sf, "documents")
