@@ -43,6 +43,7 @@ object SparkEntry {
       graft.queries.PqCdcQueries.queries ++
       graft.queries.AggCdcQueries.queries ++
       graft.queries.Bm25CdcQueries.queries ++
+      graft.queries.Bm25VocabQueries.queries ++
       graft.queries.JoinCdcQueries.queries ++
       graft.queries.Scd2CdcQueries.queries ++
       graft.queries.TxApplyQueries.queries ++
@@ -72,6 +73,7 @@ object SparkEntry {
       graft.queries.PqCdcQueries.oracles ++
       graft.queries.AggCdcQueries.oracles ++
       graft.queries.Bm25CdcQueries.oracles ++
+      graft.queries.Bm25VocabQueries.oracles ++
       graft.queries.JoinCdcQueries.oracles ++
       graft.queries.Scd2CdcQueries.oracles ++
       graft.queries.TxApplyQueries.oracles ++

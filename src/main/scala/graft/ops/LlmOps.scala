@@ -3324,7 +3324,17 @@ object LlmOps {
     * off the scan) and the CDC-maintained index (features read from
     * maintained state).
     */
-  private[graft] def bm25TopK(feat: DataFrame, stats: DataFrame): DataFrame = {
+  private[graft] def bm25TopK(feat: DataFrame, stats: DataFrame): DataFrame =
+    bm25TopKN(feat, stats, bm25Terms.size)
+
+  /** [[bm25TopK]] generalized to `nTerms` feature/stat columns
+    * (tf1..tfN / df1..dfN) — the term-keyed CDC index serves
+    * arbitrary-length queries through this same closed form, same
+    * IEEE fold order (left-to-right in query-term order, both
+    * engines).
+    */
+  private[graft] def bm25TopKN(feat: DataFrame, stats: DataFrame,
+                               nTerms: Int): DataFrame = {
     val avgdl = col("sdl").cast("double") / col("n").cast("double")
     def termScore(i: Int): Column = {
       val tf = col(s"tf$i").cast("double")
@@ -3334,13 +3344,13 @@ object LlmOps {
         (tf + lit(1.2) * (lit(0.25) + lit(0.75) *
           (col("dl").cast("double") / avgdl)))
     }
-    val nHit = bm25Terms.indices.map(i =>
-      when(col(s"tf${i + 1}") > 0, 1).otherwise(0)).reduce(_ + _)
+    val idx = 1 to nTerms
+    val nHit = idx.map(i =>
+      when(col(s"tf$i") > 0, 1).otherwise(0)).reduce(_ + _)
     feat.crossJoin(broadcast(stats))
-      .filter(bm25Terms.indices.map(i => col(s"tf${i + 1}")).reduce(_ + _) > 0)
+      .filter(idx.map(i => col(s"tf$i")).reduce(_ + _) > 0)
       .select(col("doc_id"), nHit.as("n_hit"),
-        round(bm25Terms.indices.map(i => termScore(i + 1)).reduce(_ + _), 6)
-          .as("score"))
+        round(idx.map(termScore).reduce(_ + _), 6).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(20)
   }
@@ -3368,11 +3378,19 @@ object LlmOps {
     * twin's (which prepends its post-change corpus CTE and points
     * `rel` at it). IEEE order mirrors [[bm25TopK]] cast for cast.
     */
-  private[graft] def bm25BodySql(rel: String): String = {
-    val dfs = bm25Terms.zipWithIndex.map { case (q, i) =>
+  private[graft] def bm25BodySql(rel: String): String =
+    bm25BodySqlFor(rel, bm25Terms)
+
+  /** [[bm25BodySql]] generalized to any query-term list — the oracle
+    * twin of [[bm25TopKN]], same fold order term for term.
+    */
+  private[graft] def bm25BodySqlFor(rel: String,
+                                    terms: Seq[String]): String = {
+    val idx = 1 to terms.size
+    val dfs = terms.zipWithIndex.map { case (q, i) =>
       s"""    count(*) FILTER (WHERE list_contains(string_split(text, ' '),
          |      '$q')) AS df${i + 1}""".stripMargin }.mkString(",\n")
-    val tfs = bm25Terms.zipWithIndex.map { case (q, i) =>
+    val tfs = terms.zipWithIndex.map { case (q, i) =>
       s"""    len(list_filter(string_split(text, ' '),
          |      w -> w = '$q')) AS tf${i + 1}""".stripMargin }.mkString(",\n")
     def termScore(i: Int): String =
@@ -3393,12 +3411,10 @@ object LlmOps {
        |  FROM $rel
        |)
        |SELECT doc_id,
-       |  (tf1 > 0)::INT + (tf2 > 0)::INT + (tf3 > 0)::INT AS n_hit,
-       |  ROUND(${termScore(1)} +
-       |    ${termScore(2)} +
-       |    ${termScore(3)}, 6) AS score
+       |  ${idx.map(i => s"(tf$i > 0)::INT").mkString(" + ")} AS n_hit,
+       |  ROUND(${idx.map(termScore).mkString(" +\n    ")}, 6) AS score
        |FROM tf, stats
-       |WHERE tf1 + tf2 + tf3 > 0
+       |WHERE ${idx.map(i => s"tf$i").mkString(" + ")} > 0
        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
   }
 

@@ -36,6 +36,8 @@ class RegistrySpec extends AnyFunSuite {
         queries.OutboxQueries.oracles),
       ("Bm25CdcQueries", queries.Bm25CdcQueries.queries,
         queries.Bm25CdcQueries.oracles),
+      ("Bm25VocabQueries", queries.Bm25VocabQueries.queries,
+        queries.Bm25VocabQueries.oracles),
       ("MinhashCdcQueries", queries.MinhashCdcQueries.queries,
         queries.MinhashCdcQueries.oracles),
       ("OccQueries", queries.OccQueries.queries, queries.OccQueries.oracles),

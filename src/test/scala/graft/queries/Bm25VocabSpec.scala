@@ -1,0 +1,87 @@
+package graft.queries
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Term-keyed CDC BM25 index ([[Bm25VocabQueries]]): the vocabulary's
+  * per-term df telescopes identically across micro-batch slicings and
+  * equals a from-scratch rebuild off the doc index; deleted docs'
+  * terms leave; torn batches recover on retry; and the served
+  * arbitrary-terms ranking equals the batch scorer over the
+  * post-change corpus.
+  */
+class Bm25VocabSpec extends SparkTestBase {
+
+  test("vocab + stats telescope across slicings and equal the rebuild") {
+    val s1 = Bm25VocabQueries.runMaintenance(spark, sf, filesPerTrigger = 1)
+    val ((v1, st1), (rv1, rst1)) = Bm25VocabQueries.vocabAndRebuild(spark, s1)
+    assert(v1.nonEmpty)
+    assert(v1 == rv1, "delta-maintained vocab must equal the rebuild")
+    assert(st1 == rst1, "delta-maintained stats must equal the rebuild")
+    // The served query's terms are all in the vocabulary.
+    assert(Bm25VocabQueries.QueryTerms.forall(v1.contains))
+    val s3 = Bm25VocabQueries.runMaintenance(spark, sf, filesPerTrigger = 3)
+    val ((v3, st3), _) = Bm25VocabQueries.vocabAndRebuild(spark, s3)
+    assert(v3 == v1 && st3 == st1,
+      "vocabulary must be independent of micro-batch slicing")
+  }
+
+  test("torn batch (docs committed, vocab+stats not) recovers on retry") {
+    val store = Bm25VocabQueries.runMaintenance(spark, sf, 2)
+    def img(text: org.apache.spark.sql.Column) =
+      struct(col("doc_id").cast("long").as("doc_id"),
+        text.cast("string").as("text"))
+    val wave = graft.Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") % 11 === 1).select(
+        img(col("text")).as("before"),
+        img(lit("zebra stream data")).as("after"),
+        lit(graft.cdc.Envelope.OpUpdate).as("op"), lit(9000L).as("ts_ms"),
+        col("doc_id").cast("long").as("seq"),
+        struct(lit("corpus").as("schema"),
+          lit("documents").as("table")).as("source"))
+    val batch = graft.cdc.Envelope.flatten(wave)
+    Bm25VocabQueries.mergeWithoutDerived(store, batch)
+    val ((v1, _), (rv1, _)) = Bm25VocabQueries.vocabAndRebuild(spark, store)
+    assert(v1 != rv1, "the torn batch must leave the vocab stale")
+    assert(!v1.contains("zebra") && rv1.contains("zebra"))
+
+    Bm25VocabQueries.processBatch(store, batch) // the streaming retry
+    val ((v2, st2), (rv2, rst2)) =
+      Bm25VocabQueries.vocabAndRebuild(spark, store)
+    assert(v2 == rv2 && st2 == rst2,
+      "retry must rebuild vocab + stats from the index")
+    // ALL %11==1 docs carry zebra — including previously deleted %7
+    // docs, which the ts-9000 update REVIVES (it out-orders their
+    // ts-4000 tombstone in the ordered merge).
+    assert(v2("zebra") == graft.Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") % 11 === 1).count(),
+      "the new term's df counts every updated (incl. revived) doc")
+  }
+
+  test("served arbitrary-terms ranking equals the batch scorer") {
+    val docs2 = graft.Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") % 7 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 5 === 0, lit("row row row data"))
+          .when(col("doc_id") % 3 === 0, concat(col("text"),
+            lit(" data table")))
+          .otherwise(col("text")))
+    val terms = Bm25VocabQueries.QueryTerms
+    val w = split(col("text"), " ")
+    val feat = docs2.select(col("doc_id") +: size(w).as("dl") +:
+      terms.zipWithIndex.map { case (t, i) =>
+        size(filter(w, x => x === t)).as(s"tf${i + 1}") }: _*)
+    val statAggs = Seq(count(lit(1)).as("n"),
+      sum(size(w)).cast("long").as("sdl")) ++
+      terms.zipWithIndex.map { case (t, i) =>
+        count(when(array_contains(w, t), 1)).as(s"df${i + 1}") }
+    val stats = docs2.agg(statAggs.head, statAggs.tail: _*)
+    val expected = graft.ops.LlmOps.bm25TopKN(feat, stats, terms.size)
+      .collect().map(_.toSeq.toList).toList
+    val served = Bm25VocabQueries.bm25VocabIncremental(spark, sf)
+      .collect().map(_.toSeq.toList).toList
+    assert(served == expected,
+      "maintained-state arbitrary-terms ranking must equal the batch " +
+        "scorer on the post-change corpus")
+  }
+}
