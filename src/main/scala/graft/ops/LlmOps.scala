@@ -3536,6 +3536,79 @@ object LlmOps {
        |),
        |${rrfFuseSql("r_lex", "r_vec")}""".stripMargin
 
+  /** HYBRID RETRIEVAL OVER THE ANN INDEX — [[rankHybrid]]'s production
+    * shape: the vector leg is the IVF 2-probe top-20 (the
+    * [[simIvfMultiprobe]] quantizer — centroids broadcast, the scan
+    * confined to the probe's 2 best clusters ≈ nprobe/nlist of the
+    * corpus) instead of the exact cosine scan, fused with the same
+    * BM25 leg by the same RRF fold. At 100 TB this is the only
+    * affordable hybrid: the exact leg reads everything, the ANN leg
+    * reads 20%. What the approximation costs is not assumed but
+    * MEASURED: [[rankHybridAnnRecall]] publishes fused recall@10
+    * against the exact-hybrid baseline, beside the family's other
+    * recall audits.
+    */
+  def rankHybridAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = t(spark, sfDir, "embeddings")
+    val centroids = labelCentroids(emb).select("label", "centroid")
+    val probe = emb.filter(col("vec_id") === 0)
+      .select(vecD(col("embedding")).as("probe"))
+    val best2 = centroids.crossJoin(broadcast(probe))
+      .select(col("label"), col("probe"),
+        round(cosine(col("centroid"), col("probe")), 6).as("ccos"))
+      .orderBy(col("ccos").desc, col("label"))
+      .limit(2)
+      .select("label", "probe")
+    val vecLeg = emb.filter(col("vec_id") =!= 0)
+      .join(broadcast(best2), Seq("label"))
+      .select(col("vec_id").as("doc_id"),
+        round(cosine(vecD(col("embedding")), col("probe")), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+    rrfFuse(
+      rankBm25(spark, sfDir).select("doc_id", "score"), "r_lex",
+      vecLeg, "r_vec")
+  }
+
+  val rankHybridAnnOracle: String =
+    s"""WITH la AS (
+       |WITH ${bm25BodySql("documents")}
+       |), lb AS (
+       |${ivfBestSql(2)}
+       |  SELECT vec_id AS doc_id,
+       |    ROUND(list_dot_product(e.embedding::DOUBLE[], p) /
+       |      (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+       |       sqrt(list_dot_product(p, p))), 6) AS score
+       |  FROM embeddings e JOIN best USING (label), probe
+       |  WHERE vec_id <> 0
+       |  ORDER BY score DESC, doc_id LIMIT 20
+       |),
+       |${rrfFuseSql("r_lex", "r_vec")}""".stripMargin
+
+  /** Fused recall@10 of the ANN-backed hybrid against the EXACT-hybrid
+    * baseline — the audit row that makes the [[rankHybridAnn]] swap an
+    * informed trade instead of a silent one, published beside
+    * [[simIvfRecall]] and the recall panel.
+    */
+  def rankHybridAnnRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val exact = rankHybrid(spark, sfDir).select(col("doc_id"))
+    val ann = rankHybridAnn(spark, sfDir).select(col("doc_id"))
+    exact.join(ann, Seq("doc_id"))
+      .agg(count(lit(1)).as("hits"))
+      .select(lit(10).as("k"), col("hits"),
+        round(col("hits").cast("double") / 10, 2).as("recall"))
+  }
+
+  val rankHybridAnnRecallOracle: String =
+    s"""WITH ex AS (
+       |$rankHybridOracle
+       |), an AS (
+       |$rankHybridAnnOracle
+       |)
+       |SELECT 10 AS k, count(*) AS hits,
+       |  ROUND(CAST(count(*) AS DOUBLE) / 10, 2) AS recall
+       |FROM ex JOIN an USING (doc_id)""".stripMargin
+
   /** Token counting, whitespace AND BPE-ish: the pre-training budget
     * estimate every corpus decision hangs on. `n_ws_tokens` is the
     * whitespace split; `n_bpe_tokens` counts matches of the GPT-style
@@ -6002,6 +6075,8 @@ object LlmOps {
     "llm_rank_bm25" -> rankBm25,
     "llm_rank_fuse" -> rankFuseRrf,
     "llm_rank_hybrid" -> rankHybrid,
+    "llm_rank_hybrid_ann" -> rankHybridAnn,
+    "llm_rank_hybrid_ann_recall" -> rankHybridAnnRecall,
     "llm_text_quality_route" -> textQualityRoute,
     "llm_text_langid" -> textLangId,
     "llm_text_vocab" -> textVocab,
@@ -6097,6 +6172,8 @@ object LlmOps {
     "llm_rank_bm25" -> rankBm25Oracle,
     "llm_rank_fuse" -> rankFuseRrfOracle,
     "llm_rank_hybrid" -> rankHybridOracle,
+    "llm_rank_hybrid_ann" -> rankHybridAnnOracle,
+    "llm_rank_hybrid_ann_recall" -> rankHybridAnnRecallOracle,
     "llm_text_quality_route" -> textQualityRouteOracle,
     "llm_text_langid" -> textLangIdOracle,
     "llm_text_vocab" -> textVocabOracle,
