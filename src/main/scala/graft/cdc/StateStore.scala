@@ -1515,6 +1515,36 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
         Files.walk(p).sorted(java.util.Comparator.reverseOrder())
           .forEach(q => Files.deleteIfExists(q))
       }
+    compactCommitLog(target)
+  }
+
+  /** Compact `commits.jsonl` to the surviving versions' WINNING lines
+    * (VERDICT r15 stretch): superseded re-stage lines and records of
+    * expired/dropped versions otherwise grow the sidecar forever — the
+    * r14 one-parse fix removed the quadratic read, not the growth.
+    * Runs under vacuum's existing single-writer-maintenance assumption
+    * and atomicity discipline (tmp + ATOMIC_MOVE, like the pointer
+    * swap): readers see the old or the compacted sidecar, never a
+    * partial one. Resolution is unchanged by construction — the kept
+    * line per version IS what last-line-wins parsing resolved, written
+    * back in ts order so the last line still carries the running
+    * maximum that [[recordCommitTime]]'s monotone stamp reads.
+    */
+  private def compactCommitLog(target: String): Unit = {
+    val f = dir(target).resolve(CommitsFile)
+    if (!Files.exists(f)) return
+    val times = commitTimes(target) // last-line-wins, one parse
+    val lines = times.toSeq
+      .filter { case (v, _) =>
+        Files.exists(dir(target).resolve(s"manifest-$v.tsv")) }
+      .map { case (v, ts) => (ts, v) }
+      .sorted
+      .map { case (ts, v) => s"""{"version":$v,"ts":$ts}""" }
+    val tmp = dir(target).resolve("commits.jsonl.tmp")
+    Files.writeString(tmp,
+      if (lines.isEmpty) "" else lines.mkString("", "\n", "\n"))
+    Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
   }
 }
 

@@ -119,4 +119,40 @@ class CommitTimeSpec extends SparkTestBase {
       assert(store.versionAtTime(target, store.commitTimeOf(target, v)) == v)
     }
   }
+
+  test("vacuum compacts the commits sidecar to surviving winners; " +
+      "resolution and the monotone stamp are unchanged") {
+    import java.nio.file.{Files, Paths}
+    val (store, target) = freshStore("ctimecompact")
+    val sup = Tables.load(spark, sf, "supplier").limit(20)
+    wave(store, target, sup, 1000L)                                    // v0
+    (1 to 5).foreach(i => wave(store, target,
+      sup.withColumn("s_acctbal", col("s_acctbal") + i.toDouble),
+      1000L + i))                                                      // v1..v5
+    // A dropped staged branch leaves a line for a version that never
+    // published — growth the compaction must reclaim.
+    val staged = store.stageCommit(spark, target,
+      store.rawState(spark, target), Seq.empty)
+    store.dropStaged(target, staged)
+    val sidecar = Paths.get(store.warehouse, target, "commits.jsonl")
+    val before = Files.readAllLines(sidecar).size
+    assert(before >= 7, s"6 commits + 1 dropped-staged line, got $before")
+
+    store.createRef(target, "pin", 1) // pins v1 through the vacuum
+    val keepInstants = Seq(1, 4, 5).map(v => store.commitTimeOf(target, v))
+    store.vacuum(target, keepVersions = 2)                 // keeps v4, v5
+    val after = Files.readAllLines(sidecar).size
+    assert(after == 3,
+      s"compacted sidecar holds exactly the surviving versions' lines " +
+        s"(v1 ref-pinned, v4, v5), got $after")
+    assert(Seq(1, 4, 5).map(v => store.commitTimeOf(target, v))
+      == keepInstants, "compaction must not move any surviving instant")
+    assert(store.versionAtTime(target, keepInstants(1)) == 4)
+    // The monotone stamp still reads the running max off the last line.
+    wave(store, target, sup.withColumn("s_acctbal",
+      col("s_acctbal") + 99.0), 9000L)                                 // v6
+    val ts = Seq(1, 4, 5, 6).map(v => store.commitTimeOf(target, v))
+    assert(ts == ts.sorted && ts.distinct == ts,
+      s"post-compaction commits stay strictly monotone: $ts")
+  }
 }
