@@ -5826,7 +5826,15 @@ object LlmOps {
     * the hash gate verifies every redacted byte corpus-wide without
     * shipping a text column.
     */
-  def piiScrub(spark: SparkSession, sfDir: String): DataFrame = {
+  def piiScrub(spark: SparkSession, sfDir: String): DataFrame =
+    piiScrubPerSource(t(spark, sfDir, "documents"))
+
+  /** Per-source PII census over any documents frame — shared by the
+    * batch pass and its streaming twin (detection and redaction are
+    * doc-local; every census column is a LONG sum, so micro-batch
+    * partials fold to the batch census bit-for-bit).
+    */
+  private[graft] def piiScrubPerSource(docs: DataFrame): DataFrame = {
     val id = col("doc_id").cast("string")
     val planted = concat(col("text"),
       when(col("doc_id") % 7 === 0,
@@ -5845,7 +5853,7 @@ object LlmOps {
           piiPhoneRe, "<PHONE>"),
         piiIpRe, "<IP>")
     val anyRe = s"($piiEmailRe)|($piiPhoneRe)|($piiIpRe)"
-    t(spark, sfDir, "documents")
+    docs
       .select(col("source"),
         hits(planted, piiEmailRe).as("e"),
         hits(planted, piiPhoneRe).as("p"),

@@ -771,6 +771,58 @@ object StreamingOps {
       .orderBy("shard")
   }
 
+  /** Streaming PII SCRUB census — the ingest-time twin of
+    * [[LlmOps.piiScrub]] (the C4/RefinedWeb PII pass run as documents
+    * ARRIVE — the posture a crawl pipeline needs: emails/phones/IPs
+    * are detected and redacted before a document ever lands in the
+    * corpus). Detection and redaction are doc-local, so each
+    * micro-batch scrubs batch-locally with the SAME shared per-source
+    * census; every census column is a LONG sum (counts, hit totals,
+    * the zero-residual audit, the 24-bit digest checksum), so the
+    * accumulated rollup equals the batch census BIT-FOR-BIT under any
+    * slicing — no quotient, no float anywhere. batchId-keyed
+    * overwrite slots, replay-idempotent like every accumulator here.
+    */
+  def streamPiiScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    val staged = stage(spark, sfDir, "documents")
+    val schema = Tables.load(spark, sfDir, "documents").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 2).parquet(staged)
+    val acc = new java.util.concurrent.ConcurrentHashMap[
+      Long, Array[(String, Array[Long])]]()
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = src.writeStream
+        .option("checkpointLocation",
+          graft.Scratch.dir("graft-pii-ckpt-").toString)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          acc.put(batchId, LlmOps.piiScrubPerSource(batch)
+            .collect()
+            .map(r => r.getString(0) ->
+              Array.tabulate(7)(i => r.getLong(i + 1))))
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    import scala.jdk.CollectionConverters._
+    val session = spark
+    import session.implicits._
+    acc.asScala.values.flatten.toSeq
+      .groupBy(_._1).toSeq
+      .map { case (src0, grp) =>
+        val sums = Array.fill(7)(0L)
+        grp.foreach { case (_, vs) =>
+          vs.indices.foreach(i => sums(i) += vs(i)) }
+        (src0, sums(0), sums(1), sums(2), sums(3), sums(4), sums(5),
+          sums(6))
+      }
+      .toDF("source", "n_docs", "docs_with_pii", "n_email", "n_phone",
+        "n_ip", "n_residual", "scrub_checksum")
+      .orderBy("source")
+  }
+
   /** Streaming REPETITION-QUALITY census — the ingest-time twin of
     * [[LlmOps.qualityRepetition]] (the Gopher repetition rules run as
     * documents ARRIVE, the posture a crawl pipeline needs: boilerplate
@@ -1606,6 +1658,7 @@ object StreamingOps {
     "stream_importance" -> streamImportance,
     "stream_shard_manifest" -> streamShardManifest,
     "stream_quality_repetition" -> streamQualityRepetition,
+    "stream_pii_scrub" -> streamPiiScrub,
     "stream_heavy_hitters" -> streamHeavyHitters,
     "stream_stateful" -> stateful,
     "stream_transform_state" -> transformState)
@@ -1632,6 +1685,7 @@ object StreamingOps {
     "stream_importance" -> streamImportanceOracle,
     "stream_shard_manifest" -> LlmOps.shardManifestOracle,
     "stream_quality_repetition" -> LlmOps.qualityRepetitionOracle,
+    "stream_pii_scrub" -> LlmOps.piiScrubOracle,
     "stream_heavy_hitters" -> streamHeavyHittersOracle,
     "stream_stateful" -> statefulOracle,
     "stream_transform_state" -> transformStateOracle)

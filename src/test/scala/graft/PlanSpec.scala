@@ -70,6 +70,32 @@ class PlanSpec extends SparkTestBase {
         "per-(doc,term) aggregate")
   }
 
+  test("llm_pii_scrub: one scan, everything scan-local (no Generate, " +
+    "no Window), only the 20-key rollup shuffles") {
+    val p = plan("llm_pii_scrub")
+    assert(scanCount(p) == 1,
+      "detect + redact + checksum are all projections over ONE pass")
+    assert(!p.contains("Generate"),
+      "hit counting must be regexp_extract_all size, never an explode")
+    assert(!p.contains("Window"), "no window anywhere in a scrub pass")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "the source rollup must partial-aggregate map-side")
+  }
+
+  test("llm_dedup_lines: census+rewrite reuse one base scan path, the " +
+    "frequent set comes back as a broadcast, no global-order window") {
+    val p = plan("llm_dedup_lines")
+    assert(p.contains("BroadcastExchange"),
+      "the boilerplate set must join back broadcast — hash-joining it " +
+        "would shuffle every line of the corpus a second time")
+    assert(!p.contains("Window"),
+      "reassembly must be sort_array inside the aggregate, not a " +
+        "per-doc ordering window")
+    assert(!p.contains("Exchange SinglePartition"),
+      "nothing in the census or the rewrite may collapse to one " +
+        "partition — the corpus-wide threshold is a hash aggregate")
+  }
+
   test("agg_q1: filter pushed to scan, pruned columns, partial+final agg") {
     val p = plan("agg_q1")
     assert(p.contains("PushedFilters"), "no pushdown block")
