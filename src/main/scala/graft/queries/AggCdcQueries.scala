@@ -36,7 +36,37 @@ object AggCdcQueries {
   private val NBuckets = 8
   private val StateTable = "agg.state"
   private val SummaryTable = "agg.summary"
-  private val MetaTable = "agg.meta"
+
+  /** The version-stamp witness lives in a SIDECAR FILE, not a fourth
+    * table: it is pure bookkeeping (never served, never joined), a
+    * tmp-write + ATOMIC_MOVE is exactly as crash-atomic as a pointer
+    * swap, and reading/writing it costs zero Spark jobs where a 1-row
+    * table commit costs one write job per micro-batch.
+    */
+  private def metaPath(store: StateStore): java.nio.file.Path =
+    java.nio.file.Paths.get(store.warehouse, "agg.meta.json")
+
+  private def readMeta(store: StateStore): Option[(Long, Long)] = {
+    val f = metaPath(store)
+    if (!java.nio.file.Files.exists(f)) None
+    else {
+      val pat = """\{"state_v":(-?\d+),"summary_v":(-?\d+)\}""".r
+      java.nio.file.Files.readString(f).trim match {
+        case pat(sv, mv) => Some((sv.toLong, mv.toLong))
+        case _ => None
+      }
+    }
+  }
+
+  private def writeMeta(store: StateStore, stateV: Long,
+                        summaryV: Long): Unit = {
+    val tmp = metaPath(store).resolveSibling("agg.meta.json.tmp")
+    java.nio.file.Files.writeString(tmp,
+      s"""{"state_v":$stateV,"summary_v":$summaryV}""")
+    java.nio.file.Files.move(tmp, metaPath(store),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
 
   /** Per-row contribution to the balance total, in integer cents. */
   private def centsExpr(bal: Column): Column =
@@ -86,11 +116,12 @@ object AggCdcQueries {
     * crash between them leaves the summary one batch behind, and the
     * retry's re-merge telescopes a ZERO delta (preSlice == postSlice),
     * freezing the divergence in. The summary is multi-row, so the
-    * version stamp lives in a dedicated 1-row `agg.meta` table
-    * committed LAST each batch, recording the (state, summary)
-    * versions the pair reflects. Any stamp mismatch at batch start —
-    * whichever of the three commits the crash fell between — routes
-    * the batch through [[rebuildSummary]] instead of the delta.
+    * version stamp lives in the `agg.meta.json` sidecar written LAST
+    * each batch (tmp + ATOMIC_MOVE — as crash-atomic as a pointer
+    * swap, zero Spark jobs), recording the (state, summary) versions
+    * the pair reflects. Any stamp mismatch at batch start — whichever
+    * of the three writes the crash fell between — routes the batch
+    * through [[rebuildSummary]] instead of the delta.
     */
   private[queries] def processBatch(store: StateStore,
                                     batch: DataFrame): Unit =
@@ -119,12 +150,10 @@ object AggCdcQueries {
       val stateAligned = result.preSlice
       val merged = result.postSlice
 
-      val consistent =
-        if (store.exists(MetaTable)) {
-          val m = store.currentState(spark, MetaTable)
-            .select("state_v", "summary_v").head()
-          m.getLong(0) == preStateV && m.getLong(1) == preSumV
-        } else preStateV < 0 // meta absent only pre-bootstrap
+      val consistent = readMeta(store) match {
+        case Some((sv, mv)) => sv == preStateV && mv == preSumV
+        case None => preStateV < 0 // meta absent only pre-bootstrap
+      }
 
       if (consistent) {
         // Summary deltas: −(old stored contribution) + (new stored
@@ -174,17 +203,10 @@ object AggCdcQueries {
       }
       result.unpersist()
       if (crashAfter < 2) return
-      // The version stamp, committed LAST: records which (state,
+      // The version stamp, written LAST: records which (state,
       // summary) versions the pair reflects — the atomicity witness.
-      import spark.implicits._
-      val meta = Seq((0, store.currentVersion(StateTable).toLong,
-          store.currentVersion(SummaryTable).toLong))
-        .toDF("meta_id", "state_v", "summary_v")
-        .withColumn(StateStore.TsCol, lit(0L))
-        .withColumn(StateStore.SeqCol, lit(0L))
-        .withColumn(StateStore.DeletedCol, lit(false))
-        .withColumn(StateStore.BucketCol, lit(0))
-      store.commit(spark, MetaTable, meta, Seq(0))
+      writeMeta(store, store.currentVersion(StateTable).toLong,
+        store.currentVersion(SummaryTable).toLong)
     } finally compacted.unpersist(blocking = false)
   }
 

@@ -104,51 +104,64 @@ object Bm25VocabQueries {
         val keys = featMeta.select("doc_id").distinct()
         val (nextN, nextSdl) =
           if (consistent) {
-            // Vocabulary deltas: ±1 per (stored winner, distinct term)
-            // over the batch's keys — stale losers cancel exactly.
-            def termContrib(state: DataFrame, sign: Int): DataFrame =
-              state.join(keys, Seq("doc_id"), "left_semi")
-                .filter(!col(StateStore.DeletedCol))
-                .select(explode(map_keys(col("tc"))).as("term"))
-                .withColumn("dd", lit(sign.toLong))
-            val tDeltas = termContrib(result.preSlice, -1)
-              .unionAll(termContrib(result.postSlice, +1))
-              .groupBy("term").agg(sum("dd").as("dd"))
-              .filter(col("dd") =!= 0L)
-              .withColumn(StateStore.BucketCol,
-                StateStore.bucketExpr(Seq("term"), NBuckets))
-              .persist()
-            val affected = tDeltas.select(StateStore.BucketCol).distinct()
-              .collect().map(_.getInt(0)).toSeq.sorted
-            if (affected.nonEmpty) {
-              val vState =
-                if (store.exists(VocabTable))
-                  store.readBuckets(spark, VocabTable, affected)
-                else spark.createDataFrame(
-                  spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-                  StructType.fromDDL("term string, df bigint, _bucket int"))
-              val next = vState.join(tDeltas.drop(StateStore.BucketCol),
-                  Seq("term"), "full_outer")
-                .select(col("term"),
-                  (coalesce(col("df"), lit(0L)) +
-                    coalesce(col("dd"), lit(0L))).as("df"))
-                .filter(col("df") > 0) // df 0 → the term leaves the vocab
-                .withColumn(StateStore.BucketCol,
-                  StateStore.bucketExpr(Seq("term"), NBuckets))
-              store.commit(spark, VocabTable, next, affected)
-            }
-            tDeltas.unpersist(blocking = false)
-            // Scalar stats deltas, same slices.
+            // Scalar stats deltas, kicked off CONCURRENTLY with the
+            // vocabulary branch below (graft.Par — independent reads
+            // of the same persisted slices; only the stats COMMIT has
+            // to wait, for the vocab version it stamps).
             def contrib(state: DataFrame, sign: Int): DataFrame =
               state.join(keys, Seq("doc_id"), "left_semi")
                 .filter(!col(StateStore.DeletedCol))
                 .select(lit(sign.toLong).as("dn"),
                   (col("dl").cast("long") * sign).as("ddl"))
-            val d = contrib(result.preSlice, -1)
-              .unionAll(contrib(result.postSlice, +1))
-              .agg(coalesce(sum("dn"), lit(0L)).as("dn"),
-                coalesce(sum("ddl"), lit(0L)).as("ddl"))
-              .head()
+            val fScalar = graft.Par.future {
+              contrib(result.preSlice, -1)
+                .unionAll(contrib(result.postSlice, +1))
+                .agg(coalesce(sum("dn"), lit(0L)).as("dn"),
+                  coalesce(sum("ddl"), lit(0L)).as("ddl"))
+                .head()
+            }
+            // Vocabulary deltas: ±1 per (stored winner, distinct term)
+            // over the batch's keys — stale losers cancel exactly.
+            // Wrapped in Try so a vocab failure still JOINS the scalar
+            // future before propagating (the Par await-all rule: no
+            // stray action in flight when the caller unwinds).
+            val vocabTry = scala.util.Try {
+              def termContrib(state: DataFrame, sign: Int): DataFrame =
+                state.join(keys, Seq("doc_id"), "left_semi")
+                  .filter(!col(StateStore.DeletedCol))
+                  .select(explode(map_keys(col("tc"))).as("term"))
+                  .withColumn("dd", lit(sign.toLong))
+              val tDeltas = termContrib(result.preSlice, -1)
+                .unionAll(termContrib(result.postSlice, +1))
+                .groupBy("term").agg(sum("dd").as("dd"))
+                .filter(col("dd") =!= 0L)
+                .withColumn(StateStore.BucketCol,
+                  StateStore.bucketExpr(Seq("term"), NBuckets))
+                .persist()
+              val affected = tDeltas.select(StateStore.BucketCol).distinct()
+                .collect().map(_.getInt(0)).toSeq.sorted
+              if (affected.nonEmpty) {
+                val vState =
+                  if (store.exists(VocabTable))
+                    store.readBuckets(spark, VocabTable, affected)
+                  else spark.createDataFrame(
+                    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                    StructType.fromDDL("term string, df bigint, _bucket int"))
+                val next = vState.join(tDeltas.drop(StateStore.BucketCol),
+                    Seq("term"), "full_outer")
+                  .select(col("term"),
+                    (coalesce(col("df"), lit(0L)) +
+                      coalesce(col("dd"), lit(0L))).as("df"))
+                  .filter(col("df") > 0) // df 0 → the term leaves the vocab
+                  .withColumn(StateStore.BucketCol,
+                    StateStore.bucketExpr(Seq("term"), NBuckets))
+                store.commit(spark, VocabTable, next, affected)
+              }
+              tDeltas.unpersist(blocking = false)
+            }
+            val dTry = scala.util.Try(graft.Par.await(fScalar))
+            vocabTry.get // rethrow vocab failure first (scalar joined)
+            val d = dTry.get
             val (pn, psdl) = stored.map(s => (s._1, s._2)).getOrElse((0L, 0L))
             (pn + d.getLong(0), psdl + d.getLong(1))
           } else {
