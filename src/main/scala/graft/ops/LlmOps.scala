@@ -4618,6 +4618,9 @@ object LlmOps {
     * artifact builds once, every consult reads it). The memo holds
     * `rounds` tuples of short strings — bytes, not data.
     */
+  // Keyed by (fixture, budget) — three fixtures in this harness, so
+  // unbounded is fine; a long-lived multi-tenant service would bound
+  // it (LRU or per-tenant eviction), as for every sfDir-keyed memo.
   private val frozenMergesCache =
     new java.util.concurrent.ConcurrentHashMap[
       String, Seq[(Int, String, String, Long)]]()

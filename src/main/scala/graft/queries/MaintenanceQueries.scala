@@ -1994,6 +1994,8 @@ object MaintenanceQueries {
       |FROM supplier
       |ORDER BY step""".stripMargin
 
+  // sfDir-keyed (three fixtures here); a long-lived multi-tenant
+  // service would bound this memo — see frozenMergesCache's note.
   private val expRetainDirCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 

@@ -28,7 +28,10 @@ class PlanRobustnessSpec extends SparkTestBase {
     "cdc_merge_mor_position", // (file,pos) anti joins + compaction fold
     "profile_t_closeness",    // per-class TVD: join order + broadcast q
     "llm_quality_repetition", // scan-local bigrams + 3-level rollup
-    "cdc_pipeline_wap")       // observe-audited staged commits
+    "cdc_pipeline_wap",       // observe-audited staged commits
+    "llm_dedup_lines",        // digest census + broadcast anti-join rewrite
+    "cdc_bm25_vocab",         // three-table maintenance + df-pivot serve
+    "llm_rank_hybrid_ann")    // IVF prune + two-leg RRF fusion
 
   test("results are invariant to broadcast strategy and partition count") {
     for (q <- probes) {
