@@ -5911,6 +5911,103 @@ object LlmOps {
       |    AS scrub_checksum
       |FROM scrub GROUP BY source ORDER BY source""".stripMargin
 
+  /** PII with CHECKSUM VALIDATION (`llm_pii_luhn`) — the upgrade over
+    * regex-only detection that separates a serious scrubber from a
+    * naive one: 16-digit runs are only CANDIDATES; a candidate is a
+    * payment-card number only if it passes the Luhn mod-10 check, and
+    * only validated matches are redacted — card-shaped noise (order
+    * ids, hashes) survives untouched instead of being mangled. One
+    * Luhn-VALID card is planted on doc_id%17==0 and one INVALID
+    * (same digits, last digit bumped) on doc_id%19==3 — ~1/323 of
+    * docs carry both, the case that breaks any redact-all-candidates
+    * shortcut.
+    *
+    * Scale story: candidates via `regexp_extract_all`, validation via
+    * a `filter()` HOF whose predicate is the Luhn fold (`aggregate`
+    * over 16 positions — pure per-row arithmetic, codegen-friendly,
+    * no UDF), redaction a literal `replace` of the validated match.
+    * All scan-local; the census is the one 20-key rollup. The
+    * published `n_card_shaped`/`n_valid` split plus the survivors
+    * count (card-shaped runs still present AFTER scrubbing — exactly
+    * the invalid ones) prove both halves of the contract in one
+    * oracle-checked row.
+    */
+  def piiLuhn(spark: SparkSession, sfDir: String): DataFrame = {
+    val ccRe = "\\b\\d{16}\\b"
+    val planted = concat(col("text"),
+      when(col("doc_id") % 17 === 0,
+        lit(" card 4532015112830366 on file")).otherwise(""),
+      when(col("doc_id") % 19 === 3,
+        lit(" ref 4532015112830367 code")).otherwise(""))
+    // Luhn mod-10 over a 16-digit candidate: odd left positions (= the
+    // every-second-from-the-right rule at even length) double, with
+    // the >9 wraparound subtracting 9.
+    def luhnOk(c: Column): Column = {
+      val total = aggregate(sequence(lit(1), lit(16)), lit(0),
+        (acc, i) => {
+          val d = c.substr(i, lit(1)).cast("int")
+          acc + when(i % 2 === 1,
+            when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+        })
+      total % 10 === 0
+    }
+    val cands = regexp_extract_all(planted, lit(ccRe), lit(0))
+    val valid = filter(cands, c => luhnOk(c))
+    val scrubbed = when(size(valid) >= 1,
+      regexp_replace(planted, element_at(valid, 1), lit("<CARD>")))
+      .otherwise(planted)
+    t(spark, sfDir, "documents")
+      .select(col("source"),
+        size(cands).as("nc"),
+        size(valid).as("nv"),
+        size(regexp_extract_all(scrubbed, lit(ccRe), lit(0))).as("nsurv"),
+        conv(substring(md5(scrubbed), 1, 6), 16, 10).cast("long").as("ck"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nc").cast("long")).as("n_card_shaped"),
+        sum(col("nv").cast("long")).as("n_valid"),
+        sum(col("nsurv").cast("long")).as("n_survivors"),
+        sum("ck").as("scrub_checksum"))
+      .orderBy("source")
+  }
+
+  val piiLuhnOracle: String =
+    """WITH planted AS (
+      |  SELECT doc_id, source,
+      |    text
+      |    || CASE WHEN doc_id % 17 = 0
+      |            THEN ' card 4532015112830366 on file' ELSE '' END
+      |    || CASE WHEN doc_id % 19 = 3
+      |            THEN ' ref 4532015112830367 code' ELSE '' END AS t
+      |  FROM documents
+      |), scrub AS (
+      |  SELECT source,
+      |    regexp_extract_all(t, '\b\d{16}\b') AS cands,
+      |    list_filter(regexp_extract_all(t, '\b\d{16}\b'), c ->
+      |      list_sum(list_transform(generate_series(1, 16), i ->
+      |        CASE WHEN i % 2 = 1
+      |             THEN CASE WHEN 2 * CAST(substr(c, i, 1) AS INT) > 9
+      |                       THEN 2 * CAST(substr(c, i, 1) AS INT) - 9
+      |                       ELSE 2 * CAST(substr(c, i, 1) AS INT) END
+      |             ELSE CAST(substr(c, i, 1) AS INT) END)) % 10 = 0)
+      |      AS valid,
+      |    t
+      |  FROM planted
+      |), red AS (
+      |  SELECT source, len(cands) AS nc, len(valid) AS nv,
+      |    CASE WHEN len(valid) >= 1 THEN replace(t, valid[1], '<CARD>')
+      |         ELSE t END AS scrubbed
+      |  FROM scrub
+      |)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(nc) AS BIGINT) AS n_card_shaped,
+      |  CAST(sum(nv) AS BIGINT) AS n_valid,
+      |  CAST(sum(len(regexp_extract_all(scrubbed, '\b\d{16}\b')))
+      |    AS BIGINT) AS n_survivors,
+      |  CAST(sum(('0x' || substr(md5(scrubbed), 1, 6))::BIGINT) AS BIGINT)
+      |    AS scrub_checksum
+      |FROM red GROUP BY source ORDER BY source""".stripMargin
+
   // ------------------------------------------ line-level boilerplate dedup
 
   /** Line-level corpus dedup (`llm_dedup_lines`) — the C4 boilerplate
@@ -6039,6 +6136,7 @@ object LlmOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_quality_repetition" -> qualityRepetition,
     "llm_pii_scrub" -> piiScrub,
+    "llm_pii_luhn" -> piiLuhn,
     "llm_dedup_lines" -> dedupLines,
     "llm_dedup_exact" -> dedupExact,
     "llm_dedup_normalized" -> dedupNormalized,
@@ -6136,6 +6234,7 @@ object LlmOps {
   def oracles: Map[String, String] = Map(
     "llm_quality_repetition" -> qualityRepetitionOracle,
     "llm_pii_scrub" -> piiScrubOracle,
+    "llm_pii_luhn" -> piiLuhnOracle,
     "llm_dedup_lines" -> dedupLinesOracle,
     "llm_dedup_exact" -> dedupExactOracle,
     "llm_dedup_normalized" -> dedupNormalizedOracle,

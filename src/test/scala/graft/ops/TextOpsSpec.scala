@@ -39,6 +39,24 @@ class TextOpsSpec extends SparkTestBase {
       (0L until nDocs).count(d => d % 7 == 0 || d % 11 == 0 || d % 13 == 0))
   }
 
+  test("luhn pass: only checksum-VALID cards count and redact; " +
+      "card-shaped noise survives untouched") {
+    val rows = LlmOps.piiLuhn(spark, sf).collect()
+    val byName = rows.head.schema.fieldNames.zipWithIndex.toMap
+    def l(r: Row, c: String): Long = r.getLong(byName(c))
+    val nDocs = rows.map(l(_, "n_docs")).sum
+    val valid = (0L until nDocs).count(_ % 17 == 0)
+    val invalid = (0L until nDocs).count(_ % 19 == 3)
+    assert(rows.map(l(_, "n_card_shaped")).sum == valid + invalid,
+      "every planted 16-digit run is a candidate")
+    assert(rows.map(l(_, "n_valid")).sum == valid,
+      "the Luhn check accepts exactly the valid plants — the bumped " +
+        "last digit fails mod-10")
+    assert(rows.map(l(_, "n_survivors")).sum == invalid,
+      "redaction removes exactly the validated matches: invalid " +
+        "card-shaped runs survive (incl. in docs carrying BOTH)")
+  }
+
   test("line dedup: planted boilerplate dropped everywhere, bodies kept") {
     val rows = LlmOps.dedupLines(spark, sf).collect()
     val byName = rows.head.schema.fieldNames.zipWithIndex.toMap
