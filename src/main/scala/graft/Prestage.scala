@@ -27,6 +27,7 @@ object Prestage {
     queries.AggCdcQueries.prestage(spark, sfDir)
     queries.Bm25CdcQueries.prestage(spark, sfDir)
     queries.Bm25VocabQueries.prestage(spark, sfDir)
+    queries.LinesCdcQueries.prestage(spark, sfDir)
     queries.IvfCdcQueries.prestage(spark, sfDir)
     queries.MinhashCdcQueries.prestage(spark, sfDir)
     queries.JoinCdcQueries.prestage(spark, sfDir)

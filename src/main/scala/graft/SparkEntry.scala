@@ -44,6 +44,7 @@ object SparkEntry {
       graft.queries.AggCdcQueries.queries ++
       graft.queries.Bm25CdcQueries.queries ++
       graft.queries.Bm25VocabQueries.queries ++
+      graft.queries.LinesCdcQueries.queries ++
       graft.queries.JoinCdcQueries.queries ++
       graft.queries.Scd2CdcQueries.queries ++
       graft.queries.TxApplyQueries.queries ++
@@ -74,6 +75,7 @@ object SparkEntry {
       graft.queries.AggCdcQueries.oracles ++
       graft.queries.Bm25CdcQueries.oracles ++
       graft.queries.Bm25VocabQueries.oracles ++
+      graft.queries.LinesCdcQueries.oracles ++
       graft.queries.JoinCdcQueries.oracles ++
       graft.queries.Scd2CdcQueries.oracles ++
       graft.queries.TxApplyQueries.oracles ++

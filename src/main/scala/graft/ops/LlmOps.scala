@@ -6036,29 +6036,47 @@ object LlmOps {
     * global-order window. The final census is a 20-key source rollup
     * shipping counts + a 24-bit digest of each rebuilt doc.
     */
-  def dedupLines(spark: SparkSession, sfDir: String): DataFrame = {
-    val minDocs = 10 // a line in MORE than this many distinct docs is boilerplate
+  /** The boilerplate threshold: a line in MORE than this many distinct
+    * docs is corpus boilerplate. Shared by the batch pass and the
+    * CDC-maintained census so the two can't desynchronize.
+    */
+  private[graft] val linesMinDocs = 10
+
+  /** The planted multi-line corpus: header/footer/banner lines over
+    * any (doc_id, text) frame — one definition serving the batch pass,
+    * its CDC twin's feature step, and both oracles' t0 via
+    * [[dedupLinesBodySql]].
+    */
+  private[graft] def plantLines(text: Column): Column = {
     val header = "subscribe to our newsletter for updates"
     val footer = "all rights reserved contact the webmaster"
     val banner = "click here to accept cookies"
-    val docs = t(spark, sfDir, "documents").select(
-      col("doc_id"), col("source"),
-      concat(
-        when(col("doc_id") % 4 === 0, lit(header + "\n")).otherwise(""),
-        col("text"),
-        when(col("doc_id") % 3 === 0, lit("\n" + footer)).otherwise(""),
-        when(col("doc_id") % 5 === 2, lit("\n" + banner)).otherwise(""))
-        .as("t"))
-    val lines = docs.select(col("doc_id"), col("source"),
-      posexplode(split(col("t"), "\n")).as(Seq("pos", "line")))
-    // Census: (digest, doc_id) pairs only — the line text stays where
-    // it was scanned. countDistinct guards against a line repeating
-    // WITHIN one doc inflating its corpus recurrence.
-    val frequent = lines
+    concat(
+      when(col("doc_id") % 4 === 0, lit(header + "\n")).otherwise(""),
+      text,
+      when(col("doc_id") % 3 === 0, lit("\n" + footer)).otherwise(""),
+      when(col("doc_id") % 5 === 2, lit("\n" + banner)).otherwise(""))
+  }
+
+  /** The corpus-wide frequent-line set off a (doc_id, line) frame:
+    * the census shuffle carries (digest, doc_id) only. countDistinct
+    * guards against a line repeating WITHIN one doc inflating its
+    * corpus recurrence.
+    */
+  private[graft] def linesFrequent(lines: DataFrame): DataFrame =
+    lines
       .groupBy(md5(col("line")).as("d"))
       .agg(countDistinct("doc_id").as("nd"))
-      .filter(col("nd") > minDocs)
+      .filter(col("nd") > linesMinDocs)
       .select("d")
+
+  /** Mark + rewrite + per-source rollup off a (doc_id, source, pos,
+    * line) frame and a broadcastable frequent-digest set — shared by
+    * the batch pass and the CDC-maintained serve so the rewrite
+    * semantics are one definition.
+    */
+  private[graft] def dedupLinesRollup(lines: DataFrame,
+                                      frequent: DataFrame): DataFrame = {
     val perDoc = lines
       .join(broadcast(frequent), md5(col("line")) === col("d"), "left")
       .withColumn("boiler", col("d").isNotNull)
@@ -6085,8 +6103,21 @@ object LlmOps {
       .orderBy("source")
   }
 
-  val dedupLinesOracle: String =
-    """WITH t0 AS (
+  def dedupLines(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents").select(
+      col("doc_id"), col("source"), plantLines(col("text")).as("t"))
+    val lines = docs.select(col("doc_id"), col("source"),
+      posexplode(split(col("t"), "\n")).as(Seq("pos", "line")))
+    dedupLinesRollup(lines, linesFrequent(lines))
+  }
+
+  /** The full boilerplate-removal SQL (plant → census → rewrite →
+    * rollup) over any (doc_id, source, text) relation — shared by the
+    * batch oracle and the CDC-maintained twin's (which prepends its
+    * post-change corpus CTE). Mirrors [[dedupLinesRollup]] op for op.
+    */
+  private[graft] def dedupLinesBodySql(rel: String): String =
+    s"""t0 AS (
       |  SELECT doc_id, source,
       |    CASE WHEN doc_id % 4 = 0
       |         THEN 'subscribe to our newsletter for updates' || chr(10)
@@ -6098,7 +6129,7 @@ object LlmOps {
       |    || CASE WHEN doc_id % 5 = 2
       |            THEN chr(10) || 'click here to accept cookies'
       |            ELSE '' END AS t
-      |  FROM documents
+      |  FROM $rel
       |), arrs AS (
       |  SELECT doc_id, source, string_split(t, chr(10)) AS arr FROM t0
       |), lines AS (
@@ -6107,7 +6138,7 @@ object LlmOps {
       |  FROM arrs
       |), freq AS (
       |  SELECT md5(line) AS d FROM lines
-      |  GROUP BY 1 HAVING count(DISTINCT doc_id) > 10
+      |  GROUP BY 1 HAVING count(DISTINCT doc_id) > $linesMinDocs
       |), marked AS (
       |  SELECT l.doc_id, l.source, l.pos, l.line,
       |    (f.d IS NOT NULL) AS boiler
@@ -6130,6 +6161,8 @@ object LlmOps {
       |  CAST(sum(('0x' || substr(md5(rebuilt), 1, 6))::BIGINT) AS BIGINT)
       |    AS rebuilt_checksum
       |FROM per_doc GROUP BY source ORDER BY source""".stripMargin
+
+  val dedupLinesOracle: String = "WITH " + dedupLinesBodySql("documents")
 
   // ------------------------------------------------------------ registry
 

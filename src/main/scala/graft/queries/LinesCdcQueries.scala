@@ -1,0 +1,247 @@
+package graft.queries
+
+import graft.Tables
+import graft.cdc.{Merge, MergeCommit, StateStore}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** CDC-MAINTAINED BOILERPLATE-LINE CENSUS — [[graft.ops.LlmOps
+  * .dedupLines]]'s C4 rewrite kept fresh under the document change
+  * stream: the corpus-wide (line-digest → distinct-doc count) census
+  * is ADDITIVE state maintained by telescoping deltas (the
+  * [[Bm25VocabQueries]] vocabulary discipline with line digests for
+  * terms), so the boilerplate set a curation pipeline scrubs against
+  * is always current without ever re-censusing the corpus.
+  *
+  * Two tables through the same document change log:
+  *
+  *  - `ln.docs` — per-document LINE ARRAYS (the planted multi-line
+  *    text split map-side on batch rows; one shared
+  *    [[graft.ops.LlmOps.plantLines]] definition with the batch pass).
+  *  - `ln.census` — (digest → n_docs), ±1 per (stored winner,
+  *    DISTINCT digest) over batch keys; stale losers cancel, deletes
+  *    subtract, a digest reaching 0 leaves the census. Version
+  *    stamps in a sidecar meta file make the chain torn-batch safe
+  *    (the [[AggCdcQueries]] shape: tmp + ATOMIC_MOVE, zero Spark
+  *    jobs).
+  *
+  * Serving reuses the batch pass's mark/rewrite/rollup verbatim
+  * ([[graft.ops.LlmOps.dedupLinesRollup]]): the census rows above the
+  * threshold broadcast as the frequent set, the doc state explodes
+  * and reassembles doc-locally. The change stream makes the corpus
+  * GROW a boilerplate line organically: the %5 full-replace wave puts
+  * the same body in ~1/5 of surviving docs, so a line no plant ever
+  * introduced crosses the threshold and those docs rewrite to EMPTY —
+  * the all-lines-removed edge, oracle-checked.
+  *
+  * 100 TB: batch cost ∝ change volume (digest deltas over batch
+  * keys); census state ∝ the corpus's distinct-line vocabulary with
+  * recurrence, not the corpus; the serve scans the doc index once.
+  */
+object LinesCdcQueries {
+
+  private val NBuckets = 8
+  private val DocsTable = "ln.docs"
+  private val CensusTable = "ln.census"
+
+  private def metaPath(store: StateStore): java.nio.file.Path =
+    java.nio.file.Paths.get(store.warehouse, "ln.meta.json")
+
+  private def readMeta(store: StateStore): Option[(Long, Long)] = {
+    val f = metaPath(store)
+    if (!java.nio.file.Files.exists(f)) None
+    else {
+      val pat = """\{"docs_v":(-?\d+),"census_v":(-?\d+)\}""".r
+      java.nio.file.Files.readString(f).trim match {
+        case pat(dv, cv) => Some((dv.toLong, cv.toLong))
+        case _ => None
+      }
+    }
+  }
+
+  private def writeMeta(store: StateStore, docsV: Long,
+                        censusV: Long): Unit = {
+    val tmp = metaPath(store).resolveSibling("ln.meta.json.tmp")
+    java.nio.file.Files.writeString(tmp,
+      s"""{"docs_v":$docsV,"census_v":$censusV}""")
+    java.nio.file.Files.move(tmp, metaPath(store),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private[queries] def processBatch(store: StateStore,
+                                    batch: DataFrame): Unit =
+    processBatchImpl(store, batch, skipDerived = false)
+
+  /** CRASH INJECTION for the spec: docs merge commits, census + meta
+    * never run.
+    */
+  private[queries] def mergeWithoutDerived(store: StateStore,
+                                           batch: DataFrame): Unit =
+    processBatchImpl(store, batch, skipDerived = true)
+
+  private def processBatchImpl(store: StateStore, batch: DataFrame,
+                               skipDerived: Boolean): Unit = {
+    val spark = batch.sparkSession
+    val compacted = Merge.compactKeepTombstones(batch, Seq("doc_id")).persist()
+    try {
+      val meta = MergeCommit.toBatchMeta(compacted, Seq("doc_id"), NBuckets)
+      // Features map-side on batch rows: plant, split, derive source
+      // (the fixture invariant source = 'src' || doc_id % 20 — events
+      // carry only (doc_id, text)). Cast pins containsNull so the
+      // parquet round-trip can't trip the A11 widen guard.
+      val featMeta = meta
+        .withColumn("source",
+          concat(lit("src"), (col("doc_id") % 20).cast("string")))
+        .withColumn("lines",
+          split(graft.ops.LlmOps.plantLines(col("text")), "\n")
+            .cast("array<string>"))
+        .select(col("doc_id"), col("source"), col("lines"),
+          col(StateStore.TsCol), col(StateStore.SeqCol),
+          col(StateStore.DeletedCol), col(StateStore.BucketCol))
+      val preDocsV = store.currentVersion(DocsTable).toLong
+      val preCensusV = store.currentVersion(CensusTable).toLong
+      val result = MergeCommit.mergeBatchMeta(store, DocsTable, featMeta,
+        Seq("doc_id"), persistSlices = true)
+        .getOrElse(return)
+      try {
+        if (skipDerived) return
+        val consistent = readMeta(store) match {
+          case Some((dv, cv)) => dv == preDocsV && cv == preCensusV
+          case None => preDocsV < 0 // meta absent only pre-bootstrap
+        }
+        if (consistent) {
+          val keys = featMeta.select("doc_id").distinct()
+          // ±1 per (stored winner, DISTINCT line digest) — the exact
+          // increment of a count(DISTINCT doc_id) census.
+          def digContrib(state: DataFrame, sign: Int): DataFrame =
+            state.join(keys, Seq("doc_id"), "left_semi")
+              .filter(!col(StateStore.DeletedCol))
+              .select(explode(array_distinct(
+                transform(col("lines"), l => md5(l)))).as("d"))
+              .withColumn("dd", lit(sign.toLong))
+          val deltas = digContrib(result.preSlice, -1)
+            .unionAll(digContrib(result.postSlice, +1))
+            .groupBy("d").agg(sum("dd").as("dd"))
+            .filter(col("dd") =!= 0L)
+            .withColumn(StateStore.BucketCol,
+              StateStore.bucketExpr(Seq("d"), NBuckets))
+            .persist()
+          val affected = deltas.select(StateStore.BucketCol).distinct()
+            .collect().map(_.getInt(0)).toSeq.sorted
+          if (affected.nonEmpty) {
+            val cState =
+              if (store.exists(CensusTable))
+                store.readBuckets(spark, CensusTable, affected)
+              else spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                StructType.fromDDL("d string, nd bigint, _bucket int"))
+            val next = cState.join(deltas.drop(StateStore.BucketCol),
+                Seq("d"), "full_outer")
+              .select(col("d"),
+                (coalesce(col("nd"), lit(0L)) +
+                  coalesce(col("dd"), lit(0L))).as("nd"))
+              .filter(col("nd") > 0) // recurrence 0 → leaves the census
+              .withColumn(StateStore.BucketCol,
+                StateStore.bucketExpr(Seq("d"), NBuckets))
+            store.commit(spark, CensusTable, next, affected)
+          }
+          deltas.unpersist(blocking = false)
+        } else {
+          rebuildCensus(spark, store) // torn batch: recount from state
+        }
+        writeMeta(store, store.currentVersion(DocsTable).toLong,
+          store.currentVersion(CensusTable).toLong)
+      } finally result.unpersist()
+    } finally compacted.unpersist(blocking = false)
+  }
+
+  /** From-scratch census recount off the doc index — the torn-batch
+    * recovery path and the spec's equality baseline.
+    */
+  private[queries] def rebuildCensus(spark: SparkSession,
+                                     store: StateStore): Int = {
+    val rebuilt = store.currentState(spark, DocsTable)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(col("lines"), l => md5(l)))).as("d"))
+      .groupBy("d").agg(countDistinct("doc_id").as("nd"))
+      .withColumn(StateStore.BucketCol,
+        StateStore.bucketExpr(Seq("d"), NBuckets))
+      .persist()
+    val affected = rebuilt.select(StateStore.BucketCol).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val orphaned = (if (store.exists(CensusTable))
+        store.manifest(CensusTable).keySet
+      else Set.empty[Int]) -- affected.toSet
+    require(orphaned.isEmpty,
+      s"census rebuild would orphan stale buckets $orphaned")
+    try store.commit(spark, CensusTable, rebuilt, affected)
+    finally rebuilt.unpersist(blocking = false)
+  }
+
+  private[queries] def runMaintenance(spark: SparkSession, sfDir: String,
+      filesPerTrigger: Int): StateStore =
+    DrainHarness.drain(spark,
+      Bm25CdcQueries.docChangeLog(Tables.load(spark, sfDir, "documents")),
+      s"$sfDir/lnd", NBuckets, filesPerTrigger)(processBatch)
+
+  /** Bench's untimed staging warmup. */
+  def prestage(spark: SparkSession, sfDir: String): Unit =
+    DrainHarness.stage(
+      Bm25CdcQueries.docChangeLog(Tables.load(spark, sfDir, "documents")),
+      s"$sfDir/lnd")
+
+  /** The registered query: drain the log, then run the C4 rewrite off
+    * maintained state alone — census rows above the shared threshold
+    * broadcast as the frequent set, doc state reassembles doc-locally,
+    * the rollup is the batch pass's own.
+    */
+  def linesIncremental(spark: SparkSession, sfDir: String,
+                       filesPerTrigger: Int = 2): DataFrame = {
+    val store = runMaintenance(spark, sfDir, filesPerTrigger)
+    val lines = store.currentState(spark, DocsTable)
+      .select(col("doc_id"), col("source"),
+        posexplode(col("lines")).as(Seq("pos", "line")))
+    val frequent = store.rawState(spark, CensusTable)
+      .filter(col("nd") > graft.ops.LlmOps.linesMinDocs)
+      .select("d")
+    graft.ops.LlmOps.dedupLinesRollup(lines, frequent)
+      .localCheckpoint(eager = true)
+  }
+
+  /** Maintained-state instrument for the spec: (census map, rebuilt
+    * census map).
+    */
+  private[queries] def censusAndRebuild(spark: SparkSession,
+      store: StateStore): (Map[String, Long], Map[String, Long]) = {
+    val c = store.rawState(spark, CensusTable)
+      .select("d", "nd")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val r = store.currentState(spark, DocsTable)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(col("lines"), l => md5(l)))).as("d"))
+      .groupBy("d").agg(countDistinct("doc_id").as("nd"))
+      .collect().map(r0 => r0.getString(0) -> r0.getLong(1)).toMap
+    (c, r)
+  }
+
+  /** The batch rewrite over the post-change corpus — the same shared
+    * SQL body as the batch oracle, pointed at the post-change CTE.
+    */
+  val linesIncrementalOracle: String =
+    """WITH docs2 AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN doc_id % 5 = 0 THEN 'row row row data'
+      |         WHEN doc_id % 3 = 0 THEN text || ' data table'
+      |         ELSE text END AS text
+      |  FROM documents WHERE doc_id % 7 <> 0
+      |), """.stripMargin +
+      graft.ops.LlmOps.dedupLinesBodySql("docs2")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_lines_incremental" -> ((s, d) => linesIncremental(s, d)))
+
+  def oracles: Map[String, String] = Map(
+    "cdc_lines_incremental" -> linesIncrementalOracle)
+}

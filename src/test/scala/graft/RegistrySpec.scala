@@ -38,6 +38,8 @@ class RegistrySpec extends AnyFunSuite {
         queries.Bm25CdcQueries.oracles),
       ("Bm25VocabQueries", queries.Bm25VocabQueries.queries,
         queries.Bm25VocabQueries.oracles),
+      ("LinesCdcQueries", queries.LinesCdcQueries.queries,
+        queries.LinesCdcQueries.oracles),
       ("MinhashCdcQueries", queries.MinhashCdcQueries.queries,
         queries.MinhashCdcQueries.oracles),
       ("OccQueries", queries.OccQueries.queries, queries.OccQueries.oracles),
