@@ -238,7 +238,15 @@ object Bm25VocabQueries {
     val dfCols = QueryTerms.zipWithIndex.map { case (t, i) =>
       coalesce(max(when(col("term") === t, col("df"))), lit(0L))
         .as(s"df${i + 1}") }
-    val dfRow = store.rawState(spark, VocabTable)
+    // Bucket-pruned vocab probe: the query terms' buckets are known
+    // up front (the same bucketExpr the maintainer assigns with), so
+    // the df lookup reads |distinct term buckets| dirs — a point read
+    // against a vocabulary of millions, not a vocab scan.
+    import spark.implicits._
+    val termBuckets = QueryTerms.toDF("term")
+      .select(StateStore.bucketExpr(Seq("term"), NBuckets).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    val dfRow = store.readBuckets(spark, VocabTable, termBuckets)
       .filter(col("term").isin(QueryTerms: _*))
       .agg(dfCols.head, dfCols.tail: _*)
     val stats = store.currentState(spark, StatsTable).select("n", "sdl")
