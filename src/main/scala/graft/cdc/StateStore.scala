@@ -973,8 +973,19 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
     val schemaJson =
       Files.readString(dir(src).resolve(s"schema-${currentVersion(src)}.json"))
     Files.writeString(d.resolve("schema-0.json"), schemaJson)
+    // The source's RENAME mappings must ride into the clone's journal
+    // (re-versioned to the clone's v0, source order preserved so
+    // chains compose): the clone's manifest reaches into the source's
+    // data dirs, whose pre-rename files carry OLD column names — read
+    // without the mapping, every renamed column would null
+    // ([[columnRenames]]); with it, the clone reads and guards
+    // (retired-name reintroduction) exactly like the source.
+    val carried = columnRenames(src, currentVersion(src))
+      .map { case (from, to) =>
+        s"""{"version":0,"rename":{"from":"$from","to":"$to"},"schema":$schemaJson}""" + "\n"
+      }.mkString
     Files.writeString(d.resolve("schema-history.jsonl"),
-      s"""{"version":0,"schema":$schemaJson}""" + "\n")
+      carried + s"""{"version":0,"schema":$schemaJson}""" + "\n")
     recordCommitTime(dst, 0)
     val tmp = d.resolve("_VERSION.tmp")
     Files.writeString(tmp, "0")

@@ -104,5 +104,34 @@ class SchemaRenameSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       store.renameColumn(target, StateStore.TsCol, "tsx")
     }
+
+    // CLONE of a renamed table: the clone's manifest reaches into the
+    // source's pre-rename data dirs (old-name files); the carried
+    // rename mappings must land those bytes on the current name, and
+    // the retired-name guard must carry over too.
+    store.cloneTable(target, "cdc.rename_clone")
+    val cl = store.currentState(spark, "cdc.rename_clone")
+    assert(cl.columns.contains("vendor_name"))
+    assert(cl.filter(col("vendor_name").isNull).count() == 0,
+      "clone reads of pre-rename source files must not null the " +
+        "renamed column (the journal carries the mapping)")
+    assert(cl.count() == n)
+    val clErr = intercept[Exception] {
+      wave2(store, "cdc.rename_clone",
+        sup.limit(5).withColumn("s_name", lit("ghost")), 5000L)
+    }
+    assert(clErr.getMessage.contains("renamed away"),
+      "the retired-name guard rides the carried journal into the clone")
+  }
+
+  private def wave2(store: StateStore, target: String,
+                    df: org.apache.spark.sql.DataFrame, ts: Long): Unit = {
+    val pk = Seq("s_suppkey")
+    MergeCommit.mergeBatchMeta(store, target, df
+      .withColumn(StateStore.TsCol, lit(ts))
+      .withColumn(StateStore.SeqCol, col("s_suppkey").cast("long"))
+      .withColumn(StateStore.DeletedCol, lit(false))
+      .withColumn(StateStore.BucketCol, StateStore.bucketExpr(pk, 4)), pk)
+    ()
   }
 }
