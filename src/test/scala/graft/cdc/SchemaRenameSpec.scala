@@ -134,4 +134,130 @@ class SchemaRenameSpec extends SparkTestBase {
       .withColumn(StateStore.BucketCol, StateStore.bucketExpr(pk, 4)), pk)
     ()
   }
+
+  /** VERDICT r16 #1 — the rename-back brick: `a→b` then `b→a` is a
+    * legal Iceberg DDL sequence; the chain-aware retired set must
+    * revive `a`, and merges after EVERY link must commit green with
+    * every file era reading under the right identity.
+    */
+  test("rename-back a->b->a stays writable and reads every era right") {
+    val wh = graft.Scratch.dir("graft-renameback-spec-").toString
+    val store = new StateStore(wh, nBuckets = 4)
+    val target = "cdc.renameback_spec"
+    val sup = Tables.load(spark, sf, "supplier")
+    val n = sup.count()
+    wave2(store, target, sup, 1000L)                               // v0
+    store.renameColumn(target, "s_name", "supplier_name")          // v1
+    wave2(store, target,
+      sup.filter(col("s_suppkey") % 3 === 0)
+        .withColumn("s_name", concat(col("s_name"), lit(" mid")))
+        .withColumnRenamed("s_name", "supplier_name"), 2000L)      // v2
+    store.renameColumn(target, "supplier_name", "s_name")          // v3 back
+    assert(store.schemaOf(target).fieldNames.contains("s_name"))
+
+    // The brick case: a merge AFTER the rename-back must commit —
+    // s_name is the table's own current name, not a retired one.
+    wave2(store, target,
+      sup.filter(col("s_suppkey") % 5 === 0)
+        .withColumn("s_name", concat(col("s_name"), lit(" post"))),
+      3000L)                                                       // v4
+    val st = store.currentState(spark, target)
+    assert(st.count() == n)
+    assert(st.filter(col("s_name").isNull).count() == 0,
+      "no era's files may null under the round-tripped name")
+    // Identity per era: %5 rows carry " post" (v4 files, revived
+    // name), remaining %3 rows " mid" (v2 files, middle name), rest
+    // original (v0 files, original name).
+    val expect = sup.select(col("s_suppkey"),
+      when(col("s_suppkey") % 5 === 0, concat(col("s_name"), lit(" post")))
+        .when(col("s_suppkey") % 3 === 0, concat(col("s_name"), lit(" mid")))
+        .otherwise(col("s_name")).as("s_name"))
+    assert(st.select("s_suppkey", "s_name").exceptAll(expect).count() == 0,
+      "each file era must bind its bytes to the round-tripped column")
+
+    // Re-target a DIFFERENT column onto the now-retired middle name
+    // (the c→a chain): legal, revives supplier_name for s_phone.
+    store.renameColumn(target, "s_acctbal", "supplier_name")      // v5
+    wave2(store, target,
+      sup.filter(col("s_suppkey") % 7 === 0)
+        .withColumnRenamed("s_acctbal", "supplier_name"), 4000L)   // v6
+    val st2 = store.currentState(spark, target)
+    assert(st2.filter(col("supplier_name").isNull).count() == 0,
+      "pre-rename files must land s_phone bytes on the re-targeted name")
+    val phones = sup.select(col("s_suppkey"),
+      col("s_acctbal").as("supplier_name"))
+    assert(st2.select("s_suppkey", "supplier_name")
+      .exceptAll(phones).count() == 0,
+      "the re-targeted name must carry the donor column's values, " +
+        "never the name's previous occupant")
+    // The %7 wave carried the ORIGINAL s_name, legitimately winning
+    // latest-ts over the earlier suffix waves for overlapping keys.
+    val expect2 = sup.select(col("s_suppkey"),
+      when(col("s_suppkey") % 7 === 0, col("s_name"))
+        .when(col("s_suppkey") % 5 === 0, concat(col("s_name"), lit(" post")))
+        .when(col("s_suppkey") % 3 === 0, concat(col("s_name"), lit(" mid")))
+        .otherwise(col("s_name")).as("s_name"))
+    assert(st2.select("s_suppkey", "s_name").exceptAll(expect2).count() == 0,
+      "the round-tripped column is undisturbed by the re-target")
+  }
+
+  /** Chains the presence-guarded fold cannot disambiguate (completing
+    * a column SWAP through a temp name) are rejected loudly at DDL
+    * time — sound swaps need field ids a name-mapped store lacks.
+    */
+  test("ambiguous swap-completion rename is rejected at DDL time") {
+    val wh = graft.Scratch.dir("graft-renameswap-spec-").toString
+    val store = new StateStore(wh, nBuckets = 4)
+    val target = "cdc.renameswap_spec"
+    val sup = Tables.load(spark, sf, "supplier")
+    wave2(store, target, sup, 1000L)
+    store.renameColumn(target, "s_name", "tmp_x")
+    store.renameColumn(target, "s_acctbal", "s_name")
+    val err = intercept[IllegalArgumentException] {
+      store.renameColumn(target, "tmp_x", "s_acctbal")
+    }
+    assert(err.getMessage.contains("ambiguity"), s"got: ${err.getMessage}")
+    // The table is NOT bricked by the rejection: merges still commit.
+    wave2(store, target,
+      sup.limit(7)
+        .withColumnRenamed("s_name", "tmp_x")
+        .withColumnRenamed("s_acctbal", "s_name"), 2000L)
+    assert(store.currentState(spark, target)
+      .filter(col("tmp_x").isNull || col("s_name").isNull).count() == 0)
+  }
+
+  /** ADVICE r16 — a crashed rename (journal line appended, pointer
+    * never swapped) must not poison the version a later ordinary
+    * commit claims: the read side drops rename lines whose version
+    * published a DIFFERENT schema than the line embeds.
+    */
+  test("phantom rename journal line from a crashed rename is ignored") {
+    val wh = graft.Scratch.dir("graft-renamephantom-spec-").toString
+    val store = new StateStore(wh, nBuckets = 4)
+    val target = "cdc.renamephantom_spec"
+    val sup = Tables.load(spark, sf, "supplier")
+    wave2(store, target, sup, 1000L)                               // v0
+    // Simulate the crash window: a rename line at head+1 with the
+    // schema the rename WOULD have committed, but no pointer swap.
+    val head = store.currentVersion(target)
+    val ghostSchema = org.apache.spark.sql.types.StructType(
+      store.schemaOf(target).map(f =>
+        if (f.name == "s_name") f.copy(name = "ghost_name") else f))
+    Files.writeString(
+      java.nio.file.Paths.get(wh, target, "schema-history.jsonl"),
+      s"""{"version":${head + 1},"rename":{"from":"s_name","to":"ghost_name"},"schema":${ghostSchema.json}}""" + "\n",
+      java.nio.file.StandardOpenOption.APPEND)
+    // An ordinary commit claims head+1 and publishes its own schema.
+    wave2(store, target,
+      sup.limit(11).withColumn("s_name", lit("claimed")), 2000L)
+    assert(store.currentVersion(target) == head + 1)
+    assert(store.columnRenames(target, head + 1).isEmpty,
+      "the phantom line's version published a different schema — it " +
+        "must be dropped, not served as a live mapping")
+    val st = store.currentState(spark, target)
+    assert(st.columns.contains("s_name") && !st.columns.contains("ghost_name"))
+    assert(st.filter(col("s_name").isNull).count() == 0)
+    // And further merges under s_name are NOT rejected as retired.
+    wave2(store, target, sup.limit(3), 3000L)
+  }
 }
