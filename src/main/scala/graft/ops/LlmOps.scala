@@ -53,7 +53,7 @@ object LlmOps {
     * exactly; results are still rounded to 6dp before any compare or
     * threshold.
     */
-  private def cosine(a: Column, b: Column): Column =
+  private[graft] def cosine(a: Column, b: Column): Column =
     graft.functions.CosineSim.cosineSim(a, b)
 
   /** The higher-order-function cosine the expression replaced — kept as
@@ -66,7 +66,7 @@ object LlmOps {
   private[ops] def cosineHof(a: Column, b: Column): Column =
     dotHof(a, b) / (sqrt(dotHof(a, a)) * sqrt(dotHof(b, b)))
 
-  private def vecD(c: Column): Column = c.cast("array<double>")
+  private[graft] def vecD(c: Column): Column = c.cast("array<double>")
 
   // -------------------------------------------------------------- dedup
 
@@ -3445,7 +3445,7 @@ object LlmOps {
     * Shared by [[rankFuseRrf]] (two lexical legs) and [[rankHybrid]]
     * (lexical + vector).
     */
-  private def rrfFuse(a: DataFrame, aCol: String,
+  private[graft] def rrfFuse(a: DataFrame, aCol: String,
                       b: DataFrame, bCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("score").desc, col("doc_id"))
@@ -3463,7 +3463,7 @@ object LlmOps {
 
   /** The fuse stage in SQL, expecting the legs as CTEs `la` and `lb`
     * (each exposing doc_id, score). Mirrors [[rrfFuse]] op for op. */
-  private def rrfFuseSql(aCol: String, bCol: String): String =
+  private[graft] def rrfFuseSql(aCol: String, bCol: String): String =
     s"""rb AS (
        |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
        |    AS r FROM la
@@ -5837,15 +5837,23 @@ object LlmOps {
     * doc-local; every census column is a LONG sum, so micro-batch
     * partials fold to the batch census bit-for-bit).
     */
-  private[graft] def piiScrubPerSource(docs: DataFrame): DataFrame = {
-    val id = col("doc_id").cast("string")
-    val planted = concat(col("text"),
-      when(col("doc_id") % 7 === 0,
+  /** Per-DOCUMENT counter columns for the PII pass (detector census,
+    * post-scrub residual audit, scrubbed-text digest) — the scan-local
+    * projection shared by the batch rollup, its streaming twin, and
+    * the CDC-maintained census ([[graft.queries.PiiCdcQueries]]),
+    * which stores exactly these LONG-additive counters per doc and
+    * telescopes their deltas.
+    */
+  private[graft] def piiDocCounters(docId: Column,
+                                    text: Column): Seq[Column] = {
+    val id = docId.cast("string")
+    val planted = concat(text,
+      when(docId % 7 === 0,
         concat(lit(" contact user"), id, lit("@example.com for access")))
         .otherwise(""),
-      when(col("doc_id") % 11 === 0, lit(" or call 415-555-0142 today"))
+      when(docId % 11 === 0, lit(" or call 415-555-0142 today"))
         .otherwise(""),
-      when(col("doc_id") % 13 === 0,
+      when(docId % 13 === 0,
         lit(" served from 10.2.33.4 and 192.168.0.177")).otherwise(""))
     def hits(c: Column, re: String): Column =
       size(regexp_extract_all(c, lit(re), lit(0)))
@@ -5856,13 +5864,17 @@ object LlmOps {
           piiPhoneRe, "<PHONE>"),
         piiIpRe, "<IP>")
     val anyRe = s"($piiEmailRe)|($piiPhoneRe)|($piiIpRe)"
+    Seq(hits(planted, piiEmailRe).as("e"),
+      hits(planted, piiPhoneRe).as("p"),
+      hits(planted, piiIpRe).as("i"),
+      hits(scrubbed, anyRe).as("resid"),
+      conv(substring(md5(scrubbed), 1, 6), 16, 10).cast("long").as("ck"))
+  }
+
+  private[graft] def piiScrubPerSource(docs: DataFrame): DataFrame = {
     docs
-      .select(col("source"),
-        hits(planted, piiEmailRe).as("e"),
-        hits(planted, piiPhoneRe).as("p"),
-        hits(planted, piiIpRe).as("i"),
-        hits(scrubbed, anyRe).as("resid"),
-        conv(substring(md5(scrubbed), 1, 6), 16, 10).cast("long").as("ck"))
+      .select(col("source") +:
+        piiDocCounters(col("doc_id"), col("text")): _*)
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("e") + col("p") + col("i") > 0, 1L).otherwise(0L))
@@ -5917,15 +5929,19 @@ object LlmOps {
     * payment-card number only if it passes the Luhn mod-10 check, and
     * only validated matches are redacted — card-shaped noise (order
     * ids, hashes) survives untouched instead of being mangled. One
-    * Luhn-VALID card is planted on doc_id%17==0 and one INVALID
-    * (same digits, last digit bumped) on doc_id%19==3 — ~1/323 of
-    * docs carry both, the case that breaks any redact-all-candidates
-    * shortcut.
+    * Luhn-VALID card is planted on doc_id%17==0, one INVALID (same
+    * digits, last digit bumped) on doc_id%19==3 (~1/323 of docs carry
+    * both, the case that breaks any redact-all-candidates shortcut),
+    * and a SECOND distinct valid card on doc_id%34==0 — the
+    * multi-valid case that breaks any redact-first-match shortcut
+    * (VERDICT r16 #2).
     *
     * Scale story: candidates via `regexp_extract_all`, validation via
     * a `filter()` HOF whose predicate is the Luhn fold (`aggregate`
     * over 16 positions — pure per-row arithmetic, codegen-friendly,
-    * no UDF), redaction a literal `replace` of the validated match.
+    * no UDF), redaction a fold of literal `replace` over EVERY validated match
+    * (`aggregate` over the valid array — a doc with several distinct
+    * valid cards loses them all, so the census and the rewrite agree).
     * All scan-local; the census is the one 20-key rollup. The
     * published `n_card_shaped`/`n_valid` split plus the survivors
     * count (card-shaped runs still present AFTER scrubbing — exactly
@@ -5938,7 +5954,9 @@ object LlmOps {
       when(col("doc_id") % 17 === 0,
         lit(" card 4532015112830366 on file")).otherwise(""),
       when(col("doc_id") % 19 === 3,
-        lit(" ref 4532015112830367 code")).otherwise(""))
+        lit(" ref 4532015112830367 code")).otherwise(""),
+      when(col("doc_id") % 34 === 0,
+        lit(" alt 4111111111111111 pay")).otherwise(""))
     // Luhn mod-10 over a 16-digit candidate: odd left positions (= the
     // every-second-from-the-right rule at even length) double, with
     // the >9 wraparound subtracting 9.
@@ -5953,9 +5971,13 @@ object LlmOps {
     }
     val cands = regexp_extract_all(planted, lit(ccRe), lit(0))
     val valid = filter(cands, c => luhnOk(c))
-    val scrubbed = when(size(valid) >= 1,
-      regexp_replace(planted, element_at(valid, 1), lit("<CARD>")))
-      .otherwise(planted)
+    // Redact EVERY validated candidate (VERDICT r16 #2): the fold over
+    // the valid array replaces each literal run, so a doc carrying two
+    // DISTINCT valid cards (the %34 plant beside the %17 one) loses
+    // both — the census (`n_valid`) and the rewrite agree. Literal
+    // `replace`, not regexp: the candidate is data, not a pattern.
+    val scrubbed = aggregate(valid, planted,
+      (acc, c) => replace(acc, c, lit("<CARD>")))
     t(spark, sfDir, "documents")
       .select(col("source"),
         size(cands).as("nc"),
@@ -5978,7 +6000,9 @@ object LlmOps {
       |    || CASE WHEN doc_id % 17 = 0
       |            THEN ' card 4532015112830366 on file' ELSE '' END
       |    || CASE WHEN doc_id % 19 = 3
-      |            THEN ' ref 4532015112830367 code' ELSE '' END AS t
+      |            THEN ' ref 4532015112830367 code' ELSE '' END
+      |    || CASE WHEN doc_id % 34 = 0
+      |            THEN ' alt 4111111111111111 pay' ELSE '' END AS t
       |  FROM documents
       |), scrub AS (
       |  SELECT source,
@@ -5995,8 +6019,8 @@ object LlmOps {
       |  FROM planted
       |), red AS (
       |  SELECT source, len(cands) AS nc, len(valid) AS nv,
-      |    CASE WHEN len(valid) >= 1 THEN replace(t, valid[1], '<CARD>')
-      |         ELSE t END AS scrubbed
+      |    list_reduce(list_prepend(t, valid),
+      |      (acc, c) -> replace(acc, c, '<CARD>')) AS scrubbed
       |  FROM scrub
       |)
       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
