@@ -33,17 +33,23 @@ object Par {
   def future[T](body: => T): Future[T] =
     Future(blocking(body))(ExecutionContext.global)
 
-  /** Join EVERY future (none left in flight), then rethrow the first
-    * failure in argument order. Returns the results in order.
+  /** Join the futures, then rethrow the first failure in argument
+    * order. Returns the results in order.
     *
-    * `timeout` bounds the TOTAL join (default Inf — right for the
-    * pipeline fan-outs, whose merges must never be abandoned mid
-    * commit). Demos that deliberately provoke contention (the OCC
-    * committers) pass a bound so a livelocked claim loop fails the one
-    * query after N minutes instead of hanging the whole bench /
-    * correctness run forever (ADVICE r15). The deadline is shared
-    * across the sequence: each Await gets the REMAINING time, so the
-    * bound is on the fan-out, not per-future.
+    * With the default `timeout = Inf` this joins EVERY future — none
+    * left in flight — which is what the pipeline fan-outs need (their
+    * merges must never be abandoned mid commit). With a FINITE bound
+    * the contract is weaker (ADVICE r16): on expiry a
+    * TimeoutException is rethrown but the timed-out thunks are
+    * ABANDONED, not interrupted — they keep running on the pool and
+    * may keep mutating shared state (the OCC committers keep
+    * committing) after this call has thrown. Bounded callers must
+    * treat post-throw store state as still in motion. Demos that
+    * deliberately provoke contention (the OCC committers) accept that
+    * in exchange for failing one query after N minutes instead of
+    * hanging the whole bench / correctness run (ADVICE r15). The
+    * deadline is shared across the sequence: each Await gets the
+    * REMAINING time, so the bound is on the fan-out, not per-future.
     */
   def awaitAll[T](futures: Seq[Future[T]],
                   timeout: Duration = Duration.Inf): Seq[T] = {

@@ -255,16 +255,15 @@ object AggCdcQueries {
       .withColumn(StateStore.BucketCol,
         StateStore.bucketExpr(Seq("c_nationkey"), NBuckets))
       .persist()
-    val affected = rebuilt.select(StateStore.BucketCol).distinct()
-      .collect().map(_.getInt(0)).toSeq.sorted
-    // Summary may not exist yet (torn-batch recovery reaching here
-    // after a crash before the FIRST summary commit).
-    val orphaned = (if (store.exists(SummaryTable))
-        store.manifest(SummaryTable).keySet
-      else Set.empty[Int]) -- affected.toSet
-    require(orphaned.isEmpty,
-      s"summary rebuild would orphan stale buckets $orphaned (every " +
-        "nation hashing there emptied); vacuum/compact instead")
+    val rebuiltBuckets = rebuilt.select(StateStore.BucketCol).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    // Recovery must be TOTAL (VERDICT r16 #3): previously-manifested
+    // buckets the rebuild no longer owns (every nation hashing there
+    // emptied) commit as EMPTY rather than refusing. Summary may not
+    // exist yet (crash before the FIRST summary commit).
+    val affected = (rebuiltBuckets ++ (if (store.exists(SummaryTable))
+        store.manifest(SummaryTable).keySet.toSeq
+      else Seq.empty[Int])).distinct.sorted
     try store.commit(spark, SummaryTable, rebuilt, affected)
     finally rebuilt.unpersist(blocking = false)
   }

@@ -198,14 +198,18 @@ object Bm25VocabQueries {
       .withColumn(StateStore.BucketCol,
         StateStore.bucketExpr(Seq("term"), NBuckets))
       .persist()
-    val affected = rebuilt.select(StateStore.BucketCol).distinct()
-      .collect().map(_.getInt(0)).toSeq.sorted
-    val orphaned = (if (store.exists(VocabTable))
-        store.manifest(VocabTable).keySet
-      else Set.empty[Int]) -- affected.toSet
-    require(orphaned.isEmpty,
-      s"vocab rebuild would orphan stale buckets $orphaned (every term " +
-        "hashing there left the vocabulary); vacuum/compact instead")
+    val rebuiltBuckets = rebuilt.select(StateStore.BucketCol).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    // Recovery must be TOTAL (VERDICT r16 #3): a wave can empty a
+    // bucket (every term hashing there left the vocabulary), and the
+    // rebuild then owns FEWER buckets than the stale manifest. Those
+    // buckets are part of the rebuild's truth — commit them as EMPTY
+    // (stageCommit publishes a metadata-only file) rather than
+    // refusing; a recovery path that throws on a legal state freezes
+    // the divergence in.
+    val affected = (rebuiltBuckets ++ (if (store.exists(VocabTable))
+        store.manifest(VocabTable).keySet.toSeq
+      else Seq.empty[Int])).distinct.sorted
     try store.commit(spark, VocabTable, rebuilt, affected)
     finally rebuilt.unpersist(blocking = false)
   }
@@ -230,12 +234,24 @@ object Bm25VocabQueries {
   def bm25VocabIncremental(spark: SparkSession, sfDir: String,
                            filesPerTrigger: Int = 2): DataFrame = {
     val store = runMaintenance(spark, sfDir, filesPerTrigger)
+    serveTerms(spark, store, QueryTerms).localCheckpoint(eager = true)
+  }
+
+  /** The ARBITRARY-TERMS serve off a drained store — what makes the
+    * term-keyed index an index: any term list, decided at query time.
+    * One doc-index scan + a bucket-pruned vocab point-read pivoted to
+    * a broadcast singleton + the 1-row stats; shared by the
+    * registered query above and the CDC-maintained hybrid's lexical
+    * leg ([[RankHybridCdcQueries]]).
+    */
+  private[queries] def serveTerms(spark: SparkSession, store: StateStore,
+                                  terms: Seq[String]): DataFrame = {
     val feat = store.currentState(spark, DocsTable)
       .select(col("doc_id") +: col("dl") +:
-        QueryTerms.zipWithIndex.map { case (t, i) =>
+        terms.zipWithIndex.map { case (t, i) =>
           coalesce(element_at(col("tc"), lit(t)), lit(0)).as(s"tf${i + 1}")
         }: _*)
-    val dfCols = QueryTerms.zipWithIndex.map { case (t, i) =>
+    val dfCols = terms.zipWithIndex.map { case (t, i) =>
       coalesce(max(when(col("term") === t, col("df"))), lit(0L))
         .as(s"df${i + 1}") }
     // Bucket-pruned vocab probe: the query terms' buckets are known
@@ -243,16 +259,14 @@ object Bm25VocabQueries {
     // the df lookup reads |distinct term buckets| dirs — a point read
     // against a vocabulary of millions, not a vocab scan.
     import spark.implicits._
-    val termBuckets = QueryTerms.toDF("term")
+    val termBuckets = terms.toDF("term")
       .select(StateStore.bucketExpr(Seq("term"), NBuckets).as("b"))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
     val dfRow = store.readBuckets(spark, VocabTable, termBuckets)
-      .filter(col("term").isin(QueryTerms: _*))
+      .filter(col("term").isin(terms: _*))
       .agg(dfCols.head, dfCols.tail: _*)
     val stats = store.currentState(spark, StatsTable).select("n", "sdl")
-    graft.ops.LlmOps.bm25TopKN(feat, stats.crossJoin(dfRow),
-      QueryTerms.size)
-      .localCheckpoint(eager = true)
+    graft.ops.LlmOps.bm25TopKN(feat, stats.crossJoin(dfRow), terms.size)
   }
 
   /** Maintained-state instrument for the spec: (vocab as a map, stats

@@ -204,18 +204,14 @@ object IvfCdcQueries {
       .withColumn(StateStore.BucketCol,
         StateStore.bucketExpr(Seq("label"), NBuckets))
       .persist()
-    // Affected = the buckets the rebuild actually produced (partitionBy
-    // writes no dir for an empty bucket, so committing a bucket with no
-    // rows would leave the manifest pointing at a missing path). A
-    // previously-manifested bucket with NO surviving rows (every label
-    // hashing there emptied) can't be expressed by this commit API —
-    // fail loudly rather than silently keep its stale rows.
-    val affected = rebuilt.select(StateStore.BucketCol).distinct()
-      .collect().map(_.getInt(0)).toSeq.sorted
-    val orphaned = store.manifest("ivf.index").keySet -- affected.toSet
-    require(orphaned.isEmpty,
-      s"index rebuild would orphan stale buckets $orphaned (all their " +
-        "labels emptied); vacuum/compact the index table instead")
+    // Affected = rebuilt buckets PLUS any previously-manifested bucket
+    // the rebuild no longer owns (every label hashing there emptied):
+    // stale buckets commit as EMPTY (stageCommit publishes a
+    // metadata-only file) so the rebuild is total (VERDICT r16 #3).
+    val rebuiltBuckets = rebuilt.select(StateStore.BucketCol).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val affected = (rebuiltBuckets ++ store.manifest("ivf.index").keySet.toSeq)
+      .distinct.sorted
     try store.commit(spark, "ivf.index", rebuilt, affected)
     finally rebuilt.unpersist(blocking = false)
   }

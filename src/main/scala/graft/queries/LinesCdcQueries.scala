@@ -169,13 +169,14 @@ object LinesCdcQueries {
       .withColumn(StateStore.BucketCol,
         StateStore.bucketExpr(Seq("d"), NBuckets))
       .persist()
-    val affected = rebuilt.select(StateStore.BucketCol).distinct()
-      .collect().map(_.getInt(0)).toSeq.sorted
-    val orphaned = (if (store.exists(CensusTable))
-        store.manifest(CensusTable).keySet
-      else Set.empty[Int]) -- affected.toSet
-    require(orphaned.isEmpty,
-      s"census rebuild would orphan stale buckets $orphaned")
+    val rebuiltBuckets = rebuilt.select(StateStore.BucketCol).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    // Recovery must be TOTAL (VERDICT r16 #3): a wave that empties a
+    // census bucket leaves it stale in the manifest; the rebuild
+    // commits it as EMPTY (metadata-only file) instead of refusing.
+    val affected = (rebuiltBuckets ++ (if (store.exists(CensusTable))
+        store.manifest(CensusTable).keySet.toSeq
+      else Seq.empty[Int])).distinct.sorted
     try store.commit(spark, CensusTable, rebuilt, affected)
     finally rebuilt.unpersist(blocking = false)
   }

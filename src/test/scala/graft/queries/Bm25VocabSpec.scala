@@ -58,6 +58,34 @@ class Bm25VocabSpec extends SparkTestBase {
       "the new term's df counts every updated (incl. revived) doc")
   }
 
+  test("recovery stays total when the wave empties vocab buckets") {
+    // VERDICT r16 #3: the one path that must not be fastidious. A
+    // delete-every-document wave empties the whole vocabulary, so the
+    // rebuild owns ZERO buckets while the stale manifest owns them
+    // all; recovery must commit those buckets as EMPTY and converge,
+    // not refuse because a bucket would be "orphaned".
+    val store = Bm25VocabQueries.runMaintenance(spark, sf, 2)
+    def img(text: org.apache.spark.sql.Column) =
+      struct(col("doc_id").cast("long").as("doc_id"),
+        text.cast("string").as("text"))
+    val wave = graft.Tables.load(spark, sf, "documents").select(
+      img(col("text")).as("before"),
+      img(col("text")).as("after"),
+      lit(graft.cdc.Envelope.OpDelete).as("op"), lit(9500L).as("ts_ms"),
+      col("doc_id").cast("long").as("seq"),
+      struct(lit("corpus").as("schema"),
+        lit("documents").as("table")).as("source"))
+    val batch = graft.cdc.Envelope.flatten(wave)
+    Bm25VocabQueries.mergeWithoutDerived(store, batch) // the crash
+    Bm25VocabQueries.processBatch(store, batch)        // the retry
+    val ((v2, st2), (rv2, rst2)) =
+      Bm25VocabQueries.vocabAndRebuild(spark, store)
+    assert(v2.isEmpty && v2 == rv2,
+      "the recovered vocabulary is empty and equals the rebuild")
+    assert(st2 == rst2 && st2.head == 0L,
+      "stats recover to the empty corpus")
+  }
+
   test("served arbitrary-terms ranking equals the batch scorer") {
     val docs2 = graft.Tables.load(spark, sf, "documents")
       .filter(col("doc_id") % 7 =!= 0)

@@ -62,6 +62,29 @@ class LinesCdcSpec extends SparkTestBase {
       "the new body's digest counts every updated (incl. revived) doc")
   }
 
+  test("recovery stays total when the wave empties census buckets") {
+    // VERDICT r16 #3: a delete-every-document wave empties the whole
+    // line census; the rebuild must commit the stale buckets as EMPTY
+    // and converge instead of refusing on "orphaned" buckets.
+    val store = LinesCdcQueries.runMaintenance(spark, sf, 2)
+    def img(text: org.apache.spark.sql.Column) =
+      struct(col("doc_id").cast("long").as("doc_id"),
+        text.cast("string").as("text"))
+    val wave = graft.Tables.load(spark, sf, "documents").select(
+      img(col("text")).as("before"),
+      img(col("text")).as("after"),
+      lit(graft.cdc.Envelope.OpDelete).as("op"), lit(9500L).as("ts_ms"),
+      col("doc_id").cast("long").as("seq"),
+      struct(lit("corpus").as("schema"),
+        lit("documents").as("table")).as("source"))
+    val batch = graft.cdc.Envelope.flatten(wave)
+    LinesCdcQueries.mergeWithoutDerived(store, batch) // the crash
+    LinesCdcQueries.processBatch(store, batch)        // the retry
+    val (c2, r2) = LinesCdcQueries.censusAndRebuild(spark, store)
+    assert(c2.isEmpty && c2 == r2,
+      "the recovered census is empty and equals the recount")
+  }
+
   test("served rewrite equals the batch pass over the post-change corpus") {
     val docs2 = graft.Tables.load(spark, sf, "documents")
       .filter(col("doc_id") % 7 =!= 0)
