@@ -28,6 +28,7 @@ object Prestage {
     queries.Bm25CdcQueries.prestage(spark, sfDir)
     queries.Bm25VocabQueries.prestage(spark, sfDir)
     queries.LinesCdcQueries.prestage(spark, sfDir)
+    queries.PiiCdcQueries.prestage(spark, sfDir)
     queries.IvfCdcQueries.prestage(spark, sfDir)
     queries.MinhashCdcQueries.prestage(spark, sfDir)
     queries.JoinCdcQueries.prestage(spark, sfDir)

@@ -44,6 +44,8 @@ object SparkEntry {
       graft.queries.AggCdcQueries.queries ++
       graft.queries.Bm25CdcQueries.queries ++
       graft.queries.Bm25VocabQueries.queries ++
+      graft.queries.RankHybridCdcQueries.queries ++
+      graft.queries.PiiCdcQueries.queries ++
       graft.queries.LinesCdcQueries.queries ++
       graft.queries.JoinCdcQueries.queries ++
       graft.queries.Scd2CdcQueries.queries ++
@@ -75,6 +77,8 @@ object SparkEntry {
       graft.queries.AggCdcQueries.oracles ++
       graft.queries.Bm25CdcQueries.oracles ++
       graft.queries.Bm25VocabQueries.oracles ++
+      graft.queries.RankHybridCdcQueries.oracles ++
+      graft.queries.PiiCdcQueries.oracles ++
       graft.queries.LinesCdcQueries.oracles ++
       graft.queries.JoinCdcQueries.oracles ++
       graft.queries.Scd2CdcQueries.oracles ++
