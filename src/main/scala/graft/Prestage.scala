@@ -29,6 +29,7 @@ object Prestage {
     queries.Bm25VocabQueries.prestage(spark, sfDir)
     queries.LinesCdcQueries.prestage(spark, sfDir)
     queries.PiiCdcQueries.prestage(spark, sfDir)
+    queries.HnswCdcQueries.prestage(spark, sfDir)
     queries.IvfCdcQueries.prestage(spark, sfDir)
     queries.MinhashCdcQueries.prestage(spark, sfDir)
     queries.JoinCdcQueries.prestage(spark, sfDir)

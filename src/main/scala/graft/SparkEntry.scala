@@ -46,6 +46,7 @@ object SparkEntry {
       graft.queries.Bm25VocabQueries.queries ++
       graft.queries.RankHybridCdcQueries.queries ++
       graft.queries.PiiCdcQueries.queries ++
+      graft.queries.HnswCdcQueries.queries ++
       graft.queries.LinesCdcQueries.queries ++
       graft.queries.JoinCdcQueries.queries ++
       graft.queries.Scd2CdcQueries.queries ++
@@ -79,6 +80,7 @@ object SparkEntry {
       graft.queries.Bm25VocabQueries.oracles ++
       graft.queries.RankHybridCdcQueries.oracles ++
       graft.queries.PiiCdcQueries.oracles ++
+      graft.queries.HnswCdcQueries.oracles ++
       graft.queries.LinesCdcQueries.oracles ++
       graft.queries.JoinCdcQueries.oracles ++
       graft.queries.Scd2CdcQueries.oracles ++

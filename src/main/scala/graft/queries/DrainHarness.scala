@@ -41,6 +41,47 @@ private[queries] object DrainHarness {
       dir
     })
 
+  /** Stage a log as ONE FILE PER WAVE with strictly increasing
+    * modification times, so `maxFilesPerTrigger = 1` drains exactly
+    * one wave per micro-batch in wave order. For most families the
+    * telescoping-delta discipline makes batch slicing irrelevant and
+    * [[stage]]'s arbitrary 4-way split is fine; a family whose state
+    * is INSERTION-ORDER DEPENDENT by nature (the HNSW graph — real
+    * HNSW links each vector against the graph as it existed at insert
+    * time) pins the slicing here so its oracle has a closed form.
+    */
+  def stageWaves(waves: Seq[DataFrame], cacheKey: String): String =
+    stagedCache.computeIfAbsent(cacheKey, { _ =>
+      val dir = graft.Scratch.dir("graft-log-").toString
+      val base = System.currentTimeMillis()
+      waves.zipWithIndex.foreach { case (w, i) =>
+        val tmp = Paths.get(dir, s".stage$i")
+        w.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = Files.list(tmp).filter(p =>
+            p.getFileName.toString.startsWith("part-"))
+          .findFirst().orElseThrow()
+        val dst = Paths.get(dir, f"wave-$i%02d.parquet")
+        Files.move(part, dst)
+        // FileStreamSource orders new files by mtime; stagger by a
+        // minute so wave order is unambiguous at any fs granularity.
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(base + i * 60000L))
+        Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => Files.deleteIfExists(q))
+      }
+      dir
+    })
+
+  /** [[drain]] for a wave-staged log ([[stageWaves]]). */
+  def drainWaves(spark: SparkSession, waves: Seq[DataFrame],
+                 cacheKey: String, nBuckets: Int, filesPerTrigger: Int)
+                (processBatch: (StateStore, DataFrame) => Unit): StateStore = {
+    val logDir = stageWaves(waves, cacheKey)
+    val rowSchema = waves.head.schema("after").dataType.asInstanceOf[StructType]
+    drainDir(spark, logDir, rowSchema, cacheKey, nBuckets, filesPerTrigger)(
+      processBatch)
+  }
+
   /** Drain `log` (envelope rows, deterministic per cacheKey) through
     * `processBatch`; returns the fresh store the batches committed
     * into. Callers must consume frames read from the store before the
@@ -50,6 +91,16 @@ private[queries] object DrainHarness {
             nBuckets: Int, filesPerTrigger: Int)
            (processBatch: (StateStore, DataFrame) => Unit): StateStore = {
     val logDir = stage(log, cacheKey)
+    val rowSchema = log.schema("after").dataType.asInstanceOf[StructType]
+    drainDir(spark, logDir, rowSchema, cacheKey, nBuckets, filesPerTrigger)(
+      processBatch)
+  }
+
+  private def drainDir(spark: SparkSession, logDir: String,
+                       rowSchema: StructType, cacheKey: String,
+                       nBuckets: Int, filesPerTrigger: Int)
+                      (processBatch: (StateStore, DataFrame) => Unit)
+      : StateStore = {
     val (whDir, ckptDir) = workDirCache.computeIfAbsent(cacheKey, { _ =>
       (graft.Scratch.dir("graft-wh-").toString,
         graft.Scratch.dir("graft-ckpt-").toString)
@@ -57,7 +108,6 @@ private[queries] object DrainHarness {
     wipe(whDir)
     wipe(ckptDir)
     val store = new StateStore(whDir, nBuckets)
-    val rowSchema = log.schema("after").dataType.asInstanceOf[StructType]
     val src = spark.readStream.schema(Envelope.envelopeSchema(rowSchema))
       .option("maxFilesPerTrigger", filesPerTrigger).parquet(logDir)
     // Per-target micro-batch merges shuffle ~1e3 keys into an 8-bucket
