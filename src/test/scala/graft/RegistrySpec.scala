@@ -38,6 +38,12 @@ class RegistrySpec extends AnyFunSuite {
         queries.Bm25CdcQueries.oracles),
       ("Bm25VocabQueries", queries.Bm25VocabQueries.queries,
         queries.Bm25VocabQueries.oracles),
+      ("RankHybridCdcQueries", queries.RankHybridCdcQueries.queries,
+        queries.RankHybridCdcQueries.oracles),
+      ("PiiCdcQueries", queries.PiiCdcQueries.queries,
+        queries.PiiCdcQueries.oracles),
+      ("HnswCdcQueries", queries.HnswCdcQueries.queries,
+        queries.HnswCdcQueries.oracles),
       ("LinesCdcQueries", queries.LinesCdcQueries.queries,
         queries.LinesCdcQueries.oracles),
       ("MinhashCdcQueries", queries.MinhashCdcQueries.queries,

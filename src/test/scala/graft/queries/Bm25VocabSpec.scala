@@ -86,6 +86,27 @@ class Bm25VocabSpec extends SparkTestBase {
       "stats recover to the empty corpus")
   }
 
+  test("derived-state tables age out history like primary tables") {
+    // VERDICT r16 stretch: the maintained vocab/docs/stats stores are
+    // ordinary StateStore tables — expireSnapshots + vacuum reclaim
+    // their drain history without touching the serve's correctness.
+    val store = Bm25VocabQueries.runMaintenance(spark, sf, 2)
+    val ((v0, st0), _) = Bm25VocabQueries.vocabAndRebuild(spark, store)
+    for (t <- Seq("bmv.docs", "bmv.vocab", "bmv.stats")) {
+      val before = store.snapshots(spark, t).count()
+      assert(before > 1, s"$t should have accumulated drain history")
+      store.expireSnapshots(t, retainLast = Some(1))
+      store.vacuum(t, keepVersions = 1)
+      assert(store.snapshots(spark, t).count() == 1L,
+        s"$t must retain exactly the head after expire+vacuum")
+    }
+    val ((v1, st1), (rv1, rst1)) = Bm25VocabQueries.vocabAndRebuild(spark, store)
+    assert(v1 == v0 && st1 == st0,
+      "compaction must not change the maintained state")
+    assert(v1 == rv1 && st1 == rst1,
+      "the aged-out store still equals the rebuild")
+  }
+
   test("served arbitrary-terms ranking equals the batch scorer") {
     val docs2 = graft.Tables.load(spark, sf, "documents")
       .filter(col("doc_id") % 7 =!= 0)
