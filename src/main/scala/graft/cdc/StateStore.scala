@@ -651,12 +651,16 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
     val missing = affected.filter(b =>
       !Files.exists(d.resolve(verDir).resolve(s"$BucketCol=$b")))
     if (missing.nonEmpty) {
+      // One cached 0-row template per schema, file-copied per bucket:
+      // publishing an emptied bucket is metadata work and must not cost
+      // a Spark job each ([[StateStore.emptyParquetFor]]).
       val rowSchema = StructType(merged.schema.filterNot(_.name == BucketCol))
-      val empty = spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], rowSchema)
+      val tmpl = StateStore.emptyParquetFor(spark, rowSchema)
       missing.foreach { b =>
-        empty.write.mode("overwrite")
-          .parquet(d.resolve(verDir).resolve(s"$BucketCol=$b").toString)
+        val dst = d.resolve(verDir).resolve(s"$BucketCol=$b")
+        Files.createDirectories(dst)
+        Files.copy(tmpl, dst.resolve("part-00000-empty.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
       }
     }
     writeMetadata(target, merged, affected, prev, next)
@@ -1726,4 +1730,30 @@ object StateStore {
   def bucketExpr(pkCols: Seq[String], nBuckets: Int) =
     pmod(xxhash64(pkCols.map(c => col(c).cast("string")): _*),
       lit(nBuckets)).cast("int")
+
+  /** Zero-row parquet file per row schema, minted ONCE per (JVM,
+    * schema) and then published into emptied buckets by a plain file
+    * copy. Before this cache, [[StateStore.stageCommit]] launched one
+    * full Spark job per emptied bucket just to write a 0-row footer —
+    * pure scheduler overhead multiplied by every commit whose affected
+    * set outruns its surviving rows (the L1 edge-layer relinks, the
+    * census/vocab recovery rebuilds). The file is schema-only metadata
+    * — no fixture-derived content — so the cache is the same class as
+    * the codegen cache, not result caching.
+    */
+  private val emptyFileCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Path]()
+
+  private[cdc] def emptyParquetFor(spark: SparkSession,
+                                   rowSchema: StructType): Path =
+    emptyFileCache.computeIfAbsent(rowSchema.json, { _ =>
+      val dir = graft.Scratch.dir("graft-empty-")
+      spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], rowSchema)
+        .coalesce(1).write.mode("overwrite").parquet(dir.toString)
+      Files.list(dir).iterator().asScala
+        .find(_.getFileName.toString.startsWith("part-"))
+        .getOrElse(throw new IllegalStateException(
+          s"empty-template write produced no part file in $dir"))
+    })
 }

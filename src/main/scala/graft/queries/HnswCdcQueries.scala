@@ -150,9 +150,16 @@ object HnswCdcQueries {
       batch: DataFrame, crashAfter: Int): Unit =
     processBatchImpl(store, batch, crashAfter)
 
+  /** Phase label for the UI / JobProf (guide §1.5): thread-local, so
+    * it sticks to the actions this batch thread launches next.
+    */
+  private def label(spark: SparkSession, s: String): Unit =
+    spark.sparkContext.setJobDescription(s"hnsw: $s")
+
   private def processBatchImpl(store: StateStore, batch: DataFrame,
                                crashAfter: Int): Unit = {
     val spark = batch.sparkSession
+    label(spark, "compact batch")
     val compacted = Merge.compactKeepTombstones(batch, Seq("vec_id")).persist()
     try {
       val meta = MergeCommit.toBatchMeta(compacted, Seq("vec_id"), NBuckets)
@@ -163,6 +170,7 @@ object HnswCdcQueries {
           Seq(col(StateStore.TsCol), col(StateStore.SeqCol),
             col(StateStore.DeletedCol), col(StateStore.BucketCol)): _*)
       val preVs = versions(store)
+      label(spark, "vectors merge")
       val result = MergeCommit.mergeBatchMeta(store, VecTable, featMeta,
         Seq("vec_id"), persistSlices = true)
         .getOrElse(return)
@@ -174,6 +182,7 @@ object HnswCdcQueries {
       }
 
       if (consistent) {
+        label(spark, "census deltas")
         // --- census: ±1 per (stored winner, band), the additive rule.
         def bandRows(state: DataFrame, sign: Int): DataFrame =
           state.filter(!col(StateStore.DeletedCol))
@@ -190,6 +199,7 @@ object HnswCdcQueries {
         val cAffected = deltas.select(StateStore.BucketCol).distinct()
           .collect().map(_.getInt(0)).toSeq.sorted
         if (cAffected.nonEmpty) {
+          label(spark, "census commit")
           val cState =
             if (store.exists(CensusTable))
               store.readBuckets(spark, CensusTable, cAffected)
@@ -211,6 +221,7 @@ object HnswCdcQueries {
 
         // --- candidate pairs: batch live winners × stored bucket
         // mates over cap-eligible bands of THIS batch.
+        label(spark, "candidate pairs")
         val newLive = result.postSlice.filter(!col(StateStore.DeletedCol))
           .select("vec_id", "v", "b1", "b2", "b3").persist()
         def postings(df: DataFrame): DataFrame =
@@ -245,13 +256,30 @@ object HnswCdcQueries {
           col("neighbor") % 5 === 1)
         val batchKeys = featMeta.select("vec_id").distinct()
 
-        relink(spark, store, EdgeTable, cand, batchKeys)
-        if (crashAfter < 3) {
-          cand.unpersist(blocking = false)
-          newLive.unpersist(blocking = false)
-          result.unpersist(); return
+        if (crashAfter >= 4) {
+          // Normal path: the two edge layers are DISJOINT store tables
+          // fed by the same persisted candidate frame — their relinks
+          // are independent Spark actions, so run them concurrently
+          // (guide §2.6: overlap independent jobs; the same posture as
+          // the join-view maintainer's per-table merges). The crash-
+          // injection path below stays sequential — its contract is
+          // "base committed, L1 never ran", which has no meaning if
+          // both are in flight.
+          label(spark, "relink base+L1")
+          graft.Par.run(Seq(
+            () => relink(spark, store, EdgeTable, cand, batchKeys),
+            () => relink(spark, store, Edge1Table, cand1, batchKeys)))
+        } else {
+          label(spark, "relink base")
+          relink(spark, store, EdgeTable, cand, batchKeys)
+          if (crashAfter < 3) {
+            cand.unpersist(blocking = false)
+            newLive.unpersist(blocking = false)
+            result.unpersist(); return
+          }
+          label(spark, "relink L1")
+          relink(spark, store, Edge1Table, cand1, batchKeys)
         }
-        relink(spark, store, Edge1Table, cand1, batchKeys)
         cand.unpersist(blocking = false)
         newLive.unpersist(blocking = false)
       } else {
@@ -274,38 +302,47 @@ object HnswCdcQueries {
                      table: String, cand: DataFrame,
                      batchKeys: DataFrame): Unit = {
     import org.apache.spark.sql.expressions.Window
-    val touched = cand.select("vec_id").distinct()
-      .unionByName(batchKeys).distinct().persist()
-    val affected = touched
+    // Affected buckets: every node whose list can change — candidate
+    // endpoints plus every batch key (a batch key's stored rows drop
+    // even when it drew no candidates).
+    val affected = cand.select("vec_id").unionByName(batchKeys)
       .select(StateStore.bucketExpr(Seq("vec_id"), NBuckets).as("b"))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
-    if (affected.isEmpty) { touched.unpersist(blocking = false); return }
+    if (affected.isEmpty) return
     val existing =
       if (store.exists(table)) store.readBuckets(spark, table, affected)
         .select("vec_id", "neighbor", "cos")
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType.fromDDL("vec_id bigint, neighbor bigint, cos double"))
-    val keep = existing.join(touched, Seq("vec_id"), "left_anti")
-    // Neighbor-side accumulation: stored rows of touched nodes that
-    // are NOT batch keys stay in the pool; batch keys' stored rows
-    // are dropped (their list rebuilds from cand alone). Candidate
-    // rows join the pool for every touched node; dedup guards the
-    // stored-row/new-candidate overlap (same pair, same cos).
-    val accumOld = existing.join(touched, Seq("vec_id"), "left_semi")
-      .join(batchKeys, Seq("vec_id"), "left_anti")
-    val pool = accumOld.unionByName(cand)
+    // ONE window pass over (stored-minus-batch-keys ∪ candidates)
+    // replaces the former keep/accumulate/recut three-way split (six
+    // shuffles, ~17 jobs per relink in the r17 JobProf): batch keys'
+    // stored rows drop (their lists rebuild from cand alone, the
+    // re-link rule); every OTHER stored row is already within the
+    // fanout cut of this same window (lists are only ever committed
+    // pre-cut), so the re-cut is the identity on untouched nodes and
+    // they no longer need to be split out and unioned back. The
+    // batch-key anti-join broadcasts (batch-sized frame), keeping the
+    // state side unshuffled; the explicit repartition on vec_id lets
+    // the pair-dedup AND the window share ONE exchange
+    // (hash(vec_id) co-locates both keys — guide §2.4). Dedup guards
+    // the stored-row/new-candidate overlap (same pair, same cos — no
+    // update wave exists, so duplicate pairs always carry equal cos
+    // and the arbitrary keep is exact).
+    val pool = existing
+      .join(broadcast(batchKeys), Seq("vec_id"), "left_anti")
+      .unionByName(cand)
+      .repartition(col("vec_id"))
       .dropDuplicates("vec_id", "neighbor")
     val byCos = Window.partitionBy("vec_id")
       .orderBy(col("cos").desc, col("neighbor"))
-    val recut = pool.withColumn("rank", row_number().over(byCos))
+    val next = pool.withColumn("rank", row_number().over(byCos))
       .filter(col("rank") <= Fanout)
       .select("vec_id", "neighbor", "cos")
-    val next = keep.unionByName(recut)
       .withColumn(StateStore.BucketCol,
         StateStore.bucketExpr(Seq("vec_id"), NBuckets))
     store.commit(spark, table, next, affected)
-    touched.unpersist(blocking = false)
     ()
   }
 
@@ -385,7 +422,23 @@ object HnswCdcQueries {
   private def walk(scored: DataFrame, baseEdges: DataFrame,
                    l1Edges: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    scored.sparkSession.sparkContext.setJobDescription("hnsw: walk")
     val scoredP = scored.persist()
+    // Persist the edge frames: every hop's candidate join re-evaluates
+    // its edges argument, and for the recall audit's REBUILT graph that
+    // argument is the whole buildEdges pipeline (banded pair join +
+    // fanout window) — r17 JobProf measured the walks at 18 s of the
+    // 27 s cdc_hnsw_recall wall precisely because 5 hops × 2 walks
+    // recomputed it per hop. One materialization each, dropped on exit.
+    val baseP = baseEdges.persist()
+    val l1P = l1Edges.persist()
+    // Per-hop eager localCheckpoint is load-bearing: an attempted lazy
+    // five-hop lineage (one action at walk end) re-timed SLOWER
+    // (24.5 s vs 17.7 s for cdc_hnsw_incremental) — the nested
+    // limit-inside-join tree costs the optimizer more than the per-hop
+    // driver round-trips save (guide §1.1's "ideal plan is usually
+    // slower at first" case). The hop inputs (scores, edges) stay
+    // persisted above, which is where the real win was.
     def expand(beam0: DataFrame, edges: DataFrame, hops: Int,
                width: Int): DataFrame = {
       var beam = beam0
@@ -401,8 +454,8 @@ object HnswCdcQueries {
     }
     val entry = scoredP.filter(col("vec_id") % 25 === 1)
       .orderBy(col("cos").desc, col("vec_id")).limit(4)
-    val l1Beam = expand(entry, l1Edges, hops = 2, width = 8)
-    val out = expand(l1Beam, baseEdges, hops = 3, width = 16)
+    val l1Beam = expand(entry, l1P, hops = 2, width = 8)
+    val out = expand(l1Beam, baseP, hops = 3, width = 16)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("cos").desc, col("vec_id"))))
       .filter(col("rank") <= 10)
@@ -410,6 +463,8 @@ object HnswCdcQueries {
       .orderBy("rank")
       .localCheckpoint(true)
     scoredP.unpersist(blocking = false)
+    baseP.unpersist(blocking = false)
+    l1P.unpersist(blocking = false)
     out
   }
 
@@ -460,6 +515,7 @@ object HnswCdcQueries {
       store.rawState(spark, EdgeTable).select("vec_id", "neighbor"),
       store.rawState(spark, Edge1Table).select("vec_id", "neighbor"))
       .select("vec_id")
+    spark.sparkContext.setJobDescription("hnsw: rebuild baseline")
     val live = store.currentState(spark, VecTable).persist()
     val (rb, rl1) = buildEdges(live)
     val rebuilt = walk(scored, rb.select("vec_id", "neighbor"),
