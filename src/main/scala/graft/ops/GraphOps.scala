@@ -50,17 +50,33 @@ object GraphOps {
     * aggregate, never a driver collect.
     */
   def pagerank(spark: SparkSession, sfDir: String): DataFrame = {
-    val edges = coSupplierEdges(spark, sfDir)
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // The co-supplier edge build (self-join + two distincts) is the
+    // expensive subtree and THREE consumers reference it (deg, edgesW,
+    // and through them the final projection) — persist it so one
+    // materialization serves all (it previously recomputed per
+    // consumer; exchange reuse does not cross the aggregate boundary).
+    val edges = coSupplierEdges(spark, sfDir).persist()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg")).persist()
     // (src, dst, outdeg) built once; 3 iterations + the final select
-    // all read it.
-    val edgesW = edges.join(deg, Seq("src")).persist()
+    // all read it. Repartitioned by the iteration JOIN key before the
+    // persist (guide §2.4): the cached partitioning then satisfies
+    // every iteration's join on src, so each power iteration shuffles
+    // only the node-cardinality rank frame — the edge list never
+    // crosses the wire again.
+    val edgesW = edges.join(deg, Seq("src"))
+      .repartition(col("src")).persist()
     val nCnt = deg.agg(count(lit(1)).as("n"))
     var ranks = deg.select(col("src").as("node"))
       .crossJoin(broadcast(nCnt))
       .select(col("node"), (lit(1.0) / col("n")).as("r"))
     for (_ <- 1 to PrIters) {
-      ranks = edgesW.join(ranks, col("src") === col("node"))
+      // The rank frame is node-cardinality (tiny vs the edge list) but
+      // its aggregate-output size ESTIMATE defeats auto-broadcast, so
+      // the planner was sort-merge-joining — re-exchanging the cached
+      // edge list every iteration. Broadcast it explicitly (guide §3.1):
+      // each iteration is then a broadcast hash join over the cached
+      // edges plus one map-side-combined aggregate shuffle.
+      ranks = edgesW.join(broadcast(ranks), col("src") === col("node"))
         .groupBy(col("dst"))
         .agg(sum(col("r") / col("outdeg")).as("mass"))
         .crossJoin(broadcast(nCnt))
@@ -68,7 +84,7 @@ object GraphOps {
           round(lit(1.0 - Damping) / col("n") +
             lit(Damping) * col("mass"), 9).as("r"))
     }
-    ranks.join(deg, col("node") === col("src"))
+    broadcast(ranks).join(deg, col("node") === col("src"))
       .select(col("node").as("s_suppkey"), col("outdeg"),
         round(col("r"), 6).as("rank"))
       .orderBy("s_suppkey")

@@ -108,21 +108,25 @@ private[queries] object DrainHarness {
     wipe(whDir)
     wipe(ckptDir)
     val store = new StateStore(whDir, nBuckets)
-    val src = spark.readStream.schema(Envelope.envelopeSchema(rowSchema))
+    // Run the drain on a CLONED session (shared SparkContext, private
+    // SQLConf): the per-target micro-batch merges shuffle ~1e3 keys
+    // into an 8-bucket store, so the merge shuffle is sized to that
+    // state volume rather than the batch default (the StreamingOps
+    // rule) — and doing it on a clone means the caller's conf is never
+    // touched, so INDEPENDENT drains can run CONCURRENTLY (guide §2.6;
+    // the CDC-maintained hybrid overlaps its two maintainers) without
+    // racing on the session-global shuffle-partition setting the old
+    // set/restore pattern mutated.
+    val session = spark.newSession()
+    session.conf.set("spark.sql.shuffle.partitions", "8")
+    val src = session.readStream.schema(Envelope.envelopeSchema(rowSchema))
       .option("maxFilesPerTrigger", filesPerTrigger).parquet(logDir)
-    // Per-target micro-batch merges shuffle ~1e3 keys into an 8-bucket
-    // store — size the merge shuffle to that state volume, not the
-    // batch default (the StreamingOps rule).
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val q = Envelope.flatten(src).writeStream
-        .option("checkpointLocation", ckptDir)
-        .foreachBatch { (b: DataFrame, _: Long) => processBatch(store, b) }
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    val q = Envelope.flatten(src).writeStream
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (b: DataFrame, _: Long) => processBatch(store, b) }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
     store
   }
 }
