@@ -810,6 +810,15 @@ object LlmOps {
       .select(col("d1"), col("d2"),
         levenshtein(col("pa"), col("pb"), 51).cast("long").as("edist"),
         greatest(col("la"), col("lb")).as("maxlen"))
+      // The persist is an OPTIMIZER BARRIER, not a reuse cache: without
+      // it, collapse-projections + filter pushdown inline `edist` into
+      // the join condition and the output projection, so the banded DP
+      // ran THREE times per candidate pair (twice in the join filter,
+      // once in the project — r17 plan audit). Materializing the scored
+      // pairs (tens of KB) pins one evaluation; the relative-cut filter
+      // then reads the cached column. Bench's cache-clear between
+      // repeats keeps the measurement cold.
+      .persist()
       .filter(col("edist") >= 0 && col("edist") * 5 <= col("maxlen"))
       .select("d1", "d2", "edist")
       .orderBy("d1", "d2")
