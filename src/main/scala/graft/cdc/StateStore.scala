@@ -351,7 +351,26 @@ final class StateStore(val warehouse: String, val nBuckets: Int = 16) {
     byBase.map { case (verDir, bs) =>
       val base = dir(target).resolve(verDir).toString
       val paths = bs.map(b => dir(target).resolve(m(b)).toString)
-      val df = spark.read.option("basePath", base).parquet(paths: _*)
+      // Explicit per-version schema: `schema-N.json` is written from
+      // the SAME frame as vN's data files ([[writeMetadata]]), so it
+      // is authoritative for this group — including pre-rename column
+      // names, which the mapping below expects raw. Passing it skips
+      // the driver-side parquet footer read schema inference costs on
+      // EVERY state read (state reads happen several times per
+      // micro-batch across ~25 maintainer queries). Fall back to
+      // inference only when vacuum reclaimed a carried version's
+      // schema file, or for pre-schema-file stores.
+      val abs = dir(target).resolve(verDir).normalize()
+      val vName = abs.getFileName.toString
+      val schemaFile = abs.getParent.resolve(s"schema-${vName.drop(1)}.json")
+      val reader0 = spark.read.option("basePath", base)
+      val reader =
+        if (vName.matches("v\\d+") && Files.exists(schemaFile))
+          reader0.schema(
+            DataType.fromJson(Files.readString(schemaFile))
+              .asInstanceOf[StructType].add(BucketCol, "int"))
+        else reader0
+      val df = reader.parquet(paths: _*)
       // Name mapping FIRST ([[columnRenames]]): files written before a
       // rename carry the old name; applied in journal order the chain
       // lands every historical name on its current one, and a mapping

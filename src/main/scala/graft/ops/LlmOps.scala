@@ -1284,24 +1284,32 @@ object LlmOps {
     def band(dims: Range): Column = concat_ws("",
       dims.map(i => when(element_at(col("embedding"), i) >= 0f, lit("1"))
         .otherwise(lit("0"))): _*)
-    val e = emb.select(col("vec_id"), vecD(col("embedding")).as("v"),
-      band(1 to 6).as("b1"), band(7 to 12).as("b2"), band(13 to 18).as("b3"))
-    def bandPairs(b: String): DataFrame = {
-      val okB = e.groupBy(b).agg(count(lit(1)).as("bn"))
-        .filter(col("bn").between(2, 200)).select(b)
-      val pruned = e.join(okB, Seq(b))
-      val l = pruned.select(col(b), col("vec_id").as("v1"), col("v").as("va"))
-      val r = pruned.select(col(b), col("vec_id").as("v2"), col("v").as("vb"))
-      // Cosine INSIDE the band join, before the cross-band union: the
-      // dedup then shuffles (v1, v2, cos) triples instead of two
-      // 64-double vectors per pair — 20× fewer union/dedup bytes, and
-      // the value is identical whichever band's copy survives.
-      l.join(r, Seq(b)).filter(col("v1") < col("v2"))
-        .select(col("v1"), col("v2"),
-          round(cosine(col("va"), col("vb")), 6).as("cos"))
-    }
-    val pairs = bandPairs("b1").unionAll(bandPairs("b2"))
-      .unionAll(bandPairs("b3"))
+    // ONE posexplode turns the three band tables into (table-id, band)
+    // postings, so the census and the within-bucket self-join each run
+    // ONCE over the union instead of once per table (the former
+    // three-bandPairs form ran 3 census aggregates + 3 joins — same
+    // result after the cross-band dedup, 3× the exchanges). The
+    // position disambiguates equal 6-bit patterns from different
+    // tables, exactly like the CDC twin's prefixed bands
+    // ([[graft.queries.HnswCdcQueries]]).
+    val post = emb.select(col("vec_id"), vecD(col("embedding")).as("v"),
+        posexplode(array(band(1 to 6), band(7 to 12), band(13 to 18)))
+          .as(Seq("g", "band")))
+    val okB = post.groupBy("g", "band").agg(count(lit(1)).as("bn"))
+      .filter(col("bn").between(2, 200)).select("g", "band")
+    val pruned = post.join(okB, Seq("g", "band"))
+    // Cosine INSIDE the band join, before the dedup: the dedup then
+    // shuffles (v1, v2, cos) triples instead of two 64-double vectors
+    // per pair — 20× fewer dedup bytes, and the value is identical
+    // whichever band's copy survives.
+    val pairs = pruned
+      .select(col("g"), col("band"), col("vec_id").as("v1"),
+        col("v").as("va"))
+      .join(pruned.select(col("g"), col("band"), col("vec_id").as("v2"),
+        col("v").as("vb")), Seq("g", "band"))
+      .filter(col("v1") < col("v2"))
+      .select(col("v1"), col("v2"),
+        round(cosine(col("va"), col("vb")), 6).as("cos"))
       .dropDuplicates("v1", "v2") // a pair may collide in 2+ bands
     val sym = pairs
       .select(col("v1").as("vec_id"), col("v2").as("neighbor"), col("cos"))
