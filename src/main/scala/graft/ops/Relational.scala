@@ -2571,13 +2571,65 @@ object Relational {
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
   /** ntile quartiles over customer balance, then per-bucket stats —
-    * the distribution-sketch shape (ntile needs a global sort; the
-    * per-bucket agg after it is cheap).
+    * the distribution-sketch shape.
+    *
+    * NOT the `ntile(4) OVER (ORDER BY ...)` spelling (VERDICT r17 #3):
+    * an unpartitioned window is a single-partition WindowExec — every
+    * row moves to ONE task, the classic 100 TB scale-killer. Same
+    * result in two scalable passes instead:
+    *
+    *   1. `repartitionByRange` on the ntile ordering (partition count =
+    *      the session shuffle setting, so it scales with the cluster),
+    *      then ONE tiny per-partition row-count aggregate;
+    *   2. global rank = broadcast per-partition offset + local
+    *      `row_number` partitioned by the range-partition id (the hash
+    *      exchange it needs is bounded-per-partition, never global),
+    *      and the quartile from the rank by ntile's own arithmetic
+    *      (first `N mod k` buckets take `N div k + 1` rows, the rest
+    *      `N div k`) — bit-identical to the window function.
+    *
+    * The offset/total frame is partition-count-sized; its window and
+    * the final sort are post-aggregate-tiny.
     */
   def winNtile(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
-    t(spark, sfDir, "customer")
-      .select(col("c_acctbal"), ntile(4).over(w).as("quartile"))
+    val k = 4
+    // The range partitioner samples the sort key; pinning the seed-
+    // relevant layout is unnecessary — ANY disjoint ordered ranges +
+    // local sort yield the same global ranks, so the result does not
+    // depend on where the boundaries fall.
+    val parts = t(spark, sfDir, "customer")
+      .select(col("c_acctbal"), col("c_custkey"))
+      .repartitionByRange(col("c_acctbal"), col("c_custkey"))
+      .withColumn("pid", spark_partition_id())
+    val counts = parts.groupBy("pid").agg(count(lit(1)).as("cnt"))
+    // Partition-count-sized frame: the unpartitioned window here runs
+    // over one row per range partition (dozens to thousands), never
+    // data rows — the post-aggregate-tiny case, not the r17 #3 one.
+    val wOff = Window.orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets = counts.select(col("pid"),
+      coalesce(sum("cnt").over(wOff), lit(0L)).as("off"),
+      sum("cnt").over(wAll).as("total"))
+    val wLocal = Window.partitionBy("pid")
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    // ntile arithmetic on the global rank, in integer (DIV) math: with
+    // base = N div k and rem = N mod k, the first rem buckets span
+    // base+1 rows each, the rest base rows. When N < k the WHEN branch
+    // covers every row (bigSpan = N), so the ELSE's base=0 division is
+    // never taken.
+    val quartile =
+      s"""CAST(CASE
+         |  WHEN rn <= (total % $k) * (total DIV $k + 1)
+         |  THEN (rn - 1) DIV (total DIV $k + 1) + 1
+         |  ELSE total % $k
+         |    + (rn - (total % $k) * (total DIV $k + 1) - 1)
+         |        DIV (total DIV $k) + 1
+         |END AS INT) AS quartile""".stripMargin
+    parts.join(broadcast(offsets), Seq("pid"))
+      .withColumn("rn", col("off") + row_number().over(wLocal))
+      .selectExpr("c_acctbal", quartile)
       .groupBy("quartile")
       .agg(count(lit(1)).as("n"),
         round(min("c_acctbal"), 2).as("min_bal"),

@@ -117,8 +117,13 @@ private[queries] object DrainHarness {
     // the CDC-maintained hybrid overlaps its two maintainers) without
     // racing on the session-global shuffle-partition setting the old
     // set/restore pattern mutated.
+    // Shuffle width DERIVED from the store's bucket count (VERDICT r17
+    // #5): the per-batch merges shuffle into an nBuckets-bucketed
+    // store, so nBuckets partitions is the state-volume-sized setting
+    // — a literal 8 would silently under-partition the merges of any
+    // wider store a future family declares.
     val session = spark.newSession()
-    session.conf.set("spark.sql.shuffle.partitions", "8")
+    session.conf.set("spark.sql.shuffle.partitions", nBuckets.toString)
     val src = session.readStream.schema(Envelope.envelopeSchema(rowSchema))
       .option("maxFilesPerTrigger", filesPerTrigger).parquet(logDir)
     val q = Envelope.flatten(src).writeStream
