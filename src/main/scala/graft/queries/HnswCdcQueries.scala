@@ -23,8 +23,10 @@ import org.apache.spark.sql.types.StructType
   *    census pattern; it is what lets a batch know which of ITS bands
   *    are within the [2, 200] pair-join cap without scanning the
   *    corpus.
-  *  - `hnsw.edges` / `hnsw.edges1` — fanout-8 adjacency for the base
-  *    and L1 layers. Per batch: candidate pairs form ONLY between the
+  *  - `hnsw.edges` — fanout-8 adjacency for BOTH layers in one
+  *    layered table (`layer` 0 = base, 1 = L1), bucketed by vec_id so
+  *    a node's lists co-locate and each batch commits the graph ONCE.
+  *    Per batch: candidate pairs form ONLY between the
   *    batch's vectors and stored vectors sharing a cap-eligible band
   *    (a batch-keys × bucket-mates equi-join — never all-pairs, never
   *    the corpus); a BATCH vector's list is rebuilt from its fresh
@@ -65,8 +67,15 @@ object HnswCdcQueries {
   private val NBuckets = 8
   private val VecTable = "hnsw.vectors"
   private val CensusTable = "hnsw.census"
+  // ONE layered edge table (VERDICT r17 #3): base layer = 0, L1 = 1,
+  // bucketed by vec_id so both layers of a node share a bucket. The
+  // former two-table layout committed twice per batch (two manifest
+  // writes, two affected-bucket collects, two state reads); a layer
+  // column makes the relink ONE window pass and ONE commit for the
+  // identical per-(layer, vec_id) lists.
   private val EdgeTable = "hnsw.edges"
-  private val Edge1Table = "hnsw.edges1"
+  private val BaseLayer = 0
+  private val L1Layer = 1
   private val Fanout = 8
   private val CapLo = 2
   private val CapHi = 200
@@ -116,9 +125,9 @@ object HnswCdcQueries {
     if (!java.nio.file.Files.exists(f)) None
     else {
       val pat =
-        """\{"vec_v":(-?\d+),"census_v":(-?\d+),"edges_v":(-?\d+),"edges1_v":(-?\d+)\}""".r
+        """\{"vec_v":(-?\d+),"census_v":(-?\d+),"edges_v":(-?\d+)\}""".r
       java.nio.file.Files.readString(f).trim match {
-        case pat(a, b, c, d) => Some(Seq(a.toLong, b.toLong, c.toLong, d.toLong))
+        case pat(a, b, c) => Some(Seq(a.toLong, b.toLong, c.toLong))
         case _ => None
       }
     }
@@ -127,14 +136,14 @@ object HnswCdcQueries {
   private def writeMeta(store: StateStore, vs: Seq[Long]): Unit = {
     val tmp = metaPath(store).resolveSibling("hnsw.meta.json.tmp")
     java.nio.file.Files.writeString(tmp,
-      s"""{"vec_v":${vs(0)},"census_v":${vs(1)},"edges_v":${vs(2)},"edges1_v":${vs(3)}}""")
+      s"""{"vec_v":${vs(0)},"census_v":${vs(1)},"edges_v":${vs(2)}}""")
     java.nio.file.Files.move(tmp, metaPath(store),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   private def versions(store: StateStore): Seq[Long] =
-    Seq(VecTable, CensusTable, EdgeTable, Edge1Table)
+    Seq(VecTable, CensusTable, EdgeTable)
       .map(store.currentVersion(_).toLong)
 
   // --------------------------------------------------- micro-batch
@@ -144,7 +153,10 @@ object HnswCdcQueries {
     processBatchImpl(store, batch, crashAfter = 9)
 
   /** CRASH INJECTION for the spec: 0 = after the vectors merge only,
-    * 1 = + census, 2 = + base edges, 3 = + L1 edges (stamp missing).
+    * 1 = + census, 2 = + edges (both layers commit atomically in the
+    * layered table; stamp missing). Every commit boundary of the batch
+    * remains injectable — the former base-without-L1 state no longer
+    * EXISTS as a boundary, which is the point of the layered commit.
     */
   private[queries] def processBatchCrashing(store: StateStore,
       batch: DataFrame, crashAfter: Int): Unit =
@@ -246,47 +258,32 @@ object HnswCdcQueries {
           .select(col("a"), col("b"),
             round(graft.ops.LlmOps.cosine(col("va"), col("vb")), 6)
               .as("cos"))
+        // Both layers ride ONE candidate frame: base rows tagged
+        // layer 0, the L1 subsample tagged layer 1 — the layered
+        // relink below cuts each (layer, vec_id) group independently,
+        // exactly what the two per-table relinks computed, in one
+        // window pass and one commit.
         val cand = cand0
           .select(col("a").as("vec_id"), col("b").as("neighbor"), col("cos"))
           .unionAll(cand0.select(col("b").as("vec_id"),
             col("a").as("neighbor"), col("cos")))
           .dropDuplicates("vec_id", "neighbor")
           .persist()
-        val cand1 = cand.filter(col("vec_id") % 5 === 1 &&
-          col("neighbor") % 5 === 1)
+        val candL = cand.withColumn("layer", lit(BaseLayer))
+          .unionAll(cand.filter(col("vec_id") % 5 === 1 &&
+              col("neighbor") % 5 === 1)
+            .withColumn("layer", lit(L1Layer)))
+          .select("layer", "vec_id", "neighbor", "cos")
         val batchKeys = featMeta.select("vec_id").distinct()
-
-        if (crashAfter >= 4) {
-          // Normal path: the two edge layers are DISJOINT store tables
-          // fed by the same persisted candidate frame — their relinks
-          // are independent Spark actions, so run them concurrently
-          // (guide §2.6: overlap independent jobs; the same posture as
-          // the join-view maintainer's per-table merges). The crash-
-          // injection path below stays sequential — its contract is
-          // "base committed, L1 never ran", which has no meaning if
-          // both are in flight.
-          label(spark, "relink base+L1")
-          graft.Par.run(Seq(
-            () => relink(spark, store, EdgeTable, cand, batchKeys),
-            () => relink(spark, store, Edge1Table, cand1, batchKeys)))
-        } else {
-          label(spark, "relink base")
-          relink(spark, store, EdgeTable, cand, batchKeys)
-          if (crashAfter < 3) {
-            cand.unpersist(blocking = false)
-            newLive.unpersist(blocking = false)
-            result.unpersist(); return
-          }
-          label(spark, "relink L1")
-          relink(spark, store, Edge1Table, cand1, batchKeys)
-        }
+        label(spark, "relink")
+        relink(spark, store, candL, batchKeys)
         cand.unpersist(blocking = false)
         newLive.unpersist(blocking = false)
       } else {
         rebuildGraph(spark, store)
       }
       result.unpersist()
-      if (crashAfter < 4) return
+      if (crashAfter < 3) return
       writeMeta(store, versions(store))
     } finally compacted.unpersist(blocking = false)
   }
@@ -299,50 +296,55 @@ object HnswCdcQueries {
     * rows carried.
     */
   private def relink(spark: SparkSession, store: StateStore,
-                     table: String, cand: DataFrame,
+                     candL: DataFrame,
                      batchKeys: DataFrame): Unit = {
     import org.apache.spark.sql.expressions.Window
     // Affected buckets: every node whose list can change — candidate
     // endpoints plus every batch key (a batch key's stored rows drop
-    // even when it drew no candidates).
-    val affected = cand.select("vec_id").unionByName(batchKeys)
+    // even when it drew no candidates). The L1 candidate set is a
+    // subset of the base set, so the base layer's endpoints cover
+    // both layers, and the bucket space is shared (hash(vec_id)).
+    val affected = candL.select("vec_id").unionByName(batchKeys)
       .select(StateStore.bucketExpr(Seq("vec_id"), NBuckets).as("b"))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
     if (affected.isEmpty) return
     val existing =
-      if (store.exists(table)) store.readBuckets(spark, table, affected)
-        .select("vec_id", "neighbor", "cos")
+      if (store.exists(EdgeTable)) store.readBuckets(spark, EdgeTable, affected)
+        .select("layer", "vec_id", "neighbor", "cos")
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType.fromDDL("vec_id bigint, neighbor bigint, cos double"))
+        StructType.fromDDL(
+          "layer int, vec_id bigint, neighbor bigint, cos double"))
     // ONE window pass over (stored-minus-batch-keys ∪ candidates)
     // replaces the former keep/accumulate/recut three-way split (six
     // shuffles, ~17 jobs per relink in the r17 JobProf): batch keys'
-    // stored rows drop (their lists rebuild from cand alone, the
-    // re-link rule); every OTHER stored row is already within the
-    // fanout cut of this same window (lists are only ever committed
-    // pre-cut), so the re-cut is the identity on untouched nodes and
-    // they no longer need to be split out and unioned back. The
-    // batch-key anti-join broadcasts (batch-sized frame), keeping the
-    // state side unshuffled; the explicit repartition on vec_id lets
-    // the pair-dedup AND the window share ONE exchange
-    // (hash(vec_id) co-locates both keys — guide §2.4). Dedup guards
-    // the stored-row/new-candidate overlap (same pair, same cos — no
-    // update wave exists, so duplicate pairs always carry equal cos
-    // and the arbitrary keep is exact).
+    // stored rows drop IN BOTH LAYERS (their lists rebuild from cand
+    // alone, the re-link rule); every OTHER stored row is already
+    // within the fanout cut of this same window (lists are only ever
+    // committed pre-cut), so the re-cut is the identity on untouched
+    // nodes and they no longer need to be split out and unioned back.
+    // The batch-key anti-join broadcasts (batch-sized frame), keeping
+    // the state side unshuffled; the explicit repartition on vec_id
+    // lets the pair-dedup AND the window share ONE exchange — vec_id
+    // is a SUBSET of both the dedup key (layer, vec_id, neighbor) and
+    // the window partition key (layer, vec_id), so hash(vec_id)
+    // satisfies both clusterings (guide §2.4), for both layers at
+    // once. Dedup guards the stored-row/new-candidate overlap (same
+    // pair, same cos — no update wave exists, so duplicate pairs
+    // always carry equal cos and the arbitrary keep is exact).
     val pool = existing
       .join(broadcast(batchKeys), Seq("vec_id"), "left_anti")
-      .unionByName(cand)
+      .unionByName(candL)
       .repartition(col("vec_id"))
-      .dropDuplicates("vec_id", "neighbor")
-    val byCos = Window.partitionBy("vec_id")
+      .dropDuplicates("layer", "vec_id", "neighbor")
+    val byCos = Window.partitionBy("layer", "vec_id")
       .orderBy(col("cos").desc, col("neighbor"))
     val next = pool.withColumn("rank", row_number().over(byCos))
       .filter(col("rank") <= Fanout)
-      .select("vec_id", "neighbor", "cos")
+      .select("layer", "vec_id", "neighbor", "cos")
       .withColumn(StateStore.BucketCol,
         StateStore.bucketExpr(Seq("vec_id"), NBuckets))
-    store.commit(spark, table, next, affected)
+    store.commit(spark, EdgeTable, next, affected)
     ()
   }
 
@@ -407,8 +409,11 @@ object HnswCdcQueries {
       .groupBy("band").agg(count(lit(1)).as("n"))
     commitTotal(CensusTable, census, Seq("band"))
     val (base, l1) = buildEdges(live)
-    commitTotal(EdgeTable, base, Seq("vec_id"))
-    commitTotal(Edge1Table, l1, Seq("vec_id"))
+    commitTotal(EdgeTable,
+      base.withColumn("layer", lit(BaseLayer))
+        .unionByName(l1.withColumn("layer", lit(L1Layer)))
+        .select("layer", "vec_id", "neighbor", "cos"),
+      Seq("vec_id"))
     live.unpersist(blocking = false)
   }
 
@@ -420,10 +425,14 @@ object HnswCdcQueries {
     * the tombstone mask: dead candidates simply have no score row.
     */
   private def walk(scored: DataFrame, baseEdges: DataFrame,
-                   l1Edges: DataFrame): DataFrame = {
+                   l1Edges: DataFrame, ownScored: Boolean = true,
+                   label: String = "hnsw: walk"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    scored.sparkSession.sparkContext.setJobDescription("hnsw: walk")
-    val scoredP = scored.persist()
+    scored.sparkSession.sparkContext.setJobDescription(label)
+    // `ownScored = false`: the caller persists/unpersists the shared
+    // scored frame (the recall audit runs two walks CONCURRENTLY over
+    // one scored cache — r17's deferred persist-ownership blocker).
+    val scoredP = if (ownScored) scored.persist() else scored
     // Persist the edge frames: every hop's candidate join re-evaluates
     // its edges argument, and for the recall audit's REBUILT graph that
     // argument is the whole buildEdges pipeline (banded pair join +
@@ -462,7 +471,7 @@ object HnswCdcQueries {
       .select("rank", "vec_id", "cos")
       .orderBy("rank")
       .localCheckpoint(true)
-    scoredP.unpersist(blocking = false)
+    if (ownScored) scoredP.unpersist(blocking = false)
     baseP.unpersist(blocking = false)
     l1P.unpersist(blocking = false)
     out
@@ -495,11 +504,18 @@ object HnswCdcQueries {
   /** The registered query: drain wave-per-batch, walk the MAINTAINED
     * graph over the live corpus, publish the beam's top-10.
     */
+  /** The two layers of the maintained graph, off one state read. */
+  private def maintainedLayers(spark: SparkSession,
+      store: StateStore): (DataFrame, DataFrame) = {
+    val e = store.rawState(spark, EdgeTable)
+    (e.filter(col("layer") === BaseLayer).select("vec_id", "neighbor"),
+      e.filter(col("layer") === L1Layer).select("vec_id", "neighbor"))
+  }
+
   def hnswIncremental(spark: SparkSession, sfDir: String): DataFrame = {
     val store = runMaintenance(spark, sfDir)
-    walk(scoredLive(spark, sfDir, store),
-      store.rawState(spark, EdgeTable).select("vec_id", "neighbor"),
-      store.rawState(spark, Edge1Table).select("vec_id", "neighbor"))
+    val (base, l1) = maintainedLayers(spark, store)
+    walk(scoredLive(spark, sfDir, store), base, l1)
   }
 
   /** The audit row: walk recall@10 vs the exact top-10 for BOTH the
@@ -509,17 +525,39 @@ object HnswCdcQueries {
   def hnswRecall(spark: SparkSession, sfDir: String): DataFrame = {
     val store = runMaintenance(spark, sfDir)
     val scored = scoredLive(spark, sfDir, store).persist()
+    // The exact top-10 doubles as the scored cache's materializing
+    // action, so the two concurrent walks below read a built cache
+    // instead of racing to compute it.
+    spark.sparkContext.setJobDescription("hnsw: exact top-10")
     val exact = scored.orderBy(col("cos").desc, col("vec_id"))
       .limit(10).select("vec_id").localCheckpoint(true)
-    val maintained = walk(scored,
-      store.rawState(spark, EdgeTable).select("vec_id", "neighbor"),
-      store.rawState(spark, Edge1Table).select("vec_id", "neighbor"))
-      .select("vec_id")
-    spark.sparkContext.setJobDescription("hnsw: rebuild baseline")
-    val live = store.currentState(spark, VecTable).persist()
-    val (rb, rl1) = buildEdges(live)
-    val rebuilt = walk(scored, rb.select("vec_id", "neighbor"),
-      rl1.select("vec_id", "neighbor")).select("vec_id")
+    // The maintained walk and the rebuilt-baseline walk are independent
+    // given the drain and the shared (read-only) scored cache, so they
+    // run CONCURRENTLY (guide §2.6 — VERDICT r17 #2; r17 measured them
+    // at ~5 s each SEQUENTIAL). `ownScored = false` resolves the
+    // persist-ownership blocker: this method owns the cache, neither
+    // walk unpersists it. Each walk's OWN edge frames stay private.
+    // Both walks end in an eager localCheckpoint, so both thunks
+    // return fully materialized frames.
+    val walked = graft.Par.run(Seq(
+      () => {
+        val (base, l1) = maintainedLayers(spark, store)
+        walk(scored, base, l1,
+          ownScored = false, label = "hnsw: walk maintained")
+          .select("vec_id")
+      },
+      () => {
+        spark.sparkContext.setJobDescription("hnsw: rebuild baseline")
+        val live = store.currentState(spark, VecTable).persist()
+        val (rb, rl1) = buildEdges(live)
+        val out = walk(scored, rb.select("vec_id", "neighbor"),
+          rl1.select("vec_id", "neighbor"),
+          ownScored = false, label = "hnsw: walk rebuilt")
+          .select("vec_id")
+        live.unpersist(blocking = false)
+        out
+      }))
+    val (maintained, rebuilt) = (walked(0), walked(1))
     val out = exact.join(maintained, Seq("vec_id"))
       .agg(count(lit(1)).as("hits_inc"))
       .crossJoin(exact.join(rebuilt, Seq("vec_id"))
@@ -532,7 +570,6 @@ object HnswCdcQueries {
           .as("recall_rebuilt"))
       .localCheckpoint(eager = true)
     scored.unpersist(blocking = false)
-    live.unpersist(blocking = false)
     out
   }
 

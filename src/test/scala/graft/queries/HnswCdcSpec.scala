@@ -34,9 +34,11 @@ class HnswCdcSpec extends SparkTestBase {
     assert(top.nonEmpty)
     assert(top.forall(v => v % 9 != 0),
       "tombstoned vectors must be masked out of every beam")
-    // Edge lists: fanout <= 8 per node, and no DELETED node owns rows.
+    // Edge lists: fanout <= 8 per (layer, node) — the layered table
+    // carries base (0) and L1 (1) lists side by side — and no DELETED
+    // node owns rows in either layer.
     val edges = store.rawState(spark, "hnsw.edges")
-    val overFanout = edges.groupBy("vec_id")
+    val overFanout = edges.groupBy("layer", "vec_id")
       .agg(count(lit(1)).as("deg")).filter(col("deg") > 8).count()
     assert(overFanout == 0, "re-linking must re-cut to the fanout bound")
     assert(edges.filter(col("vec_id") % 9 === 0).count() == 0,
@@ -65,6 +67,7 @@ class HnswCdcSpec extends SparkTestBase {
 
     def edgesNow(): Map[Long, Seq[(Long, Double)]] =
       store.rawState(spark, "hnsw.edges")
+        .filter(col("layer") === 0).select("vec_id", "neighbor", "cos")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
         .groupBy(_._1).map { case (k, v) =>
           k -> v.map(t => (t._2, t._3)).toSeq.sorted }
